@@ -1,0 +1,344 @@
+"""Query catalog: every declared operator as (spark_fn, duckdb_oracle).
+
+Registered via the @query decorator; __spark_entry__.py re-exports.
+Each docstring cites the SURVEY §2 operator id and the reference
+file:line it re-expresses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mr_mpi_blast_spark.operators.blocks import assign_blocks, block_bounds
+from mr_mpi_blast_spark.operators.topk import topk_per_key
+from mr_mpi_blast_spark.session import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Core relational surface (SURVEY §2.5-2.8) over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+@query("topk_per_group", """
+SELECT l_orderkey, l_linenumber, l_extendedprice, rank FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber) AS rank
+  FROM lineitem) WHERE rank <= 3
+""")
+def q_topk_per_group(spark, sf_dir):
+    """O2+O3: per-key ordered top-k (reduce-side sort + NUMHITCUTOFF,
+    mrblast.cpp:1224-1241). Catalyst plans a WindowGroupLimit so the
+    cutoff is applied map-side before the shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return topk_per_key(
+        li, ["l_orderkey"],
+        [F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()], 3,
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "rank")
+
+
+@query("hits_histogram", """
+SELECT l_orderkey AS qid, count(*) AS n_hits
+FROM lineitem GROUP BY l_orderkey
+""")
+def q_hits_histogram(spark, sf_dir):
+    """A1: hits-per-query histogram (g_vecNumHitsPerQid + MPI_Allreduce,
+    mrblast.cpp:556-561) = two-phase hash aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy(F.col("l_orderkey").alias("qid"))
+              .agg(F.count(F.lit(1)).alias("n_hits")))
+
+
+@query("pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                                   AS sum_qty,
+       round(sum(l_extendedprice), 4)                              AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
+       round(avg(l_quantity), 4)                                   AS avg_qty,
+       round(avg(l_discount), 4)                                   AS avg_disc,
+       count(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_pricing_summary(spark, sf_dir):
+    """A3/A5/E8: multi-aggregate groupBy with map-side partial agg
+    (compress, mapreduce.cpp:743-855) + filter pushdown to parquet."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                   F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                   F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+                   F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                   F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                   F.count(F.lit(1)).alias("count_order")))
+
+
+@query("revenue_by_brand", """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""")
+def q_revenue_by_brand(spark, sf_dir):
+    """J3: small-dimension broadcast hash join (the defline merge-join,
+    load_csv.py:104-142, re-expressed as broadcast)."""
+    li, part = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .groupBy("p_brand")
+              .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+                   F.count(F.lit(1)).alias("n_items")))
+
+
+@query("orders_by_nation", """
+SELECT n_name,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def q_orders_by_nation(spark, sf_dir):
+    """J4: dimension-chain lookup join (subject defline lookup,
+    mrblast.cpp:979-992) — two broadcast joins, zero big-side shuffles."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .groupBy("n_name")
+              .agg(F.count(F.lit(1)).alias("n_orders"),
+                   F.round(F.sum("o_totalprice"), 4).alias("total_price")))
+
+
+@query("workitem_cross", """
+SELECT r_regionkey, n_nationkey FROM region CROSS JOIN nation
+""")
+def q_workitem_cross(spark, sf_dir):
+    """J1: the work-item cross product (mrblast.cpp:167-183) — both
+    sides plan-sized, broadcast nested loop."""
+    r = _t(spark, sf_dir, "region").select("r_regionkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+    return r.crossJoin(F.broadcast(n))
+
+
+@query("union_slices", """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+FROM (
+  SELECT * FROM orders WHERE o_totalprice < 50000
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+) GROUP BY o_orderstatus
+""")
+def q_union_slices(spark, sf_dir):
+    """E14 ``add`` = UNION ALL (mapreduce.cpp:374-404)."""
+    o = _t(spark, sf_dir, "orders")
+    u = o.filter(F.col("o_totalprice") < 50000).unionByName(
+        o.filter(F.col("o_orderpriority") == "1-URGENT"))
+    return (u.groupBy("o_orderstatus")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("o_totalprice"), 4).alias("total")))
+
+
+@query("filter_scan", """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q_filter_scan(spark, sf_dir):
+    """F1/E10: predicate-pushdown scan + global collapse
+    (mapreduce.cpp:682-710). All four predicates reach the parquet
+    reader as PushedFilters."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+                      & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+                      & (F.col("l_discount").between(0.05, 0.07))
+                      & (F.col("l_quantity") < 24))
+              .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+                   F.count(F.lit(1)).alias("n")))
+
+
+@query("aggregate_shuffle", """
+SELECT l_suppkey, count(*) AS n, round(sum(l_quantity), 4) AS qty
+FROM lineitem GROUP BY l_suppkey
+""")
+def q_aggregate_shuffle(spark, sf_dir):
+    """E4/E6 ``aggregate``+``collate``: explicit hash exchange on the key
+    then group — results identical to a bare groupBy; the repartition
+    documents the shuffle the reference hand-codes
+    (mapreduce.cpp:406-570 + irregular.cpp)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.repartition(F.col("l_suppkey"))
+              .groupBy("l_suppkey")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("l_quantity"), 4).alias("qty")))
+
+
+@query("gather_coalesce", """
+SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority
+""")
+def q_gather_coalesce(spark, sf_dir):
+    """E11 ``gather(p)`` = coalesce: concentrate partitions without a
+    shuffle (mapreduce.cpp:889-1045); result values are unaffected."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.coalesce(2)
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# Plan-building operators (SURVEY §2.1) over the documents table
+# ---------------------------------------------------------------------------
+
+@query("query_blocks", """
+WITH cum AS (
+  SELECT doc_id, n_chars,
+         coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM documents)
+SELECT CAST(floor(prev / 20000) AS BIGINT) AS block_id,
+       min(doc_id)                         AS qid_start,
+       max(doc_id)                         AS qid_end,
+       count(*)                            AS n_queries,
+       CAST(sum(n_chars) AS BIGINT)        AS total_bp
+FROM cum GROUP BY 1
+""")
+def q_query_blocks(spark, sf_dir):
+    """S5: query-block builder (mrblast.cpp:144-161) — greedy bp
+    bin-packing as a hierarchical prefix sum (see operators/blocks.py)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("qid"), F.col("n_chars").alias("length"))
+    blocks = assign_blocks(docs, blocksize=20000)
+    return (block_bounds(blocks)
+            .select("block_id", "qid_start", "qid_end", "n_queries",
+                    F.col("total_bp").cast("long").alias("total_bp")))
+
+
+@query("serial_index", """
+SELECT doc_id,
+       row_number() OVER (ORDER BY doc_id) AS uid,
+       string_split(text, ' ')[1] AS defline_part
+FROM documents
+""")
+def q_serial_index(spark, sf_dir):
+    """S2: serial uid assignment + defline_part (seqindexer.py:166-197;
+    the -b 0 'token before first blank' form)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    return docs.select(
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("uid"),
+        F.split(F.col("text"), " ").getItem(0).alias("defline_part"))
+
+
+@query("effective_dbsize", """
+SELECT source,
+       CAST(sum(n_chars) AS BIGINT) AS part_size,
+       count(*) AS n_seqs,
+       CAST(sum(sum(n_chars)) OVER () AS BIGINT) AS dbsize_total
+FROM documents GROUP BY source
+""")
+def q_effective_dbsize(spark, sf_dir):
+    """S8/A3: effective dbsize — per-partition sizes plus the global
+    total every partition must be normalized against
+    (mrblast.cpp:404-433; e-values are only comparable across DB
+    partitions when computed against the WHOLE db length)."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("part_size"),
+        F.count(F.lit(1)).alias("n_seqs"))
+    return per.withColumn(
+        "dbsize_total",
+        F.sum("part_size").over(Window.partitionBy()).cast("long"))
+
+
+@query("sequence_splitter", """
+SELECT doc_id, CAST(s AS INT) AS chunk_start,
+       substring(text, CAST(s AS INT) + 1, 500) AS chunk,
+       length(substring(text, CAST(s AS INT) + 1, 500)) AS chunk_len
+FROM documents, unnest(generate_series(0, n_chars - 1, 250)) AS t(s)
+""")
+def q_sequence_splitter(spark, sf_dir):
+    """S3: sequence shredder (tools/splitter/splitter.py:144-189) —
+    fixed windows (500) with overlap (250) via explode over a generated
+    start sequence; pure substring arithmetic, fully parallel."""
+    docs = _t(spark, sf_dir, "documents")
+    starts = F.sequence(F.lit(0), F.col("n_chars") - 1, F.lit(250))
+    return (docs
+            .select("doc_id", "text", F.explode(starts).alias("s"))
+            .select("doc_id",
+                    F.col("s").cast("int").alias("chunk_start"),
+                    F.substring(F.col("text"), F.col("s") + 1, F.lit(500)).alias("chunk"),
+                    F.length(F.substring(F.col("text"), F.col("s") + 1, F.lit(500))).alias("chunk_len")))
+
+
+# ---------------------------------------------------------------------------
+# Events (streaming-shaped batch parity; true streaming in streaming/)
+# ---------------------------------------------------------------------------
+
+@query("events_hourly", """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def q_events_hourly(spark, sf_dir):
+    """Streaming analog (SURVEY §2.10): tumbling-window aggregate —
+    batch-parity form of streaming/events.hourly_counts, same transform."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(
+                F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm").alias("hour"),
+                "event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 4).alias("total_value")))
+
+
+@query("events_json_props", """
+SELECT event_type,
+       round(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)), 4) AS avg_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+""")
+def q_events_json_props(spark, sf_dir):
+    """Semi-structured extraction over the events props column
+    (beyond-reference; the reference has no nested types, SURVEY §1.1)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).cast("int")
+    return (ev.groupBy("event_type")
+              .agg(F.round(F.avg(k), 4).alias("avg_k"),
+                   F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# Flagship (driver smoke at sf0.001) — upgraded to the kernel pipeline
+# once kernel lands; meanwhile the densest relational query.
+# ---------------------------------------------------------------------------
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q_pricing_summary(spark, sf_dir)

@@ -1,0 +1,84 @@
+"""Query-block builder (S5) and work-item generation (J1).
+
+Reference: mrblast.cpp:144-161 walks the query index accumulating base
+pairs and cuts a block each time the running sum reaches BLOCKSIZE; the
+work-item list is then the cross product blocks x DB partitions
+(mrblast.cpp:167-183, doc/USERGUIDE:15-18) — that cross product IS the
+parallelization strategy.
+
+Spark expression: block_id = floor(exclusive-cumsum(length) / blocksize).
+A naive ``Window.orderBy(qid)`` running sum is a single-task global sort
+— fine at test scale, fatal at 100 TB. We compute the prefix sum
+hierarchically instead:
+
+  1. bucket queries by a deterministic qid range split (~n_buckets),
+  2. aggregate per-bucket totals (parallel, one narrow shuffle),
+  3. collect the tiny bucket-total vector, prefix-scan it on the driver
+     (this is the reference's MPI_Allreduce moment, mrblast.cpp:556),
+  4. broadcast-join the bucket offsets back and window only *within*
+     each bucket.
+
+Every stage is parallel; driver traffic is O(n_buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_blocks(queries: DataFrame, blocksize: int,
+                  id_col: str = "qid", length_col: str = "length",
+                  n_buckets: int = 1024) -> DataFrame:
+    """Add ``block_id``: contiguous qid ranges covering >= blocksize bp.
+
+    Mirrors mrblast.cpp:144-161 (greedy cut when accumulated bp reaches
+    BLOCKSIZE) as floor(exclusive_cumsum(length) / blocksize) — identical
+    boundaries for the same qid ordering.
+    """
+    spark = queries.sparkSession
+    lo, hi = queries.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:
+        return queries.withColumn("block_id", F.lit(None).cast("long"))
+    width = max(1, (int(hi) - int(lo)) // n_buckets + 1)
+    bucket = F.floor((F.col(id_col) - F.lit(int(lo))) / F.lit(width))
+    q = queries.withColumn("_bucket", bucket)
+
+    totals = {int(r[0]): int(r[1])
+              for r in q.groupBy("_bucket").agg(F.sum(length_col)).collect()}
+    offsets, acc = [], 0
+    for b in sorted(totals):
+        offsets.append((b, acc))
+        acc += totals[b]
+    off_df = spark.createDataFrame(offsets, ["_bucket", "_offset"])
+
+    w = (Window.partitionBy("_bucket").orderBy(F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prev_bp = F.col("_offset") + F.coalesce(F.sum(length_col).over(w), F.lit(0))
+    return (q.join(F.broadcast(off_df), "_bucket")
+             .withColumn("block_id",
+                         F.floor(prev_bp / F.lit(blocksize)).cast("long"))
+             .drop("_bucket", "_offset"))
+
+
+def block_bounds(queries_with_blocks: DataFrame,
+                 id_col: str = "qid") -> DataFrame:
+    """One row per block: (block_id, qid_start, qid_end, n_queries, total_bp).
+
+    qid_start mirrors structWorkItem_t.qIdStart (mrblast.hpp:190-195).
+    """
+    return (queries_with_blocks
+            .groupBy("block_id")
+            .agg(F.min(id_col).alias("qid_start"),
+                 F.max(id_col).alias("qid_end"),
+                 F.count(F.lit(1)).alias("n_queries"),
+                 F.sum("length").alias("total_bp")))
+
+
+def work_items(blocks: DataFrame, db_parts: DataFrame) -> DataFrame:
+    """Cross product blocks x DB partitions (mrblast.cpp:167-183).
+
+    Both sides are plan-sized (thousands of rows), so the cross join is
+    trivially broadcast; each output row becomes one kernel task.
+    """
+    return blocks.crossJoin(F.broadcast(db_parts))

@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` but every default here is chosen to
+also hold on a large multi-executor cluster: AQE on (runtime skew-join
+splitting + partition coalescing stands in for the reference's two-phase
+skew-balanced shuffle, mrblast.cpp:556-575), Arrow enabled for the pandas
+UDF kernel path, and shuffle partitions sized by env rather than the 200
+default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "mr_mpi_blast_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        # parquet scans: keep partitions big enough that task overhead
+        # does not dominate at 100 TB (the reference's BLOCKSIZE knob,
+        # doc/USERGUIDE:498-506, is exactly this trade).
+        .config("spark.sql.files.maxPartitionBytes", "256m")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark has no
+        # native type for; read as long and convert (see load_events).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one of the driver's synthetic tables as a DataFrame."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanosAsLong surfaced raw int64 nanoseconds; integer-divide to
+        # micros (double math would lose precision at 1e18 magnitudes).
+        from pyspark.sql import functions as F
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
