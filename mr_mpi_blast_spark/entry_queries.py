@@ -336,9 +336,35 @@ def q_events_json_props(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Flagship (driver smoke at sf0.001) — upgraded to the kernel pipeline
-# once kernel lands; meanwhile the densest relational query.
+# The kernel pipeline (K1/K2 + P1-P9 + F1 + O2/O3 end-to-end)
 # ---------------------------------------------------------------------------
 
+@query("blast_pipeline")  # kernel = non-SQL-expressible; rows-only check
+def q_blast_pipeline(spark, sf_dir):
+    """K1 + full lifecycle (SURVEY §3.1): documents-as-sequences run
+    through blocks -> per-DB-partition kernel -> projections -> e-value
+    filter -> per-query top-k. Every 25th document is a query; all
+    documents form the database, bucketed into 4 partitions."""
+    from mr_mpi_blast_spark.config import BlastConfig
+    from mr_mpi_blast_spark.plans.pipeline import run_search
+
+    docs = _t(spark, sf_dir, "documents")
+    queries_df = (docs.filter(F.col("doc_id") % 25 == 0)
+                  .select(F.col("doc_id").alias("qid"),
+                          F.concat(F.lit("doc_"), "doc_id").alias("defline"),
+                          F.concat(F.lit("doc_"), "doc_id").alias("defline_part"),
+                          F.col("text").alias("seq"),
+                          F.col("n_chars").cast("int").alias("length")))
+    subjects = docs.select(
+        F.concat(F.lit("s_"), "doc_id").alias("sid"),
+        F.concat(F.lit("s_"), "doc_id").alias("defline"),
+        F.concat(F.lit("db."), F.pmod(F.xxhash64("source"), F.lit(4))).alias("db_part"),
+        F.col("text").alias("seq"),
+        F.col("n_chars").cast("int").alias("length"))
+    cfg = BlastConfig(task="blastp", word_size=16, evalue=1e-3,
+                      block_size=20000, num_hit_cutoff=10, max_kmer_hits=128)
+    return run_search(queries_df, subjects, cfg)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return q_pricing_summary(spark, sf_dir)
+    return q_blast_pipeline(spark, sf_dir)

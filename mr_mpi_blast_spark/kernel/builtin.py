@@ -1,0 +1,206 @@
+"""Builtin deterministic alignment kernel (K1).
+
+The reference's kernel is NCBI C++ BLAST invoked per work item
+(mrblast.cpp:700-1176). This engine treats the kernel as pluggable
+(SURVEY §7.1): this module is the hermetic default — a deterministic
+ungapped seed-and-extend aligner (BLAST's core loop: exact word match
+-> X-drop extension -> Karlin-Altschul scoring) in pure Python over
+pandas batches, invoked via applyInPandas per query block.
+
+Faithful semantics kept from the reference:
+- subject k-mer index built once per DB partition and *cached per
+  worker process* across tasks (S7 DB-handle reuse, mrblast.cpp:838-845);
+- e-values computed against the effective size of the WHOLE database,
+  not the partition (S8, mrblast.cpp:404-433) — the dbsize scalar is
+  passed in from a global aggregate;
+- both strands searched for nucleotide tasks; kernel reports raw
+  forward coordinates + strand signs, the strand swap is a downstream
+  projection (P4, mrblast.cpp:1082-1086);
+- ultra-frequent seeds are skipped (max_kmer_hits), the low-complexity
+  masking analog (F3 -dust).
+
+Simplifications vs NCBI BLAST (documented, deterministic): ungapped
+extension only (gaps column is 0), raw m*n search space without
+length adjustment. Scores use the ungapped Karlin-Altschul parameters
+for +1/-2 nucleotide scoring: lambda=1.33, K=0.621.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql.types import (DoubleType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+from mr_mpi_blast_spark.config import BlastConfig
+
+LAMBDA = 1.33
+KAPPA = 0.621
+
+# Raw kernel output: scoring-space facts only; relational projections
+# (P2-P9) happen downstream as column expressions.
+RAW_HITS = StructType([
+    StructField("qid", LongType(), False),
+    StructField("sid", StringType(), False),
+    StructField("score", IntegerType(), False),
+    StructField("align_len", IntegerType(), False),
+    StructField("ident_count", IntegerType(), False),
+    StructField("gaps", IntegerType(), False),
+    StructField("qstart0", IntegerType(), False),
+    StructField("qend0", IntegerType(), False),
+    StructField("sstart0", IntegerType(), False),
+    StructField("send0", IntegerType(), False),
+    StructField("qstrand", IntegerType(), False),
+    StructField("sstrand", IntegerType(), False),
+    StructField("qlen", IntegerType(), False),
+])
+
+_COMPLEMENT = str.maketrans("ACGTacgt", "TGCAtgca")
+
+# S7: per-worker subject index cache, keyed by (db_part, generation).
+_DB_CACHE: dict = {}
+
+
+def revcomp(seq: str) -> str:
+    return seq.translate(_COMPLEMENT)[::-1]
+
+
+class SubjectIndex:
+    """k-mer -> [(subject_idx, pos)...] over one DB partition."""
+
+    def __init__(self, subjects: list[tuple[str, str]], word_size: int,
+                 max_kmer_hits: int):
+        self.subjects = subjects
+        self.word_size = word_size
+        index: dict[str, list[tuple[int, int]]] = {}
+        for si, (_, seq) in enumerate(subjects):
+            for pos in range(0, len(seq) - word_size + 1):
+                kmer = seq[pos:pos + word_size]
+                bucket = index.setdefault(kmer, [])
+                if len(bucket) <= max_kmer_hits:   # keep one past cap to detect
+                    bucket.append((si, pos))
+        # drop over-cap kmers entirely (dust analog: repetitive words)
+        self.index = {k: v for k, v in index.items()
+                      if len(v) <= max_kmer_hits}
+
+
+def get_subject_index(cache_key: str, subjects, word_size: int,
+                      max_kmer_hits: int) -> SubjectIndex:
+    """DB-handle reuse (mrblast.cpp:838-845): build the partition index
+    once per Python worker, reuse across query-block tasks."""
+    key = (cache_key, word_size, max_kmer_hits)
+    idx = _DB_CACHE.get(key)
+    if idx is None:
+        idx = SubjectIndex(list(subjects), word_size, max_kmer_hits)
+        _DB_CACHE.clear()      # one partition resident at a time, like the ref
+        _DB_CACHE[key] = idx
+    return idx
+
+
+def _extend(q: str, s: str, qpos: int, spos: int, k: int,
+            reward: int, penalty: int, xdrop: int):
+    """Ungapped X-drop extension around an exact word match.
+    Returns (score, qs, qe, ss, se, ident) with 0-based inclusive ends."""
+    qlen, slen = len(q), len(s)
+    # seed scores k matches
+    score = k * reward
+    ident = k
+    # extend right from end of word
+    best_score, best_qe, best_ident = score, qpos + k - 1, ident
+    i, j, cur, cur_ident = qpos + k, spos + k, score, ident
+    while i < qlen and j < slen:
+        if q[i] == s[j]:
+            cur += reward
+            cur_ident += 1
+        else:
+            cur += penalty
+        if cur > best_score:
+            best_score, best_qe, best_ident = cur, i, cur_ident
+        elif best_score - cur > xdrop:
+            break
+        i += 1
+        j += 1
+    score, qe, ident = best_score, best_qe, best_ident
+    # extend left from start of word
+    best_score, best_qs, best_ident = score, qpos, ident
+    i, j, cur, cur_ident = qpos - 1, spos - 1, score, ident
+    while i >= 0 and j >= 0:
+        if q[i] == s[j]:
+            cur += reward
+            cur_ident += 1
+        else:
+            cur += penalty
+        if cur > best_score:
+            best_score, best_qs, best_ident = cur, i, cur_ident
+        elif best_score - cur > xdrop:
+            break
+        i -= 1
+        j -= 1
+    qs = best_qs
+    ss = spos - (qpos - qs)
+    se = ss + (qe - qs)
+    return best_score, qs, qe, ss, se, best_ident
+
+
+def align_query(qid: int, seq: str, index: SubjectIndex,
+                cfg: BlastConfig) -> list[tuple]:
+    """All HSPs of one query against one indexed partition, both strands."""
+    out = []
+    k = cfg.word_size
+    qlen = len(seq)
+    strands = [(seq, 1)]
+    if cfg.task == "blastn":
+        strands.append((revcomp(seq), -1))
+    for q, qstrand in strands:
+        seen: dict[tuple[int, int], int] = {}   # (si, diag) -> covered qend
+        for qpos in range(0, len(q) - k + 1):
+            hits = index.index.get(q[qpos:qpos + k])
+            if not hits:
+                continue
+            for si, spos in hits:
+                diag = spos - qpos
+                if seen.get((si, diag), -1) >= qpos:
+                    continue
+                score, qs, qe, ss, se, ident = _extend(
+                    q, index.subjects[si][1], qpos, spos, k,
+                    cfg.reward, cfg.penalty, cfg.xdrop)
+                seen[(si, diag)] = qe
+                if score < cfg.min_raw_score:
+                    continue
+                if qstrand == -1:
+                    # map coords back to the forward query orientation
+                    qs, qe = qlen - qe - 1, qlen - qs - 1
+                out.append((qid, index.subjects[si][0], score,
+                            qe - qs + 1, ident, 0,
+                            qs, qe, ss, se, qstrand, 1, qlen))
+    return out
+
+
+def make_block_kernel(subjects_bc, cfg: BlastConfig, cache_key: str):
+    """Kernel factory for applyInPandas over query blocks (K1/K2).
+
+    subjects_bc: Spark broadcast of list[(sid, seq)] for ONE db
+    partition — the Spark analog of every rank having the partition's
+    volume files on local disk.
+    """
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        index = get_subject_index(cache_key, subjects_bc.value,
+                                  cfg.word_size, cfg.max_kmer_hits)
+        rows: list[tuple] = []
+        # K2 batch loop: iterate queries within the block
+        for qid, seq in zip(pdf["qid"].to_numpy(), pdf["seq"].to_numpy()):
+            rows.extend(align_query(int(qid), seq, index, cfg))
+        return pd.DataFrame(rows, columns=[f.name for f in RAW_HITS.fields])
+    return kernel
+
+
+def karlin_altschul_bitscore(score: float) -> float:
+    """bitscore = (lambda*S - ln K) / ln 2 (mrblast.cpp:1039 semantics)."""
+    return (LAMBDA * score - math.log(KAPPA)) / math.log(2.0)
+
+
+def karlin_altschul_evalue(score: float, qlen: int, dbsize: int) -> float:
+    return qlen * dbsize * math.pow(2.0, -karlin_altschul_bitscore(score))

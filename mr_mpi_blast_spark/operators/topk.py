@@ -29,6 +29,10 @@ def hit_order() -> tuple[Column, ...]:
         F.col("ident").desc(),
         F.col("sid").asc(),
         F.col("qstart").asc(),
+        # periodic repeats produce hits identical on all of the above
+        # except subject position — without this the top-k row set is
+        # nondeterministic across runs
+        F.col("sstart").asc(),
     )
 
 

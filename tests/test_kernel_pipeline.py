@@ -1,0 +1,171 @@
+"""Alignment kernel + end-to-end pipeline (K1, P1-P9, F1/F2, O2/O3).
+
+Golden-style checks in the spirit of the reference's example suites
+(examples/test/generic-test/README:29-158): construct subjects that
+contain exact / mutated / reverse-complement copies of query substrings
+and assert the hit table facts (coords 1-based inclusive, strand swap,
+identity, e-value normalization against WHOLE dbsize)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_mpi_blast_spark.config import BlastConfig
+from mr_mpi_blast_spark.kernel.builtin import (SubjectIndex, align_query,
+                                               karlin_altschul_evalue, revcomp)
+from mr_mpi_blast_spark.plans.pipeline import attach_deflines, run_search
+
+# deterministic pseudo-random ACGT string (no stdlib random in tests);
+# LCG low bits are periodic, so sample the high bits
+def _seq(n, salt=0):
+    out = []
+    x = 123456789 + salt
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % (2 ** 31)
+        out.append("ACGT"[(x >> 16) % 4])
+    return "".join(out)
+
+
+Q1 = _seq(300, salt=1)
+Q2 = _seq(250, salt=2)
+BG = _seq(800, salt=9)
+
+
+def _diff(c):
+    return {"A": "C", "C": "G", "G": "T", "T": "A"}[c]
+
+
+def _barrier(ref):
+    """12 guaranteed mismatches vs ref: kills X-drop extension (score
+    -24 < xdrop 20) so planted-copy boundaries are exact."""
+    return "".join(_diff(c) for c in ref)
+
+
+def _queries(spark):
+    rows = [(1, "query_one", "query_one", Q1, len(Q1)),
+            (2, "query_two", "query_two", Q2, len(Q2))]
+    return spark.createDataFrame(
+        rows, "qid long, defline string, defline_part string, seq string, length int")
+
+
+def _subjects(spark):
+    # s_exact: contains Q1[50:200] verbatim at position 100, fenced by
+    # mismatch barriers so the maximal HSP is exactly the planted copy
+    s_exact = (BG[:88] + _barrier(Q1[38:50]) + Q1[50:200]
+               + _barrier(Q1[200:212]) + BG[100:288])
+    # s_rc: contains revcomp of Q2[20:170]) at position 40, same fencing
+    # (in revcomp(Q2) coords the copy spans rc[80:230])
+    rc = revcomp(Q2)
+    s_rc = (BG[300:328] + _barrier(rc[68:80]) + rc[80:230]
+            + _barrier(rc[230:242]) + BG[340:460])
+    # s_noise: unrelated
+    s_noise = _seq(600, salt=7)
+    rows = [("s_exact", "s_exact exact copy", "db.00", s_exact, len(s_exact)),
+            ("s_rc", "s_rc revcomp copy", "db.00", s_rc, len(s_rc)),
+            ("12345", "gi|12345| numeric id", "db.01", s_noise, len(s_noise))]
+    return spark.createDataFrame(
+        rows, "sid string, defline string, db_part string, seq string, length int")
+
+
+@pytest.fixture(scope="module")
+def hits(spark):
+    cfg = BlastConfig(evalue=1e-6, block_size=400, word_size=11)
+    return run_search(_queries(spark), _subjects(spark), cfg).cache()
+
+
+def test_exact_hit_coords_and_identity(hits):
+    h = hits.filter((F.col("qid") == 1) & (F.col("sid") == "s_exact")) \
+            .orderBy(F.col("bitscore").desc()).first()
+    assert h is not None
+    # 1-based inclusive coords (P3): Q1[50:200] sits at q 51..200, s 101..250
+    assert (h.qstart, h.qend) == (51, 200)
+    assert (h.sstart, h.send) == (101, 250)
+    assert h.ident == 100.0
+    assert h.align_len == 150
+    assert h.mismatches == 0 and h.gaps == 0
+    assert h.qstart < h.qend and h.sstart < h.send     # plus strand
+
+
+def test_revcomp_hit_strand_swap(hits):
+    h = hits.filter((F.col("qid") == 2) & (F.col("sid") == "s_rc")) \
+            .orderBy(F.col("bitscore").desc()).first()
+    assert h is not None
+    # P4: strands differ -> subject coords swapped (sstart > send)
+    assert h.sstart > h.send
+    # query coords always forward
+    assert (h.qstart, h.qend) == (21, 170)
+    assert h.ident == 100.0
+    assert (h.sstart, h.send) == (190, 41)
+
+
+def test_evalue_uses_whole_dbsize(spark):
+    """S8: same hit, same e-value, regardless of how the DB is
+    partitioned (the silent-wrongness trap, SURVEY §7.3)."""
+    cfg = BlastConfig(evalue=1e-6, word_size=11)
+    one_part = _subjects(spark).withColumn("db_part", F.lit("db.all"))
+    h_multi = run_search(_queries(spark), _subjects(spark), cfg) \
+        .filter((F.col("qid") == 1) & (F.col("sid") == "s_exact")) \
+        .orderBy(F.col("bitscore").desc()).first()
+    h_one = run_search(_queries(spark), one_part, cfg) \
+        .filter((F.col("qid") == 1) & (F.col("sid") == "s_exact")) \
+        .orderBy(F.col("bitscore").desc()).first()
+    assert h_multi.evalue == pytest.approx(h_one.evalue, rel=1e-12)
+    # and the e-value formula itself: qlen * dbsize * 2^-bitscore
+    dbsize = sum(r.length for r in _subjects(spark).collect())
+    expect = karlin_altschul_evalue(150, 300, dbsize)
+    assert h_multi.evalue == pytest.approx(expect, rel=1e-9)
+
+
+def test_kernel_mutation_identity():
+    """Mutated copy -> identity < 100, mismatches counted (P6/P7)."""
+    q = _seq(200, salt=3)
+    mutated = list(q)
+    for pos in (60, 90, 120):
+        mutated[pos] = {"A": "C", "C": "G", "G": "T", "T": "A"}[mutated[pos]]
+    subj = _seq(100, salt=4) + "".join(mutated) + _seq(100, salt=5)
+    idx = SubjectIndex([("m", subj)], word_size=11, max_kmer_hits=64)
+    cfg = BlastConfig(word_size=11, xdrop=50)
+    out = align_query(7, q, idx, cfg)
+    best = max(out, key=lambda t: t[2])
+    qid, sid, score, alen, ident, gaps, qs, qe, ss, se, qstr, sstr, qlen = best
+    assert alen > 150
+    assert alen - ident == 3            # the three point mutations
+    assert gaps == 0
+
+
+def test_topk_cutoff_and_order(spark):
+    cfg = BlastConfig(evalue=10.0, num_hit_cutoff=1, word_size=11)
+    out = run_search(_queries(spark), _subjects(spark), cfg)
+    per_q = out.groupBy("qid").count().collect()
+    assert all(r["count"] == 1 for r in per_q)     # O3: k=1
+    # O2: the kept hit is the best-evalue one
+    h1 = out.filter(F.col("qid") == 1).first()
+    assert h1.sid == "s_exact"
+
+
+def test_defline_join(spark, hits):
+    deflines = spark.createDataFrame(
+        [(1, "query_one"), (2, "query_two")], "qid long, defline string")
+    joined = attach_deflines(hits, deflines)
+    assert joined.filter(F.col("qdef").isNull()).count() == 0
+    assert set(r.qdef for r in joined.select("qdef").distinct().collect()) \
+        == {"query_one", "query_two"}
+
+
+def test_max_target_seqs_cap(spark):
+    """F2: -max_target_seqs bounds distinct subjects per query."""
+    # subject set where q1 matches two subjects
+    q = _seq(300, salt=11)
+    rows = [("sA", "sA", "db.00", q[:150] + _seq(200, salt=12), 350),
+            ("sB", "sB", "db.00", _seq(50, salt=13) + q[100:250], 200)]
+    subjects = spark.createDataFrame(
+        rows, "sid string, defline string, db_part string, seq string, length int")
+    queries = spark.createDataFrame(
+        [(1, "q", "q", q, len(q))],
+        "qid long, defline string, defline_part string, seq string, length int")
+    all_hits = run_search(queries, subjects, BlastConfig(evalue=10.0))
+    assert all_hits.select("sid").distinct().count() == 2
+    capped = run_search(queries, subjects,
+                        BlastConfig(evalue=10.0, max_target_seqs=1))
+    assert capped.select("sid").distinct().count() == 1

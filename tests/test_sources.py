@@ -1,0 +1,123 @@
+"""FASTA reader/writer, splitter, indexer (SURVEY §2.1 S1-S3).
+
+Mirrors the reference's tool smoke tests (tools/seqindexer/examples/
+test.sh, tools/splitter/examples/test.sh) plus the reassembly property
+from SURVEY §5(c)."""
+
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_mpi_blast_spark.sources.fasta import read_fasta, write_fasta
+from mr_mpi_blast_spark.sources.indexer import defline_table, index_table
+from mr_mpi_blast_spark.sources.splitter import split_sequences
+
+FASTA = textwrap.dedent("""\
+    >gi|111| first sequence here
+    ACGTACGTAC
+    GTACGT
+    >seq_two description words
+    GGGGCCCCAAAA
+
+    >seq_three
+    acgtn
+    """)
+
+
+@pytest.fixture(scope="module")
+def fasta_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("fa") / "q.fa"
+    p.write_text(FASTA)
+    return str(p)
+
+
+def test_read_fasta_records(spark, fasta_file):
+    rows = read_fasta(spark, fasta_file).orderBy("qid").collect()
+    assert [r.qid for r in rows] == [1, 2, 3]
+    assert rows[0].defline == "gi|111| first sequence here"
+    assert rows[0].defline_part == "gi|111|"
+    assert rows[0].seq == "ACGTACGTACGTACGT"      # multi-line joined
+    assert rows[0].length == 16
+    assert rows[2].seq == "ACGTN"                 # uppercased
+    assert rows[1].length == 12
+
+
+def test_read_fasta_qid_start(spark, fasta_file):
+    rows = read_fasta(spark, fasta_file, qid_start=100).orderBy("qid").collect()
+    assert [r.qid for r in rows] == [100, 101, 102]
+
+
+def test_fasta_roundtrip(spark, fasta_file, tmp_path):
+    df = read_fasta(spark, fasta_file)
+    out = str(tmp_path / "out_fa")
+    write_fasta(df, out)
+    back = read_fasta(spark, out + "/part-*")
+    a = {(r.defline, r.seq) for r in df.collect()}
+    b = {(r.defline, r.seq) for r in back.collect()}
+    assert a == b
+
+
+def _mk_queries(spark, seqs):
+    return spark.createDataFrame(
+        [(i + 1, f"q{i+1}", f"q{i+1}", s, len(s)) for i, s in enumerate(seqs)],
+        "qid long, defline string, defline_part string, seq string, length int")
+
+
+def test_splitter_cases_match_reference_loop(spark):
+    """Compare against a direct transcription of the reference loop
+    semantics (splitter.py:151-182) on assorted lengths."""
+    seqs = ["A" * 2500, "C" * 1000, "G" * 999, "T" * 1001, "A" * 400,
+            "ACGT" * 700]
+    L, OVL = 1000, 500
+    got = {(r.qid, r.chunk_start, r.chunk_end, r["case"])
+           for r in split_sequences(_mk_queries(spark, seqs), L, OVL).collect()}
+
+    expected = set()
+    for qi, s in enumerate(seqs, start=1):
+        start, n = 0, len(s)
+        while True:
+            end = start + L
+            if start == 0 and end < n:
+                expected.add((qi, start, end, 0))
+            elif start == 0:
+                expected.add((qi, start, n, 1)); break
+            elif end < n:
+                expected.add((qi, start, end, 2))
+            else:
+                expected.add((qi, start, n, 3)); break
+            start = end - OVL
+    assert got == expected
+
+
+def test_splitter_reassembly_property(spark):
+    """Windows overlap by OVL and cover the source (SURVEY §5c)."""
+    seqs = ["ACGTTGCA" * 321]
+    df = split_sequences(_mk_queries(spark, seqs), 100, 40).orderBy("chunk_idx")
+    chunks = df.collect()
+    src = seqs[0]
+    rebuilt = chunks[0].chunk
+    for c in chunks[1:]:
+        rebuilt += c.chunk[40:]
+    assert rebuilt == src
+    for c in chunks:
+        assert c.chunk == src[c.chunk_start:c.chunk_end]
+
+
+def test_splitter_headers(spark):
+    df = split_sequences(_mk_queries(spark, ["A" * 1200]), 1000, 500,
+                         serial_cid=True)
+    rows = {r.chunk_start: r for r in df.collect()}
+    assert rows[0].header == "q1_1_0_0_1000_0_1000"
+    assert rows[500].header == "q1_2_3_500_1200_500_1200"
+
+
+def test_indexer_sidecars(spark, fasta_file):
+    q = read_fasta(spark, fasta_file)
+    defs = {r.qid: r.defline for r in defline_table(q).collect()}
+    assert defs == {1: "gi|111|", 2: "seq_two", 3: "seq_three"}
+    idx = {r.qid: (r.offset, r.length) for r in index_table(q).collect()}
+    # offsets over the normalized rendering: '>'+defline+'\n'+seq+'\n'
+    assert idx[1] == (0, 16)
+    assert idx[2] == (len(">gi|111| first sequence here\nACGTACGTACGTACGT\n"), 12)
+    assert idx[3][1] == 5
