@@ -336,6 +336,284 @@ def q_events_json_props(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Dedup operators (beyond-reference; operators/dedup.py)
+# Shared SQL fragments are generated from the same constants as the
+# Spark expressions so the two renderings cannot drift.
+# ---------------------------------------------------------------------------
+
+_SHINGLE_N = 10
+_JAC_TAU = 0.8
+_NUM_HASHES = 16
+_BANDS = 8
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SHINGLES_SQL = ("list_distinct(list_transform("
+                 f"range(0, greatest(length(text) - {_SHINGLE_N}, 0) + 1), "
+                 f"i -> substring(text, i + 1, {_SHINGLE_N})))")
+
+_NGRAM_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da, db,
+       round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jac
+FROM pairs
+JOIN sizes sa ON da = sa.doc_id
+JOIN sizes sb ON db = sb.doc_id
+WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= {_JAC_TAU}
+"""
+
+
+@query("dedup_exact", """
+SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n
+FROM documents GROUP BY md5(text)
+""")
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content (two-phase agg; at 100 TB
+    the shuffle key is the 32-char digest, never the text)."""
+    from mr_mpi_blast_spark.operators.dedup import exact_dedup
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact char-10-gram Jaccard pairs >= 0.8 (verifier path; the
+    shingle self-join is quadratic in shingle doc-frequency — see
+    dedup_minhash_lsh for the scale path)."""
+    from mr_mpi_blast_spark.operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                               _SHINGLE_N, _JAC_TAU)
+
+
+@query("dedup_minhash_lsh", _NGRAM_JACCARD_SQL)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16) + LSH(8 bands x 2) candidates, exact-Jaccard verify
+    >= 0.8. Same output contract as the exact query — the oracle IS
+    the exact computation; at the planted-dup similarity (>= 0.92)
+    band-collision miss probability is < 1e-6, verified empirically
+    on this data."""
+    from mr_mpi_blast_spark.operators.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                             _SHINGLE_N, _JAC_TAU,
+                             num_hashes=_NUM_HASHES, bands=_BANDS)
+
+
+@query("dedup_simhash", f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS tok
+  FROM documents
+), h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+bits AS (
+  SELECT doc_id, j,
+         ((instr('0123456789abcdef', substring(h, cast(floor(j / 4) AS INT) + 1, 1)) - 1)
+          >> (3 - j % 4)) & 1 AS bit
+  FROM h, unnest(range(0, 64)) AS t(j)
+), agg AS (
+  SELECT doc_id, j, CASE WHEN sum(bit * 2 - 1) > 0 THEN '1' ELSE '0' END AS b
+  FROM bits GROUP BY doc_id, j
+)
+SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash
+FROM agg GROUP BY doc_id
+""")
+def q_dedup_simhash(spark, sf_dir):
+    """64-bit SimHash signatures from md5 nibbles of distinct tokens —
+    bit-identical in both engines (md5 is the shared hash)."""
+    from mr_mpi_blast_spark.operators.dedup import simhash_signatures
+    return simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+@query("embedding_near_dup", """
+SELECT a.vec_id AS va, b.vec_id AS vb,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.45
+""")
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.45 demo value;
+    operator API takes any tau). Expression-level dot product —
+    zip_with/aggregate, JVM-side."""
+    from mr_mpi_blast_spark.operators.similarity import _cosine
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("va"),
+                 F.col("embedding").cast("array<double>").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"),
+                 F.col("embedding").cast("array<double>").alias("eb"))
+    return (a.join(b, F.col("va") < F.col("vb"))
+            .withColumn("cos", F.round(_cosine(F.col("ea"), F.col("eb")), 4))
+            .filter(F.col("cos") >= 0.45)
+            .select("va", "vb", "cos"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+_ANN_ORACLE = """
+WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 20 = 0),
+scored AS (
+  SELECT q.qid, c.vec_id AS nid,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos6
+  FROM q JOIN embeddings c ON c.vec_id != q.qid
+), ranked AS (
+  SELECT qid, nid, cos6,
+         row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid) AS rank
+  FROM scored
+)
+SELECT qid, nid, round(cos6, 4) AS cos, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@query("ann_cosine_topk", _ANN_ORACLE)
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for every 20th vector (exact ANN
+    baseline; rank key rounded to 1e-6 so float noise cannot reorder
+    across engines)."""
+    from mr_mpi_blast_spark.operators.similarity import brute_force_topk
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(e.filter(F.col("vec_id") % 20 == 0), e, k=5)
+
+
+@query("ann_cosine_topk_numpy", _ANN_ORACLE)
+def q_ann_cosine_topk_numpy(spark, sf_dir):
+    """Same contract through the Arrow/numpy mapInPandas path (the
+    100 TB hot path: broadcast query matrix, BLAS matmul per batch,
+    partial top-k before the final window)."""
+    from mr_mpi_blast_spark.operators.similarity import brute_force_topk_numpy
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk_numpy(e.filter(F.col("vec_id") % 20 == 0), e, k=5)
+
+
+@query("ann_ivf_topk", """
+WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC, c.cid) AS r
+    FROM embeddings v CROSS JOIN cent c)
+  WHERE r = 1
+), q AS (SELECT e.vec_id AS qid, e.embedding, a.cid
+         FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+         WHERE e.vec_id % 20 = 0),
+c AS (SELECT e.vec_id AS nid, e.embedding, a.cid
+      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+scored AS (
+  SELECT q.qid, c.nid,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos6
+  FROM q JOIN c ON q.cid = c.cid AND q.qid != c.nid
+), ranked AS (
+  SELECT qid, nid, cos6,
+         row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid) AS rank
+  FROM scored)
+SELECT qid, nid, round(cos6, 4) AS cos, rank FROM ranked WHERE rank <= 3
+""")
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF nprobe=1 ANN: deterministic centroid init (first 8 vectors),
+    bucket equi-join instead of cross join — the O(Q x N/C) scale path,
+    replayed exactly by the oracle."""
+    from mr_mpi_blast_spark.operators.similarity import ivf_topk
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding")
+    return ivf_topk(e.filter(F.col("vec_id") % 20 == 0), e, cents, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (functions/text.py)
+# ---------------------------------------------------------------------------
+
+def _lang_sql():
+    from mr_mpi_blast_spark.functions.text import LANG_PRIORITY, STOPWORDS
+    toks = f"string_split({_NORM_SQL}, ' ')"
+    score = {l: (f"len(list_filter({toks}, t -> list_contains("
+                 f"{STOPWORDS[l]!r}, t)))") for l in LANG_PRIORITY}
+    case = "CASE "
+    for i, lang in enumerate(LANG_PRIORITY):
+        rest = LANG_PRIORITY[i + 1:]
+        if rest:
+            cond = " AND ".join(f"{score[lang]} >= {score[o]}" for o in rest)
+            case += f"WHEN {cond} THEN '{lang}' "
+        else:
+            case += f"ELSE '{lang}' END"
+    allzero = " AND ".join(f"{score[l]} = 0" for l in LANG_PRIORITY)
+    return f"SELECT doc_id, CASE WHEN {allzero} THEN 'und' ELSE {case} END AS lang_pred FROM documents"
+
+
+@query("text_lang_id", _lang_sql())
+def q_text_lang_id(spark, sf_dir):
+    """Stopword-ratio language id (n-gram heuristic family); ordered
+    CASE tie-breaking identical in both engines."""
+    from mr_mpi_blast_spark.functions.text import lang_id
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _quality_sql():
+    from mr_mpi_blast_spark.functions.text import PUNCT_CLASS, STOPWORDS
+    toks = f"string_split({_NORM_SQL}, ' ')"
+    en = STOPWORDS["en"]
+    return f"""
+SELECT doc_id,
+  length(text) AS n_chars_m,
+  len({toks}) AS n_tokens,
+  round(length(text) * 1.0 / greatest(len({toks}), 1), 4) AS mean_token_len,
+  round((length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g'))) * 1.0
+        / greatest(length(text), 1), 4) AS punct_ratio,
+  round(len(list_filter({toks}, t -> list_contains({en!r}, t))) * 1.0
+        / greatest(len({toks}), 1), 4) AS stopword_ratio,
+  round(least(len({toks}) / 100.0, 1.0) * 0.4
+        + least(len(list_filter({toks}, t -> list_contains({en!r}, t))) * 1.0
+                / greatest(len({toks}), 1) * 5.0, 1.0) * 0.3
+        + (1.0 - least((length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g'))) * 1.0
+                       / greatest(length(text), 1) * 10.0, 1.0)) * 0.3, 4) AS quality
+FROM documents
+"""
+
+
+@query("text_quality", _quality_sql())
+def q_text_quality(spark, sf_dir):
+    """Quality features + composite score (length/punct/stopword)."""
+    from mr_mpi_blast_spark.functions.text import quality_features
+    return quality_features(_t(spark, sf_dir, "documents"))
+
+
+@query("text_token_stats", """
+SELECT doc_id,
+       len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS regex_tokens,
+       len(list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS distinct_tokens
+FROM documents
+""")
+def q_text_token_stats(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex + distinct."""
+    from mr_mpi_blast_spark.functions.text import token_stats
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+@query("text_fingerprint", f"""
+SELECT doc_id,
+       md5({_NORM_SQL}) AS fp_exact,
+       array_to_string(
+         list_sort(list_transform(
+           list_distinct(list_transform(
+             range(0, greatest(length({_NORM_SQL}) - 16, 0) + 1),
+             i -> substring({_NORM_SQL}, i + 1, 16))),
+           s -> md5(s)))[1:4], '|') AS fp_sketch
+FROM documents
+""")
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: exact md5 of normalized text + k-min
+    sketch over 16-gram hashes (rolling-hash/winnowing analog)."""
+    from mr_mpi_blast_spark.functions.text import fingerprints
+    return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # The kernel pipeline (K1/K2 + P1-P9 + F1 + O2/O3 end-to-end)
 # ---------------------------------------------------------------------------
 

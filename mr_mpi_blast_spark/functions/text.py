@@ -1,0 +1,129 @@
+"""Text-analysis operators (beyond-reference training-data surface).
+
+Language id (stopword-ratio heuristic), quality scoring, token
+counting, and document fingerprinting — all as pure column expressions
+so they run JVM-side over 100 TB and are replayable in the DuckDB
+oracle. Every constant (stopword lists, weights) is module-level so
+Spark and SQL renderings stay in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mr_mpi_blast_spark.functions.hashing import normalized_text
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic;
+# priority order breaks ties deterministically
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "los", "se", "un"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "ein"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "une"],
+}
+LANG_PRIORITY = ["en", "es", "de", "fr"]
+
+PUNCT_CLASS = "[.,!?;:]"
+WORD_PATTERN = "[a-z]+|[0-9]+"      # BPE-ish: letter runs and digit runs
+
+
+def tokens(col: Column) -> Column:
+    return F.split(normalized_text(col), " ")
+
+
+def _in_list(words: list[str]):
+    """HOF-lambda-safe membership test (Column.isin is unsupported on
+    lambda variables): array_contains over a literal array."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return lambda t: F.array_contains(arr, t)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts over tokens."""
+    toks = tokens(col)
+    return {
+        lang: F.size(F.filter(toks, _in_list(words)))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """argmax of lang_scores; ties go to the earlier LANG_PRIORITY
+    entry (an ordered CASE chain — en wins ties by being evaluated
+    first, matching the SQL oracle rendering exactly); 'und' when no
+    stopword hits at all."""
+    scores = lang_scores(col)
+    all_zero = None
+    for lang in LANG_PRIORITY:
+        z = scores[lang] == 0
+        all_zero = z if all_zero is None else (all_zero & z)
+    expr = None
+    for i, lang in enumerate(LANG_PRIORITY):
+        rest = LANG_PRIORITY[i + 1:]
+        if not rest:
+            expr = expr.otherwise(F.lit(lang))
+            break
+        cond = None
+        for other in rest:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)) if expr is None \
+            else expr.when(cond, F.lit(lang))
+    return F.when(all_zero, F.lit("und")).otherwise(expr)
+
+
+def quality_features(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword / mean-token-length features and
+    a composite [0,1] quality score (monotone heuristic: longer docs
+    with moderate punctuation and some stopwords score higher)."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    punct = n_chars - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    stop_hits = F.size(F.filter(toks, _in_list(STOPWORDS["en"])))
+    mean_tok = n_chars / F.greatest(n_tokens, F.lit(1))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    score = (F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+             + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+             + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.3)
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok, 4).alias("mean_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality"))
+
+
+def token_stats(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + regex word count (WORD_PATTERN) +
+    distinct-token count."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    words = F.regexp_extract_all(F.lower(c), F.lit(WORD_PATTERN), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("ws_tokens"),
+        F.size(words).alias("regex_tokens"),
+        F.size(F.array_distinct(toks)).alias("distinct_tokens"))
+
+
+def fingerprints(df: DataFrame, shingle_n: int = 16, sketch_k: int = 4,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: md5 of normalized text (exact identity)
+    plus a k-min sketch (the winnowing/rolling-hash analog: the k
+    smallest md5s over char shingles, joined) for near-identity."""
+    from mr_mpi_blast_spark.functions.hashing import char_shingles
+    norm = normalized_text(F.col(text_col))
+    hashes = F.transform(char_shingles(norm, shingle_n), F.md5)
+    sketch = F.array_join(F.slice(F.array_sort(hashes), 1, sketch_k), "|")
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_exact"),
+        sketch.alias("fp_sketch"))

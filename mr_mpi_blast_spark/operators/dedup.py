@@ -1,0 +1,177 @@
+"""Deduplication operators (beyond-reference training-data surface).
+
+Exact, n-gram Jaccard, MinHash+LSH, and SimHash dedup over a document
+table. Designed for 100 TB: the only all-pairs computation is the
+*verification* of LSH candidates (output-sized, not corpus-sized);
+signatures and band keys are per-row column expressions; the candidate
+join is an equi-join on band keys — shuffle on a short hash key, never
+on text. The exact-Jaccard path exists as the oracle/verifier; its
+shingle self-join is quadratic in shingle document-frequency and is NOT
+the scale path (dedup_minhash_lsh is).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mr_mpi_blast_spark.functions.hashing import (char_shingles,
+                                                  lsh_band_keys,
+                                                  minhash_signature,
+                                                  normalized_text)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: one row per distinct content with
+    the keeper (min id) and the duplicate count."""
+    return (df.groupBy(F.md5(F.col(text_col)).alias("fp"))
+              .agg(F.min(id_col).alias("keeper"),
+                   F.count(F.lit(1)).alias("n")))
+
+
+def shingle_table(df: DataFrame, n: int, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) exploded distinct char n-grams."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_shingles(F.col(text_col), n)).alias("s"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, n: int, threshold: float,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact all-pairs shingle Jaccard >= threshold.
+
+    Output: (da, db, jac). Quadratic in per-shingle document frequency
+    — correct everywhere, affordable only when shingles are selective;
+    used as the verifier/oracle for the LSH path."""
+    sh = shingle_table(df, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("da"),
+                      F.col("b.doc_id").alias("db"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb"))
+    jac = (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+    return (inter.join(sa, "da").join(sb, "db")
+            .withColumn("jac", F.round(jac, 4))
+            .filter(F.col("jac") >= threshold)
+            .select("da", "db", "jac"))
+
+
+def minhash_lsh_pairs(df: DataFrame, n: int, threshold: float,
+                      num_hashes: int = 16, bands: int = 8,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """MinHash + banded LSH candidate generation, exact-Jaccard verify.
+
+    The scale path: per-row signature (num_hashes md5 minima over
+    shingles), band keys, equi-join on (band, key) for candidates,
+    then exact Jaccard ONLY on candidate pairs via array intersection.
+    With b bands of r rows, P(candidate) = 1-(1-s^r)^b — at the
+    default 8x2, a 0.9-similar pair is missed with p < 1e-6.
+    Output: (da, db, jac), same contract as ngram_jaccard_pairs.
+    """
+    rows_per_band = num_hashes // bands
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        char_shingles(F.col(text_col), n).alias("shingles"))
+    sig = docs.withColumn(
+        "bands", lsh_band_keys(
+            minhash_signature(F.col("shingles"), num_hashes),
+            bands, rows_per_band))
+    keys = sig.select(
+        "doc_id", F.posexplode("bands").alias("band", "key"))
+
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("da"),
+                    F.col("b.doc_id").alias("db"))
+            .distinct())
+
+    sh_a = docs.select(F.col("doc_id").alias("da"),
+                       F.col("shingles").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("db"),
+                       F.col("shingles").alias("sh_b"))
+    jac = (F.size(F.array_intersect("sh_a", "sh_b"))
+           / F.size(F.array_union("sh_a", "sh_b")))
+    return (cand.join(sh_a, "da").join(sh_b, "db")
+            .withColumn("jac", F.round(jac, 4))
+            .filter(F.col("jac") >= threshold)
+            .select("da", "db", "jac"))
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over distinct whitespace tokens.
+
+    Bit j: sum over tokens of ±1 by bit j of md5(token); positive
+    sums set the bit. Emitted as a 64-char '0'/'1' string (cross-engine
+    safe; callers needing an int can conv(bits, 2, 10)).
+    Output: (doc_id, simhash).
+    """
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(
+            F.split(F.lower(normalized_text(F.col(text_col))), " "))).alias("tok"))
+    h = tokens.withColumn("h", F.md5(F.col("tok")))
+    bits = h.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
+        F.col("h"))
+    # F.substring/F.shiftright need literal args; use Column.substr and
+    # a SQL expression (identical text to the DuckDB oracle rendering)
+    nib = (F.instr(F.lit("0123456789abcdef"),
+                   F.col("h").substr((F.col("j") / 4).cast("int") + 1, F.lit(1)))
+           - 1)
+    contrib = (bits.withColumn("nib", nib.cast("int"))
+               .withColumn("c", F.expr("((nib >> (3 - j % 4)) & 1) * 2 - 1")))
+    agg = (contrib.groupBy("doc_id", "j")
+           .agg(F.sum("c").alias("s"))
+           .withColumn("b", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0"))))
+    return (agg.groupBy("doc_id")
+            .agg(F.concat_ws("", F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "b"))),
+                lambda x: x["b"])).alias("simhash")))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded for scale:
+    split the 64-bit signature into (max_hamming+1) chunks — any pair
+    within max_hamming must agree on at least one chunk (pigeonhole),
+    so candidates come from an equi-join on (chunk_id, chunk_bits),
+    never all-pairs. Output: (da, db, hamming)."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sig = simhash_signatures(df, text_col, id_col)
+    pieces = sig.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.substring("simhash", i * width + 1,
+                        width if i < chunks - 1 else 64 - (chunks - 1) * width)
+            for i in range(chunks)])).alias("chunk_id", "chunk"))
+    a, b = pieces.alias("a"), pieces.alias("b")
+    cand = (a.join(b, (F.col("a.chunk_id") == F.col("b.chunk_id"))
+                   & (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("da"),
+                    F.col("b.doc_id").alias("db"),
+                    F.col("a.simhash").alias("ha"),
+                    F.col("b.simhash").alias("hb"))
+            .distinct())
+    # hamming = count of differing positions
+    ham = F.size(F.filter(
+        F.zip_with(F.split("ha", ""), F.split("hb", ""),
+                   lambda x, y: x != y),
+        lambda v: v))
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("da", "db", "hamming"))

@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (beyond-reference).
+
+Brute-force cosine top-k as the correctness baseline, IVF (inverted
+file, nprobe=1) as the deterministic scale path, and a numpy-batched
+variant for throughput. The expression forms keep everything JVM-side
+and oracle-comparable; the pandas-UDF form is the 100 TB hot path
+(Arrow batches + BLAS matmul against a broadcast query matrix).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    # zero-norm vectors are similar to nothing (and ANSI mode makes a
+    # bare division throw DIVIDE_BY_ZERO)
+    return F.coalesce(F.try_divide(dot, na * nb), F.lit(0.0))
+
+
+def _vec(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(f"{prefix}id"),
+        F.col(vec_col).cast("array<double>").alias(f"{prefix}vec"))
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: queries x corpus cross join + rank window.
+
+    Ranking key is round(cos, 6) desc then neighbor id — float noise
+    below 1e-6 must not reorder results across engines/runs.
+    Output: (qid, nid, cos, rank). Self-matches excluded.
+    """
+    q = _vec(queries, id_col, vec_col, "q")
+    c = _vec(corpus, id_col, vec_col, "n")
+    # broadcast the (small) query side: BroadcastNestedLoopJoin keeps
+    # the corpus partitioning; a bare crossJoin plans a cartesian with
+    # |q_parts| x |c_parts| tasks
+    pairs = (c.crossJoin(F.broadcast(q))
+             .filter(F.col("qid") != F.col("nid"))
+             .withColumn("cos", F.round(_cosine(F.col("qvec"), F.col("nvec")), 6)))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", F.round("cos", 4).alias("cos"), "rank"))
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               cent_id: str = "cid") -> DataFrame:
+    """Assign each vector to its max-cosine centroid (tie: lowest cid).
+    Output: (vec_id, cid). The centroid table is tiny -> broadcast."""
+    v = _vec(vectors, id_col, vec_col, "v")
+    c = centroids.select(F.col(cent_id).alias("cid"),
+                         F.col(vec_col).cast("array<double>").alias("cvec"))
+    scored = (v.crossJoin(F.broadcast(c))
+              .withColumn("cos", F.round(_cosine(F.col("vvec"), F.col("cvec")), 6)))
+    w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select(F.col("vid").alias(id_col), "cid"))
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+             k: int, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF nprobe=1 ANN: search only the query's centroid bucket.
+
+    Deterministic by construction (centroid init is caller-provided,
+    e.g. first C vectors), so an oracle can replay it exactly. At
+    scale this turns the O(Q x N) cross join into O(Q x N/C) — the
+    bucket join is an equi-join on cid. Recall < 1 by design.
+    Output: (qid, nid, cos, rank)."""
+    assign = ivf_assign(corpus, centroids, id_col, vec_col)
+    q = _vec(queries, id_col, vec_col, "q").join(
+        assign.withColumnRenamed(id_col, "qid"), "qid")
+    c = _vec(corpus, id_col, vec_col, "n").join(
+        assign.withColumnRenamed(id_col, "nid"), "nid")
+    pairs = (q.join(c, "cid")
+             .filter(F.col("qid") != F.col("nid"))
+             .withColumn("cos", F.round(_cosine(F.col("qvec"), F.col("nvec")), 6)))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", F.round("cos", 4).alias("cos"), "rank"))
+
+
+def brute_force_topk_numpy(queries: DataFrame, corpus: DataFrame, k: int,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Throughput variant: broadcast the (small) query matrix, stream
+    corpus partitions through numpy matmul, emit per-partition top-k,
+    re-rank globally with the same window. Identical contract to
+    brute_force_topk; the heavy O(Q x N x d) work runs in BLAS."""
+    spark = queries.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    def score(batches):
+        bqids, bqmat = bc.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = bqmat @ mat.T                       # Q x batch
+            for qi, qid in enumerate(bqids):
+                row = sims[qi]
+                mask = ids != qid
+                take = min(k, int(mask.sum()))
+                cand = np.argsort(-row[mask])[:take]
+                sel_ids = ids[mask][cand]
+                sel_cos = row[mask][cand]
+                yield pd.DataFrame({
+                    "qid": np.repeat(qid, take),
+                    "nid": sel_ids,
+                    "cos": np.round(sel_cos, 6)})
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="qid long, nid long, cos double")
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (partial.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", F.round("cos", 4).alias("cos"), "rank"))

@@ -1,0 +1,116 @@
+"""Dedup / similarity / text operators (beyond-reference surface).
+
+The DuckDB oracle gate covers cross-engine value equality; these tests
+cover operator semantics the oracle can't: LSH candidate recall vs the
+exact path, SimHash banding (pigeonhole completeness), numpy-vs-
+expression ANN parity, and planted-near-dup detection."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_mpi_blast_spark.operators.dedup import (exact_dedup,
+                                                minhash_lsh_pairs,
+                                                ngram_jaccard_pairs,
+                                                simhash_near_pairs,
+                                                simhash_signatures)
+from mr_mpi_blast_spark.operators.similarity import (brute_force_topk,
+                                                     brute_force_topk_numpy,
+                                                     ivf_topk)
+from mr_mpi_blast_spark.functions.text import lang_id
+from mr_mpi_blast_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def test_exact_dedup_counts(spark, docs):
+    total = docs.count()
+    agg = exact_dedup(docs).agg(F.sum("n")).first()[0]
+    assert agg == total          # every doc in exactly one group
+
+
+def test_lsh_equals_exact(spark, docs):
+    """MinHash-LSH + verify finds exactly the >= tau pairs the exact
+    quadratic path finds (recall 1.0 at the planted similarity)."""
+    exact = {(r.da, r.db) for r in
+             ngram_jaccard_pairs(docs, 10, 0.8).collect()}
+    lsh = {(r.da, r.db) for r in
+           minhash_lsh_pairs(docs, 10, 0.8).collect()}
+    assert exact, "testdata should contain planted near-duplicates"
+    assert lsh == exact
+
+
+def test_dedup_detects_planted_duplicate(spark):
+    rows = [(1, "the quick brown fox jumps over the lazy dog " * 10),
+            (2, "the quick brown fox jumps over the lazy dog " * 10),
+            (3, "a completely different document about spark engines " * 10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = exact_dedup(df).filter(F.col("n") > 1).collect()
+    assert len(groups) == 1 and groups[0].keeper == 1 and groups[0].n == 2
+
+
+def test_simhash_properties(spark, docs):
+    sig = simhash_signatures(docs.limit(50))
+    rows = sig.collect()
+    assert all(len(r.simhash) == 64 and set(r.simhash) <= {"0", "1"}
+               for r in rows)
+    # deterministic across invocations
+    again = {r.doc_id: r.simhash for r in simhash_signatures(docs.limit(50)).collect()}
+    assert {r.doc_id: r.simhash for r in rows} == again
+
+
+def test_simhash_near_pairs_pigeonhole(spark):
+    """A pair within max_hamming MUST be found (banding is lossless up
+    to the distance bound); identical docs have distance 0."""
+    base = "spark catalyst tungsten shuffle partition broadcast " * 8
+    rows = [(1, base), (2, base),
+            (3, base.replace("shuffle", "exchange")),
+            (4, "entirely unrelated words about biology and genomes " * 8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.da, r.db): r.hamming
+             for r in simhash_near_pairs(df, max_hamming=10).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_ann_numpy_matches_expression(spark, emb):
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    a = {(r.qid, r.rank): (r.nid, r.cos)
+         for r in brute_force_topk(q, emb, k=5).collect()}
+    b = {(r.qid, r.rank): (r.nid, r.cos)
+         for r in brute_force_topk_numpy(q, emb, k=5).collect()}
+    assert a == b
+
+
+def test_ivf_is_subset_of_bruteforce_space(spark, emb):
+    """IVF results are genuine neighbors (cos values match brute-force
+    pairs) and each query searches only its bucket."""
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding")
+    ivf = ivf_topk(q, emb, cents, k=3).collect()
+    assert len(ivf) > 0
+    brute = {(r.qid, r.nid): r.cos
+             for r in brute_force_topk(q, emb, k=emb.count()).collect()}
+    for r in ivf:
+        assert brute[(r.qid, r.nid)] == r.cos
+
+
+def test_lang_id_on_clear_text(spark):
+    rows = [(1, "the cat and the dog sat in a corner of the room"),
+            (2, "el perro y el gato de la casa que se fue"),
+            (3, "der Hund und die Katze ist von dem Haus mit ein Ball"),
+            (4, "zzz qqq xxx")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lang for r in
+           df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
