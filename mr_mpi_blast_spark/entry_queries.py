@@ -343,8 +343,8 @@ def q_events_json_props(spark, sf_dir):
 
 _SHINGLE_N = 10
 _JAC_TAU = 0.8
-_NUM_HASHES = 16
-_BANDS = 8
+_NUM_HASHES = 32
+_BANDS = 16
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _SHINGLES_SQL = ("list_distinct(list_transform("
@@ -392,11 +392,14 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 @query("dedup_minhash_lsh", _NGRAM_JACCARD_SQL)
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(16) + LSH(8 bands x 2) candidates, exact-Jaccard verify
-    >= 0.8. Same output contract as the exact query — the oracle IS
-    the exact computation; at the planted-dup similarity (>= 0.92)
-    band-collision miss probability is < 1e-6, verified empirically
-    on this data."""
+    """MinHash(32) + LSH(16 bands x 2) candidates, exact-Jaccard
+    verify >= 0.8. Same output contract as the exact query — the
+    oracle IS the exact computation. 2-row bands keep candidates
+    selective (1-row bands collide on any shared popular shingle:
+    2.7M candidate pairs at sf0.1 vs ~40k); 16 bands keep recall —
+    a pair at the 0.8 threshold itself is missed with
+    p = (1-0.8^2)^16 < 1e-7 (verified pair-identical to the exact
+    query at sf0.001/0.01/0.1)."""
     from mr_mpi_blast_spark.operators.dedup import minhash_lsh_pairs
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
                              _SHINGLE_N, _JAC_TAU,
@@ -435,18 +438,12 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embeddi
 """)
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (threshold 0.45 demo value;
-    operator API takes any tau). Expression-level dot product —
-    zip_with/aggregate, JVM-side."""
-    from mr_mpi_blast_spark.operators.similarity import _cosine
-    e = _t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("va"),
-                 F.col("embedding").cast("array<double>").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vb"),
-                 F.col("embedding").cast("array<double>").alias("eb"))
-    return (a.join(b, F.col("va") < F.col("vb"))
-            .withColumn("cos", F.round(_cosine(F.col("ea"), F.col("eb")), 4))
-            .filter(F.col("cos") >= 0.45)
-            .select("va", "vb", "cos"))
+    operator API takes any tau). BLAS-batched: broadcast normalized
+    matrix, per-partition matmul, output-sized emit — the N^2 pair
+    table is never materialized (the interpreted zip_with/aggregate
+    form was ~30x slower at sf0.1)."""
+    from mr_mpi_blast_spark.operators.similarity import cosine_pairs_numpy
+    return cosine_pairs_numpy(_t(spark, sf_dir, "embeddings"), tau=0.45)
 
 
 # ---------------------------------------------------------------------------

@@ -49,12 +49,51 @@ def minhash_signature_sql(shingles_expr: str, num_hashes: int) -> str:
     return f"[{parts}]"
 
 
-def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
-    """Band the signature: band key b = md5 of the joined slice.
-    Docs sharing any band key are LSH candidates."""
+def _seeded_hash(i: int):
+    # Factory keeps the lambda arity at 1: a two-parameter lambda
+    # (e.g. ``lambda s, i=i: ...``) would be bound by F.transform as
+    # the (element, index) form, silently replacing the seed with the
+    # array position.
+    return lambda s: F.xxhash64(F.lit(i), s)
+
+
+def minhash_signature_fast(shingles: Column, num_hashes: int) -> Column:
+    """MinHash signature as an array of xxhash64 minima — the scale
+    path. xxhash64 is JVM-native and codegen-friendly (no hex-string
+    materialization, ~10x cheaper than the md5 form). Not replayable
+    in the DuckDB oracle — use only where the *output* (candidate
+    pairs after exact verification), not the signature, is compared."""
     return F.array(*[
-        F.md5(F.concat_ws("|", F.slice(signature, b * rows_per_band + 1,
-                                       rows_per_band)))
+        F.array_min(F.transform(shingles, _seeded_hash(i)))
+        for i in range(num_hashes)
+    ])
+
+
+def lsh_band_keys_from_shingles(shingles: Column, bands: int,
+                                rows_per_band: int) -> Column:
+    """Band keys computed directly from the shingle array: band b's key
+    hashes its own rows_per_band minhash minima. Avoids materializing a
+    shared signature column — Catalyst's CollapseProject would inline
+    such a column into every band expression, and higher-order
+    functions get no codegen subexpression elimination, turning b bands
+    into b full signature computations per row (measured 8x at sf0.1).
+    Total work here is exactly bands*rows_per_band min-passes."""
+    return F.array(*[
+        F.xxhash64(F.array(*[
+            F.array_min(F.transform(
+                shingles, _seeded_hash(b * rows_per_band + r)))
+            for r in range(rows_per_band)
+        ]))
+        for b in range(bands)
+    ])
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Band the signature: band key b = hash of the slice (xxhash64
+    hashes array columns natively). Docs sharing any band key are LSH
+    candidates."""
+    return F.array(*[
+        F.xxhash64(F.slice(signature, b * rows_per_band + 1, rows_per_band))
         for b in range(bands)
     ])
 

@@ -14,11 +14,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from mr_mpi_blast_spark.functions.hashing import (char_shingles,
-                                                  lsh_band_keys,
-                                                  minhash_signature,
                                                   normalized_text)
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition to full parallelism before a compute-heavy
+    per-row stage. On a real 100 TB input the parquet scan already
+    yields thousands of splits and this is skipped; on a few-split
+    local input it is the difference between 1 core and all of them."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -46,7 +56,12 @@ def ngram_jaccard_pairs(df: DataFrame, n: int, threshold: float,
     Output: (da, db, jac). Quadratic in per-shingle document frequency
     — correct everywhere, affordable only when shingles are selective;
     used as the verifier/oracle for the LSH path."""
-    sh = shingle_table(df, n, text_col, id_col)
+    # join on the 64-bit hash of the shingle, not the string: the
+    # shuffle/compare key is 8 bytes instead of n chars (collision odds
+    # over ~n_docs*n_shingles keys are < 1e-7; the jac values compared
+    # at 1e-4 granularity are unaffected)
+    sh = shingle_table(_spread(df, id_col), n, text_col, id_col).select(
+        "doc_id", F.xxhash64("s").alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
@@ -69,7 +84,7 @@ def minhash_lsh_pairs(df: DataFrame, n: int, threshold: float,
                       id_col: str = "doc_id") -> DataFrame:
     """MinHash + banded LSH candidate generation, exact-Jaccard verify.
 
-    The scale path: per-row signature (num_hashes md5 minima over
+    The scale path: per-row signature (num_hashes xxhash64 minima over
     shingles), band keys, equi-join on (band, key) for candidates,
     then exact Jaccard ONLY on candidate pairs via array intersection.
     With b bands of r rows, P(candidate) = 1-(1-s^r)^b — at the
@@ -77,15 +92,29 @@ def minhash_lsh_pairs(df: DataFrame, n: int, threshold: float,
     Output: (da, db, jac), same contract as ngram_jaccard_pairs.
     """
     rows_per_band = num_hashes // bands
-    docs = df.select(
-        F.col(id_col).alias("doc_id"),
-        char_shingles(F.col(text_col), n).alias("shingles"))
-    sig = docs.withColumn(
-        "bands", lsh_band_keys(
-            minhash_signature(F.col("shingles"), num_hashes),
-            bands, rows_per_band))
-    keys = sig.select(
-        "doc_id", F.posexplode("bands").alias("band", "key"))
+    # One pass: explode distinct shingles, hash each once (8-byte key),
+    # then compute ALL num_hashes minima inside a single hash aggregate
+    # (min over xxhash64(seed_i, h)). No higher-order functions in the
+    # hot path: HOFs are CodegenFallback, and any shared array column
+    # gets inlined by CollapseProject into every consumer expression —
+    # measured as a 16x recompute of the shingle array at sf0.1.
+    sh = shingle_table(_spread(df, id_col), n, text_col, id_col).select(
+        "doc_id", F.xxhash64("s").alias("h"))
+    agg = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("h")).alias("hs"),
+        *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}")
+          for i in range(num_hashes)])
+    # Four consumers (two key sides, two verify sides) would otherwise
+    # recompute the explode+aggregate each; one row per doc (~2 KB) so
+    # MEMORY_AND_DISK stays bounded and spills rather than OOMs.
+    agg = agg.persist(StorageLevel.MEMORY_AND_DISK)
+
+    band_keys = F.array(*[
+        F.xxhash64(F.array(*[F.col(f"m{b * rows_per_band + r}")
+                             for r in range(rows_per_band)]))
+        for b in range(bands)])
+    keys = agg.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "key"))
 
     a, b = keys.alias("a"), keys.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -95,10 +124,8 @@ def minhash_lsh_pairs(df: DataFrame, n: int, threshold: float,
                     F.col("b.doc_id").alias("db"))
             .distinct())
 
-    sh_a = docs.select(F.col("doc_id").alias("da"),
-                       F.col("shingles").alias("sh_a"))
-    sh_b = docs.select(F.col("doc_id").alias("db"),
-                       F.col("shingles").alias("sh_b"))
+    sh_a = agg.select(F.col("doc_id").alias("da"), F.col("hs").alias("sh_a"))
+    sh_b = agg.select(F.col("doc_id").alias("db"), F.col("hs").alias("sh_b"))
     jac = (F.size(F.array_intersect("sh_a", "sh_b"))
            / F.size(F.array_union("sh_a", "sh_b")))
     return (cand.join(sh_a, "da").join(sh_b, "db")

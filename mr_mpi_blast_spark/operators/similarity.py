@@ -97,6 +97,50 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
             .select("qid", "nid", F.round("cos", 4).alias("cos"), "rank"))
 
 
+def cosine_pairs_numpy(vectors: DataFrame, tau: float,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """All-pairs cosine >= tau (near-dup detection), BLAS-batched.
+
+    The full normalized matrix is broadcast (N x d doubles); each
+    corpus partition matmuls its batch against it and emits only pairs
+    (va < vb) whose rounded cosine clears tau — output-sized, never
+    materializing the N^2 pair table. Broadcasting the matrix caps N at
+    executor memory (~10^6 x 256d = 2 GB); beyond that, switch to the
+    LSH-bucketed or IVF path so candidates come from an equi-join.
+    Output: (va, vb, cos) with cos rounded to 4 decimals.
+    """
+    spark = vectors.sparkSession
+    rows = vectors.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat /= norms
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def score(batches):
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            bids = pdf[id_col].to_numpy()
+            bmat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bn = np.linalg.norm(bmat, axis=1, keepdims=True)
+            bn[bn == 0] = 1.0
+            bmat /= bn
+            sims = bmat @ all_mat.T                    # batch x N
+            for i, va in enumerate(bids):
+                row = np.round(sims[i], 4)
+                mask = (all_ids > va) & (row >= tau)
+                if mask.any():
+                    yield pd.DataFrame({
+                        "va": np.repeat(va, int(mask.sum())),
+                        "vb": all_ids[mask],
+                        "cos": row[mask]})
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        score, schema="va long, vb long, cos double")
+
+
 def brute_force_topk_numpy(queries: DataFrame, corpus: DataFrame, k: int,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding") -> DataFrame:
