@@ -1,0 +1,23 @@
+"""Structured Streaming surface (SURVEY §2.10).
+
+The reference has no streaming — its closest construct is NUMITER batch
+iteration (mrblast.cpp:199-222, doc/USERGUIDE:508-517), which the batch
+pipeline keeps as a driver loop. This package is the beyond-reference
+streaming layer a training-data platform needs: file-source event
+streams, watermarked windowed aggregates, declarative session windows,
+and a custom stateful operator via applyInPandasWithState.
+"""
+
+from mr_mpi_blast_spark.streaming.events import (
+    read_event_stream,
+    hourly_counts,
+    sliding_value_stats,
+    session_aggregate,
+    stateful_user_totals,
+    run_available_now,
+)
+
+__all__ = [
+    "read_event_stream", "hourly_counts", "sliding_value_stats",
+    "session_aggregate", "stateful_user_totals", "run_available_now",
+]

@@ -1,0 +1,147 @@
+"""Streaming operators over the events table.
+
+Batch/stream parity is the design rule: every aggregate here has the
+same shape as its batch twin in entry_queries (events_hourly), so a
+pipeline can be validated in batch and deployed on the stream.
+
+Scale notes (100 TB/day): all aggregates are keyed on
+(window, event_type) or (window, user_id) — state is bounded by
+watermark horizon x key cardinality, never by input volume. The
+stateful operator keeps O(1) state per user and emits in update mode;
+late data beyond the watermark is dropped by Spark, matching the
+declared correctness contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (LongType, StringType, StructField,
+                               StructType, TimestampType, DoubleType)
+
+EVENTS = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over an events parquet directory.
+
+    The schema is pinned (streams cannot infer), with the same
+    TIMESTAMP(NANOS) accommodation as the batch loader: if the files
+    carry int64 nanos (spark.sql.legacy.parquet.nanosAsLong), convert
+    via integer division to micros."""
+    nanos = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    schema = (StructType([f if f.name != "ts" else StructField("ts", LongType())
+                          for f in EVENTS.fields])
+              if nanos else EVENTS)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    if nanos:
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windowed counts per event type — the streaming
+    twin of the batch events_hourly query. Watermark bounds state and
+    defines the late-data cutoff."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour"),
+                    "event_type", "n", "total_value"))
+
+
+def sliding_value_stats(events: DataFrame, watermark: str = "2 hours",
+                        length: str = "30 minutes",
+                        slide: str = "10 minutes") -> DataFrame:
+    """Sliding-window value stats (overlapping windows: each event
+    lands in length/slide windows)."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", length, slide).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("value"), 4).alias("avg_value"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("w_start"),
+                    F.date_format("w.end", "yyyy-MM-dd HH:mm").alias("w_end"),
+                    "event_type", "n", "avg_value"))
+
+
+def session_aggregate(events: DataFrame, gap: str = "5 minutes",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Per-user sessions via the declarative session window (gap-based,
+    merges as events arrive). Spark-first: no hand-rolled state."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "total_value"))
+
+
+_STATE_SCHEMA = StructType([
+    StructField("n", LongType()),
+    StructField("total", DoubleType()),
+])
+_TOTALS_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+])
+
+
+def _update_user_totals(key: tuple[Any, ...],
+                        pdfs: Iterator[pd.DataFrame],
+                        state: GroupState) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                        "total_value": [round(total, 4)]})
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running
+    per-user event count + value total, emitted in update mode each
+    micro-batch. The pattern to copy for operators the built-in
+    windows can't express (running models, CUSUM detectors, custom
+    eviction). State is O(1) per user."""
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(
+                _update_user_totals,
+                outputStructType=_TOTALS_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_available_now(df: DataFrame, query_name: str,
+                      output_mode: str = "complete",
+                      timeout_s: int = 120) -> DataFrame:
+    """Drain all available input through the streaming query into an
+    in-memory table and return it as a DataFrame (test/validation
+    harness; production sinks are parquet/kafka via writeStream)."""
+    q = (df.writeStream.format("memory").queryName(query_name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    return df.sparkSession.table(query_name)

@@ -1,0 +1,89 @@
+"""Streaming tests (SURVEY §2.10): batch/stream parity for windowed
+aggregates, session windows, and the custom stateful operator.
+
+Strategy: split the sf0.001 events table into multiple parquet files,
+stream them with maxFilesPerTrigger=1 (multiple micro-batches), and
+compare the drained streaming result against the equivalent batch
+aggregate on the same data."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mr_mpi_blast_spark.session import load_table
+from mr_mpi_blast_spark.streaming import (
+    read_event_stream, hourly_counts, session_aggregate,
+    stateful_user_totals, run_available_now,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, SF_DIR, "events")
+    ev.repartition(3).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_hourly_counts_parity(spark, event_dir):
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    assert stream.isStreaming
+    # files arrive in arbitrary order -> a watermark wider than the
+    # 30-day data span keeps every event on-time for the parity check
+    # (the narrow-watermark late-drop contract is Spark's own)
+    got = run_available_now(
+        hourly_counts(stream, watermark="60 days"), "t_hourly").collect()
+    # rewritten files carry TIMESTAMP(MICROS) — no nanos conversion
+    batch = (spark.read.parquet(event_dir)
+             .groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                    "yyyy-MM-dd HH:mm").alias("hour"),
+                      "event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("value"), 4).alias("total_value"))).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert len(got) > 0
+
+
+def test_session_aggregate_parity(spark, event_dir):
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    got = run_available_now(
+        session_aggregate(stream, gap="5 minutes", watermark="60 days"),
+        "t_sessions").collect()
+    batch = (spark.read.parquet(event_dir)
+             .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum("value"), 4).alias("total_value"))
+             .select("user_id", F.col("w.start").alias("session_start"),
+                     F.col("w.end").alias("session_end"),
+                     "n_events", "total_value")).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    # sessions actually merge events (not one session per event)
+    assert any(r.n_events > 1 for r in got)
+
+
+def test_stateful_user_totals(spark, event_dir):
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    drained = run_available_now(stateful_user_totals(stream),
+                                "t_totals", output_mode="update")
+    # update mode re-emits a key each micro-batch it changes in; the
+    # LAST emission per user must equal the overall batch totals
+    last = (drained.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.max("total_value").alias("total_value")))
+    batch = (spark.read.parquet(event_dir)
+             .groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum("value"), 4).alias("total_value")))
+    got = {r.user_id: (r.n_events, r.total_value) for r in last.collect()}
+    want = {r.user_id: (r.n_events, round(r.total_value, 4))
+            for r in batch.collect()}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-6
+    # state really crossed micro-batches: emissions per user > 1
+    multi = (drained.groupBy("user_id").count()
+             .filter(F.col("count") > 1).count())
+    assert multi > 0
