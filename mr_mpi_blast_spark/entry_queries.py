@@ -447,6 +447,41 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Multimodal columns (operators/multimodal.py): binary payloads + typed
+# metadata; decode runs as Arrow-batched mapInPandas with a pluggable
+# codec (deterministic fake here — no image/audio libs in-container).
+# ---------------------------------------------------------------------------
+
+@query("multimodal_decode", """
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+         ('0x' || substring(md5(text), 1, 8))::BIGINT AS s,
+         length(text) AS n
+  FROM documents)
+SELECT asset_id, modality,
+       CASE WHEN modality IN ('image','video') THEN 16 + n % 64 END AS width,
+       CASE WHEN modality IN ('image','video') THEN CAST(16 + s % 64 AS INT) END AS height,
+       CASE WHEN modality = 'video' THEN CAST(1 + s % 24 AS INT)
+            WHEN modality = 'image' THEN 1 END AS n_frames,
+       CASE WHEN modality IN ('audio','video') THEN round(n / 1000.0, 4) END AS duration_s
+FROM a
+""")
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal decode plumbing: documents -> ASSETS (binary payload
+    + meta map) -> mapInPandas fake codec -> typed ASSET_FEATURES.
+    The oracle replays the codec arithmetic from the md5 seed; the
+    feature vector is exercised by unit tests (float32 vs oracle
+    double would be a spurious mismatch here)."""
+    from mr_mpi_blast_spark.operators.multimodal import (
+        assets_from_documents, decode_assets)
+    assets = assets_from_documents(_t(spark, sf_dir, "documents"))
+    return decode_assets(assets).select(
+        "asset_id", "modality", "width", "height", "n_frames", "duration_s")
+
+
+# ---------------------------------------------------------------------------
 # Similarity search (operators/similarity.py)
 # ---------------------------------------------------------------------------
 
