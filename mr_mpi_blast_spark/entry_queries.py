@@ -211,6 +211,156 @@ def q_gather_coalesce(spark, sf_dir):
              .agg(F.count(F.lit(1)).alias("n")))
 
 
+@query("global_topn", """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM (SELECT o_orderkey, o_totalprice,
+             strftime(o_orderdate, '%Y-%m-%d %H:%M') AS o_orderdate
+      FROM orders)
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+""")
+def q_global_topn(spark, sf_dir):
+    """Global ORDER BY + LIMIT (beyond-reference: the reference only
+    orders within rank files, SURVEY §2.7). Catalyst plans
+    TakeOrderedAndProject — per-partition top-N then a driver merge of
+    N-row heaps, never a global sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.select("o_orderkey", "o_totalprice",
+                     F.date_format("o_orderdate", "yyyy-MM-dd HH:mm").alias("o_orderdate"))
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(20))
+
+
+@query("distinct_dims", """
+SELECT DISTINCT p_brand, p_type FROM part
+""")
+def q_distinct_dims(spark, sf_dir):
+    """DISTINCT = groupBy-all-cols shuffle with partial dedup map-side
+    (beyond-reference; reference dedups nothing)."""
+    return _t(spark, sf_dir, "part").select("p_brand", "p_type").distinct()
+
+
+@query("semi_join", """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+""")
+def q_semi_join(spark, sf_dir):
+    """LEFT SEMI join (EXISTS). Beyond-reference — the engine gets it
+    from Catalyst; the probe side never duplicates rows."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+@query("anti_join", """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q_anti_join(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS): customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@query("set_intersect", """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+""")
+def q_set_intersect(spark, sf_dir):
+    """INTERSECT (SURVEY §2.8 note: absent in the reference, free in
+    the target engine)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+            .intersect(o.filter(F.col("o_totalprice") > 150000).select("o_custkey")))
+
+
+@query("set_except", """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+""")
+def q_set_except(spark, sf_dir):
+    """EXCEPT (set difference, distinct semantics — subtract(), not
+    exceptAll(): multiset difference keeps keys whose counts merely
+    shrink)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+            .subtract(o.filter(F.col("o_totalprice") > 150000).select("o_custkey")))
+
+
+@query("shipping_priority", """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+""")
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: three-way join with selective filters on every
+    input — exercises Catalyst join reordering, filter pushdown to all
+    three scans, and broadcast of the filtered dimension chain."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    return (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                     "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority"))
+
+
+@query("rollup_revenue", """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n, round(sum(o_totalprice), 4) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP hierarchy aggregate (beyond-reference: no grouping sets
+    in the reference, SURVEY §2.6). Subtotal rows labeled 'ALL' so the
+    cross-engine hash never compares bare NULL group keys."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 4).alias("total"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                    "n", "total"))
+
+
+@query("window_running", """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
+       round(coalesce(lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 0.0), 4) AS prev_price
+FROM orders
+""")
+def q_window_running(spark, sf_dir):
+    """Analytic window functions beyond rank: per-key running sum and
+    lag (the reference's engine has no window surface at all,
+    SURVEY §2.10)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(run), 4).alias("running_total"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 4).alias("prev_price"))
+
+
 # ---------------------------------------------------------------------------
 # Plan-building operators (SURVEY §2.1) over the documents table
 # ---------------------------------------------------------------------------
@@ -406,7 +556,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
                              num_hashes=_NUM_HASHES, bands=_BANDS)
 
 
-@query("dedup_simhash", f"""
+_SIMHASH_CTE = f"""
 WITH tok AS (
   SELECT doc_id, unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS tok
   FROM documents
@@ -419,15 +569,39 @@ bits AS (
 ), agg AS (
   SELECT doc_id, j, CASE WHEN sum(bit * 2 - 1) > 0 THEN '1' ELSE '0' END AS b
   FROM bits GROUP BY doc_id, j
+), sig AS (
+  SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash
+  FROM agg GROUP BY doc_id
 )
-SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash
-FROM agg GROUP BY doc_id
-""")
+"""
+
+
+@query("dedup_simhash", _SIMHASH_CTE + "SELECT doc_id, simhash FROM sig")
 def q_dedup_simhash(spark, sf_dir):
     """64-bit SimHash signatures from md5 nibbles of distinct tokens —
     bit-identical in both engines (md5 is the shared hash)."""
     from mr_mpi_blast_spark.operators.dedup import simhash_signatures
     return simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+@query("dedup_simhash_pairs", _SIMHASH_CTE + """
+SELECT a.doc_id AS da, b.doc_id AS db,
+       len(list_filter(range(0, 64),
+           i -> substring(a.simhash, CAST(i AS INT) + 1, 1)
+             != substring(b.simhash, CAST(i AS INT) + 1, 1))) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE len(list_filter(range(0, 64),
+          i -> substring(a.simhash, CAST(i AS INT) + 1, 1)
+            != substring(b.simhash, CAST(i AS INT) + 1, 1))) <= 3
+""")
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs within Hamming distance 3, banded by the
+    pigeonhole principle (4 chunks of 16 bits: any pair within 3 must
+    agree on >= 1 chunk) — candidates come from an equi-join on
+    (chunk_id, chunk_bits), never all-pairs; the oracle brute-forces
+    the same answer."""
+    from mr_mpi_blast_spark.operators.dedup import simhash_near_pairs
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 @query("embedding_near_dup", """
