@@ -118,12 +118,24 @@ def fingerprints(df: DataFrame, shingle_n: int = 16, sketch_k: int = 4,
                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprints: md5 of normalized text (exact identity)
     plus a k-min sketch (the winnowing/rolling-hash analog: the k
-    smallest md5s over char shingles, joined) for near-identity."""
+    smallest md5s over distinct char shingles, joined) for
+    near-identity.
+
+    Shape: project the normalized text ONCE, explode shingles, hash,
+    re-aggregate. Hashing inside a higher-order transform would
+    re-evaluate the normalization regex per shingle (~300x/row) —
+    HOF lambdas are interpreted per element with no subexpression
+    reuse across the lambda boundary."""
     from mr_mpi_blast_spark.functions.hashing import char_shingles
-    norm = normalized_text(F.col(text_col))
-    hashes = F.transform(char_shingles(norm, shingle_n), F.md5)
-    sketch = F.array_join(F.slice(F.array_sort(hashes), 1, sketch_k), "|")
-    return df.select(
+    from mr_mpi_blast_spark.session import spread_for_compute
+    norm_df = spread_for_compute(df, id_col).select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
+    sh = norm_df.select(
         F.col(id_col),
-        F.md5(norm).alias("fp_exact"),
-        sketch.alias("fp_sketch"))
+        F.md5("__norm").alias("fp_exact"),
+        F.explode(char_shingles(F.col("__norm"), shingle_n)).alias("s"))
+    return (sh.groupBy(id_col, "fp_exact")
+            .agg(F.array_join(
+                F.slice(F.array_sort(F.collect_set(F.md5("s"))), 1, sketch_k),
+                "|").alias("fp_sketch"))
+            .select(id_col, "fp_exact", "fp_sketch"))

@@ -20,15 +20,7 @@ from mr_mpi_blast_spark.functions.hashing import (char_shingles,
                                                   normalized_text)
 
 
-def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Hash-repartition to full parallelism before a compute-heavy
-    per-row stage. On a real 100 TB input the parquet scan already
-    yields thousands of splits and this is skipped; on a few-split
-    local input it is the difference between 1 core and all of them."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target, F.col(key))
+from mr_mpi_blast_spark.session import spread_for_compute as _spread
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -143,7 +135,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     safe; callers needing an int can conv(bits, 2, 10)).
     Output: (doc_id, simhash).
     """
-    tokens = df.select(
+    tokens = _spread(df, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(
             F.split(F.lower(normalized_text(F.col(text_col))), " "))).alias("tok"))
@@ -178,27 +170,29 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
     never all-pairs. Output: (da, db, hamming)."""
     chunks = max_hamming + 1
     width = 64 // chunks
-    sig = simhash_signatures(df, text_col, id_col)
+    # both candidate-join sides and the verify read the signatures; one
+    # 72-byte row per doc, so persistence is bounded (cf. minhash agg)
+    sig = (simhash_signatures(df, text_col, id_col)
+           # two 32-bit halves as longs: hamming = bit_count(xor) twice,
+           # pure codegen arithmetic instead of an interpreted zip_with
+           # over 64-char arrays per candidate pair
+           .withColumn("h1", F.conv(F.substring("simhash", 1, 32), 2, 10).cast("long"))
+           .withColumn("h2", F.conv(F.substring("simhash", 33, 32), 2, 10).cast("long"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
     pieces = sig.select(
-        "doc_id", "simhash",
+        "doc_id", "h1", "h2",
         F.posexplode(F.array(*[
             F.substring("simhash", i * width + 1,
                         width if i < chunks - 1 else 64 - (chunks - 1) * width)
             for i in range(chunks)])).alias("chunk_id", "chunk"))
     a, b = pieces.alias("a"), pieces.alias("b")
-    cand = (a.join(b, (F.col("a.chunk_id") == F.col("b.chunk_id"))
+    ham = (F.bit_count(F.col("a.h1").bitwiseXOR(F.col("b.h1")))
+           + F.bit_count(F.col("a.h2").bitwiseXOR(F.col("b.h2"))))
+    return (a.join(b, (F.col("a.chunk_id") == F.col("b.chunk_id"))
                    & (F.col("a.chunk") == F.col("b.chunk"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("da"),
                     F.col("b.doc_id").alias("db"),
-                    F.col("a.simhash").alias("ha"),
-                    F.col("b.simhash").alias("hb"))
-            .distinct())
-    # hamming = count of differing positions
-    ham = F.size(F.filter(
-        F.zip_with(F.split("ha", ""), F.split("hb", ""),
-                   lambda x, y: x != y),
-        lambda v: v))
-    return (cand.withColumn("hamming", ham)
+                    ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
-            .select("da", "db", "hamming"))
+            .distinct())

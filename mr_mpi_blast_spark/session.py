@@ -49,6 +49,18 @@ def get_spark(app_name: str = "mr_mpi_blast_spark",
     return spark
 
 
+def spread_for_compute(df, key: str):
+    """Hash-repartition to full parallelism before a compute-heavy
+    per-row stage. On a real 100 TB input the scan already yields
+    thousands of splits and this is a no-op; on a few-split local
+    input it is the difference between 1 core and all of them."""
+    from pyspark.sql import functions as F
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one of the driver's synthetic tables as a DataFrame."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
