@@ -6,7 +6,11 @@ ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Timing forces full materialization via the noop sink (count() would let
-Catalyst prune the output projection and under-measure)."""
+Catalyst prune the output projection and under-measure). Before timing,
+every query is executed once at sf0.001 (untimed): the plans are
+shape-identical across scale factors, so this warms JVM JIT + Whole-Stage
+Codegen caches and the timed numbers measure the operators, not
+first-compile overhead."""
 
 from __future__ import annotations
 
@@ -30,6 +34,14 @@ def main() -> None:
     spark = get_spark("bench")
     qs = e.queries()
 
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name, fn in qs.items():
+            try:
+                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass  # the timed run below reports the failure
+
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.time()
@@ -39,6 +51,9 @@ def main() -> None:
         except Exception as ex:  # a failing query must not hide the rest
             timings[name] = -1.0
             print(f"bench: {name} failed: {ex}", file=sys.stderr)
+        # queries are independent; drop intra-query persists so earlier
+        # queries' cached blocks don't tax later ones with GC pressure
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(json.dumps({
