@@ -606,9 +606,9 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 @query("embedding_near_dup", """
 SELECT a.vec_id AS va, b.vec_id AS vb,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
+       floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1e4 + 0.5) / 1e4 AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.45
+WHERE floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1e4 + 0.5) / 1e4 >= 0.45
 """)
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (threshold 0.45 demo value;
@@ -670,7 +670,7 @@ scored AS (
          row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid) AS rank
   FROM scored
 )
-SELECT qid, nid, round(cos6, 4) AS cos, rank FROM ranked WHERE rank <= 5
+SELECT qid, nid, floor(cos6 * 1e4 + 0.5) / 1e4 AS cos, rank FROM ranked WHERE rank <= 5
 """
 
 
@@ -716,7 +716,7 @@ scored AS (
   SELECT qid, nid, cos6,
          row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid) AS rank
   FROM scored)
-SELECT qid, nid, round(cos6, 4) AS cos, rank FROM ranked WHERE rank <= 3
+SELECT qid, nid, floor(cos6 * 1e4 + 0.5) / 1e4 AS cos, rank FROM ranked WHERE rank <= 3
 """)
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF nprobe=1 ANN: deterministic centroid init (first 8 vectors),

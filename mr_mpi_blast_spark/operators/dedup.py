@@ -43,11 +43,17 @@ def shingle_table(df: DataFrame, n: int, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, n: int, threshold: float,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
-    """Exact all-pairs shingle Jaccard >= threshold.
+    """Exact all-pairs shingle Jaccard >= threshold (join-count form).
 
-    Output: (da, db, jac). Quadratic in per-shingle document frequency
-    — correct everywhere, affordable only when shingles are selective;
-    used as the verifier/oracle for the LSH path."""
+    Output: (da, db, jac). Cost is Σ df² over shingle document
+    frequencies — the whole computation stays in whole-stage codegen
+    (hash join + hash agg on 8-byte keys), so it tolerates heavy
+    shingle sharing. For selective corpora (realistic text, where
+    10-gram df ≈ 1) prefer ngram_jaccard_pairs_prefix, which reads
+    ~(1-t) of the shingle rows; on a small shared vocabulary its
+    candidate set degenerates toward all-pairs and per-pair array
+    verification loses to this form (25s vs 5s at sf0.1).
+    """
     # join on the 64-bit hash of the shingle, not the string: the
     # shuffle/compare key is 8 bytes instead of n chars (collision odds
     # over ~n_docs*n_shingles keys are < 1e-7; the jac values compared
@@ -65,6 +71,52 @@ def ngram_jaccard_pairs(df: DataFrame, n: int, threshold: float,
     sb = sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb"))
     jac = (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
     return (inter.join(sa, "da").join(sb, "db")
+            .withColumn("jac", F.round(jac, 4))
+            .filter(F.col("jac") >= threshold)
+            .select("da", "db", "jac"))
+
+
+def ngram_jaccard_pairs_prefix(df: DataFrame, n: int, threshold: float,
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Exact all-pairs shingle Jaccard >= threshold, prefix-filtered.
+
+    Pair-identical output to ngram_jaccard_pairs, but the join only
+    touches each document's PREFIX under a global shingle order
+    (AllPairs / PPJoin prefix filter, Bayardo et al. WWW'07; Xiao et
+    al. WWW'08): if J(A,B) >= t then |A∩B| >= t*|A| and >= t*|B|, so
+    two documents at the threshold must share at least one shingle
+    among their first |d| - ceil(t*|d|) + 1 shingles in any shared
+    total order. At t=0.8 the join reads ~20% of shingle rows =>
+    ~25x fewer compared pairs when shingles are selective (df ≈ 1,
+    the realistic-corpus case); candidates are then verified with the
+    exact Jaccard over the full sorted shingle-hash arrays. The
+    global order is the 64-bit shingle hash. On corpora with heavy
+    shingle sharing the candidate set degenerates toward all-pairs —
+    use the join-count form there (see its docstring).
+    """
+    sh = shingle_table(_spread(df, id_col), n, text_col, id_col).select(
+        "doc_id", F.xxhash64("s").alias("h"))
+    agg = (sh.groupBy("doc_id")
+           .agg(F.sort_array(F.collect_set("h")).alias("hs"))
+           .withColumn("sz", F.size("hs"))
+           .withColumn("plen", (F.col("sz")
+                                - F.ceil(F.lit(threshold) * F.col("sz"))
+                                + 1).cast("int"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    pref = agg.select(
+        "doc_id", F.explode(F.slice("hs", F.lit(1), F.col("plen"))).alias("h"))
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (a.join(b, (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("da"),
+                    F.col("b.doc_id").alias("db"))
+            .distinct())
+    sh_a = agg.select(F.col("doc_id").alias("da"), F.col("hs").alias("sh_a"))
+    sh_b = agg.select(F.col("doc_id").alias("db"), F.col("hs").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (cand.join(sh_a, "da").join(sh_b, "db")
             .withColumn("jac", F.round(jac, 4))
             .filter(F.col("jac") >= threshold)
             .select("da", "db", "jac"))

@@ -16,22 +16,48 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _cosine(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                            F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
-                            F.lit(0.0), lambda acc, v: acc + v))
-    # zero-norm vectors are similar to nothing (and ANSI mode makes a
-    # bare division throw DIVIDE_BY_ZERO)
-    return F.coalesce(F.try_divide(dot, na * nb), F.lit(0.0))
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def round4_xengine(col):
+    """Output rounding to 1e-4 as floor(x*1e4 + 0.5)/1e4 — computes
+    identically on identical doubles in Spark and DuckDB. Spark's
+    round() converts doubles through Double.toString (shortest
+    decimal repr) before HALF_UP, so a double like
+    0.32684999999999997 — which prints as "0.32685" — rounds UP in
+    Spark but DOWN in DuckDB's binary round(); floor/multiply are
+    exact on both engines."""
+    return F.floor(col * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+
+
+ROUND4_SQL = "floor({expr} * 1e4 + 0.5) / 1e4"
+
+
+def _cosine_pre(a, b, na, nb):
+    """Cosine from precomputed per-row norms. Norms are hoisted to the
+    per-vector side of the join: higher-order functions run interpreted
+    (CodegenFallback) with no subexpression elimination, so evaluating
+    them once per VECTOR instead of once per PAIR removes 2 of the 3
+    HOF passes from the O(Q x N) loop. na/nb are the same expression
+    over the same array, so the result is bit-identical to computing
+    them inline. Zero-norm vectors are similar to nothing (and ANSI
+    mode makes a bare division throw DIVIDE_BY_ZERO)."""
+    return F.coalesce(F.try_divide(_dot(a, b), na * nb), F.lit(0.0))
 
 
 def _vec(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
     return df.select(
         F.col(id_col).alias(f"{prefix}id"),
-        F.col(vec_col).cast("array<double>").alias(f"{prefix}vec"))
+        v.alias(f"{prefix}vec"),
+        _norm(v).alias(f"{prefix}norm"))
 
 
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
@@ -50,11 +76,13 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
     # |q_parts| x |c_parts| tasks
     pairs = (c.crossJoin(F.broadcast(q))
              .filter(F.col("qid") != F.col("nid"))
-             .withColumn("cos", F.round(_cosine(F.col("qvec"), F.col("nvec")), 6)))
+             .withColumn("cos", F.round(_cosine_pre(
+                 F.col("qvec"), F.col("nvec"),
+                 F.col("qnorm"), F.col("nnorm")), 6)))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select("qid", "nid", F.round("cos", 4).alias("cos"), "rank"))
+            .select("qid", "nid", round4_xengine(F.col("cos")).alias("cos"), "rank"))
 
 
 def ivf_assign(vectors: DataFrame, centroids: DataFrame,
@@ -63,10 +91,13 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     """Assign each vector to its max-cosine centroid (tie: lowest cid).
     Output: (vec_id, cid). The centroid table is tiny -> broadcast."""
     v = _vec(vectors, id_col, vec_col, "v")
-    c = centroids.select(F.col(cent_id).alias("cid"),
-                         F.col(vec_col).cast("array<double>").alias("cvec"))
+    cv = F.col(vec_col).cast("array<double>")
+    c = centroids.select(F.col(cent_id).alias("cid"), cv.alias("cvec"),
+                         _norm(cv).alias("cnorm"))
     scored = (v.crossJoin(F.broadcast(c))
-              .withColumn("cos", F.round(_cosine(F.col("vvec"), F.col("cvec")), 6)))
+              .withColumn("cos", F.round(_cosine_pre(
+                  F.col("vvec"), F.col("cvec"),
+                  F.col("vnorm"), F.col("cnorm")), 6)))
     w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (scored.withColumn("r", F.row_number().over(w))
             .filter(F.col("r") == 1)
@@ -90,11 +121,13 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
         assign.withColumnRenamed(id_col, "nid"), "nid")
     pairs = (q.join(c, "cid")
              .filter(F.col("qid") != F.col("nid"))
-             .withColumn("cos", F.round(_cosine(F.col("qvec"), F.col("nvec")), 6)))
+             .withColumn("cos", F.round(_cosine_pre(
+                 F.col("qvec"), F.col("nvec"),
+                 F.col("qnorm"), F.col("nnorm")), 6)))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select("qid", "nid", F.round("cos", 4).alias("cos"), "rank"))
+            .select("qid", "nid", round4_xengine(F.col("cos")).alias("cos"), "rank"))
 
 
 def cosine_pairs_numpy(vectors: DataFrame, tau: float,
@@ -129,7 +162,7 @@ def cosine_pairs_numpy(vectors: DataFrame, tau: float,
             bmat /= bn
             sims = bmat @ all_mat.T                    # batch x N
             for i, va in enumerate(bids):
-                row = np.round(sims[i], 4)
+                row = np.floor(sims[i] * 1e4 + 0.5) / 1e4
                 mask = (all_ids > va) & (row >= tau)
                 if mask.any():
                     yield pd.DataFrame({
@@ -179,4 +212,4 @@ def brute_force_topk_numpy(queries: DataFrame, corpus: DataFrame, k: int,
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (partial.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select("qid", "nid", F.round("cos", 4).alias("cos"), "rank"))
+            .select("qid", "nid", round4_xengine(F.col("cos")).alias("cos"), "rank"))

@@ -49,6 +49,19 @@ def test_lsh_equals_exact(spark, docs):
     assert lsh == exact
 
 
+def test_prefix_filter_equals_naive(spark, docs):
+    """The AllPairs prefix-filtered exact join returns pair-identical
+    (da, db, jac) to the naive Σ df² join-count form at two
+    thresholds (the prefix-length arithmetic differs per t)."""
+    from mr_mpi_blast_spark.operators.dedup import ngram_jaccard_pairs_prefix
+    for t in (0.8, 0.5):
+        naive = {(r.da, r.db, r.jac) for r in
+                 ngram_jaccard_pairs(docs, 10, t).collect()}
+        pref = {(r.da, r.db, r.jac) for r in
+                ngram_jaccard_pairs_prefix(docs, 10, t).collect()}
+        assert naive and pref == naive
+
+
 def test_dedup_detects_planted_duplicate(spark):
     rows = [(1, "the quick brown fox jumps over the lazy dog " * 10),
             (2, "the quick brown fox jumps over the lazy dog " * 10),
