@@ -486,6 +486,126 @@ def q_events_json_props(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Temporal operators (operators/temporal.py): batch sessionization and
+# as-of join — single-shuffle window compositions.
+# ---------------------------------------------------------------------------
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@query("events_sessionize", f"""
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM o)
+SELECT user_id, session_seq, count(*) AS n_events,
+       strftime(min(ts), '{_TS_FMT_DUCK}') AS started,
+       strftime(max(ts), '{_TS_FMT_DUCK}') AS ended,
+       round(sum(value), 4) AS total_value
+FROM s GROUP BY user_id, session_seq
+""")
+def q_events_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization (30-min inactivity gap) +
+    per-session rollup. Gap arithmetic on unix micros — exact integers
+    in both engines."""
+    from mr_mpi_blast_spark.operators.temporal import sessionize
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_minutes=30.0)
+    return (s.groupBy("user_id", "session_seq")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.date_format(F.min("ts"), _TS_FMT_SPARK).alias("started"),
+                 F.date_format(F.max("ts"), _TS_FMT_SPARK).alias("ended"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+
+
+@query("events_asof_join", f"""
+WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+errors AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'error') t
+  WHERE rn = 1)
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '{_TS_FMT_DUCK}') AS ts,
+       e.event_id AS err_event_id,
+       strftime(e.ts, '{_TS_FMT_DUCK}') AS err_ts
+FROM clicks c ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+""")
+def q_events_asof_join(spark, sf_dir):
+    """As-of join: each click gets the user's most recent error at or
+    before it (nulls when none). The Spark side is the union-window
+    form (one shuffle on user_id); the oracle is DuckDB's native
+    ASOF LEFT JOIN — two independent implementations of the same
+    semantics."""
+    from mr_mpi_blast_spark.operators.temporal import asof_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select("user_id", "ts", "event_id"))
+    j = asof_join(clicks, errors, "user_id", "ts", ["event_id"], prefix="r_")
+    return j.select(
+        "event_id", "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        F.col("r_event_id").alias("err_event_id"),
+        F.date_format("r_ts", _TS_FMT_SPARK).alias("err_ts"))
+
+
+@query("events_percentiles", """
+SELECT event_type, count(*) AS n,
+       floor(quantile_cont(value, 0.5) * 1e4 + 0.5) / 1e4 AS p50,
+       floor(quantile_cont(value, 0.9) * 1e4 + 0.5) / 1e4 AS p90,
+       floor(quantile_cont(value, 0.99) * 1e4 + 0.5) / 1e4 AS p99
+FROM events GROUP BY event_type
+""")
+def q_events_percentiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles per event type (the
+    quality-scoring primitive for length/score distributions). Both
+    engines interpolate a + frac*(b-a) over the sorted values; output
+    rounding uses the floor form (see round4_xengine) so identical
+    doubles render identically."""
+    from mr_mpi_blast_spark.operators.similarity import round4_xengine
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 *[round4_xengine(F.percentile("value", F.lit(p)))
+                   .alias(f"p{int(p * 100)}")
+                   for p in (0.5, 0.9, 0.99)]))
+
+
+@query("doc_train_split", f"""
+SELECT doc_id,
+       {{bucket}} AS bucket,
+       CASE WHEN {{bucket}} < 8000 THEN 'train'
+            WHEN {{bucket}} < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""".format(bucket="(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)"))
+def q_doc_train_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split: the bucket is a
+    pure function of the doc id (md5 arithmetic, identical in any
+    engine) — the same document lands in the same split on every run
+    and any partitioning, unlike rand()-seeded sampling."""
+    from mr_mpi_blast_spark.operators.sampling import (deterministic_split,
+                                                       id_bucket)
+    docs = _t(spark, sf_dir, "documents")
+    return (deterministic_split(docs, "doc_id")
+            .select("doc_id", id_bucket(F.col("doc_id")).alias("bucket"),
+                    "split"))
+
+
+# ---------------------------------------------------------------------------
 # Dedup operators (beyond-reference; operators/dedup.py)
 # Shared SQL fragments are generated from the same constants as the
 # Spark expressions so the two renderings cannot drift.
