@@ -38,6 +38,12 @@ def get_spark(app_name: str = "mr_mpi_blast_spark",
         # does not dominate at 100 TB (the reference's BLOCKSIZE knob,
         # doc/USERGUIDE:498-506, is exactly this trade).
         .config("spark.sql.files.maxPartitionBytes", "256m")
+        # dimension/signature tables a bit over the 10 MB default (e.g.
+        # the per-doc minhash signature table, ~2.4 KB/row) still belong
+        # on the broadcast side; AQE sizes from actual runtime stats, so
+        # corpus-sized inputs keep shuffle joins. Measured 2.3x on the
+        # LSH verify join at sf0.1.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # events.parquet carries TIMESTAMP(NANOS) which Spark has no
         # native type for; read as long and convert (see load_events).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
