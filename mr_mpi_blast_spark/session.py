@@ -68,7 +68,14 @@ def spread_for_compute(df, key: str):
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one of the driver's synthetic tables as a DataFrame."""
+    """Read one of the driver's synthetic tables as a DataFrame.
+
+    The nanosAsLong conf is set here (runtime-settable) and not only in
+    get_spark(): callers may hand us a bare SparkSession they built
+    themselves, and events.parquet carries INT64 TIMESTAMP(NANOS) that
+    Spark refuses to read without it.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanosAsLong surfaced raw int64 nanoseconds; integer-divide to
