@@ -783,7 +783,7 @@ _ANN_ORACLE = """
 WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 20 = 0),
 scored AS (
   SELECT q.qid, c.vec_id AS nid,
-         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos6
+         floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) * 1e6 + 0.5) / 1e6 AS cos6
   FROM q JOIN embeddings c ON c.vec_id != q.qid
 ), ranked AS (
   SELECT qid, nid, cos6,
@@ -820,7 +820,7 @@ assign AS (
   SELECT vec_id, cid FROM (
     SELECT v.vec_id, c.cid,
            row_number() OVER (PARTITION BY v.vec_id
-             ORDER BY round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC, c.cid) AS r
+             ORDER BY floor(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) * 1e6 + 0.5) / 1e6 DESC, c.cid) AS r
     FROM embeddings v CROSS JOIN cent c)
   WHERE r = 1
 ), q AS (SELECT e.vec_id AS qid, e.embedding, a.cid
@@ -830,7 +830,7 @@ c AS (SELECT e.vec_id AS nid, e.embedding, a.cid
       FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
 scored AS (
   SELECT q.qid, c.nid,
-         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos6
+         floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) * 1e6 + 0.5) / 1e6 AS cos6
   FROM q JOIN c ON q.cid = c.cid AND q.qid != c.nid
 ), ranked AS (
   SELECT qid, nid, cos6,

@@ -23,6 +23,7 @@ Faithful semantics:
 from __future__ import annotations
 
 import io
+import itertools
 import os
 import shutil
 import subprocess
@@ -59,6 +60,12 @@ NCBI_HITS = StructType([
 ])
 
 _DB_CACHE: dict = {}
+
+# monotone id appended to cache_key: a same-named db_part from a later
+# run with different subject content must not hit a stale makeblastdb
+# result (mirrors pipeline.py's _BROADCAST_GEN guard for the builtin
+# kernel's index cache).
+_NCBI_GEN = itertools.count()
 
 
 def available(task: str = "blastn") -> bool:
@@ -180,7 +187,8 @@ def run_search_ncbi(queries: DataFrame, subjects: DataFrame,
                 subjects.filter(F.col("db_part") == part)
                         .select("sid", "seq").collect()]
         bc = spark.sparkContext.broadcast(subj)
-        kernel = make_ncbi_block_kernel(bc, cfg, cache_key=part, dbsize=dbsize)
+        kernel = make_ncbi_block_kernel(
+            bc, cfg, cache_key=f"{part}:{next(_NCBI_GEN)}", dbsize=dbsize)
         per_part.append(
             blocked.groupBy("block_id").applyInPandas(kernel, schema=NCBI_HITS))
     raw = per_part[0]

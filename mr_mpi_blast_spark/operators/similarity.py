@@ -40,6 +40,18 @@ def round4_xengine(col):
 ROUND4_SQL = "floor({expr} * 1e4 + 0.5) / 1e4"
 
 
+def round6_xengine(col):
+    """Rank-key rounding to 1e-6, floor form — same rationale as
+    round4_xengine: Spark's round() on doubles goes through the
+    shortest-decimal string repr, DuckDB's rounds the binary value, so
+    boundary doubles can round differently and flip top-k membership
+    at the k'th rank. floor/multiply is exact and identical on both."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+ROUND6_SQL = "floor({expr} * 1e6 + 0.5) / 1e6"
+
+
 def _cosine_pre(a, b, na, nb):
     """Cosine from precomputed per-row norms. Norms are hoisted to the
     per-vector side of the join: higher-order functions run interpreted
@@ -76,9 +88,9 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
     # |q_parts| x |c_parts| tasks
     pairs = (c.crossJoin(F.broadcast(q))
              .filter(F.col("qid") != F.col("nid"))
-             .withColumn("cos", F.round(_cosine_pre(
+             .withColumn("cos", round6_xengine(_cosine_pre(
                  F.col("qvec"), F.col("nvec"),
-                 F.col("qnorm"), F.col("nnorm")), 6)))
+                 F.col("qnorm"), F.col("nnorm")))))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -95,9 +107,9 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     c = centroids.select(F.col(cent_id).alias("cid"), cv.alias("cvec"),
                          _norm(cv).alias("cnorm"))
     scored = (v.crossJoin(F.broadcast(c))
-              .withColumn("cos", F.round(_cosine_pre(
+              .withColumn("cos", round6_xengine(_cosine_pre(
                   F.col("vvec"), F.col("cvec"),
-                  F.col("vnorm"), F.col("cnorm")), 6)))
+                  F.col("vnorm"), F.col("cnorm")))))
     w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (scored.withColumn("r", F.row_number().over(w))
             .filter(F.col("r") == 1)
@@ -121,9 +133,9 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
         assign.withColumnRenamed(id_col, "nid"), "nid")
     pairs = (q.join(c, "cid")
              .filter(F.col("qid") != F.col("nid"))
-             .withColumn("cos", F.round(_cosine_pre(
+             .withColumn("cos", round6_xengine(_cosine_pre(
                  F.col("qvec"), F.col("nvec"),
-                 F.col("qnorm"), F.col("nnorm")), 6)))
+                 F.col("qnorm"), F.col("nnorm")))))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -196,16 +208,20 @@ def brute_force_topk_numpy(queries: DataFrame, corpus: DataFrame, k: int,
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
             sims = bqmat @ mat.T                       # Q x batch
             for qi, qid in enumerate(bqids):
-                row = sims[qi]
+                # rank on the same floor-form 1e-6 key as the window
+                # (np.round is half-even, not half-up) and break
+                # equal-cosine ties by LOWEST nid via lexsort — an
+                # unstable argsort could drop the neighbor the
+                # declared (cos desc, nid asc) contract keeps.
+                row = np.floor(sims[qi] * 1e6 + 0.5) / 1e6
                 mask = ids != qid
-                take = min(k, int(mask.sum()))
-                cand = np.argsort(-row[mask])[:take]
-                sel_ids = ids[mask][cand]
-                sel_cos = row[mask][cand]
+                mids, mcos = ids[mask], row[mask]
+                take = min(k, mids.size)
+                cand = np.lexsort((mids, -mcos))[:take]
                 yield pd.DataFrame({
                     "qid": np.repeat(qid, take),
-                    "nid": sel_ids,
-                    "cos": np.round(sel_cos, 6)})
+                    "nid": mids[cand],
+                    "cos": mcos[cand]})
 
     partial = corpus.select(id_col, vec_col).mapInPandas(
         score, schema="qid long, nid long, cos double")

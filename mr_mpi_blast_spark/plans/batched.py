@@ -17,13 +17,14 @@ isolation and bounded broadcast working set, not memory.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mr_mpi_blast_spark.config import BlastConfig
-from mr_mpi_blast_spark.plans.pipeline import run_search
+from mr_mpi_blast_spark.plans.pipeline import effective_dbsize, run_search
 
 
 def _part_dir(out_dir: str, part: str) -> str:
@@ -58,6 +59,13 @@ def run_search_resumable(queries: DataFrame, subjects: DataFrame,
     """
     cfg = cfg or BlastConfig()
     spark = queries.sparkSession
+    # S8: e-value statistics use the WHOLE database's residue count
+    # (mrblast.cpp:404-433 broadcasts the full DB length before any
+    # iteration). Computing it here — not inside the per-partition
+    # run_search calls, which would see ~1/N of the residues — keeps
+    # batched e-values identical to the single-pass pipeline and keeps
+    # the F1 evalue filter admitting the same hit set.
+    cfg = dataclasses.replace(cfg, dbsize=effective_dbsize(subjects, cfg))
     parts = [r[0] for r in
              subjects.select("db_part").distinct().orderBy("db_part").collect()]
     done = completed_parts(out_dir)

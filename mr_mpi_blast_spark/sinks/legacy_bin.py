@@ -82,7 +82,16 @@ def write_legacy_bin(df: DataFrame, out_dir: str, prefix: str = "output",
     os.makedirs(out_dir, exist_ok=True)
     st_fmt = _FMT_CLASSIFIER if classifier else _FMT_GENERIC
     cols = list(_COLS) + (["perc_ident", "perc_cover"] if classifier else [])
-    proj = df.select(*cols)
+    # struct.pack raises TypeError on None; perc_ident/perc_cover are
+    # nullable in HITS (generic-produced hits carry NULL there), so a
+    # classifier-mode write of such a table must not crash mid-
+    # foreachPartition. The legacy record has no NULL notion — 0.0 is
+    # the only faithful encoding.
+    proj = df.select(*[
+        F.coalesce(F.col(c), F.lit(0.0)).alias(c)
+        if c in ("ident", "evalue", "bitscore", "perc_ident", "perc_cover")
+        else F.col(c)
+        for c in cols])
 
     def write_partition(rows) -> None:
         from pyspark import TaskContext

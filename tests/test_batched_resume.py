@@ -63,5 +63,9 @@ def test_batched_matches_single_pass(spark, qs_subjects, tmp_path):
     out = str(tmp_path / "hits2")
     batched, _ = run_search_resumable(queries, subjects, out, CFG)
     single = run_search(queries, subjects, CFG)
-    key = lambda r: (r.qid, r.sid, r.qstart, r.send, round(r.bitscore, 6))
+    # evalue is in the key on purpose: it is the one column the batched
+    # path would compute differently if dbsize were taken per-partition
+    # instead of over the whole database (S8).
+    key = lambda r: (r.qid, r.sid, r.qstart, r.send, round(r.bitscore, 6),
+                     float("%.6g" % r.evalue))
     assert sorted(map(key, batched.collect())) == sorted(map(key, single.collect()))
