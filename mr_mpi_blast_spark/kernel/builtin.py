@@ -28,6 +28,7 @@ for +1/-2 nucleotide scoring: lambda=1.33, K=0.621.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -91,10 +92,19 @@ def get_subject_index(cache_key: str, subjects, word_size: int,
                       max_kmer_hits: int) -> SubjectIndex:
     """DB-handle reuse (mrblast.cpp:838-845): build the partition index
     once per Python worker, reuse across query-block tasks."""
+    return get_subject_index_lazy(cache_key, lambda: list(subjects),
+                                  word_size, max_kmer_hits)
+
+
+def get_subject_index_lazy(cache_key: str, loader, word_size: int,
+                           max_kmer_hits: int) -> SubjectIndex:
+    """Same cache, but subjects come from a zero-arg ``loader`` that is
+    only invoked on a miss — so the lazy staged-volume path pays the
+    read+index cost once per worker per partition."""
     key = (cache_key, word_size, max_kmer_hits)
     idx = _DB_CACHE.get(key)
     if idx is None:
-        idx = SubjectIndex(list(subjects), word_size, max_kmer_hits)
+        idx = SubjectIndex(loader(), word_size, max_kmer_hits)
         _DB_CACHE.clear()      # one partition resident at a time, like the ref
         _DB_CACHE[key] = idx
     return idx
@@ -184,13 +194,57 @@ def make_block_kernel(subjects_bc, cfg: BlastConfig, cache_key: str):
 
     subjects_bc: Spark broadcast of list[(sid, seq)] for ONE db
     partition — the Spark analog of every rank having the partition's
-    volume files on local disk.
+    volume files on local disk. Kept for small-DB callers; the scale
+    path is make_lazy_block_kernel, which never routes subject rows
+    through the driver.
     """
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         index = get_subject_index(cache_key, subjects_bc.value,
                                   cfg.word_size, cfg.max_kmer_hits)
         rows: list[tuple] = []
         # K2 batch loop: iterate queries within the block
+        for qid, seq in zip(pdf["qid"].to_numpy(), pdf["seq"].to_numpy()):
+            rows.extend(align_query(int(qid), seq, index, cfg))
+        return pd.DataFrame(rows, columns=[f.name for f in RAW_HITS.fields])
+    return kernel
+
+
+def read_staged_part(db_dir: str, part: str) -> list[tuple[str, str]]:
+    """Executor-side load of one staged DB partition:
+    ``{db_dir}/db_part={part}/*.parquet`` -> [(sid, seq)...].
+
+    This is the reference's "volume files on local disk" model
+    (doc/USERGUIDE:224-264): the database is staged to shared storage
+    once by a distributed write, and each worker reads only the volume
+    it is about to search — the driver never holds subject rows."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(db_dir, f"db_part={part}", "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no staged volume at {db_dir}/db_part={part}")
+    out: list[tuple[str, str]] = []
+    for f in files:
+        t = pq.read_table(f, columns=["sid", "seq"])
+        out.extend(zip(t.column("sid").to_pylist(), t.column("seq").to_pylist()))
+    return out
+
+
+def make_lazy_block_kernel(db_dir: str, cfg: BlastConfig, gen: str):
+    """Kernel factory for the cogrouped work-item plan: one invocation
+    per (query block x db_part) group. The group's ``db_part`` column
+    names the staged volume; the subject index is built on first touch
+    and reused across blocks of the same partition via the per-worker
+    cache (S7 DB-handle reuse, mrblast.cpp:838-845), keyed by ``gen``
+    so a restaged database can never hit a stale index."""
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = str(pdf["db_part"].iat[0])
+        index = get_subject_index_lazy(
+            f"{db_dir}:{part}:{gen}",
+            lambda: read_staged_part(db_dir, part),
+            cfg.word_size, cfg.max_kmer_hits)
+        rows: list[tuple] = []
         for qid, seq in zip(pdf["qid"].to_numpy(), pdf["seq"].to_numpy()):
             rows.extend(align_query(int(qid), seq, index, cfg))
         return pd.DataFrame(rows, columns=[f.name for f in RAW_HITS.fields])

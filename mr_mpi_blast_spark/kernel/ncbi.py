@@ -111,8 +111,10 @@ def to_canonical(hits: DataFrame, classifier: bool = False) -> DataFrame:
     return base
 
 
-def _ensure_db(cache_key: str, subjects, task: str) -> str:
-    """makeblastdb once per worker per partition (S7 analog)."""
+def _ensure_db(cache_key: str, loader, task: str) -> str:
+    """makeblastdb once per worker per partition (S7 analog). ``loader``
+    is a zero-arg callable yielding [(sid, seq)...] — only invoked on a
+    cache miss, so staged-volume reads happen once per worker."""
     path = _DB_CACHE.get(cache_key)
     if path and os.path.exists(path + ".ndb") or path and os.path.exists(path + ".pdb"):
         return path
@@ -120,7 +122,7 @@ def _ensure_db(cache_key: str, subjects, task: str) -> str:
     d = tempfile.mkdtemp(prefix="ncbi_db_")
     fasta = os.path.join(d, "db.fa")
     with open(fasta, "w") as f:
-        for sid, seq in subjects:
+        for sid, seq in loader():
             f.write(f">{sid}\n{seq}\n")
     db = os.path.join(d, "db")
     subprocess.run(["makeblastdb", "-in", fasta, "-dbtype", dbtype,
@@ -130,14 +132,19 @@ def _ensure_db(cache_key: str, subjects, task: str) -> str:
     return db
 
 
-def make_ncbi_block_kernel(subjects_bc, cfg: BlastConfig, cache_key: str,
+def make_ncbi_block_kernel(db_dir: str, cfg: BlastConfig, gen: str,
                            dbsize: int):
-    """Kernel factory for applyInPandas over query blocks — same seam
-    as kernel.builtin.make_block_kernel, NCBI subprocess inside."""
+    """Kernel factory for the (block x db_part) work-item groups — same
+    seam as kernel.builtin.make_lazy_block_kernel, NCBI subprocess
+    inside: the group's staged volume is read executor-side and fed to
+    makeblastdb once per worker (no subject rows through the driver)."""
     task = cfg.task
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        db = _ensure_db(cache_key, subjects_bc.value, task)
+        from mr_mpi_blast_spark.kernel.builtin import read_staged_part
+        part = str(pdf["db_part"].iat[0])
+        db = _ensure_db(f"{db_dir}:{part}:{gen}",
+                        lambda: read_staged_part(db_dir, part), task)
         with tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False) as f:
             for qid, seq in zip(pdf["qid"], pdf["seq"]):
                 f.write(f">{qid}\n{seq}\n")
@@ -173,27 +180,17 @@ def run_search_ncbi(queries: DataFrame, subjects: DataFrame,
 
     from mr_mpi_blast_spark.operators.blocks import assign_blocks
     from mr_mpi_blast_spark.operators.topk import top_hits
-    from mr_mpi_blast_spark.plans.pipeline import effective_dbsize
+    from mr_mpi_blast_spark.plans.pipeline import staged_parts, stage_volumes
 
-    spark = queries.sparkSession
-    dbsize = effective_dbsize(subjects, cfg)
     blocked = assign_blocks(queries, cfg.block_size).select(
         "block_id", "qid", "seq")
-    parts = [r[0] for r in
-             subjects.select("db_part").distinct().orderBy("db_part").collect()]
-    per_part = []
-    for part in parts:
-        subj = [(r["sid"], r["seq"]) for r in
-                subjects.filter(F.col("db_part") == part)
-                        .select("sid", "seq").collect()]
-        bc = spark.sparkContext.broadcast(subj)
-        kernel = make_ncbi_block_kernel(
-            bc, cfg, cache_key=f"{part}:{next(_NCBI_GEN)}", dbsize=dbsize)
-        per_part.append(
-            blocked.groupBy("block_id").applyInPandas(kernel, schema=NCBI_HITS))
-    raw = per_part[0]
-    for df in per_part[1:]:
-        raw = raw.unionByName(df)
+    db_dir, residues = stage_volumes(subjects)
+    dbsize = cfg.dbsize if cfg.dbsize is not None else residues
+    work = blocked.crossJoin(F.broadcast(staged_parts(queries.sparkSession, db_dir)))
+    kernel = make_ncbi_block_kernel(
+        db_dir, cfg, gen=str(next(_NCBI_GEN)), dbsize=dbsize)
+    raw = work.groupBy("block_id", "db_part").applyInPandas(
+        kernel, schema=NCBI_HITS)
     hits = to_canonical(raw, classifier=cfg.is_classifier)
     hits = hits.filter(F.col("evalue") <= cfg.evalue)
     return top_hits(hits, cfg.num_hit_cutoff)

@@ -7,9 +7,14 @@ Reference lifecycle per iteration (mrblast.cpp:513-628):
 
 Spark translation implemented here:
   assign_blocks(queries)                       # S5 bp bin-packing
-  per db partition (NUMITER-style driver loop, one broadcast each):
-      queries.groupBy(block_id).applyInPandas(kernel)   # K1/K2
-  union partitions                              # E14
+  subjects.write.partitionBy(db_part)          # stage volumes ONCE,
+     (distributed write to shared storage — the reference's volume
+      files, doc/USERGUIDE:224-264; the driver never holds a subject
+      row)
+  blocks x db_parts                             # J1 work items
+  .groupBy(block_id, db_part).applyInPandas(lazy kernel)   # K1/K2
+     (each group lazily reads its staged volume executor-side,
+      with per-worker index reuse — S7, mrblast.cpp:838-845)
   -> project_hits (P2-P9, e-values vs WHOLE dbsize)     # S8
   -> filter evalue                              # F1
   -> [optional max_target_seqs cap]             # F2
@@ -19,23 +24,28 @@ Spark translation implemented here:
      per-qid skew the reference balanced by hand, mrblast.cpp:556-575)
 
 Scale notes (100 TB): the queries side is horizontally partitioned by
-block; each DB partition is broadcast once per iteration exactly like
-the reference ships volume files to every node (doc/USERGUIDE:224-264
-sizes volumes ~1 GB for this reason). The driver loop over partitions
-is the reference's NUMITER batching (doc/USERGUIDE:508-517) and keeps
-the broadcast working set to one partition at a time.
+block and shuffled once per (block, partition) work item — exactly the
+reference's work-item model (mrblast.cpp:199-222). The database moves
+driver-free: one distributed partitionBy write, then each executor
+reads only the volumes its groups touch (page-cache/local-disk warm on
+re-reads, bounded to one resident index per worker). On a cluster,
+``scratch_dir`` must point at shared storage (HDFS/S3/NFS); default is
+a driver-local temp dir, correct for local[*].
 """
 
 from __future__ import annotations
 
 import itertools
+import os
+import tempfile
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mr_mpi_blast_spark.config import BlastConfig
 from mr_mpi_blast_spark.functions.projections import project_hits, subject_display_id
-from mr_mpi_blast_spark.kernel.builtin import RAW_HITS, make_block_kernel
+from mr_mpi_blast_spark.kernel.builtin import RAW_HITS, make_lazy_block_kernel
 from mr_mpi_blast_spark.operators.blocks import assign_blocks
 from mr_mpi_blast_spark.operators.topk import top_hits, topk_per_key
 
@@ -53,13 +63,43 @@ def effective_dbsize(subjects: DataFrame, cfg: BlastConfig) -> int:
     return int(subjects.agg(F.sum(F.length("seq"))).first()[0])
 
 
+def stage_volumes(subjects: DataFrame, scratch_dir: str | None = None,
+                  ) -> tuple[str, int]:
+    """Distributed write of the database as one directory per db_part
+    (the reference's makeblastdb volume staging, doc/USERGUIDE:224-264).
+    Returns (staged root, total residue count). No subject row touches
+    the driver; the residue total — S8's whole-database length,
+    mrblast.cpp:404-433 — rides the write job as an observed metric
+    (A6/E16) instead of a second scan."""
+    from pyspark.sql import Observation
+
+    db_dir = scratch_dir or os.path.join(
+        os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir()),
+        f"blast_db_{uuid.uuid4().hex[:12]}")
+    obs = Observation("dbsize")
+    # one writer task per volume: volumes are sized ~1 GB by the caller
+    # (the reference's volume-size contract, doc/USERGUIDE:224-264), so
+    # a single file per volume reads back fastest and avoids 32 tasks
+    # each emitting a sliver into every partition dir.
+    (subjects.select("sid", "seq", "db_part")
+     .observe(obs, F.sum(F.length("seq")).alias("residues"))
+     .repartition(F.col("db_part"))
+     .write.mode("overwrite").partitionBy("db_part").parquet(db_dir))
+    return db_dir, int(obs.get["residues"])
+
+
+def staged_parts(spark, db_dir: str) -> DataFrame:
+    """The tiny (db_part) dimension recovered from the staged layout —
+    a partition-column-only scan is a directory listing, no data read."""
+    return spark.read.parquet(db_dir).select("db_part").distinct()
+
+
 def run_search(queries: DataFrame, subjects: DataFrame,
-               cfg: BlastConfig | None = None) -> DataFrame:
+               cfg: BlastConfig | None = None,
+               scratch_dir: str | None = None) -> DataFrame:
     """queries(qid, seq, ...) x subjects(sid|defline, db_part, seq)
     -> canonical HITS DataFrame."""
     cfg = cfg or BlastConfig()
-    spark = queries.sparkSession
-    dbsize = effective_dbsize(subjects, cfg)
 
     # P2 once on the dimension side, before the kernel sees subjects
     if "sid" not in subjects.columns:
@@ -67,22 +107,32 @@ def run_search(queries: DataFrame, subjects: DataFrame,
 
     blocked = assign_blocks(queries, cfg.block_size).select("block_id", "qid", "seq")
 
-    parts = [r[0] for r in
-             subjects.select("db_part").distinct().orderBy("db_part").collect()]
-    per_part: list[DataFrame] = []
-    for part in parts:
-        subj = [(r["sid"], r["seq"]) for r in
-                subjects.filter(F.col("db_part") == part)
-                        .select("sid", "seq").collect()]
-        bc = spark.sparkContext.broadcast(subj)
-        kernel = make_block_kernel(
-            bc, cfg, cache_key=f"{part}:{next(_BROADCAST_GEN)}")
-        per_part.append(
-            blocked.groupBy("block_id").applyInPandas(kernel, schema=RAW_HITS))
-
-    raw = per_part[0]
-    for df in per_part[1:]:
-        raw = raw.unionByName(df)           # E14 add()
+    db_dir, residues = stage_volumes(subjects, scratch_dir)
+    dbsize = cfg.dbsize if cfg.dbsize is not None else residues
+    # J1 work items: every block against every partition. Only the
+    # partition NAMES cross the driver (metadata, via directory
+    # listing); broadcast keeps the blocked side's partitioning.
+    parts_df = staged_parts(blocked.sparkSession, db_dir)
+    work = blocked.crossJoin(F.broadcast(parts_df))
+    # The explicit repartition (not the groupBy's own exchange) matters:
+    # the shuffle carries only query rows — a few MB even when the
+    # kernel stage is hours of compute — so AQE's size-based coalescing
+    # would shrink it to one task and serialize the kernel. A
+    # user-specified repartition is exempt from AQE coalescing, and its
+    # hash partitioning on the grouping keys satisfies applyInPandas's
+    # required distribution, so no second exchange is planned.
+    target = blocked.sparkSession.sparkContext.defaultParallelism
+    work = work.repartition(target, F.col("db_part"), F.col("block_id"))
+    kernel = make_lazy_block_kernel(db_dir, cfg, gen=str(next(_BROADCAST_GEN)))
+    # db_part FIRST in the grouping key: applyInPandas sorts each task's
+    # rows by the grouping columns in order, so any task holding several
+    # volumes runs each volume's groups consecutively and the per-worker
+    # index cache (capacity 1, like the reference's single resident DB
+    # handle, mrblast.cpp:838-845) rebuilds once per volume per task —
+    # the Spark analog of the reference sorting work items by DB file
+    # (mrblast.cpp:462-476) for handle reuse.
+    raw = work.groupBy("db_part", "block_id").applyInPandas(
+        kernel, schema=RAW_HITS)
 
     hits = project_hits(raw, dbsize=dbsize, classifier=cfg.is_classifier)
     hits = hits.filter(F.col("evalue") <= cfg.evalue)        # F1
