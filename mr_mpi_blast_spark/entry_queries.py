@@ -970,5 +970,123 @@ def q_blast_pipeline(spark, sf_dir):
     return run_search(queries_df, subjects, cfg)
 
 
+# The raw kernel output is persisted here by q_blast_tail so the DuckDB
+# oracle can re-derive the relational tail from the SAME rows. RAW_HITS
+# is all integers/strings — the persist is lossless, and every float
+# below is derived from identical integers on both engines (libm ulp
+# differences are absorbed by floor-form 1e-4 rounding). Overwritten on
+# every call, so the oracle always sees the just-run scale factor.
+_BLAST_RAW_PATH = "/tmp/spark_graft_blast_raw_current.parquet"
+
+_BLAST_TAIL_ORACLE = f"""
+WITH raw AS (SELECT * FROM read_parquet('{_BLAST_RAW_PATH}/*.parquet')),
+db AS (SELECT CAST(sum(length(text)) AS DOUBLE) AS dbsize FROM documents),
+proj AS (
+  SELECT qid, sid,
+         CASE WHEN align_len > 0 THEN ident_count * 100.0 / align_len ELSE 0.0 END AS identr,
+         align_len, align_len - ident_count - gaps AS mismatches, gaps,
+         qstart0 + 1 AS qstart, qend0 + 1 AS qend,
+         CASE WHEN qstrand != sstrand THEN send0 + 1 ELSE sstart0 + 1 END AS sstart,
+         CASE WHEN qstrand != sstrand THEN sstart0 + 1 ELSE send0 + 1 END AS send,
+         (1.33 * score - ln(0.621)) / ln(2.0) AS bit,
+         score, qstart0, send0, sstart0, qend0, ident_count, qlen
+  FROM raw),
+scored AS (
+  SELECT p.*, floor((log10(CAST(qlen AS DOUBLE)) + log10(db.dbsize)
+                     - bit * log10(2.0)) * 1e4 + 0.5) / 1e4 AS log10_evalue
+  FROM proj p, db),
+filt AS (SELECT * FROM scored WHERE log10_evalue <= -3.0),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+    ORDER BY score DESC, sid, qstart0, send0, sstart0, qend0, ident_count) AS rank
+  FROM filt)
+SELECT qid, sid,
+       floor(identr * 1e4 + 0.5) / 1e4 AS ident,
+       CAST(align_len AS BIGINT) AS align_len,
+       CAST(mismatches AS BIGINT) AS mismatches,
+       CAST(gaps AS BIGINT) AS gaps,
+       CAST(qstart AS BIGINT) AS qstart, CAST(qend AS BIGINT) AS qend,
+       CAST(sstart AS BIGINT) AS sstart, CAST(send AS BIGINT) AS send,
+       log10_evalue,
+       floor(bit * 1e4 + 0.5) / 1e4 AS bitscore,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query("blast_tail", _BLAST_TAIL_ORACLE)
+def q_blast_tail(spark, sf_dir):
+    """The pipeline's relational tail (P3-P9 + F1 + O2/O3) oracle-
+    checked end-to-end: the kernel runs once, its raw output (pure
+    integers) is persisted, and BOTH engines derive projections,
+    Karlin-Altschul statistics (mrblast.cpp:1039, constants
+    kernel/builtin.py LAMBDA/KAPPA), the e-value threshold, and the
+    per-query top-10 from the same rows. E-values are compared in
+    log10 space (magnitude-independent rounding); ranking uses
+    integer keys only (score desc == evalue asc within a query, since
+    qlen is constant per qid), so cross-engine order is exact."""
+    import math
+
+    from mr_mpi_blast_spark.config import BlastConfig
+    from mr_mpi_blast_spark.kernel.builtin import KAPPA, LAMBDA
+    from mr_mpi_blast_spark.plans.pipeline import run_kernel_raw
+
+    docs = _t(spark, sf_dir, "documents")
+    queries_df = (docs.filter(F.col("doc_id") % 25 == 0)
+                  .select(F.col("doc_id").alias("qid"),
+                          F.concat(F.lit("doc_"), "doc_id").alias("defline"),
+                          F.concat(F.lit("doc_"), "doc_id").alias("defline_part"),
+                          F.col("text").alias("seq"),
+                          F.col("n_chars").cast("int").alias("length")))
+    subjects = docs.select(
+        F.concat(F.lit("s_"), "doc_id").alias("sid"),
+        F.concat(F.lit("s_"), "doc_id").alias("defline"),
+        F.concat(F.lit("db."), F.pmod(F.xxhash64("source"), F.lit(4))).alias("db_part"),
+        F.col("text").alias("seq"),
+        F.col("n_chars").cast("int").alias("length"))
+    cfg = BlastConfig(task="blastp", word_size=16, evalue=1e-3,
+                      block_size=20000, num_hit_cutoff=10, max_kmer_hits=128)
+    raw, dbsize = run_kernel_raw(queries_df, subjects, cfg)
+    raw.write.mode("overwrite").parquet(_BLAST_RAW_PATH)
+    rawdf = spark.read.parquet(_BLAST_RAW_PATH)
+
+    def r4(c):
+        return F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+
+    bit = (F.lit(LAMBDA) * F.col("score") - F.log(F.lit(KAPPA))) / F.log(F.lit(2.0))
+    log10e = r4(F.log10(F.col("qlen").cast("double"))
+                + F.log10(F.lit(float(dbsize)))
+                - bit * F.log10(F.lit(2.0)))
+    strands_differ = F.col("qstrand") != F.col("sstrand")
+    proj = rawdf.select(
+        "qid", "sid",
+        r4(F.when(F.col("align_len") > 0,
+                  F.col("ident_count") * 100.0 / F.col("align_len"))
+           .otherwise(F.lit(0.0))).alias("ident"),
+        F.col("align_len").cast("long").alias("align_len"),
+        (F.col("align_len") - F.col("ident_count") - F.col("gaps"))
+        .cast("long").alias("mismatches"),
+        F.col("gaps").cast("long").alias("gaps"),
+        (F.col("qstart0") + 1).cast("long").alias("qstart"),
+        (F.col("qend0") + 1).cast("long").alias("qend"),
+        F.when(strands_differ, F.col("send0") + 1)
+         .otherwise(F.col("sstart0") + 1).cast("long").alias("sstart"),
+        F.when(strands_differ, F.col("sstart0") + 1)
+         .otherwise(F.col("send0") + 1).cast("long").alias("send"),
+        log10e.alias("log10_evalue"),
+        r4(bit).alias("bitscore"),
+        "score", "qstart0", "send0", "sstart0", "qend0", "ident_count")
+    filt = proj.filter(F.col("log10_evalue") <= -3.0)
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("sid").asc(), F.col("qstart0").asc(),
+        F.col("send0").asc(), F.col("sstart0").asc(), F.col("qend0").asc(),
+        F.col("ident_count").asc())
+    return (filt.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 10)
+            .select("qid", "sid", "ident", "align_len", "mismatches", "gaps",
+                    "qstart", "qend", "sstart", "send", "log10_evalue",
+                    "bitscore", "rank"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_blast_pipeline(spark, sf_dir)

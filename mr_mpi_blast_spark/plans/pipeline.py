@@ -94,11 +94,14 @@ def staged_parts(spark, db_dir: str) -> DataFrame:
     return spark.read.parquet(db_dir).select("db_part").distinct()
 
 
-def run_search(queries: DataFrame, subjects: DataFrame,
-               cfg: BlastConfig | None = None,
-               scratch_dir: str | None = None) -> DataFrame:
-    """queries(qid, seq, ...) x subjects(sid|defline, db_part, seq)
-    -> canonical HITS DataFrame."""
+def run_kernel_raw(queries: DataFrame, subjects: DataFrame,
+                   cfg: BlastConfig | None = None,
+                   scratch_dir: str | None = None) -> tuple[DataFrame, int]:
+    """The kernel stage alone: (raw RAW_HITS DataFrame, whole-db residue
+    count). Split from run_search so the relational tail (P3-P9 + F1 +
+    O2/O3) can be re-derived — and oracle-checked — from persisted raw
+    output. RAW_HITS is all integers/strings, so persisting it is
+    lossless across engines."""
     cfg = cfg or BlastConfig()
 
     # P2 once on the dimension side, before the kernel sees subjects
@@ -133,6 +136,16 @@ def run_search(queries: DataFrame, subjects: DataFrame,
     # (mrblast.cpp:462-476) for handle reuse.
     raw = work.groupBy("db_part", "block_id").applyInPandas(
         kernel, schema=RAW_HITS)
+    return raw, dbsize
+
+
+def run_search(queries: DataFrame, subjects: DataFrame,
+               cfg: BlastConfig | None = None,
+               scratch_dir: str | None = None) -> DataFrame:
+    """queries(qid, seq, ...) x subjects(sid|defline, db_part, seq)
+    -> canonical HITS DataFrame."""
+    cfg = cfg or BlastConfig()
+    raw, dbsize = run_kernel_raw(queries, subjects, cfg, scratch_dir)
 
     hits = project_hits(raw, dbsize=dbsize, classifier=cfg.is_classifier)
     hits = hits.filter(F.col("evalue") <= cfg.evalue)        # F1
