@@ -732,12 +732,14 @@ WHERE floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embeddi
 """)
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (threshold 0.45 demo value;
-    operator API takes any tau). BLAS-batched: broadcast normalized
-    matrix, per-partition matmul, output-sized emit — the N^2 pair
-    table is never materialized (the interpreted zip_with/aggregate
-    form was ~30x slower at sf0.1)."""
-    from mr_mpi_blast_spark.operators.similarity import cosine_pairs_numpy
-    return cosine_pairs_numpy(_t(spark, sf_dir, "embeddings"), tau=0.45)
+    operator API takes any tau). Scale-guarded: below
+    EXACT_PAIRS_MAX_ROWS the exact BLAS-broadcast form runs (broadcast
+    normalized matrix, per-partition matmul, output-sized emit); above
+    it, random-hyperplane LSH candidates + exact verify — no driver
+    collect, no corpus broadcast. The oracle matches the exact path,
+    which is what runs at correctness scale."""
+    from mr_mpi_blast_spark.operators.similarity import cosine_pairs_auto
+    return cosine_pairs_auto(_t(spark, sf_dir, "embeddings"), tau=0.45)
 
 
 # ---------------------------------------------------------------------------

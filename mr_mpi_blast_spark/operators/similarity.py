@@ -186,6 +186,113 @@ def cosine_pairs_numpy(vectors: DataFrame, tau: float,
         score, schema="va long, vb long, cos double")
 
 
+def rplsh_plan(tau: float, target_recall: float = 0.95,
+               bits_per_band: int | None = None,
+               max_bands: int = 32) -> tuple[int, int]:
+    """(bits_per_band, n_bands) sized for the threshold: a pair at
+    cos=tau agrees on one sign bit with p = 1 - theta/pi and collides
+    in >=1 of L bands with 1-(1-p^b)^L; L solves that for the target
+    recall. Wider bands (more bits) shrink buckets but need more bands
+    — b=4 below tau~0.7, b=8 above, is the knee of that trade."""
+    import math as _m
+    p = 1.0 - _m.acos(max(-1.0, min(1.0, tau))) / _m.pi
+    b = bits_per_band or (8 if tau >= 0.7 else 4)
+    pb = p ** b
+    if pb >= 1.0:
+        return b, 1
+    n = _m.ceil(_m.log(max(1e-12, 1.0 - target_recall)) / _m.log(1.0 - pb))
+    return b, max(1, min(max_bands, n))
+
+
+def cosine_pairs_rplsh(vectors: DataFrame, tau: float,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       n_bands: int | None = None,
+                       bits_per_band: int | None = None,
+                       seed: int = 7) -> DataFrame:
+    """All-pairs cosine >= tau via random-hyperplane LSH — the 100 TB
+    path: no driver collect, no broadcast of the corpus.
+
+    sign(v . r) bits from seeded hyperplanes are packed into band keys
+    sized by rplsh_plan (default: 95% expected recall at the given
+    tau); candidate pairs come from a band-key equi-join (bucketed,
+    output-sized — the same shape as the MinHash LSH dedup), then
+    every candidate is verified with the exact cosine expression
+    JVM-side, so precision is 1.0 and only recall is approximate. Hot
+    buckets are handled by AQE skew-join splitting. Deterministic:
+    planes from a fixed seed.
+    Output: (va, vb, cos) — same contract as cosine_pairs_numpy.
+    """
+    spark = vectors.sparkSession
+    first = vectors.select(vec_col).head()
+    if first is None:
+        return spark.createDataFrame([], "va long, vb long, cos double")
+    d = len(first[0])
+    auto_bits, auto_bands = rplsh_plan(tau, bits_per_band=bits_per_band)
+    bits_per_band = bits_per_band or auto_bits
+    n_bands = n_bands or auto_bands
+    n_planes = bits_per_band * n_bands
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((d, n_planes))
+    bc = spark.sparkContext.broadcast(planes)
+
+    def signatures(batches):
+        pl = bc.value
+        weights = (1 << np.arange(bits_per_band, dtype=np.int64))
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (mat @ pl) > 0                       # batch x planes
+            for band in range(n_bands):
+                chunk = bits[:, band * bits_per_band:(band + 1) * bits_per_band]
+                yield pd.DataFrame({
+                    "vid": ids,
+                    "band": np.repeat(band, ids.size),
+                    "key": chunk @ weights})
+
+    sigs = (vectors.select(id_col, vec_col)
+            .mapInPandas(signatures, schema="vid long, band int, key long"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (a.join(b, ["band", "key"])
+            .filter(F.col("a.vid") < F.col("b.vid"))
+            .select(F.col("a.vid").alias("va"), F.col("b.vid").alias("vb"))
+            .distinct())
+    v = _vec(vectors, id_col, vec_col, "v")
+    pairs = (cand
+             .join(v.select(F.col("vid").alias("va"),
+                            F.col("vvec").alias("avec"),
+                            F.col("vnorm").alias("anorm")), "va")
+             .join(v.select(F.col("vid").alias("vb"),
+                            F.col("vvec").alias("bvec"),
+                            F.col("vnorm").alias("bnorm")), "vb")
+             .withColumn("cos", round4_xengine(_cosine_pre(
+                 F.col("avec"), F.col("bvec"),
+                 F.col("anorm"), F.col("bnorm")))))
+    return pairs.filter(F.col("cos") >= tau).select("va", "vb", "cos")
+
+
+# Above this corpus size the broadcast-matrix form stops being safe
+# (~10^6 x 256d doubles ~ 2 GB of executor memory); beyond it the
+# bucketed LSH path is the default. Overridable for tests/tuning.
+EXACT_PAIRS_MAX_ROWS = int(__import__("os").environ.get(
+    "SPARK_GRAFT_EMBED_EXACT_MAX", "1000000"))
+
+
+def cosine_pairs_auto(vectors: DataFrame, tau: float,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      exact_max_rows: int | None = None) -> DataFrame:
+    """Near-dup pair scan with a scale guard: exact BLAS-broadcast form
+    (cosine_pairs_numpy) while the corpus fits comfortably in executor
+    memory, LSH-bucketed candidates + exact verify beyond. The count()
+    is an aggregate pushdown on columnar sources (footer metadata, not
+    a data scan)."""
+    limit = EXACT_PAIRS_MAX_ROWS if exact_max_rows is None else exact_max_rows
+    if vectors.count() <= limit:
+        return cosine_pairs_numpy(vectors, tau, id_col, vec_col)
+    return cosine_pairs_rplsh(vectors, tau, id_col, vec_col)
+
+
 def brute_force_topk_numpy(queries: DataFrame, corpus: DataFrame, k: int,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding") -> DataFrame:
