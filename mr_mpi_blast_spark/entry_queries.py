@@ -972,6 +972,25 @@ def q_blast_pipeline(spark, sf_dir):
     return run_search(queries_df, subjects, cfg)
 
 
+@query("multivalue_sort", """
+SELECT o_custkey,
+       array_to_string(list_sort(list(o_orderkey)), ',') AS okeys,
+       count(*) AS n
+FROM orders GROUP BY o_custkey
+""")
+def q_multivalue_sort(spark, sf_dir):
+    """O4 sort_values (mapreduce.cpp:2445-2499): sort the multivalue
+    list within each KMV group. Spark form: collect_list + sort_array
+    inside the aggregate — the sort runs data-parallel per group, no
+    global ordering is imposed. Joined to a string so the oracle
+    compare is representation-exact."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_custkey")
+            .agg(F.array_join(F.sort_array(F.collect_list("o_orderkey")), ",")
+                 .alias("okeys"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 # The raw kernel output is persisted here by q_blast_tail so the DuckDB
 # oracle can re-derive the relational tail from the SAME rows. RAW_HITS
 # is all integers/strings — the persist is lossless, and every float
