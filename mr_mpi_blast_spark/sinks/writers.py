@@ -168,16 +168,79 @@ def write_search_strategy(cfg: BlastConfig, out_dir: str,
     return path
 
 
-def write_hdf5(hits: DataFrame, path: str, *, table: str = "blhitstab") -> int:
-    """W4: HDF5 sink (load_hd5.py PyTables table ``blhits/blhitstab``).
-    Requires PyTables, which is optional; parquet is the columnar
-    analog this engine standardizes on."""
+# /blhits/blhitstab column layout, load_hd5.py:62-75 (classifier
+# variant appends percIdent/percCover, load_hd5_classifier.py).
+_HD5_FIELDS = [("qId", "u8", 8), ("qIdDef", "S", 40), ("sId", "S", 40),
+               ("dIdent", "f8", 8), ("alignLen", "u4", 4),
+               ("nMismatches", "u4", 4), ("nGaps", "u4", 4),
+               ("qStart", "u4", 4), ("qEnd", "u4", 4),
+               ("sStart", "u4", 4), ("sEnd", "u4", 4),
+               ("eValue", "f8", 8), ("bitScore", "f8", 8)]
+_HD5_CLASSIFIER = _HD5_FIELDS + [("percIdent", "f8", 8),
+                                 ("percCover", "f8", 8)]
+
+_HD5_SRC = {"qId": "qid", "qIdDef": "qdef", "sId": "sid", "dIdent": "ident",
+            "alignLen": "align_len", "nMismatches": "mismatches",
+            "nGaps": "gaps", "qStart": "qstart", "qEnd": "qend",
+            "sStart": "sstart", "sEnd": "send", "eValue": "evalue",
+            "bitScore": "bitscore", "percIdent": "perc_ident",
+            "percCover": "perc_cover"}
+
+
+def write_hdf5(hits: DataFrame, path: str, *, table: str = "blhitstab",
+               classifier: bool = False, batch_rows: int = 65536) -> int:
+    """W4: HDF5 sink — one .hd5 file with the converter's PyTables
+    layout ``/blhits/blhitstab`` (load_hd5.py:62-92). Uses PyTables
+    when importable; otherwise the built-in spec-level writer
+    (sinks/hdf5_minimal.py) produces the same classic-format file.
+
+    Like the reference converter this is a single-file export: rows
+    stream to the driver in batches (toLocalIterator), so driver
+    memory holds one batch, not the table. The count() for the
+    contiguous dataspace re-executes the plan — hits must be
+    deterministic (every pipeline output here is)."""
+    import numpy as np
+
+    fields = _HD5_CLASSIFIER if classifier else _HD5_FIELDS
+    cols = [_HD5_SRC[f[0]] for f in fields]
+    proj = hits.select(*[
+        F.coalesce(F.col(c), F.lit("")).alias(c) if c in ("qdef", "sid")
+        else F.coalesce(F.col(c), F.lit(0.0)).alias(c)
+        if c in ("ident", "evalue", "bitscore", "perc_ident", "perc_cover")
+        else F.col(c) for c in cols])
+
     try:
-        import tables  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "HDF5 sink requires PyTables (not installed); use "
-            "write_parquet — the columnar-native equivalent") from e
-    pdf = hits.toPandas()
-    pdf.to_hdf(path, key=f"blhits/{table}", mode="w", format="table")
-    return len(pdf)
+        import tables as t
+    except ImportError:
+        t = None
+
+    n_rows = proj.count()
+    np_dtype = np.dtype([(f[0], f"S{f[2]}" if f[1] == "S" else f"<{f[1]}")
+                         for f in fields])
+
+    def batches():
+        buf = []
+        for row in proj.toLocalIterator(prefetchPartitions=True):
+            buf.append(tuple(row))
+            if len(buf) >= batch_rows:
+                yield np.array(buf, dtype=np_dtype).tobytes()
+                buf.clear()
+        if buf:
+            yield np.array(buf, dtype=np_dtype).tobytes()
+
+    if t is not None:                                # pragma: no cover
+        h5 = t.open_file(path, mode="w", title="BLAST hits")
+        try:
+            grp = h5.create_group(h5.root, "blhits", "blhits")
+            tbl = h5.create_table(grp, table, description=np_dtype,
+                                  title=table)
+            for chunk in batches():
+                tbl.append(np.frombuffer(chunk, dtype=np_dtype))
+            tbl.flush()
+        finally:
+            h5.close()
+        return n_rows
+
+    from mr_mpi_blast_spark.sinks.hdf5_minimal import write_compound_hdf5
+    return write_compound_hdf5(path, "blhits", table, fields,
+                               batches(), n_rows)
