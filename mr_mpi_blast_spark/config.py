@@ -33,8 +33,19 @@ class BlastConfig:
     max_kmer_hits: int = 64        # skip ultra-frequent seeds (dust analog)
     min_score: int = 0             # 0 = derive from word size
 
+    # scoring matrix for protein tasks (doc/USERGUIDE:46-66 -matrix);
+    # the builtin kernel implements BLOSUM62, the NCBI kernel forwards
+    # any name BLAST+ knows
+    matrix: str = "BLOSUM62"
+
     # statistics (S8): effective db length; None = compute from subjects
     dbsize: int | None = None
+    # subject count for the Karlin-Altschul length adjustment; None =
+    # compute from subjects (must cover the WHOLE db, like dbsize)
+    n_seqs: int | None = None
+    # apply the K-A length adjustment (effective m'/n') to e-values;
+    # one-shot floor(ln(K*m*n)/H) approximation of NCBI's iteration
+    length_adjust: bool = True
 
     @property
     def min_raw_score(self) -> int:

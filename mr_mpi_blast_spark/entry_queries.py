@@ -999,9 +999,17 @@ def q_multivalue_sort(spark, sf_dir):
 # every call, so the oracle always sees the just-run scale factor.
 _BLAST_RAW_PATH = "/tmp/spark_graft_blast_raw_current.parquet"
 
+# blastp scoring constants shared verbatim with the Spark side
+# (kernel/builtin.py KA_BLOSUM62) so both engines derive identical
+# statistics from the persisted integer scores.
+from mr_mpi_blast_spark.kernel.builtin import KA_BLOSUM62 as _KAP  # noqa: E402
+
+_LAM, _KAP_K, _KAP_H = _KAP
+
 _BLAST_TAIL_ORACLE = f"""
 WITH raw AS (SELECT * FROM read_parquet('{_BLAST_RAW_PATH}/*.parquet')),
-db AS (SELECT CAST(sum(length(text)) AS DOUBLE) AS dbsize FROM documents),
+db AS (SELECT CAST(sum(length(text)) AS DOUBLE) AS dbsize,
+              CAST(count(*) AS DOUBLE) AS nseqs FROM documents),
 proj AS (
   SELECT qid, sid,
          CASE WHEN align_len > 0 THEN ident_count * 100.0 / align_len ELSE 0.0 END AS identr,
@@ -1009,13 +1017,20 @@ proj AS (
          qstart0 + 1 AS qstart, qend0 + 1 AS qend,
          CASE WHEN qstrand != sstrand THEN send0 + 1 ELSE sstart0 + 1 END AS sstart,
          CASE WHEN qstrand != sstrand THEN sstart0 + 1 ELSE send0 + 1 END AS send,
-         (1.33 * score - ln(0.621)) / ln(2.0) AS bit,
+         ({_LAM} * score - ln({_KAP_K})) / ln(2.0) AS bit,
          score, qstart0, send0, sstart0, qend0, ident_count, qlen
   FROM raw),
-scored AS (
-  SELECT p.*, floor((log10(CAST(qlen AS DOUBLE)) + log10(db.dbsize)
-                     - bit * log10(2.0)) * 1e4 + 0.5) / 1e4 AS log10_evalue
+adj AS (
+  SELECT p.*,
+         greatest(CAST(qlen AS DOUBLE)
+                  - floor(ln({_KAP_K} * qlen * db.dbsize) / {_KAP_H}), 1.0) AS m_eff,
+         greatest(db.dbsize
+                  - db.nseqs * floor(ln({_KAP_K} * qlen * db.dbsize) / {_KAP_H}), 1.0) AS n_eff
   FROM proj p, db),
+scored AS (
+  SELECT a.*, floor((log10(m_eff) + log10(n_eff)
+                     - bit * log10(2.0)) * 1e4 + 0.5) / 1e4 AS log10_evalue
+  FROM adj a),
 filt AS (SELECT * FROM scored WHERE log10_evalue <= -3.0),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY qid
@@ -1040,16 +1055,14 @@ def q_blast_tail(spark, sf_dir):
     """The pipeline's relational tail (P3-P9 + F1 + O2/O3) oracle-
     checked end-to-end: the kernel runs once, its raw output (pure
     integers) is persisted, and BOTH engines derive projections,
-    Karlin-Altschul statistics (mrblast.cpp:1039, constants
-    kernel/builtin.py LAMBDA/KAPPA), the e-value threshold, and the
-    per-query top-10 from the same rows. E-values are compared in
-    log10 space (magnitude-independent rounding); ranking uses
-    integer keys only (score desc == evalue asc within a query, since
-    qlen is constant per qid), so cross-engine order is exact."""
-    import math
-
+    Karlin-Altschul statistics with length adjustment
+    (mrblast.cpp:1039; blastp BLOSUM62 constants KA_BLOSUM62), the
+    e-value threshold, and the per-query top-10 from the same rows.
+    E-values are compared in log10 space (magnitude-independent
+    rounding); ranking uses integer keys only (score desc == evalue
+    asc within a query, since qlen and the length adjustment are
+    constant per qid), so cross-engine order is exact."""
     from mr_mpi_blast_spark.config import BlastConfig
-    from mr_mpi_blast_spark.kernel.builtin import KAPPA, LAMBDA
     from mr_mpi_blast_spark.plans.pipeline import run_kernel_raw
 
     docs = _t(spark, sf_dir, "documents")
@@ -1067,17 +1080,21 @@ def q_blast_tail(spark, sf_dir):
         F.col("n_chars").cast("int").alias("length"))
     cfg = BlastConfig(task="blastp", word_size=16, evalue=1e-3,
                       block_size=20000, num_hit_cutoff=10, max_kmer_hits=128)
-    raw, dbsize = run_kernel_raw(queries_df, subjects, cfg)
+    raw, dbsize, n_seqs = run_kernel_raw(queries_df, subjects, cfg)
     raw.write.mode("overwrite").parquet(_BLAST_RAW_PATH)
     rawdf = spark.read.parquet(_BLAST_RAW_PATH)
 
     def r4(c):
         return F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
 
-    bit = (F.lit(LAMBDA) * F.col("score") - F.log(F.lit(KAPPA))) / F.log(F.lit(2.0))
-    log10e = r4(F.log10(F.col("qlen").cast("double"))
-                + F.log10(F.lit(float(dbsize)))
-                - bit * F.log10(F.lit(2.0)))
+    qlen_d = F.col("qlen").cast("double")
+    bit = (F.lit(_LAM) * F.col("score") - F.log(F.lit(_KAP_K))) / F.log(F.lit(2.0))
+    ell = F.floor(F.log(F.lit(_KAP_K) * qlen_d * F.lit(float(dbsize)))
+                  / F.lit(_KAP_H))
+    m_eff = F.greatest(qlen_d - ell, F.lit(1.0))
+    n_eff = F.greatest(F.lit(float(dbsize)) - F.lit(float(n_seqs)) * ell,
+                       F.lit(1.0))
+    log10e = r4(F.log10(m_eff) + F.log10(n_eff) - bit * F.log10(F.lit(2.0)))
     strands_differ = F.col("qstrand") != F.col("sstrand")
     proj = rawdf.select(
         "qid", "sid",

@@ -13,7 +13,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mr_mpi_blast_spark.kernel.builtin import KAPPA, LAMBDA
+from mr_mpi_blast_spark.kernel.builtin import KA_NUCL_1_2
 
 
 def subject_display_id(defline: Column) -> Column:
@@ -25,20 +25,35 @@ def subject_display_id(defline: Column) -> Column:
 
 
 def project_hits(raw: DataFrame, dbsize: int,
-                 classifier: bool = False) -> DataFrame:
+                 classifier: bool = False,
+                 ka: tuple[float, float, float] = KA_NUCL_1_2,
+                 n_seqs: int | None = None,
+                 length_adjust: bool = True) -> DataFrame:
     """Raw kernel rows -> canonical HITS columns (schema SURVEY §1.3).
 
-    dbsize is the effective whole-database length (S8,
-    mrblast.cpp:404-433): a driver-side scalar folded into the e-value
-    expression as a literal — the Spark analog of the MPI_Bcast.
+    dbsize/n_seqs are whole-database scalars (S8, mrblast.cpp:404-433)
+    folded into the e-value expression as literals — the Spark analog
+    of the MPI_Bcast. ``ka`` is (lambda, K, H) for the scoring system
+    (kernel.builtin.scoring_params); with length_adjust the e-value
+    uses K-A effective lengths m' = qlen-l, n' = dbsize-n_seqs*l with
+    l = floor(ln(K*m*n)/H) — the one-shot form of NCBI's iteration.
     """
+    lam, kappa, ka_h = ka
     ident_count = F.col("ident_count").cast("double")
     align_len = F.col("align_len").cast("double")
     qlen = F.col("qlen").cast("double")
 
     # bitscore/evalue: Karlin-Altschul, matching kernel constants
-    bitscore = (F.lit(LAMBDA) * F.col("score") - F.lit(math.log(KAPPA))) / F.lit(math.log(2.0))
-    evalue = qlen * F.lit(float(dbsize)) * F.pow(F.lit(2.0), -bitscore)
+    bitscore = (F.lit(lam) * F.col("score") - F.lit(math.log(kappa))) / F.lit(math.log(2.0))
+    if length_adjust and n_seqs:
+        ell = F.floor(F.log(F.lit(kappa) * qlen * F.lit(float(dbsize)))
+                      / F.lit(ka_h))
+        m_eff = F.greatest(qlen - ell, F.lit(1.0))
+        n_eff = F.greatest(F.lit(float(dbsize)) - F.lit(float(n_seqs)) * ell,
+                           F.lit(1.0))
+        evalue = m_eff * n_eff * F.pow(F.lit(2.0), -bitscore)
+    else:
+        evalue = qlen * F.lit(float(dbsize)) * F.pow(F.lit(2.0), -bitscore)
 
     strands_differ = F.col("qstrand") != F.col("sstrand")
     out = raw.select(

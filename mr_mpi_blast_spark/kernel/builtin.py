@@ -20,9 +20,16 @@ Faithful semantics kept from the reference:
   masking analog (F3 -dust).
 
 Simplifications vs NCBI BLAST (documented, deterministic): ungapped
-extension only (gaps column is 0), raw m*n search space without
-length adjustment. Scores use the ungapped Karlin-Altschul parameters
-for +1/-2 nucleotide scoring: lambda=1.33, K=0.621.
+extension only (gaps column is 0), exact-word seeding (no neighborhood
+words / T threshold for blastp).
+
+Scoring fidelity: blastn uses the configured reward/penalty with the
+published ungapped Karlin-Altschul parameters for +1/-2
+(lambda=1.33, K=0.621, H=1.12); blastp scores with BLOSUM62 and its
+published ungapped parameters (lambda=0.3176, K=0.134, H=0.4012) —
+the same constants NCBI's blastp reports for ungapped statistics
+(doc/USERGUIDE:46-66 routes -matrix through to the same tables).
+Characters outside the 24-letter BLOSUM alphabet score as X.
 """
 
 from __future__ import annotations
@@ -38,8 +45,68 @@ from pyspark.sql.types import (DoubleType, IntegerType, LongType, StringType,
 
 from mr_mpi_blast_spark.config import BlastConfig
 
-LAMBDA = 1.33
-KAPPA = 0.621
+# ungapped Karlin-Altschul (lambda, K, H) per scoring system
+KA_NUCL_1_2 = (1.33, 0.621, 1.12)         # blastn +1/-2
+KA_BLOSUM62 = (0.3176, 0.134, 0.4012)     # blastp BLOSUM62
+
+# kept as module constants for blastn compatibility with round-1 users
+LAMBDA, KAPPA = KA_NUCL_1_2[0], KA_NUCL_1_2[1]
+
+# BLOSUM62 (Henikoff & Henikoff 1992), the standard 24-letter table as
+# shipped with NCBI BLAST (data/BLOSUM62). Row/col order below:
+_B62_ALPHA = "ARNDCQEGHILKMFPSTWYVBZX*"
+_B62_ROWS = [
+    # A   R   N   D   C   Q   E   G   H   I   L   K   M   F   P   S   T   W   Y   V   B   Z   X   *
+    [ 4, -1, -2, -2,  0, -1, -1,  0, -2, -1, -1, -1, -1, -2, -1,  1,  0, -3, -2,  0, -2, -1,  0, -4],
+    [-1,  5,  0, -2, -3,  1,  0, -2,  0, -3, -2,  2, -1, -3, -2, -1, -1, -3, -2, -3, -1,  0, -1, -4],
+    [-2,  0,  6,  1, -3,  0,  0,  0,  1, -3, -3,  0, -2, -3, -2,  1,  0, -4, -2, -3,  3,  0, -1, -4],
+    [-2, -2,  1,  6, -3,  0,  2, -1, -1, -3, -4, -1, -3, -3, -1,  0, -1, -4, -3, -3,  4,  1, -1, -4],
+    [ 0, -3, -3, -3,  9, -3, -4, -3, -3, -1, -1, -3, -1, -2, -3, -1, -1, -2, -2, -1, -3, -3, -2, -4],
+    [-1,  1,  0,  0, -3,  5,  2, -2,  0, -3, -2,  1,  0, -3, -1,  0, -1, -2, -1, -2,  0,  3, -1, -4],
+    [-1,  0,  0,  2, -4,  2,  5, -2,  0, -3, -3,  1, -2, -3, -1,  0, -1, -3, -2, -2,  1,  4, -1, -4],
+    [ 0, -2,  0, -1, -3, -2, -2,  6, -2, -4, -4, -2, -3, -3, -2,  0, -2, -2, -3, -3, -1, -2, -1, -4],
+    [-2,  0,  1, -1, -3,  0,  0, -2,  8, -3, -3, -1, -2, -1, -2, -1, -2, -2,  2, -3,  0,  0, -1, -4],
+    [-1, -3, -3, -3, -1, -3, -3, -4, -3,  4,  2, -3,  1,  0, -3, -2, -1, -3, -1,  3, -3, -3, -1, -4],
+    [-1, -2, -3, -4, -1, -2, -3, -4, -3,  2,  4, -2,  2,  0, -3, -2, -1, -2, -1,  1, -4, -3, -1, -4],
+    [-1,  2,  0, -1, -3,  1,  1, -2, -1, -3, -2,  5, -1, -3, -1,  0, -1, -3, -2, -2,  0,  1, -1, -4],
+    [-1, -1, -2, -3, -1,  0, -2, -3, -2,  1,  2, -1,  5,  0, -2, -1, -1, -1, -1,  1, -3, -1, -1, -4],
+    [-2, -3, -3, -3, -2, -3, -3, -3, -1,  0,  0, -3,  0,  6, -4, -2, -2,  1,  3, -1, -3, -3, -1, -4],
+    [-1, -2, -2, -1, -3, -1, -1, -2, -2, -3, -3, -1, -2, -4,  7, -1, -1, -4, -3, -2, -2, -1, -2, -4],
+    [ 1, -1,  1,  0, -1,  0,  0,  0, -1, -2, -2,  0, -1, -2, -1,  4,  1, -3, -2, -2,  0,  0,  0, -4],
+    [ 0, -1,  0, -1, -1, -1, -1, -2, -2, -1, -1, -1, -1, -2, -1,  1,  5, -2, -2,  0, -1, -1,  0, -4],
+    [-3, -3, -4, -4, -2, -2, -3, -2, -2, -3, -2, -3, -1,  1, -4, -3, -2, 11,  2, -3, -4, -3, -2, -4],
+    [-2, -2, -2, -3, -2, -1, -2, -3,  2, -1, -1, -2, -1,  3, -3, -2, -2,  2,  7, -1, -3, -2, -1, -4],
+    [ 0, -3, -3, -3, -1, -2, -2, -3, -3,  3,  1, -2,  1, -1, -2, -2,  0, -3, -1,  4, -3, -2, -1, -4],
+    [-2, -1,  3,  4, -3,  0,  1, -1,  0, -3, -4,  0, -3, -3, -2,  0, -1, -4, -3, -3,  4,  1, -1, -4],
+    [-1,  0,  0,  1, -3,  3,  4, -2,  0, -3, -3,  1, -1, -3, -1,  0, -1, -3, -2, -2,  1,  4, -1, -4],
+    [ 0, -1, -1, -1, -2, -1, -1, -1, -1, -1, -1, -1, -1, -1, -2,  0,  0, -2, -1, -1, -1, -1, -1, -4],
+    [-4, -4, -4, -4, -4, -4, -4, -4, -4, -4, -4, -4, -4, -4, -4, -4, -4, -4, -4, -4, -4, -4, -4,  1],
+]
+
+_B62_X = _B62_ALPHA.index("X")
+
+
+def _b62_index_table() -> np.ndarray:
+    """256-entry char-code -> BLOSUM62 row index (unknown -> X)."""
+    tbl = np.full(256, _B62_X, dtype=np.int8)
+    for i, ch in enumerate(_B62_ALPHA):
+        tbl[ord(ch)] = i
+        tbl[ord(ch.lower())] = i
+    return tbl
+
+
+_B62_IDX = _b62_index_table()
+_B62 = np.array(_B62_ROWS, dtype=np.int32)
+
+
+def blosum62_score(a: str, b: str) -> int:
+    """Pairwise BLOSUM62 score; non-residue characters score as X."""
+    return int(_B62[_B62_IDX[ord(a) & 0xFF], _B62_IDX[ord(b) & 0xFF]])
+
+
+def scoring_params(cfg: BlastConfig) -> tuple[float, float, float]:
+    """(lambda, K, H) for the config's scoring system (S8 statistics)."""
+    return KA_BLOSUM62 if cfg.task == "blastp" else KA_NUCL_1_2
 
 # Raw kernel output: scoring-space facts only; relational projections
 # (P2-P9) happen downstream as column expressions.
@@ -110,23 +177,36 @@ def get_subject_index_lazy(cache_key: str, loader, word_size: int,
     return idx
 
 
+def pair_scorer(cfg: BlastConfig):
+    """char-pair -> score for the config's scoring system: BLOSUM62
+    lookups for blastp, reward/penalty for blastn."""
+    if cfg.task == "blastp":
+        return blosum62_score
+    reward, penalty = cfg.reward, cfg.penalty
+
+    def sc(a: str, b: str) -> int:
+        return reward if a == b else penalty
+    return sc
+
+
 def _extend(q: str, s: str, qpos: int, spos: int, k: int,
-            reward: int, penalty: int, xdrop: int):
-    """Ungapped X-drop extension around an exact word match.
-    Returns (score, qs, qe, ss, se, ident) with 0-based inclusive ends."""
+            sc, xdrop: int):
+    """Ungapped X-drop extension around an exact word match; ``sc`` is
+    the pairwise scorer (pair_scorer). Returns
+    (score, qs, qe, ss, se, ident) with 0-based inclusive ends."""
     qlen, slen = len(q), len(s)
-    # seed scores k matches
-    score = k * reward
+    # seed: exact word match, scored through the same matrix
+    score = 0
+    for i in range(k):
+        score += sc(q[qpos + i], s[spos + i])
     ident = k
     # extend right from end of word
     best_score, best_qe, best_ident = score, qpos + k - 1, ident
     i, j, cur, cur_ident = qpos + k, spos + k, score, ident
     while i < qlen and j < slen:
         if q[i] == s[j]:
-            cur += reward
             cur_ident += 1
-        else:
-            cur += penalty
+        cur += sc(q[i], s[j])
         if cur > best_score:
             best_score, best_qe, best_ident = cur, i, cur_ident
         elif best_score - cur > xdrop:
@@ -139,10 +219,8 @@ def _extend(q: str, s: str, qpos: int, spos: int, k: int,
     i, j, cur, cur_ident = qpos - 1, spos - 1, score, ident
     while i >= 0 and j >= 0:
         if q[i] == s[j]:
-            cur += reward
             cur_ident += 1
-        else:
-            cur += penalty
+        cur += sc(q[i], s[j])
         if cur > best_score:
             best_score, best_qs, best_ident = cur, i, cur_ident
         elif best_score - cur > xdrop:
@@ -161,6 +239,7 @@ def align_query(qid: int, seq: str, index: SubjectIndex,
     out = []
     k = cfg.word_size
     qlen = len(seq)
+    sc = pair_scorer(cfg)
     strands = [(seq, 1)]
     if cfg.task == "blastn":
         strands.append((revcomp(seq), -1))
@@ -176,7 +255,7 @@ def align_query(qid: int, seq: str, index: SubjectIndex,
                     continue
                 score, qs, qe, ss, se, ident = _extend(
                     q, index.subjects[si][1], qpos, spos, k,
-                    cfg.reward, cfg.penalty, cfg.xdrop)
+                    sc, cfg.xdrop)
                 seen[(si, diag)] = qe
                 if score < cfg.min_raw_score:
                     continue
@@ -251,10 +330,32 @@ def make_lazy_block_kernel(db_dir: str, cfg: BlastConfig, gen: str):
     return kernel
 
 
-def karlin_altschul_bitscore(score: float) -> float:
+def karlin_altschul_bitscore(score: float,
+                             ka: tuple[float, float, float] = KA_NUCL_1_2,
+                             ) -> float:
     """bitscore = (lambda*S - ln K) / ln 2 (mrblast.cpp:1039 semantics)."""
-    return (LAMBDA * score - math.log(KAPPA)) / math.log(2.0)
+    return (ka[0] * score - math.log(ka[1])) / math.log(2.0)
 
 
-def karlin_altschul_evalue(score: float, qlen: int, dbsize: int) -> float:
-    return qlen * dbsize * math.pow(2.0, -karlin_altschul_bitscore(score))
+def length_adjustment(qlen: int, dbsize: int,
+                      ka: tuple[float, float, float]) -> int:
+    """One-shot K-A length adjustment: floor(ln(K*m*n)/H) — the classic
+    closed-form approximation of NCBI's fixed-point iteration
+    (Altschul-Gish 1996). Effective lengths keep short queries from
+    inflated significance."""
+    return int(math.log(ka[1] * qlen * dbsize) / ka[2])
+
+
+def karlin_altschul_evalue(score: float, qlen: int, dbsize: int,
+                           n_seqs: int | None = None,
+                           ka: tuple[float, float, float] = KA_NUCL_1_2,
+                           length_adjust: bool = True) -> float:
+    """E = m' * n' * 2^-bit with effective lengths (m'=qlen-l,
+    n'=dbsize-n_seqs*l) when adjusting, raw m*n otherwise."""
+    bit = karlin_altschul_bitscore(score, ka)
+    if length_adjust and n_seqs:
+        ell = length_adjustment(qlen, dbsize, ka)
+        m_eff = max(qlen - ell, 1.0)
+        n_eff = max(dbsize - n_seqs * ell, 1.0)
+        return m_eff * n_eff * math.pow(2.0, -bit)
+    return qlen * dbsize * math.pow(2.0, -bit)

@@ -158,6 +158,8 @@ def make_ncbi_block_kernel(db_dir: str, cfg: BlastConfig, gen: str,
                 cmd += ["-word_size", str(cfg.word_size),
                         "-reward", str(cfg.reward),
                         "-penalty", str(cfg.penalty)]
+            else:
+                cmd += ["-matrix", cfg.matrix]
             if cfg.max_target_seqs > 0:
                 cmd += ["-max_target_seqs", str(cfg.max_target_seqs)]
             res = subprocess.run(cmd, check=True, capture_output=True, text=True)
@@ -184,7 +186,7 @@ def run_search_ncbi(queries: DataFrame, subjects: DataFrame,
 
     blocked = assign_blocks(queries, cfg.block_size).select(
         "block_id", "qid", "seq")
-    db_dir, residues = stage_volumes(subjects)
+    db_dir, residues, _n_seqs = stage_volumes(subjects)
     dbsize = cfg.dbsize if cfg.dbsize is not None else residues
     work = blocked.crossJoin(F.broadcast(staged_parts(queries.sparkSession, db_dir)))
     kernel = make_ncbi_block_kernel(

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mr_mpi_blast_spark.config import BlastConfig
-from mr_mpi_blast_spark.plans.pipeline import effective_dbsize, run_search
+from mr_mpi_blast_spark.plans.pipeline import run_search
 
 
 def _part_dir(out_dir: str, part: str) -> str:
@@ -59,13 +59,18 @@ def run_search_resumable(queries: DataFrame, subjects: DataFrame,
     """
     cfg = cfg or BlastConfig()
     spark = queries.sparkSession
-    # S8: e-value statistics use the WHOLE database's residue count
-    # (mrblast.cpp:404-433 broadcasts the full DB length before any
-    # iteration). Computing it here — not inside the per-partition
-    # run_search calls, which would see ~1/N of the residues — keeps
-    # batched e-values identical to the single-pass pipeline and keeps
-    # the F1 evalue filter admitting the same hit set.
-    cfg = dataclasses.replace(cfg, dbsize=effective_dbsize(subjects, cfg))
+    # S8: e-value statistics use the WHOLE database's residue and
+    # sequence counts (mrblast.cpp:404-433 broadcasts the full DB
+    # length before any iteration). Computing both here — not inside
+    # the per-partition run_search calls, which would see ~1/N of the
+    # database — keeps batched e-values identical to the single-pass
+    # pipeline and keeps the F1 evalue filter admitting the same set.
+    residues, count = subjects.agg(
+        F.sum(F.length("seq")), F.count(F.lit(1))).first()
+    cfg = dataclasses.replace(
+        cfg,
+        dbsize=cfg.dbsize if cfg.dbsize is not None else int(residues),
+        n_seqs=cfg.n_seqs if cfg.n_seqs is not None else int(count))
     parts = [r[0] for r in
              subjects.select("db_part").distinct().orderBy("db_part").collect()]
     done = completed_parts(out_dir)

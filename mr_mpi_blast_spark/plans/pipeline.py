@@ -82,10 +82,11 @@ def stage_volumes(subjects: DataFrame, scratch_dir: str | None = None,
     # a single file per volume reads back fastest and avoids 32 tasks
     # each emitting a sliver into every partition dir.
     (subjects.select("sid", "seq", "db_part")
-     .observe(obs, F.sum(F.length("seq")).alias("residues"))
+     .observe(obs, F.sum(F.length("seq")).alias("residues"),
+              F.count(F.lit(1)).alias("n_seqs"))
      .repartition(F.col("db_part"))
      .write.mode("overwrite").partitionBy("db_part").parquet(db_dir))
-    return db_dir, int(obs.get["residues"])
+    return db_dir, int(obs.get["residues"]), int(obs.get["n_seqs"])
 
 
 def staged_parts(spark, db_dir: str) -> DataFrame:
@@ -110,8 +111,9 @@ def run_kernel_raw(queries: DataFrame, subjects: DataFrame,
 
     blocked = assign_blocks(queries, cfg.block_size).select("block_id", "qid", "seq")
 
-    db_dir, residues = stage_volumes(subjects, scratch_dir)
+    db_dir, residues, count = stage_volumes(subjects, scratch_dir)
     dbsize = cfg.dbsize if cfg.dbsize is not None else residues
+    n_seqs = cfg.n_seqs if cfg.n_seqs is not None else count
     # J1 work items: every block against every partition. Only the
     # partition NAMES cross the driver (metadata, via directory
     # listing); broadcast keeps the blocked side's partitioning.
@@ -136,7 +138,7 @@ def run_kernel_raw(queries: DataFrame, subjects: DataFrame,
     # (mrblast.cpp:462-476) for handle reuse.
     raw = work.groupBy("db_part", "block_id").applyInPandas(
         kernel, schema=RAW_HITS)
-    return raw, dbsize
+    return raw, dbsize, n_seqs
 
 
 def run_search(queries: DataFrame, subjects: DataFrame,
@@ -145,9 +147,12 @@ def run_search(queries: DataFrame, subjects: DataFrame,
     """queries(qid, seq, ...) x subjects(sid|defline, db_part, seq)
     -> canonical HITS DataFrame."""
     cfg = cfg or BlastConfig()
-    raw, dbsize = run_kernel_raw(queries, subjects, cfg, scratch_dir)
+    raw, dbsize, n_seqs = run_kernel_raw(queries, subjects, cfg, scratch_dir)
 
-    hits = project_hits(raw, dbsize=dbsize, classifier=cfg.is_classifier)
+    from mr_mpi_blast_spark.kernel.builtin import scoring_params
+    hits = project_hits(raw, dbsize=dbsize, classifier=cfg.is_classifier,
+                        ka=scoring_params(cfg), n_seqs=n_seqs,
+                        length_adjust=cfg.length_adjust)
     hits = hits.filter(F.col("evalue") <= cfg.evalue)        # F1
 
     if cfg.max_target_seqs > 0:                              # F2

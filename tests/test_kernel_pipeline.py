@@ -110,11 +110,18 @@ def test_evalue_uses_whole_dbsize(spark):
     h_one = run_search(_queries(spark), one_part, cfg) \
         .filter((F.col("qid") == 1) & (F.col("sid") == "s_exact")) \
         .orderBy(F.col("bitscore").desc()).first()
-    assert h_multi.evalue == pytest.approx(h_one.evalue, rel=1e-12)
-    # and the e-value formula itself: qlen * dbsize * 2^-bitscore
+    # abs=0: the default abs tolerance (1e-12) dwarfs e-values this
+    # small and would make the comparison vacuous
+    assert h_multi.evalue == pytest.approx(h_one.evalue, rel=1e-12, abs=0)
+    # and the e-value formula itself: m' * n' * 2^-bitscore with the
+    # K-A length adjustment over the WHOLE database (dbsize, n_seqs)
     dbsize = sum(r.length for r in _subjects(spark).collect())
-    expect = karlin_altschul_evalue(150, 300, dbsize)
-    assert h_multi.evalue == pytest.approx(expect, rel=1e-9)
+    n_seqs = _subjects(spark).count()
+    expect = karlin_altschul_evalue(150, 300, dbsize, n_seqs=n_seqs)
+    assert h_multi.evalue == pytest.approx(expect, rel=1e-9, abs=0)
+    # sanity: the adjustment actually moved the number
+    assert expect != karlin_altschul_evalue(150, 300, dbsize,
+                                            length_adjust=False)
 
 
 def test_kernel_mutation_identity():
