@@ -10,6 +10,8 @@ pipeline driver loop.
 
 from __future__ import annotations
 
+import dataclasses
+import os
 from dataclasses import dataclass
 
 
@@ -50,3 +52,74 @@ class BlastConfig:
     @property
     def min_raw_score(self) -> int:
         return self.min_score if self.min_score > 0 else self.word_size + 4
+
+
+# mrblast.ini keys the MR-MPI engine consumed that Spark owns outright
+# (module docstring above): parsed, surfaced in MrBlastRun.ignored,
+# never mapped onto BlastConfig.
+_SPARK_OWNED = {"VERBOSITY", "TIMER", "MEMSIZE", "OUTOFCORE", "MAPSTYLE",
+                "LOGENABLED", "TIMING", "NUMITER"}
+
+
+@dataclass(frozen=True)
+class MrBlastRun:
+    """A parsed mrblast.ini (mrblast.cpp:296-325): the BlastConfig plus
+    the [FILES]/[LOG] pointers the run scripts consume. Paths resolve
+    relative to the ini's directory, like the reference run dirs."""
+    cfg: BlastConfig
+    query_file: str | None = None
+    index_file: str | None = None
+    db_name: str | None = None
+    db_list_file: str | None = None
+    out_prefix: str = "output"
+    log_file: str | None = None
+    opt_dump: bool = True
+    ignored: dict[str, str] = dataclasses.field(default_factory=dict)
+
+
+def load_mrblast_ini(path: str,
+                     base: BlastConfig | None = None) -> MrBlastRun:
+    """Read a reference mrblast.ini unmodified (same KEY = value format
+    boost::program_options' config_file_iterator accepts: '#' comments,
+    inline comments, free whitespace; mrblast.cpp:290-325,
+    doc/USERGUIDE:275-347).
+
+    Mapping: BLOCKSIZE -> block_size, NUMHITCUTOFF -> num_hit_cutoff,
+    ISCLASSIFIER -> is_classifier. Engine-tuning keys Spark owns
+    (MEMSIZE/OUTOFCORE/MAPSTYLE/NUMITER/...) are parsed and reported in
+    ``ignored``; NUMITER's batching survives as run_search_resumable's
+    per-partition loop.
+    """
+    base = base or BlastConfig()
+    kv: dict[str, str] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line or "=" not in line:
+                continue
+            key, val = line.split("=", 1)
+            kv[key.strip().upper()] = val.strip()
+
+    def _resolve(p: str | None) -> str | None:
+        if p is None:
+            return None
+        return os.path.normpath(os.path.join(os.path.dirname(
+            os.path.abspath(path)), p))
+
+    cfg = dataclasses.replace(
+        base,
+        block_size=int(kv.get("BLOCKSIZE", base.block_size)),
+        num_hit_cutoff=int(kv.get("NUMHITCUTOFF", base.num_hit_cutoff)),
+        is_classifier=bool(int(kv.get("ISCLASSIFIER", int(base.is_classifier)))),
+    )
+    return MrBlastRun(
+        cfg=cfg,
+        query_file=_resolve(kv.get("QUERYFILENAME")),
+        index_file=_resolve(kv.get("INDEXFILENAME")),
+        db_name=kv.get("DATABASENAME"),
+        db_list_file=_resolve(kv.get("DBLISTFILENAME")),
+        out_prefix=kv.get("OUTFILEPREFIX", "output"),
+        log_file=kv.get("LOGFNAME"),
+        opt_dump=bool(int(kv.get("OPTDUMP", 1))),
+        ignored={k: v for k, v in kv.items() if k in _SPARK_OWNED},
+    )

@@ -6,7 +6,13 @@ DB, run the search pipeline, and write every sink the converters
 support (parquet, CSV with %.3g + deflines, SQLite, legacy .bin,
 search-strategy dump).
 
-Usage: python scripts/run_tutorial.py [out_dir]
+Usage: python scripts/run_tutorial.py [out_dir] [--ini mrblast.ini]
+
+--ini accepts a reference mrblast.ini unmodified (e.g.
+examples/test/generic-test/mrblast.ini): BLOCKSIZE / NUMHITCUTOFF /
+ISCLASSIFIER / OUTFILEPREFIX apply; QUERYFILENAME is used when the
+file exists, else the synthetic FASTA stands in (the reference's
+example data is not shipped with its repo either).
 """
 
 from __future__ import annotations
@@ -19,12 +25,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from mr_mpi_blast_spark.config import BlastConfig
+from mr_mpi_blast_spark.config import BlastConfig, load_mrblast_ini
 from mr_mpi_blast_spark.plans.pipeline import run_search, attach_deflines
 from mr_mpi_blast_spark.session import get_spark
 from mr_mpi_blast_spark.sinks import (write_csv, write_legacy_bin,
                                       write_parquet, write_sqlite)
-from mr_mpi_blast_spark.sinks.writers import write_search_strategy
+from mr_mpi_blast_spark.sinks.writers import write_hdf5, write_search_strategy
 from mr_mpi_blast_spark.sources.fasta import read_fasta
 from mr_mpi_blast_spark.sources.splitter import split_sequences
 
@@ -39,12 +45,26 @@ def synth_fasta(path: str, n: int = 40, length: int = 3000, seed: int = 7):
                 f.write(seq[j:j + 70] + "\n")
 
 
-def main(out_dir: str) -> None:
+def main(out_dir: str, ini_path: str | None = None) -> None:
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("tutorial")
 
+    run = None
+    prefix = "output"
+    if ini_path:
+        run = load_mrblast_ini(ini_path, base=BlastConfig(
+            task="blastn", word_size=16, evalue=1e-6))
+        prefix = run.out_prefix
+        print(f"ini: block_size={run.cfg.block_size} "
+              f"num_hit_cutoff={run.cfg.num_hit_cutoff} "
+              f"classifier={run.cfg.is_classifier} "
+              f"spark-owned keys ignored: {sorted(run.ignored)}")
+
     fasta = os.path.join(out_dir, "input.fa")
-    synth_fasta(fasta)
+    if run and run.query_file and os.path.exists(run.query_file):
+        fasta = run.query_file
+    else:
+        synth_fasta(fasta)
 
     # 1. ingest + shred (reference: splitter.py then seqindexer.py);
     #    window qid = src_qid * 100 + chunk_idx keeps ids serial-unique
@@ -65,22 +85,33 @@ def main(out_dir: str) -> None:
 
     # 3. search (builtin kernel; swap kernel.ncbi.run_search_ncbi when
     #    BLAST+ is installed)
-    cfg = BlastConfig(task="blastn", word_size=16, evalue=1e-6,
-                      block_size=20_000, num_hit_cutoff=25)
+    cfg = run.cfg if run else BlastConfig(
+        task="blastn", word_size=16, evalue=1e-6,
+        block_size=20_000, num_hit_cutoff=25)
     hits = run_search(queries, subjects, cfg).cache()
     n = hits.count()
 
     # 4. every sink the reference's converters provide
     deflines = queries.select("qid", "defline")
-    write_parquet(hits, os.path.join(out_dir, "hits.parquet"))
-    write_csv(hits, os.path.join(out_dir, "hits.csv"), deflines=deflines)
-    write_sqlite(hits, os.path.join(out_dir, "hits.sqlite"))
+    write_parquet(hits, os.path.join(out_dir, f"{prefix}.parquet"))
+    write_csv(hits, os.path.join(out_dir, f"{prefix}.csv"), deflines=deflines)
+    write_sqlite(hits, os.path.join(out_dir, f"{prefix}.sqlite"))
     write_legacy_bin(attach_deflines(hits, deflines),
-                     os.path.join(out_dir, "hits.bin"))
-    write_search_strategy(cfg, out_dir)
+                     os.path.join(out_dir, f"{prefix}.bin"),
+                     classifier=cfg.is_classifier)
+    write_hdf5(hits, os.path.join(out_dir, f"{prefix}.hd5"),
+               classifier=cfg.is_classifier)
+    if run is None or run.opt_dump:
+        write_search_strategy(cfg, out_dir, prefix=prefix)
 
     print(f"tutorial complete: {n} hits -> {out_dir}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/mrblast_tutorial")
+    args = [a for a in sys.argv[1:]]
+    ini = None
+    if "--ini" in args:
+        i = args.index("--ini")
+        ini = args[i + 1]
+        del args[i:i + 2]
+    main(args[0] if args else "/tmp/mrblast_tutorial", ini_path=ini)
