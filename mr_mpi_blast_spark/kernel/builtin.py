@@ -99,9 +99,28 @@ _B62_IDX = _b62_index_table()
 _B62 = np.array(_B62_ROWS, dtype=np.int32)
 
 
+def _b62_row_maps() -> list[dict[str, int]]:
+    """One {char: score} dict per matrix row, covering all 256 byte
+    chars (unknowns pre-resolved to the X column) — the kernel's inner
+    loop is a single dict hit per pair, no numpy scalar indexing
+    (~20x faster than per-pair ndarray lookups in CPython)."""
+    return [{chr(c): int(_B62_ROWS[ri][_B62_IDX[c]]) for c in range(256)}
+            for ri in range(len(_B62_ALPHA))]
+
+
+_B62_ROWMAP = _b62_row_maps()
+_B62_X_ROW = _B62_ROWMAP[_B62_X]
+
+
+def _b62_row(ch: str) -> dict[str, int]:
+    o = ord(ch)
+    return _B62_ROWMAP[_B62_IDX[o]] if o < 256 else _B62_X_ROW
+
+
 def blosum62_score(a: str, b: str) -> int:
     """Pairwise BLOSUM62 score; non-residue characters score as X."""
-    return int(_B62[_B62_IDX[ord(a) & 0xFF], _B62_IDX[ord(b) & 0xFF]])
+    row = _b62_row(a)
+    return row[b] if ord(b) < 256 else row["X"]
 
 
 def scoring_params(cfg: BlastConfig) -> tuple[float, float, float]:
@@ -137,12 +156,17 @@ def revcomp(seq: str) -> str:
 
 
 class SubjectIndex:
-    """k-mer -> [(subject_idx, pos)...] over one DB partition."""
+    """k-mer -> [(subject_idx, pos)...] over one DB partition.
+
+    ``encoded`` (ord + BLOSUM row-index arrays per subject) is built
+    lazily on first protein search so nucleotide indexes pay nothing.
+    """
 
     def __init__(self, subjects: list[tuple[str, str]], word_size: int,
                  max_kmer_hits: int):
         self.subjects = subjects
         self.word_size = word_size
+        self._encoded: list[tuple[np.ndarray, np.ndarray]] | None = None
         index: dict[str, list[tuple[int, int]]] = {}
         for si, (_, seq) in enumerate(subjects):
             for pos in range(0, len(seq) - word_size + 1):
@@ -153,6 +177,12 @@ class SubjectIndex:
         # drop over-cap kmers entirely (dust analog: repetitive words)
         self.index = {k: v for k, v in index.items()
                       if len(v) <= max_kmer_hits}
+
+    @property
+    def encoded(self) -> list[tuple[np.ndarray, np.ndarray]]:
+        if self._encoded is None:
+            self._encoded = [encode_protein(seq) for _, seq in self.subjects]
+        return self._encoded
 
 
 def get_subject_index(cache_key: str, subjects, word_size: int,
@@ -179,7 +209,9 @@ def get_subject_index_lazy(cache_key: str, loader, word_size: int,
 
 def pair_scorer(cfg: BlastConfig):
     """char-pair -> score for the config's scoring system: BLOSUM62
-    lookups for blastp, reward/penalty for blastn."""
+    lookups for blastp, reward/penalty for blastn. (Reference surface
+    for tests/tools; the kernel's hot loops use the specialized
+    _extend_rp/_extend_rows below.)"""
     if cfg.task == "blastp":
         return blosum62_score
     reward, penalty = cfg.reward, cfg.penalty
@@ -189,24 +221,24 @@ def pair_scorer(cfg: BlastConfig):
     return sc
 
 
-def _extend(q: str, s: str, qpos: int, spos: int, k: int,
-            sc, xdrop: int):
-    """Ungapped X-drop extension around an exact word match; ``sc`` is
-    the pairwise scorer (pair_scorer). Returns
-    (score, qs, qe, ss, se, ident) with 0-based inclusive ends."""
+def _extend_rp(q: str, s: str, qpos: int, spos: int, k: int,
+               reward: int, penalty: int, xdrop: int):
+    """Ungapped X-drop extension, reward/penalty scoring (blastn).
+    Returns (score, qs, qe, ss, se, ident) with 0-based inclusive
+    ends."""
     qlen, slen = len(q), len(s)
-    # seed: exact word match, scored through the same matrix
-    score = 0
-    for i in range(k):
-        score += sc(q[qpos + i], s[spos + i])
+    # seed scores k matches
+    score = k * reward
     ident = k
     # extend right from end of word
     best_score, best_qe, best_ident = score, qpos + k - 1, ident
     i, j, cur, cur_ident = qpos + k, spos + k, score, ident
     while i < qlen and j < slen:
         if q[i] == s[j]:
+            cur += reward
             cur_ident += 1
-        cur += sc(q[i], s[j])
+        else:
+            cur += penalty
         if cur > best_score:
             best_score, best_qe, best_ident = cur, i, cur_ident
         elif best_score - cur > xdrop:
@@ -219,8 +251,164 @@ def _extend(q: str, s: str, qpos: int, spos: int, k: int,
     i, j, cur, cur_ident = qpos - 1, spos - 1, score, ident
     while i >= 0 and j >= 0:
         if q[i] == s[j]:
+            cur += reward
             cur_ident += 1
-        cur += sc(q[i], s[j])
+        else:
+            cur += penalty
+        if cur > best_score:
+            best_score, best_qs, best_ident = cur, i, cur_ident
+        elif best_score - cur > xdrop:
+            break
+        i -= 1
+        j -= 1
+    qs = best_qs
+    ss = spos - (qpos - qs)
+    se = ss + (qe - qs)
+    return best_score, qs, qe, ss, se, best_ident
+
+
+_B62_IDX_NP = _B62_IDX.astype(np.intp)
+
+
+def encode_protein(seq: str) -> tuple[np.ndarray, np.ndarray]:
+    """(raw ord array, BLOSUM row-index array) for vectorized scoring.
+    Chars outside Latin-1 map to the X row (ord kept raw so identity
+    counting still compares the actual characters)."""
+    ords = np.fromiter(map(ord, seq), dtype=np.int32, count=len(seq))
+    safe = np.where(ords < 256, ords, ord("X"))
+    return ords, _B62_IDX_NP[safe]
+
+
+def _extend_dir(qi: np.ndarray, si: np.ndarray, xdrop: int,
+                chunk: int = 256, base: int = 0, best: int = 0,
+                best_at: int = 0, t0: int = 0) -> tuple[int, int]:
+    """One direction of X-drop extension over pre-gathered index
+    arrays; processes in chunks so multi-megabase subjects don't pay
+    for tails the drop test would never reach. base/best/best_at/t0
+    carry state when a sequential prefix walk hands over mid-stream.
+    Returns (best gain, chars extended)."""
+    n = min(len(qi), len(si))
+    qi, si = qi[:n], si[:n]
+    for start in range(0, n, chunk):
+        steps = _B62[qi[start:start + chunk], si[start:start + chunk]]
+        c = base + np.cumsum(steps)
+        run = np.maximum.accumulate(np.maximum(c, best))
+        drop = (run - c) > xdrop
+        stopped = bool(drop.any())
+        upto = int(np.argmax(drop)) if stopped else len(c) - 1
+        chunk_best = int(run[upto])
+        if chunk_best > best:
+            bidx = int(np.argmax(c[:upto + 1] == chunk_best))
+            best, best_at = chunk_best, t0 + start + bidx + 1
+        if stopped:
+            return best, best_at
+        base = int(c[-1])
+    return best, best_at
+
+
+# Sequential-prefix length before handing a still-live extension to the
+# numpy chunks: random/unrelated text X-drops out well inside this many
+# chars (the common case, ~7 us in the dict walk), while genuinely
+# homologous stretches continue vectorized (~3 us per 256 chars).
+_SEQ_PREFIX = 40
+
+
+def _extend_dir_hybrid(q: str, s: str, qrows: list, i0: int, j0: int,
+                       step: int, qi: np.ndarray, si: np.ndarray,
+                       xdrop: int) -> tuple[int, int]:
+    """One direction, hybrid: walk up to _SEQ_PREFIX chars with dict
+    lookups (early-exit friendly), then continue on index arrays. i0/j0
+    are the first positions in this direction; step is +1 or -1; qi/si
+    are this direction's index arrays starting at the same positions."""
+    qlen, slen = len(q), len(s)
+    cur, best, best_at = 0, 0, 0
+    t = 0
+    i, j = i0, j0
+    while t < _SEQ_PREFIX:
+        if not (0 <= i < qlen and 0 <= j < slen):
+            return best, best_at
+        row = qrows[i]
+        v = row.get(s[j])
+        cur += v if v is not None else row["X"]
+        t += 1
+        if cur > best:
+            best, best_at = cur, t
+        elif best - cur > xdrop:
+            return best, best_at
+        i += step
+        j += step
+    return _extend_dir(qi[t:], si[t:], xdrop,
+                       base=cur, best=best, best_at=best_at, t0=t)
+
+
+def _extend_vec(qo: np.ndarray, qi: np.ndarray, so: np.ndarray,
+                si: np.ndarray, qpos: int, spos: int, k: int,
+                seed_score: int, xdrop: int,
+                q: str | None = None, s: str | None = None,
+                qrows: list | None = None):
+    """Vectorized ungapped X-drop extension (blastp hot path): exact
+    same semantics as the sequential walk — first-maximum tie-breaking,
+    strict improvement, break when best-cur > xdrop — scored by numpy
+    gathers over precomputed row indices. When the string forms and
+    row dicts are supplied, each direction walks a short sequential
+    prefix first (most extensions die there) before vectorizing."""
+    if qrows is not None:
+        gain_r, ext_r = _extend_dir_hybrid(
+            q, s, qrows, qpos + k, spos + k, 1,
+            qi[qpos + k:], si[spos + k:], xdrop)
+        gain_l, ext_l = _extend_dir_hybrid(
+            q, s, qrows, qpos - 1, spos - 1, -1,
+            qi[:qpos][::-1], si[:spos][::-1], xdrop)
+    else:
+        gain_r, ext_r = _extend_dir(qi[qpos + k:], si[spos + k:], xdrop)
+        gain_l, ext_l = _extend_dir(qi[:qpos][::-1], si[:spos][::-1], xdrop)
+    qs, qe = qpos - ext_l, qpos + k - 1 + ext_r
+    ident = k
+    if ext_r:
+        ident += int(np.count_nonzero(
+            qo[qpos + k:qpos + k + ext_r] == so[spos + k:spos + k + ext_r]))
+    if ext_l:
+        ident += int(np.count_nonzero(
+            qo[qpos - ext_l:qpos] == so[spos - ext_l:spos]))
+    ss = spos - (qpos - qs)
+    se = ss + (qe - qs)
+    return seed_score + gain_r + gain_l, qs, qe, ss, se, ident
+
+
+def _extend_rows(q: str, s: str, qpos: int, spos: int, k: int,
+                 qrows: list, seed_score: int, xdrop: int):
+    """Ungapped X-drop extension, matrix scoring (blastp): ``qrows``
+    holds one precomputed {subject char: score} dict per query
+    position (row maps cover all byte chars; rare non-Latin-1 subject
+    chars fall back to the X column), and the seed score arrives
+    precomputed from the diagonal prefix sums — one dict hit per
+    extended pair is the entire scoring cost."""
+    qlen, slen = len(q), len(s)
+    score = seed_score
+    ident = k
+    best_score, best_qe, best_ident = score, qpos + k - 1, ident
+    i, j, cur, cur_ident = qpos + k, spos + k, score, ident
+    while i < qlen and j < slen:
+        ch = s[j]
+        if q[i] == ch:
+            cur_ident += 1
+        v = qrows[i].get(ch)
+        cur += v if v is not None else qrows[i]["X"]
+        if cur > best_score:
+            best_score, best_qe, best_ident = cur, i, cur_ident
+        elif best_score - cur > xdrop:
+            break
+        i += 1
+        j += 1
+    score, qe, ident = best_score, best_qe, best_ident
+    best_score, best_qs, best_ident = score, qpos, ident
+    i, j, cur, cur_ident = qpos - 1, spos - 1, score, ident
+    while i >= 0 and j >= 0:
+        ch = s[j]
+        if q[i] == ch:
+            cur_ident += 1
+        v = qrows[i].get(ch)
+        cur += v if v is not None else qrows[i]["X"]
         if cur > best_score:
             best_score, best_qs, best_ident = cur, i, cur_ident
         elif best_score - cur > xdrop:
@@ -239,11 +427,19 @@ def align_query(qid: int, seq: str, index: SubjectIndex,
     out = []
     k = cfg.word_size
     qlen = len(seq)
-    sc = pair_scorer(cfg)
+    is_protein = cfg.task == "blastp"
     strands = [(seq, 1)]
     if cfg.task == "blastn":
         strands.append((revcomp(seq), -1))
     for q, qstrand in strands:
+        if is_protein:
+            # encode once; seeds are exact word matches, so a seed's
+            # score is a diagonal prefix-sum difference — O(1) per seed
+            qo, qi_arr = encode_protein(q)
+            q_rowdicts = [_b62_row(c) for c in q]
+            pref = np.concatenate(
+                ([0], np.cumsum(_B62[qi_arr, qi_arr]))).tolist()
+            enc = index.encoded
         seen: dict[tuple[int, int], int] = {}   # (si, diag) -> covered qend
         for qpos in range(0, len(q) - k + 1):
             hits = index.index.get(q[qpos:qpos + k])
@@ -253,9 +449,16 @@ def align_query(qid: int, seq: str, index: SubjectIndex,
                 diag = spos - qpos
                 if seen.get((si, diag), -1) >= qpos:
                     continue
-                score, qs, qe, ss, se, ident = _extend(
-                    q, index.subjects[si][1], qpos, spos, k,
-                    sc, cfg.xdrop)
+                if is_protein:
+                    so, si_arr = enc[si]
+                    score, qs, qe, ss, se, ident = _extend_vec(
+                        qo, qi_arr, so, si_arr, qpos, spos, k,
+                        pref[qpos + k] - pref[qpos], cfg.xdrop,
+                        q=q, s=index.subjects[si][1], qrows=q_rowdicts)
+                else:
+                    score, qs, qe, ss, se, ident = _extend_rp(
+                        q, index.subjects[si][1], qpos, spos, k,
+                        cfg.reward, cfg.penalty, cfg.xdrop)
                 seen[(si, diag)] = qe
                 if score < cfg.min_raw_score:
                     continue

@@ -105,3 +105,42 @@ def test_blastp_bitscore_matches_ncbi(spark):      # pragma: no cover
     theirs = ncbi.run_search_ncbi(queries, subjects, cfg).orderBy(
         F.col("bitscore").desc()).first()
     assert ours.bitscore == pytest.approx(theirs.bitscore, rel=0.02)
+
+
+def test_vectorized_extension_equals_sequential():
+    """The numpy X-drop extension is semantics-identical to the
+    sequential walk (first-maximum ties, strict improvement, drop
+    break) — including across chunk boundaries."""
+    import random
+
+    from mr_mpi_blast_spark.kernel.builtin import (_extend_dir,
+                                                   _extend_rows,
+                                                   _extend_vec, _b62_row,
+                                                   encode_protein)
+    rng = random.Random(7)
+    alpha = "ARNDCQEGHILKMFPSTWYVBZX abcdefg!?"
+    for _ in range(800):
+        n = rng.randint(20, 300)
+        q = "".join(rng.choice(alpha) for _ in range(n))
+        s = list("".join(rng.choice(alpha)
+                         for _ in range(rng.randint(20, 300))))
+        k = rng.randint(3, 8)
+        qpos = rng.randint(0, n - k)
+        spos = rng.randint(0, len(s) - k)
+        s[spos:spos + k] = q[qpos:qpos + k]
+        s = "".join(s)
+        xdrop = rng.choice([5, 20, 100, 2000])
+        qrows = [_b62_row(c) for c in q]
+        seed = sum(qrows[qpos + i][q[qpos + i]] for i in range(k))
+        a = _extend_rows(q, s, qpos, spos, k, qrows, seed, xdrop)
+        qo, qi = encode_protein(q)
+        so, si = encode_protein(s)
+        assert a == _extend_vec(qo, qi, so, si, qpos, spos, k, seed, xdrop)
+        # the hybrid (sequential prefix -> numpy handoff) used by the
+        # kernel must agree too
+        assert a == _extend_vec(qo, qi, so, si, qpos, spos, k, seed,
+                                xdrop, q=q, s=s, qrows=qrows)
+        # tiny chunks stress the cross-chunk best/drop carry
+        gain, ext = _extend_dir(qi[qpos + k:], si[spos + k:], xdrop, chunk=3)
+        gain2, ext2 = _extend_dir(qi[qpos + k:], si[spos + k:], xdrop)
+        assert (gain, ext) == (gain2, ext2)
