@@ -12,7 +12,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mr_mpi_blast_spark.operators.blocks import assign_blocks, block_bounds
+from mr_mpi_blast_spark.operators.blocks import (assign_blocks, block_bounds,
+                                                 serial_number)
 from mr_mpi_blast_spark.operators.topk import topk_per_key
 from mr_mpi_blast_spark.session import load_table
 
@@ -397,12 +398,13 @@ FROM documents
 """)
 def q_serial_index(spark, sf_dir):
     """S2: serial uid assignment + defline_part (seqindexer.py:166-197;
-    the -b 0 'token before first blank' form)."""
+    the -b 0 'token before first blank' form). Numbering is the
+    hierarchical serial_number (bucketed windows + driver scan of
+    bucket counts, operators/blocks.py) — identical output to
+    row_number() OVER (ORDER BY doc_id) with no single-task sort."""
     docs = _t(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id")
-    return docs.select(
-        "doc_id",
-        F.row_number().over(w).cast("long").alias("uid"),
+    return serial_number(docs, ["doc_id"], "uid").select(
+        "doc_id", "uid",
         F.split(F.col("text"), " ").getItem(0).alias("defline_part"))
 
 

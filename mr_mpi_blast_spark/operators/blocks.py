@@ -23,8 +23,63 @@ Every stage is parallel; driver traffic is O(n_buckets).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def ordered_prefix_sum(df: DataFrame, value: Column | str,
+                       order_cols: list[str], out_col: str,
+                       n_buckets: int = 1024) -> DataFrame:
+    """Exclusive prefix sum of ``value`` in ``order_cols`` order without
+    a global single-task sort:
+
+      1. bucket rows by a deterministic range split of the leading
+         (numeric) order column,
+      2. aggregate per-bucket totals (parallel, one narrow shuffle),
+      3. collect the tiny bucket-total vector, prefix-scan it on the
+         driver (the reference's MPI_Allreduce moment, mrblast.cpp:556),
+      4. broadcast-join the bucket offsets back and window only
+         *within* each bucket.
+
+    Every stage is parallel; driver traffic is O(n_buckets). The order
+    defined by ``order_cols`` must be total (unique keys) for the
+    result to be deterministic.
+    """
+    spark = df.sparkSession
+    value = F.col(value) if isinstance(value, str) else value
+    lead = order_cols[0]
+    lo, hi = df.agg(F.min(lead), F.max(lead)).first()
+    if lo is None:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    width = max(1, (int(hi) - int(lo)) // n_buckets + 1)
+    bucket = F.floor((F.col(lead) - F.lit(int(lo))) / F.lit(width))
+    q = df.withColumn("_bucket", bucket)
+
+    totals = {int(r[0]): int(r[1])
+              for r in q.groupBy("_bucket").agg(F.sum(value)).collect()}
+    offsets, acc = [], 0
+    for b in sorted(totals):
+        offsets.append((b, acc))
+        acc += totals[b]
+    off_df = spark.createDataFrame(offsets, ["_bucket", "_offset"])
+
+    w = (Window.partitionBy("_bucket").orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    run = F.col("_offset") + F.coalesce(F.sum(value).over(w), F.lit(0))
+    return (q.join(F.broadcast(off_df), "_bucket")
+             .withColumn(out_col, run.cast("long"))
+             .drop("_bucket", "_offset"))
+
+
+def serial_number(df: DataFrame, order_cols: list[str], out_col: str,
+                  start: int = 1, n_buckets: int = 1024) -> DataFrame:
+    """Scalable ``row_number() OVER (ORDER BY order_cols)``: an
+    exclusive prefix count via ordered_prefix_sum plus ``start`` —
+    the hierarchical form of the reference's serial uid assignment
+    (seqindexer.py:166-197) that never funnels through one task."""
+    out = ordered_prefix_sum(df, F.lit(1), order_cols, out_col,
+                             n_buckets=n_buckets)
+    return out.withColumn(out_col, (F.col(out_col) + F.lit(start)).cast("long"))
 
 
 def assign_blocks(queries: DataFrame, blocksize: int,
@@ -36,29 +91,12 @@ def assign_blocks(queries: DataFrame, blocksize: int,
     BLOCKSIZE) as floor(exclusive_cumsum(length) / blocksize) — identical
     boundaries for the same qid ordering.
     """
-    spark = queries.sparkSession
-    lo, hi = queries.agg(F.min(id_col), F.max(id_col)).first()
-    if lo is None:
-        return queries.withColumn("block_id", F.lit(None).cast("long"))
-    width = max(1, (int(hi) - int(lo)) // n_buckets + 1)
-    bucket = F.floor((F.col(id_col) - F.lit(int(lo))) / F.lit(width))
-    q = queries.withColumn("_bucket", bucket)
-
-    totals = {int(r[0]): int(r[1])
-              for r in q.groupBy("_bucket").agg(F.sum(length_col)).collect()}
-    offsets, acc = [], 0
-    for b in sorted(totals):
-        offsets.append((b, acc))
-        acc += totals[b]
-    off_df = spark.createDataFrame(offsets, ["_bucket", "_offset"])
-
-    w = (Window.partitionBy("_bucket").orderBy(F.col(id_col))
-         .rowsBetween(Window.unboundedPreceding, -1))
-    prev_bp = F.col("_offset") + F.coalesce(F.sum(length_col).over(w), F.lit(0))
-    return (q.join(F.broadcast(off_df), "_bucket")
-             .withColumn("block_id",
-                         F.floor(prev_bp / F.lit(blocksize)).cast("long"))
-             .drop("_bucket", "_offset"))
+    out = ordered_prefix_sum(queries, length_col, [id_col], "_prev_bp",
+                             n_buckets=n_buckets)
+    return (out.withColumn("block_id",
+                           F.floor(F.col("_prev_bp") / F.lit(blocksize))
+                            .cast("long"))
+               .drop("_prev_bp"))
 
 
 def block_bounds(queries_with_blocks: DataFrame,

@@ -14,8 +14,10 @@ recomputed against the normalized single-line FASTA our writer emits.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from mr_mpi_blast_spark.operators.blocks import ordered_prefix_sum
 
 
 def defline_table(queries: DataFrame, part: bool = True) -> DataFrame:
@@ -31,13 +33,15 @@ def index_table(queries: DataFrame) -> DataFrame:
     """The .idx sidecar as a DataFrame: (offset, length, qid).
 
     Offsets are cumulative over the normalized FASTA rendering
-    ('>'+defline+'\\n'+seq+'\\n') in qid order — a prefix sum, same
-    hierarchical pattern as operators/blocks.py but at sidecar scale
-    (export-only; a global window is acceptable here and flagged)."""
+    ('>'+defline+'\\n'+seq+'\\n') in qid order — the hierarchical
+    prefix sum from operators/blocks.py (bucketed windows + driver
+    scan of bucket totals), so the sidecar export parallelizes the
+    same way block assignment does instead of funnelling through one
+    global-window task."""
     rec_len = F.length("defline") + F.length("seq") + 3  # '>' + 2 newlines
-    w = Window.orderBy("qid").rowsBetween(Window.unboundedPreceding, -1)
-    return queries.select(
-        F.coalesce(F.sum(rec_len).over(w), F.lit(0)).cast("long").alias("offset"),
+    out = ordered_prefix_sum(queries, rec_len, ["qid"], "offset")
+    return out.select(
+        F.col("offset"),
         F.col("length").cast("long").alias("length"),
         F.col("qid"))
 

@@ -20,8 +20,10 @@ overlap (derived from the reference's ``while end < seqLen`` loop).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from mr_mpi_blast_spark.operators.blocks import serial_number
 
 
 def split_sequences(queries: DataFrame, query_len: int, overlap: int,
@@ -31,8 +33,10 @@ def split_sequences(queries: DataFrame, query_len: int, overlap: int,
     Output: qid, chunk_idx (per-sequence), chunk_start/chunk_end
     (0-based, end-exclusive like the reference headers), case, header,
     chunk, chunk_len. With serial_cid=True the header carries the
-    reference's global serial cid (a single-task window — keep False at
-    scale; the per-sequence (qid, chunk_idx) pair is the scalable key).
+    reference's global serial cid, numbered hierarchically
+    (operators/blocks.serial_number) so even the serial form stays
+    parallel; the per-sequence (qid, chunk_idx) pair remains the
+    natural join key either way.
     """
     if overlap >= query_len:
         raise ValueError("overlap must be < query_len")
@@ -59,10 +63,9 @@ def split_sequences(queries: DataFrame, query_len: int, overlap: int,
     df = df.withColumn("case", case.cast("int"))
 
     if serial_cid:
-        cid = F.row_number().over(Window.orderBy("qid", "chunk_start")).cast("long")
+        df = serial_number(df, ["qid", "chunk_start"], "cid")
     else:
-        cid = F.col("chunk_idx").cast("long")
-    df = df.withColumn("cid", cid)
+        df = df.withColumn("cid", F.col("chunk_idx").cast("long"))
 
     header = F.concat_ws("_",
                          F.col("defline_part"), F.col("cid"), F.col("case"),

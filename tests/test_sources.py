@@ -121,3 +121,36 @@ def test_indexer_sidecars(spark, fasta_file):
     assert idx[1] == (0, 16)
     assert idx[2] == (len(">gi|111| first sequence here\nACGTACGTACGTACGT\n"), 12)
     assert idx[3][1] == 5
+
+
+def test_serial_number_matches_global_row_number(spark):
+    """The hierarchical serial_number must equal
+    row_number() OVER (ORDER BY ...) exactly — forced through many
+    buckets (n_buckets > distinct lead values collapses to ~1 row per
+    bucket) and with a sparse, shuffled, multi-column key."""
+    from pyspark.sql import Window
+
+    from mr_mpi_blast_spark.operators.blocks import (ordered_prefix_sum,
+                                                     serial_number)
+
+    rows = [(i * 37 % 1009, i % 3, i) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "sub", "payload"]).repartition(8)
+    got = {(r.k, r.sub): r.uid
+           for r in serial_number(df, ["k", "sub"], "uid",
+                                  n_buckets=7).collect()}
+    w = Window.orderBy("k", "sub")
+    want = {(r.k, r.sub): r.uid
+            for r in df.select("k", "sub",
+                               F.row_number().over(w).cast("long")
+                               .alias("uid")).collect()}
+    assert got == want
+
+    # exclusive prefix sum over a value column, same bucketed path
+    got_ps = {r.k: r.ps
+              for r in ordered_prefix_sum(df, "payload", ["k", "sub"],
+                                          "ps", n_buckets=7).collect()}
+    w2 = w.rowsBetween(Window.unboundedPreceding, -1)
+    want_ps = {r.k: r.ps for r in df.select(
+        "k", F.coalesce(F.sum("payload").over(w2), F.lit(0))
+        .cast("long").alias("ps")).collect()}
+    assert got_ps == want_ps
