@@ -30,6 +30,21 @@ class BlastConfig:
     num_hit_cutoff: int = 0        # NUMHITCUTOFF: top-k per query (0 = all)
     is_classifier: bool = False    # ISCLASSIFIER: add perc_ident/perc_cover
 
+    # F3 masking / seeding options (doc/USERGUIDE:47-50). None = engine
+    # default: the NCBI kernel omits the flag entirely (BLAST+ applies
+    # its own defaults, e.g. dust on for blastn), the builtin kernel
+    # treats None as off so round-1 outputs are unchanged.
+    dust: str | None = None        # blastn low-complexity filter: "yes"/"no"/"L W T"
+    seg: str | None = None         # blastp SEG filter: "yes"/"no"/"w lc hc"
+    soft_masking: bool | None = None  # masked regions excluded from seeding only
+    lcase_masking: bool = False    # lowercase query regions are masked
+    window_size: int | None = None # two-hit seeding window (0 = one-hit)
+    # verbatim CLI pass-through for the NCBI kernel — the reference
+    # forwards "most NCBI blastn/blastp options" untouched
+    # (doc/USERGUIDE:53-60); this is that escape hatch. Ignored by the
+    # builtin kernel.
+    extra_opts: tuple[str, ...] = ()
+
     # kernel internals (builtin aligner)
     xdrop: int = 20                # ungapped extension X-drop
     max_kmer_hits: int = 64        # skip ultra-frequent seeds (dust analog)
@@ -52,6 +67,26 @@ class BlastConfig:
     @property
     def min_raw_score(self) -> int:
         return self.min_score if self.min_score > 0 else self.word_size + 4
+
+    @property
+    def complexity_filter(self) -> bool:
+        """Low-complexity seed filtering for this task (builtin kernel's
+        dust/seg analog): dust for blastn, seg for blastp; any value
+        other than no/false/0 enables it."""
+        v = self.dust if self.task == "blastn" else self.seg
+        return v is not None and v.strip().lower() not in ("no", "false", "0")
+
+    @property
+    def subject_soft_mask(self) -> bool:
+        return bool(self.soft_masking)
+
+    @property
+    def mask_fold_case(self) -> bool:
+        """When any case-based masking option is in play, case is
+        annotation, not sequence: the builtin kernel uppercases
+        index keys and extension strings so masked regions still match
+        during extension (the dustmasker/BLAST+ convention)."""
+        return bool(self.soft_masking) or self.lcase_masking
 
 
 # mrblast.ini keys the MR-MPI engine consumed that Spark owns outright

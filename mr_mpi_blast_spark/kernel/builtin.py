@@ -17,7 +17,13 @@ Faithful semantics kept from the reference:
   forward coordinates + strand signs, the strand swap is a downstream
   projection (P4, mrblast.cpp:1082-1086);
 - ultra-frequent seeds are skipped (max_kmer_hits), the low-complexity
-  masking analog (F3 -dust).
+  masking analog (F3 -dust);
+- F3 masking options (doc/USERGUIDE:47-50) as seeding-level analogs:
+  -dust/-seg -> word_low_complexity seed drop, -soft_masking ->
+  lowercase subject words excluded from the index, -lcase_masking ->
+  lowercase query words skipped, -window_size -> two-hit seeding.
+  All default off (None) so they never perturb runs that don't ask
+  for them; the NCBI kernel forwards the real flags instead.
 
 Simplifications vs NCBI BLAST (documented, deterministic): ungapped
 extension only (gaps column is 0), exact-word seeding (no neighborhood
@@ -155,22 +161,61 @@ def revcomp(seq: str) -> str:
     return seq.translate(_COMPLEMENT)[::-1]
 
 
+def word_is_lowercase_masked(word: str) -> bool:
+    """True when the word overlaps a soft-masked (lowercase) region —
+    the FASTA convention dustmasker/segmasker emit and
+    -soft_masking/-lcase_masking consume (doc/USERGUIDE:47-50)."""
+    return any(c.islower() for c in word)
+
+
+def word_low_complexity(word: str, protein: bool) -> bool:
+    """Builtin dust/seg analog: a seed word is low-complexity when its
+    distinct-character count collapses (homopolymer/dimer repeats for
+    nucleotides, homopolymer for the k=3 protein words). Far simpler
+    than NCBI's DUST/SEG scoring but catches the same seed explosions,
+    and only ever *drops seeds* — extension is untouched, matching
+    soft-masking semantics."""
+    return len({c.upper() for c in word}) <= (1 if protein else 2)
+
+
 class SubjectIndex:
     """k-mer -> [(subject_idx, pos)...] over one DB partition.
 
     ``encoded`` (ord + BLOSUM row-index arrays per subject) is built
     lazily on first protein search so nucleotide indexes pay nothing.
+
+    soft_mask drops seed words overlapping lowercase (masked) subject
+    regions; complexity drops low-complexity words (F3 -dust/-seg
+    analogs). Both affect seeding only — extension still scores
+    through masked regions, the soft-masking contract.
+
+    fold_case: when masking is in play, case is annotation, not
+    sequence (the dustmasker convention BLAST+ consumes) — index keys
+    and extension strings are uppercased so a masked region still
+    *matches* during extension. Off by default so unmasked runs stay
+    byte-identical.
     """
 
     def __init__(self, subjects: list[tuple[str, str]], word_size: int,
-                 max_kmer_hits: int):
+                 max_kmer_hits: int, soft_mask: bool = False,
+                 complexity: bool = False, protein: bool = False,
+                 fold_case: bool = False):
         self.subjects = subjects
         self.word_size = word_size
+        self.fold_case = fold_case
         self._encoded: list[tuple[np.ndarray, np.ndarray]] | None = None
+        self.ext_seqs = ([seq.upper() for _, seq in subjects] if fold_case
+                         else [seq for _, seq in subjects])
         index: dict[str, list[tuple[int, int]]] = {}
         for si, (_, seq) in enumerate(subjects):
             for pos in range(0, len(seq) - word_size + 1):
                 kmer = seq[pos:pos + word_size]
+                if soft_mask and word_is_lowercase_masked(kmer):
+                    continue
+                if complexity and word_low_complexity(kmer, protein):
+                    continue
+                if fold_case:
+                    kmer = kmer.upper()
                 bucket = index.setdefault(kmer, [])
                 if len(bucket) <= max_kmer_hits:   # keep one past cap to detect
                     bucket.append((si, pos))
@@ -181,27 +226,37 @@ class SubjectIndex:
     @property
     def encoded(self) -> list[tuple[np.ndarray, np.ndarray]]:
         if self._encoded is None:
-            self._encoded = [encode_protein(seq) for _, seq in self.subjects]
+            self._encoded = [encode_protein(s) for s in self.ext_seqs]
         return self._encoded
 
 
 def get_subject_index(cache_key: str, subjects, word_size: int,
-                      max_kmer_hits: int) -> SubjectIndex:
+                      max_kmer_hits: int, soft_mask: bool = False,
+                      complexity: bool = False, protein: bool = False,
+                      fold_case: bool = False) -> SubjectIndex:
     """DB-handle reuse (mrblast.cpp:838-845): build the partition index
     once per Python worker, reuse across query-block tasks."""
     return get_subject_index_lazy(cache_key, lambda: list(subjects),
-                                  word_size, max_kmer_hits)
+                                  word_size, max_kmer_hits,
+                                  soft_mask=soft_mask,
+                                  complexity=complexity, protein=protein,
+                                  fold_case=fold_case)
 
 
 def get_subject_index_lazy(cache_key: str, loader, word_size: int,
-                           max_kmer_hits: int) -> SubjectIndex:
+                           max_kmer_hits: int, soft_mask: bool = False,
+                           complexity: bool = False, protein: bool = False,
+                           fold_case: bool = False) -> SubjectIndex:
     """Same cache, but subjects come from a zero-arg ``loader`` that is
     only invoked on a miss — so the lazy staged-volume path pays the
     read+index cost once per worker per partition."""
-    key = (cache_key, word_size, max_kmer_hits)
+    key = (cache_key, word_size, max_kmer_hits, soft_mask, complexity,
+           protein, fold_case)
     idx = _DB_CACHE.get(key)
     if idx is None:
-        idx = SubjectIndex(loader(), word_size, max_kmer_hits)
+        idx = SubjectIndex(loader(), word_size, max_kmer_hits,
+                           soft_mask=soft_mask, complexity=complexity,
+                           protein=protein, fold_case=fold_case)
         _DB_CACHE.clear()      # one partition resident at a time, like the ref
         _DB_CACHE[key] = idx
     return idx
@@ -431,33 +486,49 @@ def align_query(qid: int, seq: str, index: SubjectIndex,
     strands = [(seq, 1)]
     if cfg.task == "blastn":
         strands.append((revcomp(seq), -1))
+    fold = index.fold_case
     for q, qstrand in strands:
+        q_ext = q.upper() if fold else q
         if is_protein:
             # encode once; seeds are exact word matches, so a seed's
             # score is a diagonal prefix-sum difference — O(1) per seed
-            qo, qi_arr = encode_protein(q)
-            q_rowdicts = [_b62_row(c) for c in q]
+            qo, qi_arr = encode_protein(q_ext)
+            q_rowdicts = [_b62_row(c) for c in q_ext]
             pref = np.concatenate(
                 ([0], np.cumsum(_B62[qi_arr, qi_arr]))).tolist()
             enc = index.encoded
+        lcase = cfg.lcase_masking
+        two_hit = int(cfg.window_size or 0)
         seen: dict[tuple[int, int], int] = {}   # (si, diag) -> covered qend
+        pending: dict[tuple[int, int], int] = {}  # (si, diag) -> last seed qpos
         for qpos in range(0, len(q) - k + 1):
-            hits = index.index.get(q[qpos:qpos + k])
+            word = q[qpos:qpos + k]
+            if lcase and word_is_lowercase_masked(word):
+                continue
+            hits = index.index.get(word.upper() if fold else word)
             if not hits:
                 continue
             for si, spos in hits:
                 diag = spos - qpos
                 if seen.get((si, diag), -1) >= qpos:
                     continue
+                if two_hit:
+                    # two-hit seeding analog (-window_size): extend only
+                    # when a second seed lands on the same diagonal
+                    # within the window; single seeds stay pending
+                    prev = pending.get((si, diag))
+                    pending[(si, diag)] = qpos
+                    if prev is None or qpos - prev > two_hit:
+                        continue
                 if is_protein:
                     so, si_arr = enc[si]
                     score, qs, qe, ss, se, ident = _extend_vec(
                         qo, qi_arr, so, si_arr, qpos, spos, k,
                         pref[qpos + k] - pref[qpos], cfg.xdrop,
-                        q=q, s=index.subjects[si][1], qrows=q_rowdicts)
+                        q=q_ext, s=index.ext_seqs[si], qrows=q_rowdicts)
                 else:
                     score, qs, qe, ss, se, ident = _extend_rp(
-                        q, index.subjects[si][1], qpos, spos, k,
+                        q_ext, index.ext_seqs[si], qpos, spos, k,
                         cfg.reward, cfg.penalty, cfg.xdrop)
                 seen[(si, diag)] = qe
                 if score < cfg.min_raw_score:
@@ -482,7 +553,11 @@ def make_block_kernel(subjects_bc, cfg: BlastConfig, cache_key: str):
     """
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         index = get_subject_index(cache_key, subjects_bc.value,
-                                  cfg.word_size, cfg.max_kmer_hits)
+                                  cfg.word_size, cfg.max_kmer_hits,
+                                  soft_mask=cfg.subject_soft_mask,
+                                  complexity=cfg.complexity_filter,
+                                  protein=cfg.task == "blastp",
+                                  fold_case=cfg.mask_fold_case)
         rows: list[tuple] = []
         # K2 batch loop: iterate queries within the block
         for qid, seq in zip(pdf["qid"].to_numpy(), pdf["seq"].to_numpy()):
@@ -525,7 +600,11 @@ def make_lazy_block_kernel(db_dir: str, cfg: BlastConfig, gen: str):
         index = get_subject_index_lazy(
             f"{db_dir}:{part}:{gen}",
             lambda: read_staged_part(db_dir, part),
-            cfg.word_size, cfg.max_kmer_hits)
+            cfg.word_size, cfg.max_kmer_hits,
+            soft_mask=cfg.subject_soft_mask,
+            complexity=cfg.complexity_filter,
+            protein=cfg.task == "blastp",
+            fold_case=cfg.mask_fold_case)
         rows: list[tuple] = []
         for qid, seq in zip(pdf["qid"].to_numpy(), pdf["seq"].to_numpy()):
             rows.extend(align_query(int(qid), seq, index, cfg))

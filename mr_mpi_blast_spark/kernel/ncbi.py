@@ -158,10 +158,26 @@ def make_ncbi_block_kernel(db_dir: str, cfg: BlastConfig, gen: str,
                 cmd += ["-word_size", str(cfg.word_size),
                         "-reward", str(cfg.reward),
                         "-penalty", str(cfg.penalty)]
+                if cfg.dust is not None:
+                    cmd += ["-dust", cfg.dust]
             else:
                 cmd += ["-matrix", cfg.matrix]
+                if cfg.seg is not None:
+                    cmd += ["-seg", cfg.seg]
+            # F3 masking / seeding options forwarded verbatim
+            # (doc/USERGUIDE:47-50); None = let BLAST+ use its default
+            if cfg.soft_masking is not None:
+                cmd += ["-soft_masking",
+                        "true" if cfg.soft_masking else "false"]
+            if cfg.lcase_masking:
+                cmd += ["-lcase_masking"]
+            if cfg.window_size is not None:
+                cmd += ["-window_size", str(cfg.window_size)]
             if cfg.max_target_seqs > 0:
                 cmd += ["-max_target_seqs", str(cfg.max_target_seqs)]
+            # the reference forwards "most NCBI options" untouched
+            # (doc/USERGUIDE:53-60) — extra_opts is that pass-through
+            cmd += list(cfg.extra_opts)
             res = subprocess.run(cmd, check=True, capture_output=True, text=True)
             return parse_outfmt6(res.stdout)
         finally:
