@@ -91,9 +91,10 @@ class BlastConfig:
 
 # mrblast.ini keys the MR-MPI engine consumed that Spark owns outright
 # (module docstring above): parsed, surfaced in MrBlastRun.ignored,
-# never mapped onto BlastConfig.
+# never mapped onto BlastConfig. LOGENABLED/TIMING are NOT here: they
+# map to the runlog.py per-rank timing facility (W7).
 _SPARK_OWNED = {"VERBOSITY", "TIMER", "MEMSIZE", "OUTOFCORE", "MAPSTYLE",
-                "LOGENABLED", "TIMING", "NUMITER"}
+                "NUMITER"}
 
 
 @dataclass(frozen=True)
@@ -108,6 +109,8 @@ class MrBlastRun:
     db_list_file: str | None = None
     out_prefix: str = "output"
     log_file: str | None = None
+    log_enabled: bool = False      # LOGENABLED -> runlog event lines
+    timing: bool = False           # TIMING -> runlog per-rank timing (W7)
     opt_dump: bool = True
     ignored: dict[str, str] = dataclasses.field(default_factory=dict)
 
@@ -155,6 +158,8 @@ def load_mrblast_ini(path: str,
         db_list_file=_resolve(kv.get("DBLISTFILENAME")),
         out_prefix=kv.get("OUTFILEPREFIX", "output"),
         log_file=kv.get("LOGFNAME"),
+        log_enabled=bool(int(kv.get("LOGENABLED", 0))),
+        timing=bool(int(kv.get("TIMING", 0))),
         opt_dump=bool(int(kv.get("OPTDUMP", 1))),
         ignored={k: v for k, v in kv.items() if k in _SPARK_OWNED},
     )

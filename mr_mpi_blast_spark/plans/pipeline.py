@@ -97,7 +97,8 @@ def staged_parts(spark, db_dir: str) -> DataFrame:
 
 def run_kernel_raw(queries: DataFrame, subjects: DataFrame,
                    cfg: BlastConfig | None = None,
-                   scratch_dir: str | None = None) -> tuple[DataFrame, int]:
+                   scratch_dir: str | None = None,
+                   log_dir: str | None = None) -> tuple[DataFrame, int]:
     """The kernel stage alone: (raw RAW_HITS DataFrame, whole-db residue
     count). Split from run_search so the relational tail (P3-P9 + F1 +
     O2/O3) can be re-derived — and oracle-checked — from persisted raw
@@ -129,6 +130,10 @@ def run_kernel_raw(queries: DataFrame, subjects: DataFrame,
     target = blocked.sparkSession.sparkContext.defaultParallelism
     work = work.repartition(target, F.col("db_part"), F.col("block_id"))
     kernel = make_lazy_block_kernel(db_dir, cfg, gen=str(next(_BROADCAST_GEN)))
+    if log_dir:
+        # W7: per-rank timing log (TIMING=1 analog, mrblast.cpp:900-935)
+        from mr_mpi_blast_spark.runlog import timed_kernel
+        kernel = timed_kernel(kernel, log_dir)
     # db_part FIRST in the grouping key: applyInPandas sorts each task's
     # rows by the grouping columns in order, so any task holding several
     # volumes runs each volume's groups consecutively and the per-worker
@@ -143,11 +148,14 @@ def run_kernel_raw(queries: DataFrame, subjects: DataFrame,
 
 def run_search(queries: DataFrame, subjects: DataFrame,
                cfg: BlastConfig | None = None,
-               scratch_dir: str | None = None) -> DataFrame:
+               scratch_dir: str | None = None,
+               log_dir: str | None = None) -> DataFrame:
     """queries(qid, seq, ...) x subjects(sid|defline, db_part, seq)
-    -> canonical HITS DataFrame."""
+    -> canonical HITS DataFrame. log_dir enables the reference's
+    TIMING per-rank log files (runlog.py)."""
     cfg = cfg or BlastConfig()
-    raw, dbsize, n_seqs = run_kernel_raw(queries, subjects, cfg, scratch_dir)
+    raw, dbsize, n_seqs = run_kernel_raw(queries, subjects, cfg, scratch_dir,
+                                         log_dir=log_dir)
 
     from mr_mpi_blast_spark.kernel.builtin import scoring_params
     hits = project_hits(raw, dbsize=dbsize, classifier=cfg.is_classifier,
