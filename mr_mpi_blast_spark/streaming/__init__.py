@@ -14,10 +14,13 @@ from mr_mpi_blast_spark.streaming.events import (
     sliding_value_stats,
     session_aggregate,
     stateful_user_totals,
+    dedup_stream,
+    dedup_content_stream,
     run_available_now,
 )
 
 __all__ = [
     "read_event_stream", "hourly_counts", "sliding_value_stats",
-    "session_aggregate", "stateful_user_totals", "run_available_now",
+    "session_aggregate", "stateful_user_totals", "dedup_stream",
+    "dedup_content_stream", "run_available_now",
 ]

@@ -134,6 +134,34 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def dedup_stream(events: DataFrame, watermark: str = "2 hours",
+                 keys: tuple[str, ...] = ("event_id",)) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of the batch
+    dedup_exact operator (operators/dedup.py). A batch hash-groupBy
+    can see the whole corpus; a stream must declare a horizon:
+    ``dropDuplicatesWithinWatermark`` keeps the seen-key set bounded
+    by watermark span x key arrival rate, and drops the state as the
+    watermark passes — the only form that survives an unbounded
+    stream."""
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(list(keys)))
+
+
+def dedup_content_stream(events: DataFrame,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Content-digest streaming dedup: md5 over the payload columns
+    (the same digest-not-text rule as the batch exact dedup — state
+    stores 32 hex chars per distinct payload, never the payload).
+    Training-data shape: replace the concat with md5(text) on a
+    document stream."""
+    digest = F.md5(F.concat_ws(
+        "\x1f", F.col("user_id").cast("string"), "event_type",
+        F.format_number(F.col("value"), 6), "props"))
+    return (events.withColumn("content_md5", digest)
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["content_md5"]))
+
+
 def run_available_now(df: DataFrame, query_name: str,
                       output_mode: str = "complete",
                       timeout_s: int = 120) -> DataFrame:

@@ -87,3 +87,42 @@ def test_stateful_user_totals(spark, event_dir):
     multi = (drained.groupBy("user_id").count()
              .filter(F.col("count") > 1).count())
     assert multi > 0
+
+
+def test_dedup_stream_drops_duplicate_keys(spark, tmp_path):
+    """Duplicated event_ids across micro-batches survive exactly once;
+    state is key-based so the first arrival wins."""
+    from mr_mpi_blast_spark.streaming import dedup_stream
+
+    path = str(tmp_path / "dup_events")
+    ev = load_table(spark, SF_DIR, "events").limit(200).cache()
+    # write the same 200 events twice -> two files -> two micro-batches
+    ev.coalesce(1).write.mode("overwrite").parquet(path)
+    ev.coalesce(1).write.mode("append").parquet(path)
+    stream = read_event_stream(spark, path, max_files_per_trigger=1)
+    got = run_available_now(
+        dedup_stream(stream, watermark="60 days"), "t_dedup",
+        output_mode="append")
+    assert got.count() == 200
+    assert got.select("event_id").distinct().count() == 200
+
+
+def test_dedup_content_stream(spark, tmp_path):
+    """Same payload, different event_id -> one survivor per distinct
+    payload digest."""
+    from mr_mpi_blast_spark.streaming import dedup_content_stream
+
+    path = str(tmp_path / "dup_content")
+    ev = load_table(spark, SF_DIR, "events").limit(100)
+    ev.coalesce(1).write.mode("overwrite").parquet(path)
+    # re-emit the same payloads with shifted event_ids
+    (ev.withColumn("event_id", F.col("event_id") + 1_000_000)
+       .coalesce(1).write.mode("append").parquet(path))
+    distinct_payloads = (spark.read.parquet(path)
+                         .select("user_id", "event_type", "value", "props")
+                         .distinct().count())
+    stream = read_event_stream(spark, path, max_files_per_trigger=1)
+    got = run_available_now(
+        dedup_content_stream(stream, watermark="60 days"), "t_dedup_c",
+        output_mode="append")
+    assert got.count() == distinct_payloads
