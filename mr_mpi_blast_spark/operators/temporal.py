@@ -16,6 +16,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def epoch_us(df: DataFrame, ts_col: str):
+    """Exact integer epoch-microseconds for a timestamp column of either
+    flavor. TIMESTAMP_NTZ (what plain ``timestamp[us]`` parquet reads
+    as) has no direct unix_micros; to_utc_timestamp(ntz, 'UTC') is the
+    identity reinterpretation — session-timezone-independent, unlike a
+    bare cast to TIMESTAMP which shifts by the session zone."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return F.unix_micros(F.to_utc_timestamp(F.col(ts_col), "UTC"))
+    return F.unix_micros(F.col(ts_col))
+
+
 def sessionize(events: DataFrame, key_col: str = "user_id",
                ts_col: str = "ts", gap_minutes: float = 30.0,
                tiebreak_col: str = "event_id") -> DataFrame:
@@ -30,10 +41,11 @@ def sessionize(events: DataFrame, key_col: str = "user_id",
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     gap_us = int(gap_minutes * 60 * 1_000_000)
-    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    ts_us = epoch_us(events, ts_col)
+    prev_us = F.lag(ts_us).over(w)
     is_new = F.when(
         prev_us.isNull()
-        | (F.unix_micros(F.col(ts_col)) - prev_us > gap_us),
+        | (ts_us - prev_us > gap_us),
         F.lit(1)).otherwise(F.lit(0))
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return events.withColumn(
