@@ -14,16 +14,35 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 
 def epoch_us(df: DataFrame, ts_col: str):
     """Exact integer epoch-microseconds for a timestamp column of either
-    flavor. TIMESTAMP_NTZ (what plain ``timestamp[us]`` parquet reads
-    as) has no direct unix_micros; to_utc_timestamp(ntz, 'UTC') is the
-    identity reinterpretation — session-timezone-independent, unlike a
-    bare cast to TIMESTAMP which shifts by the session zone."""
-    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
-        return F.unix_micros(F.to_utc_timestamp(F.col(ts_col), "UTC"))
+    flavor, interpreting TIMESTAMP_NTZ wall-clocks as UTC regardless of
+    the session timezone.
+
+    TIMESTAMP_NTZ (what plain ``timestamp[us]`` parquet reads as) has no
+    direct unix_micros, and every implicit NTZ->TIMESTAMP cast goes
+    through the SESSION zone — including inside to_utc_timestamp, whose
+    'UTC' shift would then be a no-op on non-UTC clusters. The
+    tz-independent form: convert_timezone('UTC', session_tz, ntz)
+    renders the wall-clock (read as UTC) in the session zone, so the
+    subsequent session-zone cast lands on exactly the UTC instant —
+    the two session-zone applications cancel for every session
+    timezone, including across DST transitions (modulo the rare
+    ambiguous-wall instants of the session zone itself).
+
+    The column's type is resolved through the analyzer
+    (``df.select(ts_col)``), not a string dtype table, so
+    case-insensitive column resolution works the same here as in every
+    other Spark expression.
+    """
+    resolved = df.select(ts_col).schema[0].dataType
+    if isinstance(resolved, TimestampNTZType):
+        return F.unix_micros(
+            F.convert_timezone(F.lit("UTC"), F.current_timezone(),
+                               F.col(ts_col)).cast("timestamp"))
     return F.unix_micros(F.col(ts_col))
 
 

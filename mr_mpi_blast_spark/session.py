@@ -72,8 +72,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 
     The nanosAsLong conf is set here (runtime-settable) and not only in
     get_spark(): callers may hand us a bare SparkSession they built
-    themselves, and events.parquet carries INT64 TIMESTAMP(NANOS) that
-    Spark refuses to read without it.
+    themselves, and an events.parquet that carries INT64
+    TIMESTAMP(NANOS) cannot be read without it.
+
+    Timestamp encodings seen across driver testdata generations, all
+    handled: TIMESTAMP(NANOS) (surfaced as bigint nanos under
+    nanosAsLong — converted to TIMESTAMP by integer division) and
+    timestamp[us] with isAdjustedToUTC=false (surfaced as
+    TIMESTAMP_NTZ — left as-is: NTZ is the exact analog of an
+    oracle's naive TIMESTAMP, renders timezone-independently, and
+    every consumer goes through operators.temporal.epoch_us for
+    tz-independent epoch arithmetic).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -37,18 +37,87 @@ def test_sessionize_gap_semantics(spark):
 def test_sessionize_property_on_testdata(spark):
     """Within a session every consecutive gap <= 30 min; across a
     session boundary the gap > 30 min."""
+    from mr_mpi_blast_spark.operators.temporal import epoch_us
     ev = load_table(spark, SF, "events")
     s = sessionize(ev, "user_id", "ts", 30.0)
     from pyspark.sql import Window
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = (s.withColumn("gap_us", F.unix_micros("ts")
-                         - F.lag(F.unix_micros("ts")).over(w))
+    us = epoch_us(s, "ts")
+    gaps = (s.withColumn("gap_us", us - F.lag(us).over(w))
             .withColumn("same", F.col("session_seq")
                         == F.lag("session_seq").over(w))
             .filter(F.col("gap_us").isNotNull()))
     bad_in = gaps.filter(F.col("same") & (F.col("gap_us") > 1800_000_000))
     bad_out = gaps.filter(~F.col("same") & (F.col("gap_us") <= 1800_000_000))
     assert bad_in.count() == 0 and bad_out.count() == 0
+
+
+def test_epoch_us_ntz_session_tz_independent(spark):
+    """ADVICE r2: epoch_us on TIMESTAMP_NTZ must interpret the wall
+    clock as UTC under EVERY session timezone — including across a DST
+    transition of the session zone (America/Los_Angeles springs forward
+    2024-03-10 02:00). The old to_utc_timestamp form was a no-op shift
+    that leaked the session zone into the epoch values."""
+    from mr_mpi_blast_spark.operators.temporal import epoch_us
+
+    walls = [dt.datetime(2024, 3, 10, h, 30) for h in (0, 1, 2, 3, 9)]
+    ntz = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(walls)], "id int, ts timestamp_ntz")
+    expected = [int(w.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+                for w in walls]
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        per_tz = {}
+        for tz in ("UTC", "America/Los_Angeles", "Asia/Kathmandu"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            rows = (ntz.select("id", epoch_us(ntz, "ts").alias("us"))
+                    .orderBy("id").collect())
+            per_tz[tz] = [r.us for r in rows]
+        assert per_tz["UTC"] == expected
+        assert per_tz["America/Los_Angeles"] == expected
+        assert per_tz["Asia/Kathmandu"] == expected
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_sessionize_ntz_dst_straddle_tz_independent(spark):
+    """Sessionize over NTZ events whose gaps straddle a session-zone DST
+    jump: session_seq must be identical under UTC and LA timezones (the
+    31-minute gap at 01:45->02:16 wall is > 30 min in UTC-interpreted
+    micros; a session-zone leak would see 1:31 or -0:29)."""
+    walls = [dt.datetime(2024, 3, 10, 1, 0),
+             dt.datetime(2024, 3, 10, 1, 45),   # 45 min: new session
+             dt.datetime(2024, 3, 10, 2, 16),   # 31 min: new session
+             dt.datetime(2024, 3, 10, 2, 40)]   # 24 min: same session
+    ev = spark.createDataFrame(
+        [(1, i, w) for i, w in enumerate(walls)],
+        "user_id int, event_id int, ts timestamp_ntz")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        per_tz = {}
+        for tz in ("UTC", "America/Los_Angeles"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            per_tz[tz] = {r.event_id: r.session_seq
+                          for r in sessionize(ev, gap_minutes=30.0).collect()}
+        assert per_tz["UTC"] == {0: 1, 1: 2, 2: 3, 3: 3}
+        assert per_tz["America/Los_Angeles"] == per_tz["UTC"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_epoch_us_case_insensitive_column(spark):
+    """ADVICE r2 (low): ts_col written in a different case than the
+    schema must still hit the NTZ branch — Spark column resolution is
+    case-insensitive, so the dtype lookup must be too."""
+    from mr_mpi_blast_spark.operators.temporal import epoch_us
+
+    ntz = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12, 0))], "id int, ts timestamp_ntz")
+    want = int(dt.datetime(2024, 1, 1, 12, 0,
+                           tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    got = ntz.select(epoch_us(ntz, "TS").alias("us")).first().us
+    assert got == want
 
 
 def test_asof_join_edges(spark):
