@@ -616,7 +616,7 @@ def q_doc_train_split(spark, sf_dir):
 
 _SHINGLE_N = 10
 _JAC_TAU = 0.8
-_NUM_HASHES = 32
+_NUM_HASHES = 64
 _BANDS = 16
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -665,14 +665,17 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 @query("dedup_minhash_lsh", _NGRAM_JACCARD_SQL)
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(32) + LSH(16 bands x 2) candidates, exact-Jaccard
+    """MinHash(64) + LSH(16 bands x 4) candidates, exact-Jaccard
     verify >= 0.8. Same output contract as the exact query — the
-    oracle IS the exact computation. 2-row bands keep candidates
-    selective (1-row bands collide on any shared popular shingle:
-    2.7M candidate pairs at sf0.1 vs ~40k); 16 bands keep recall —
-    a pair at the 0.8 threshold itself is missed with
-    p = (1-0.8^2)^16 < 1e-7 (verified pair-identical to the exact
-    query at sf0.001/0.01/0.1)."""
+    oracle IS the exact computation. 4-row bands keep candidates
+    output-sized on template-heavy corpora: with 2-row bands every
+    moderately-similar pair collides (P(cand|s)=1-(1-s^2)^16 = 0.99
+    at s=0.5 -> 79k candidate pairs at sf0.1, verify-join bound);
+    at r=4 the same corpus yields ~420 candidates. 16 bands keep
+    recall at the threshold: a pair at s=0.8 is missed with
+    (1-0.8^4)^16 = 2e-4, and the corpus's weakest true pair
+    (s=0.83) with 3e-5 (verified pair-identical to the exact query
+    at sf0.001/0.01/0.1)."""
     from mr_mpi_blast_spark.operators.dedup import minhash_lsh_pairs
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
                              _SHINGLE_N, _JAC_TAU,
