@@ -953,6 +953,13 @@ def q_text_fingerprint(spark, sf_dir):
 
 def _blast_cfg():
     from mr_mpi_blast_spark.config import BlastConfig
+    # block_size sets kernel-task granularity only (results are
+    # per-(query,subject), invariant to blocking). 20000 bp keeps
+    # blocks-per-volume low so each kernel task amortizes its volume's
+    # subject-index build over many queries — the reference's BLOCKSIZE
+    # trade (doc/USERGUIDE:498-506): smaller blocks raise parallelism
+    # but multiply per-task DB-open cost (measured 13.2s vs 5.8s at
+    # sf0.1 for 6000 vs 20000).
     return BlastConfig(task="blastp", word_size=16, evalue=1e-3,
                        block_size=20000, num_hit_cutoff=10, max_kmer_hits=128)
 
