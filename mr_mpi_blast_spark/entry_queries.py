@@ -7,6 +7,7 @@ file:line it re-expresses.
 
 from __future__ import annotations
 
+import hashlib
 import os
 from collections.abc import Callable
 
@@ -682,6 +683,42 @@ def q_dedup_minhash_lsh(spark, sf_dir):
                              num_hashes=_NUM_HASHES, bands=_BANDS)
 
 
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
+sym AS (SELECT da AS a, db AS b FROM pairs
+        UNION ALL SELECT db, da FROM pairs),
+reach(node, lab) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+)
+SELECT node AS doc_id, min(lab) AS cluster, count(*) AS reach_n
+FROM reach GROUP BY node
+"""
+
+
+@query("dedup_clusters", _DEDUP_CLUSTERS_SQL)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup canonicalization: connected components over the
+    verified >= 0.8 Jaccard pair graph — every doc in a component maps
+    to the component's min doc_id (the keeper). Spark side: MinHash+LSH
+    pairs (pair-identical to the exact computation) -> iterative
+    min-label propagation, O(diameter) shuffle rounds over the
+    output-sized edge list. Oracle: DuckDB recursive CTE transitive
+    closure over the exact pairs. reach_n (component's reachable-set
+    size per node = component size) pins that propagation fully
+    converged, not just that labels agree."""
+    from mr_mpi_blast_spark.operators.dedup import (connected_components,
+                                                    minhash_lsh_pairs)
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                              _SHINGLE_N, _JAC_TAU,
+                              num_hashes=_NUM_HASHES, bands=_BANDS)
+    comp = connected_components(pairs, "da", "db")
+    size = comp.groupBy("cluster").agg(F.count(F.lit(1)).alias("reach_n"))
+    return (comp.join(size, "cluster")
+            .select(F.col("node").alias("doc_id"), "cluster", "reach_n"))
+
+
 _SIMHASH_CTE = f"""
 WITH tok AS (
   SELECT doc_id, unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS tok
@@ -1037,6 +1074,168 @@ def q_blast_pipeline(spark, sf_dir):
 
     raw, dbsize, n_seqs = _blast_raw(spark, sf_dir)
     return search_from_raw(raw, dbsize, n_seqs, _blast_cfg())
+
+
+@query("salted_part_revenue", """
+SELECT p_brand, count(*) AS n, round(sum(l_extendedprice), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""")
+def q_salted_part_revenue(spark, sf_dir):
+    """Skew-mitigated fact x dim join (the planned analog of the
+    reference's histogram-balanced key routing, mrblast.cpp:556-575):
+    lineitem rows are salted by a deterministic row hash, part is
+    replicated once per salt value, and the join runs on (key, salt)
+    so a hot part key spreads across 8 tasks instead of one. The
+    oracle is the plain join — salting changes placement, never
+    rows."""
+    from mr_mpi_blast_spark.operators.skew import salted_join
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = salted_join(li, p, "l_partkey", "p_partkey",
+                    row_key="l_orderkey", salt_mod=8)
+    return (j.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("revenue")))
+
+
+_BIGRAMS_SQL = f"""
+WITH w AS (SELECT source, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+bg AS (
+  SELECT source, unnest(list_transform(range(1, len(ws)),
+                                       i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+  FROM w),
+cnt AS (SELECT source, bigram, count(*) AS n FROM bg GROUP BY source, bigram),
+rk AS (SELECT source, bigram, n,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY n DESC, bigram) AS rank
+       FROM cnt)
+SELECT source, bigram, n, rank FROM rk WHERE rank <= 5
+"""
+
+
+@query("text_ngram_topk", _BIGRAMS_SQL)
+def q_text_ngram_topk(spark, sf_dir):
+    """Top-5 word bigrams per source — the n-gram statistics primitive
+    of corpus analysis (language-model tables, boilerplate detection).
+    Explode-count-rank: two-phase hash aggregate on (source, bigram),
+    then the same WindowGroupLimit top-k plan as topk_per_group.
+    Deterministic ties: (count desc, bigram asc)."""
+    docs = _t(spark, sf_dir, "documents")
+    from mr_mpi_blast_spark.functions.hashing import normalized_text
+    ws = F.split(normalized_text(F.col("text")), " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
+    bg = (docs.select("source", ws.alias("ws"))
+          .select("source", F.explode(bigrams).alias("bigram")))
+    cnt = bg.groupBy("source", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(),
+                                             F.col("bigram").asc())
+    return (cnt.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5))
+
+
+@query("stratified_sample", """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents) t
+WHERE rn <= ceil(0.1 * n)
+""")
+def q_stratified_sample(spark, sf_dir):
+    """Exact-fraction stratified sampling: 10% per source stratum,
+    chosen by md5 rank — deterministic (reruns pick the same rows,
+    unlike sample()), exact per-stratum counts (unlike Bernoulli
+    sampleBy), one shuffle on the stratum key."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    wn = Window.partitionBy("source")
+    return (docs.select(
+        "doc_id", "source",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+        .filter(F.col("rn") <= F.ceil(0.1 * F.col("n")))
+        .select("doc_id", "source"))
+
+
+_QF_NORM = _NORM_SQL
+_QF_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         length({_QF_NORM}) AS n_chars_norm,
+         len(string_split({_QF_NORM}, ' ')) AS n_words,
+         length(regexp_replace({_QF_NORM}, '[^a-z ]', '', 'g')) * 1.0
+           / greatest(length({_QF_NORM}), 1) AS alpha_ratio
+  FROM documents)
+SELECT doc_id, n_words,
+       floor(alpha_ratio * 1e4 + 0.5) / 1e4 AS alpha_ratio,
+       CASE WHEN n_words < 10 THEN 'too_short'
+            WHEN alpha_ratio < 0.6 THEN 'low_alpha'
+            ELSE 'keep' END AS verdict
+FROM s
+"""
+
+
+@query("quality_filter", _QF_SQL)
+def q_quality_filter(spark, sf_dir):
+    """Quality-filter verdict per document (the keep/drop gate of a
+    training-data pipeline) with reason codes: word count and
+    alphabetic-character ratio over normalized text, thresholds as
+    pure column expressions — JVM-side, shuffle-free, same rendering
+    on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    from mr_mpi_blast_spark.functions.hashing import normalized_text
+    norm = normalized_text(F.col("text"))
+    n_words = F.size(F.split(norm, " "))
+    alpha = (F.length(F.regexp_replace(norm, "[^a-z ]", ""))
+             / F.greatest(F.length(norm), F.lit(1)))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (F.floor(alpha * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4))
+        .alias("alpha_ratio"),
+        F.when(n_words < 10, F.lit("too_short"))
+         .when(alpha < 0.6, F.lit("low_alpha"))
+         .otherwise(F.lit("keep")).alias("verdict"))
+
+
+@query("bucketed_orders_join", """
+SELECT o_custkey AS custkey, c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey, c_mktsegment
+""")
+def q_bucketed_orders_join(spark, sf_dir):
+    """Co-located join via bucketed tables (the durable form of the
+    reference's pay-the-shuffle-once placement, mapreduce.cpp:406-570):
+    orders and customer are bucketed+sorted on the customer key at
+    write time (content-addressed, amortized over every later query),
+    so the sort-merge join AND the per-customer aggregate run with no
+    exchange and no sort — asserted in tests/test_bucketing.py by
+    scanning the physical plan. The oracle is the plain join: bucketing
+    changes the plan, never the result."""
+    from mr_mpi_blast_spark.operators.bucketing import (colocated_join,
+                                                        ensure_bucketed_table)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+    def ck(name):
+        st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+        return f"{sf_dir}/{name}:{st.st_mtime_ns}:{st.st_size}"
+
+    ot = ensure_bucketed_table(
+        spark, lambda: _t(spark, sf_dir, "orders"),
+        f"sg_orders_{tag}", "o_custkey", 8, ck("orders"))
+    ct = ensure_bucketed_table(
+        spark, lambda: _t(spark, sf_dir, "customer"),
+        f"sg_customer_{tag}", "c_custkey", 8, ck("customer"))
+    j = colocated_join(spark, ot, ct, "o_custkey", "c_custkey")
+    return (j.groupBy(F.col("o_custkey").alias("custkey"), "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 4).alias("total")))
 
 
 @query("multivalue_sort", """

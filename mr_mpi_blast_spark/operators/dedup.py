@@ -178,6 +178,54 @@ def minhash_lsh_pairs(df: DataFrame, n: int, threshold: float,
             .select("da", "db", "jac"))
 
 
+def connected_components(edges: DataFrame, src: str = "da",
+                         dst: str = "db", max_iter: int = 50) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the
+    canonicalization step of a dedup pipeline: every document in a
+    component keeps/points to the component's minimum id.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup components are near-cliques,
+    so typically 2-3). Each round is ONE shuffle join on the edge list
+    plus a min-aggregate — the edge list is output-sized (number of
+    dup pairs), never corpus-sized, so at 100 TB this iterates over
+    megabytes, not the corpus. Lineage is truncated per round
+    (localCheckpoint) so the plan stays flat; on a cluster point
+    spark.checkpoint.dir at shared storage and swap to checkpoint().
+
+    Output: (node, cluster) for every node that appears in an edge.
+    (Isolated documents are their own cluster by definition and are
+    not re-emitted — callers left-join and coalesce to doc_id.)
+    """
+    a, b = F.col(src).alias("a"), F.col(dst).alias("b")
+    # materialize the edge list ONCE — every propagation round joins
+    # it, and without truncation each round would re-run the whole
+    # upstream candidate/verify pipeline that produced the pairs
+    sym = edges.select(a, b).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("lab", F.col("node")))
+    for _ in range(max_iter):
+        neigh = (sym.join(labels.select(F.col("node").alias("b"),
+                                        F.col("lab").alias("nlab")), "b")
+                 .groupBy("a").agg(F.min("nlab").alias("minn")))
+        new = (labels.join(neigh.select(F.col("a").alias("node"), "minn"),
+                           "node", "left")
+               .select("node",
+                       F.least(F.col("lab"),
+                               F.coalesce(F.col("minn"), F.col("lab")))
+                       .alias("lab"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n").join(labels.alias("o"), "node")
+                   .filter(F.col("n.lab") != F.col("o.lab")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lab").alias("cluster"))
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over distinct whitespace tokens.

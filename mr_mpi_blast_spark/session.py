@@ -47,6 +47,12 @@ def get_spark(app_name: str = "mr_mpi_blast_spark",
         # events.parquet carries TIMESTAMP(NANOS) which Spark has no
         # native type for; read as long and convert (see load_events).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # honor SORTED BY metadata of bucketed scans when each bucket
+        # is a single file (operators/bucketing.py writes exactly
+        # that), so co-located joins skip the per-task Sort too —
+        # off by default since 3.0 only because the file-count check
+        # costs a listing on huge tables.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
