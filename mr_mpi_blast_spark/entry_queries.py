@@ -894,6 +894,43 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(e.filter(F.col("vec_id") % 20 == 0), e, cents, k=3)
 
 
+@query("ann_ivf_nprobe2", """
+WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
+ranks AS (
+  SELECT v.vec_id, c.cid,
+         row_number() OVER (PARTITION BY v.vec_id
+           ORDER BY floor(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) * 1e6 + 0.5) / 1e6 DESC, c.cid) AS r
+  FROM embeddings v CROSS JOIN cent c),
+assign AS (SELECT vec_id, cid FROM ranks WHERE r = 1),
+qassign AS (SELECT vec_id, cid FROM ranks WHERE r <= 2),
+q AS (SELECT e.vec_id AS qid, e.embedding, a.cid
+      FROM embeddings e JOIN qassign a ON e.vec_id = a.vec_id
+      WHERE e.vec_id % 20 = 0),
+c AS (SELECT e.vec_id AS nid, e.embedding, a.cid
+      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+scored AS (
+  SELECT q.qid, c.nid,
+         floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) * 1e6 + 0.5) / 1e6 AS cos6
+  FROM q JOIN c ON q.cid = c.cid AND q.qid != c.nid
+), ranked AS (
+  SELECT qid, nid, cos6,
+         row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid) AS rank
+  FROM scored)
+SELECT qid, nid, floor(cos6 * 1e4 + 0.5) / 1e4 AS cos, rank FROM ranked WHERE rank <= 3
+""")
+def q_ann_ivf_nprobe2(spark, sf_dir):
+    """IVF nprobe=2: queries fan out to their TWO nearest centroid
+    buckets (corpus vectors still live in exactly one) — the classic
+    IVF recall/latency dial, O(Q x 2N/C), still a bucket equi-join.
+    Deterministic end-to-end, replayed exactly by the oracle."""
+    from mr_mpi_blast_spark.operators.similarity import ivf_topk
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding")
+    return ivf_topk(e.filter(F.col("vec_id") % 20 == 0), e, cents, k=3,
+                    nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (functions/text.py)
 # ---------------------------------------------------------------------------

@@ -99,9 +99,12 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
 
 def ivf_assign(vectors: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               cent_id: str = "cid") -> DataFrame:
-    """Assign each vector to its max-cosine centroid (tie: lowest cid).
-    Output: (vec_id, cid). The centroid table is tiny -> broadcast."""
+               cent_id: str = "cid", nprobe: int = 1) -> DataFrame:
+    """Assign each vector to its ``nprobe`` max-cosine centroids
+    (tie: lowest cid). Output: (vec_id, cid) — one row per probe.
+    The centroid table is tiny -> broadcast. Corpus vectors index with
+    nprobe=1 (each lives in ONE bucket); query-side callers pass
+    nprobe>1 to widen the search fan-out without touching the index."""
     v = _vec(vectors, id_col, vec_col, "v")
     cv = F.col(vec_col).cast("array<double>")
     c = centroids.select(F.col(cent_id).alias("cid"), cv.alias("cvec"),
@@ -112,23 +115,28 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
                   F.col("vnorm"), F.col("cnorm")))))
     w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (scored.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
+            .filter(F.col("r") <= nprobe)
             .select(F.col("vid").alias(id_col), "cid"))
 
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
              k: int, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
-    """IVF nprobe=1 ANN: search only the query's centroid bucket.
+             vec_col: str = "embedding", nprobe: int = 1) -> DataFrame:
+    """IVF ANN: search the query's ``nprobe`` nearest centroid buckets.
 
     Deterministic by construction (centroid init is caller-provided,
     e.g. first C vectors), so an oracle can replay it exactly. At
-    scale this turns the O(Q x N) cross join into O(Q x N/C) — the
-    bucket join is an equi-join on cid. Recall < 1 by design.
+    scale this turns the O(Q x N) cross join into O(Q x nprobe x N/C)
+    — the bucket join is an equi-join on cid. Recall < 1 by design and
+    rises with nprobe (the classic IVF recall/latency dial); a
+    neighbor can never appear twice, because corpus vectors live in
+    exactly one bucket regardless of nprobe.
     Output: (qid, nid, cos, rank)."""
     assign = ivf_assign(corpus, centroids, id_col, vec_col)
+    q_assign = ivf_assign(queries, centroids, id_col, vec_col,
+                          nprobe=nprobe) if nprobe > 1 else assign
     q = _vec(queries, id_col, vec_col, "q").join(
-        assign.withColumnRenamed(id_col, "qid"), "qid")
+        q_assign.withColumnRenamed(id_col, "qid"), "qid")
     c = _vec(corpus, id_col, vec_col, "n").join(
         assign.withColumnRenamed(id_col, "nid"), "nid")
     pairs = (q.join(c, "cid")
