@@ -9,6 +9,7 @@ and a custom stateful operator via applyInPandasWithState.
 """
 
 from mr_mpi_blast_spark.streaming.events import (
+    click_error_interval_join,
     read_event_stream,
     hourly_counts,
     sliding_value_stats,
@@ -23,4 +24,5 @@ __all__ = [
     "read_event_stream", "hourly_counts", "sliding_value_stats",
     "session_aggregate", "stateful_user_totals", "dedup_stream",
     "dedup_content_stream", "run_available_now",
+    "click_error_interval_join",
 ]

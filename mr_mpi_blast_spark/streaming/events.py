@@ -162,6 +162,38 @@ def dedup_content_stream(events: DataFrame,
             .dropDuplicatesWithinWatermark(["content_md5"]))
 
 
+def click_error_interval_join(clicks: DataFrame, errors: DataFrame,
+                              horizon: str = "1 hour",
+                              watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: each click pairs with the same
+    user's errors in the preceding ``horizon`` (the streaming
+    counterpart of the batch as-of family — here ALL in-horizon
+    matches, not just the latest, because a stream can't know a later
+    error won't arrive until the watermark passes).
+
+    Both sides carry watermarks and the join condition time-bounds the
+    match window, so Spark can evict buffered rows once the watermark
+    clears them — state is O(arrival rate x horizon) per side, finite
+    on an unbounded stream. Works identically on batch DataFrames
+    (watermarks are no-ops there): the parity test runs the same
+    function both ways and compares."""
+    c = clicks.select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts"))
+    e = errors.select(F.col("user_id").alias("e_user"),
+                      F.col("event_id").alias("err_id"),
+                      F.col("ts").alias("e_ts"))
+    if clicks.isStreaming:
+        c = c.withWatermark("c_ts", watermark)
+        e = e.withWatermark("e_ts", watermark)
+    cond = ((F.col("c_user") == F.col("e_user"))
+            & (F.col("e_ts") <= F.col("c_ts"))
+            & (F.col("e_ts") >= F.col("c_ts") - F.expr(f"INTERVAL {horizon}")))
+    return (c.join(e, cond)
+            .select("click_id", F.col("c_user").alias("user_id"),
+                    "c_ts", "err_id", "e_ts"))
+
+
 def run_available_now(df: DataFrame, query_name: str,
                       output_mode: str = "complete",
                       timeout_s: int = 120) -> DataFrame:

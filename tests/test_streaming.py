@@ -126,3 +126,29 @@ def test_dedup_content_stream(spark, tmp_path):
         dedup_content_stream(stream, watermark="60 days"), "t_dedup_c",
         output_mode="append")
     assert got.count() == distinct_payloads
+
+
+def test_interval_join_stream_batch_parity(spark, event_dir):
+    """Stream-stream interval join drains to exactly the batch join's
+    rows: every click paired with the same user's errors in the
+    preceding hour."""
+    from mr_mpi_blast_spark.streaming import (click_error_interval_join,
+                                              read_event_stream)
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    # watermark spans the whole fixture: the files arrive unordered, so
+    # a short horizon would (correctly, for a stream) evict rows that
+    # the all-at-once batch join still sees — parity needs the horizon
+    # to cover the data span
+    sj = click_error_interval_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "error"),
+        watermark="90 days")
+    got = run_available_now(sj, "interval_join_t", output_mode="append")
+
+    batch = spark.read.parquet(event_dir)
+    bj = click_error_interval_join(
+        batch.filter(F.col("event_type") == "click"),
+        batch.filter(F.col("event_type") == "error"))
+    assert bj.count() > 0
+    assert got.exceptAll(bj).count() == 0
+    assert bj.exceptAll(got).count() == 0
