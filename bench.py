@@ -70,6 +70,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # the catalog GROWS round over round — compare totals only over
+        # the intersection of query names (scripts/bench_delta.py does
+        # this); n_queries makes the growth visible next to the total
+        "n_queries": len(timings),
         "correctness_only": sorted(CORRECTNESS_ONLY),
     }))
 
