@@ -1,0 +1,72 @@
+"""Semantics tests for the round-3 operators: connected components
+(deep chains, multiple components), salted join (row multiplicity),
+and quality-filter thresholds — edges the corpus oracle queries don't
+reach (near-dup components in the testdata are near-cliques; real
+chains need diameter > 2 to exercise convergence)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mr_mpi_blast_spark.operators.dedup import connected_components
+from mr_mpi_blast_spark.operators.skew import salted_join
+
+
+def test_cc_path_graph_converges(spark):
+    """A 6-node path (diameter 5) needs several propagation rounds —
+    min label must still reach every node."""
+    edges = spark.createDataFrame(
+        [Row(da=i, db=i + 1) for i in range(10, 15)])
+    got = {r.node: r.cluster
+           for r in connected_components(edges, "da", "db").collect()}
+    assert got == {i: 10 for i in range(10, 16)}
+
+
+def test_cc_multiple_components_and_determinism(spark):
+    edges = spark.createDataFrame([
+        Row(da=1, db=2), Row(da=2, db=3),     # component min=1
+        Row(da=7, db=9),                       # component min=7
+        Row(da=20, db=21), Row(da=21, db=20),  # dup/reversed edges
+    ])
+    got = {r.node: r.cluster
+           for r in connected_components(edges, "da", "db").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 20: 20, 21: 20}
+    again = {r.node: r.cluster
+             for r in connected_components(edges, "da", "db").collect()}
+    assert again == got
+
+
+def test_salted_join_preserves_multiplicity(spark):
+    """Salting must reproduce the plain join exactly — including
+    duplicate fact rows for the same key (exceptAll is bag
+    semantics)."""
+    fact = spark.createDataFrame(
+        [Row(fk=1, rid=i, v=float(i)) for i in range(20)]   # hot key 1
+        + [Row(fk=2, rid=100, v=1.0)])
+    dim = spark.createDataFrame([Row(dk=1, name="a"), Row(dk=2, name="b")])
+    salted = salted_join(fact, dim, "fk", "dk", row_key="rid", salt_mod=4)
+    plain = fact.join(dim, fact.fk == dim.dk)
+    assert salted.count() == 21
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_quality_filter_thresholds(spark):
+    """Boundary semantics: exactly 10 words is kept (< 10 drops);
+    alpha ratio below 0.6 flags low_alpha; precedence too_short first."""
+    from mr_mpi_blast_spark.entry_queries import q_quality_filter
+    import mr_mpi_blast_spark.entry_queries as eq
+
+    rows = [
+        Row(doc_id=1, text="one two three four five six seven eight nine ten"),
+        Row(doc_id=2, text="only nine words here so it is too short"),
+        Row(doc_id=3, text="1 2 3 4 5 6 7 8 9 10 11 12"),  # digits: low alpha
+    ]
+    df = spark.createDataFrame(rows)
+    orig = eq._t
+    try:
+        eq._t = lambda spark_, sf_, name: df
+        got = {r.doc_id: r.verdict
+               for r in q_quality_filter(spark, "unused").collect()}
+    finally:
+        eq._t = orig
+    assert got == {1: "keep", 2: "too_short", 3: "low_alpha"}
