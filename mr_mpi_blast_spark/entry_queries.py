@@ -785,6 +785,37 @@ def q_embedding_near_dup(spark, sf_dir):
     return cosine_pairs_auto(_t(spark, sf_dir, "embeddings"), tau=0.45)
 
 
+@query("embedding_clusters", """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1e4 + 0.5) / 1e4 >= 0.45
+),
+sym AS (SELECT va AS a, vb AS b FROM pairs UNION ALL SELECT vb, va FROM pairs),
+reach(node, lab) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+)
+SELECT node AS vec_id, min(lab) AS cluster, count(*) AS reach_n
+FROM reach GROUP BY node
+""")
+def q_embedding_clusters(spark, sf_dir):
+    """Semantic dedup canonicalization: connected components over the
+    embedding-cosine near-dup graph — same CC operator as
+    dedup_clusters, different similarity modality (the two compose:
+    text LSH catches verbatim templates, embedding cosine catches
+    paraphrases). Edge list is output-sized; oracle is the recursive
+    transitive closure with per-node component size."""
+    from mr_mpi_blast_spark.operators.dedup import connected_components
+    from mr_mpi_blast_spark.operators.similarity import cosine_pairs_auto
+    pairs = cosine_pairs_auto(_t(spark, sf_dir, "embeddings"), tau=0.45)
+    comp = connected_components(pairs, "va", "vb")
+    size = comp.groupBy("cluster").agg(F.count(F.lit(1)).alias("reach_n"))
+    return (comp.join(size, "cluster")
+            .select(F.col("node").alias("vec_id"), "cluster", "reach_n"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns (operators/multimodal.py): binary payloads + typed
 # metadata; decode runs as Arrow-batched mapInPandas with a pluggable
