@@ -1271,6 +1271,57 @@ def q_quality_filter(spark, sf_dir):
          .otherwise(F.lit("keep")).alias("verdict"))
 
 
+_CURATION_SQL = """
+WITH q AS (
+  SELECT doc_id, text, n_chars,
+         len(string_split({norm}, ' ')) AS n_words,
+         length(regexp_replace({norm}, '[^a-z ]', '', 'g')) * 1.0
+           / greatest(length({norm}), 1) AS alpha_ratio
+  FROM documents),
+kept AS (
+  SELECT * FROM q WHERE n_words >= 10 AND alpha_ratio >= 0.6),
+dedup AS (
+  SELECT min(doc_id) AS doc_id, any_value(n_chars) AS n_chars
+  FROM kept GROUP BY md5(text)),
+split AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN {bucket} < 8000 THEN 'train'
+              WHEN {bucket} < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM dedup)
+SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM split GROUP BY split
+""".format(
+    norm="trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))",
+    bucket="(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)")
+
+
+@query("corpus_curation", _CURATION_SQL)
+def q_corpus_curation(spark, sf_dir):
+    """The end-to-end curation pipeline a training-data user actually
+    runs, composed from this engine's operators: quality gate (word
+    count + alpha ratio) -> exact dedup (min-id keeper per content
+    hash; n_chars rides along via any_value, constant within a
+    content group) -> deterministic train/val/test split -> per-split
+    corpus stats. Every stage is shuffle-minimal: one hash aggregate
+    for dedup, pure expressions elsewhere."""
+    from mr_mpi_blast_spark.functions.hashing import normalized_text
+    from mr_mpi_blast_spark.operators.sampling import deterministic_split
+    docs = _t(spark, sf_dir, "documents")
+    norm = normalized_text(F.col("text"))
+    n_words = F.size(F.split(norm, " "))
+    alpha = (F.length(F.regexp_replace(norm, "[^a-z ]", ""))
+             / F.greatest(F.length(norm), F.lit(1)))
+    kept = docs.filter((n_words >= 10) & (alpha >= 0.6))
+    dedup = (kept.groupBy(F.md5("text"))
+             .agg(F.min("doc_id").alias("doc_id"),
+                  F.any_value("n_chars").alias("n_chars")))
+    split = deterministic_split(dedup, "doc_id")
+    return (split.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
 @query("bucketed_orders_join", """
 SELECT o_custkey AS custkey, c_mktsegment, count(*) AS n_orders,
        round(sum(o_totalprice), 4) AS total
