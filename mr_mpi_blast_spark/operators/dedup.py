@@ -184,12 +184,16 @@ def connected_components(edges: DataFrame, src: str = "da",
     canonicalization step of a dedup pipeline: every document in a
     component keeps/points to the component's minimum id.
 
-    Iterative min-label propagation: each round every node takes the
-    minimum label among itself and its neighbors; converges in
-    O(component diameter) rounds (near-dup components are near-cliques,
-    so typically 2-3). Each round is ONE shuffle join on the edge list
-    plus a min-aggregate — the edge list is output-sized (number of
-    dup pairs), never corpus-sized, so at 100 TB this iterates over
+    Iterative min-label propagation with pointer jumping: each round
+    every node takes the minimum label among itself and its neighbors
+    (one shuffle join on the edge list + a min-aggregate), then
+    shortcuts through its current label's own label (lab := lab[lab],
+    one join on the label table). Neighbor propagation alone needs
+    O(component diameter) rounds; the jump step halves the effective
+    pointer depth each round, giving O(log n) worst-case even on long
+    chains — near-dup components are near-cliques, so typically 2-3
+    rounds either way. The edge list is output-sized (number of dup
+    pairs), never corpus-sized, so at 100 TB this iterates over
     megabytes, not the corpus. Lineage is truncated per round
     (localCheckpoint) so the plan stays flat; on a cluster point
     spark.checkpoint.dir at shared storage and swap to checkpoint().
@@ -216,7 +220,14 @@ def connected_components(edges: DataFrame, src: str = "da",
                .select("node",
                        F.least(F.col("lab"),
                                F.coalesce(F.col("minn"), F.col("lab")))
-                       .alias("lab"))
+                       .alias("lab")))
+        # pointer jump: follow the label's own label (labels only ever
+        # decrease, so lab[lab] <= lab; missing lookup = already a root)
+        jump = new.select(F.col("node").alias("_jn"),
+                          F.col("lab").alias("_jlab"))
+        new = (new.join(jump, new["lab"] == jump["_jn"], "left")
+               .select("node",
+                       F.coalesce("_jlab", "lab").alias("lab"))
                .localCheckpoint(eager=True))
         changed = (new.alias("n").join(labels.alias("o"), "node")
                    .filter(F.col("n.lab") != F.col("o.lab")).count())
