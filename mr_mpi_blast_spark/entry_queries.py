@@ -1217,17 +1217,14 @@ def q_stratified_sample(spark, sf_dir):
     """Exact-fraction stratified sampling: 10% per source stratum,
     chosen by md5 rank — deterministic (reruns pick the same rows,
     unlike sample()), exact per-stratum counts (unlike Bernoulli
-    sampleBy), one shuffle on the stratum key."""
+    sampleBy). Hierarchical rank (md5-prefix buckets + driver prefix
+    scan of bucket counts), so no stratum ever funnels through one
+    window task — the oracle's row_number form is the semantic spec,
+    not the physical plan."""
+    from mr_mpi_blast_spark.operators.sampling import stratified_sample_exact
     docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
-    wn = Window.partitionBy("source")
-    return (docs.select(
-        "doc_id", "source",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"))
-        .filter(F.col("rn") <= F.ceil(0.1 * F.col("n")))
-        .select("doc_id", "source"))
+    return (stratified_sample_exact(docs, "source", "doc_id", 0.1)
+            .select("doc_id", "source"))
 
 
 _QF_NORM = _NORM_SQL

@@ -61,3 +61,52 @@ def deterministic_sample(df: DataFrame, id_col: str,
         raise ValueError("fraction must be in [0, 1]")
     return df.filter(id_bucket(F.col(id_col))
                      < F.lit(int(round(fraction * _BUCKETS))))
+
+
+def stratified_sample_exact(df: DataFrame, stratum_col: str, id_col: str,
+                            frac: float, n_buckets: int = 256) -> DataFrame:
+    """Exact-count stratified sample: the ceil(frac * |stratum|) rows
+    with the smallest md5(id) per stratum — deterministic, exact per-
+    stratum counts, and NO per-stratum global window.
+
+    A naive row_number() OVER (PARTITION BY stratum ORDER BY md5) puts
+    each stratum's entire row set through ONE task — fatal when a
+    stratum is corpus-sized. Hierarchical form instead (the same shape
+    as blocks.ordered_prefix_sum): bucket rows by an md5 PREFIX (hex
+    order == numeric order, so bucket order is consistent with the full
+    md5 sort), count per (stratum, bucket) — a parallel metadata-sized
+    aggregate — prefix-scan the counts on the driver (O(strata x
+    buckets) rows), then rank = bucket offset + row_number within the
+    (stratum, bucket) window only. Every window partition is
+    ~|stratum|/n_buckets rows regardless of corpus size.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    # 4 hex chars = 65536 values, split into n_buckets ranges
+    width = max(1, 65536 // n_buckets)
+    q = (df.withColumn("_h", h)
+         .withColumn("_hb", (F.conv(F.substring("_h", 1, 4), 16, 10)
+                             .cast("long") / width).cast("long")))
+    counts = (q.groupBy(stratum_col, "_hb")
+              .agg(F.count(F.lit(1)).alias("_c")))
+    rows = counts.collect()  # O(strata x buckets): plan-sized metadata
+    per_stratum: dict = {}
+    for r in rows:
+        per_stratum.setdefault(r[0], []).append((r[1], r[2]))
+    offsets, totals = [], {}
+    for s, bs in per_stratum.items():
+        acc = 0
+        for b, c in sorted(bs):
+            offsets.append((s, b, acc))
+            acc += c
+        totals[s] = acc
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, [stratum_col, "_hb", "_off"])
+    tot_df = spark.createDataFrame(list(totals.items()),
+                                   [stratum_col, "_tot"])
+    from pyspark.sql import Window
+    w = Window.partitionBy(stratum_col, "_hb").orderBy("_h", id_col)
+    return (q.join(F.broadcast(off_df), [stratum_col, "_hb"])
+            .join(F.broadcast(tot_df), stratum_col)
+            .withColumn("_rn", F.col("_off") + F.row_number().over(w))
+            .filter(F.col("_rn") <= F.ceil(F.lit(frac) * F.col("_tot")))
+            .drop("_h", "_hb", "_off", "_tot", "_rn"))
