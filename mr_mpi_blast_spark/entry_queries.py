@@ -764,12 +764,29 @@ bits AS (
 """
 
 
+def _simhash_sigs(spark, sf_dir):
+    """SimHash signature table, materialized once per corpus
+    generation (content-addressed) — shared by the signature query
+    and the pair query, the same materialize-once shape as
+    _minhash_pairs."""
+    from mr_mpi_blast_spark.operators.dedup import simhash_signatures
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = f"simhash:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    import tempfile
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir()),
+        "spark_graft_pairs", hashlib.md5(key.encode()).hexdigest()[:16])
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (simhash_signatures(_t(spark, sf_dir, "documents"))
+         .write.mode("overwrite").parquet(path))
+    return spark.read.parquet(path)
+
+
 @query("dedup_simhash", _SIMHASH_CTE + "SELECT doc_id, simhash FROM sig")
 def q_dedup_simhash(spark, sf_dir):
     """64-bit SimHash signatures from md5 nibbles of distinct tokens —
     bit-identical in both engines (md5 is the shared hash)."""
-    from mr_mpi_blast_spark.operators.dedup import simhash_signatures
-    return simhash_signatures(_t(spark, sf_dir, "documents"))
+    return _simhash_sigs(spark, sf_dir)
 
 
 @query("dedup_simhash_pairs", _SIMHASH_CTE + """
@@ -789,7 +806,8 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     (chunk_id, chunk_bits), never all-pairs; the oracle brute-forces
     the same answer."""
     from mr_mpi_blast_spark.operators.dedup import simhash_near_pairs
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3,
+                              signatures=_simhash_sigs(spark, sf_dir))
 
 
 @query("embedding_near_dup", """

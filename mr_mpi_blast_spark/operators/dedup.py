@@ -274,17 +274,23 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                        text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       signatures: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded for scale:
     split the 64-bit signature into (max_hamming+1) chunks — any pair
     within max_hamming must agree on at least one chunk (pigeonhole),
     so candidates come from an equi-join on (chunk_id, chunk_bits),
-    never all-pairs. Output: (da, db, hamming)."""
+    never all-pairs. Output: (da, db, hamming).
+
+    ``signatures``: optionally reuse a precomputed (doc_id, simhash)
+    table (e.g. materialized once per corpus) instead of recomputing
+    from text."""
     chunks = max_hamming + 1
     width = 64 // chunks
     # both candidate-join sides and the verify read the signatures; one
     # 72-byte row per doc, so persistence is bounded (cf. minhash agg)
-    sig = (simhash_signatures(df, text_col, id_col)
+    sig = ((signatures if signatures is not None
+            else simhash_signatures(df, text_col, id_col))
            # two 32-bit halves as longs: hamming = bit_count(xor) twice,
            # pure codegen arithmetic instead of an interpreted zip_with
            # over 64-char arrays per candidate pair
