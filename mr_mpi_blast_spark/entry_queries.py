@@ -1362,6 +1362,70 @@ def q_corpus_curation(spark, sf_dir):
                  F.sum("n_chars").alias("total_chars")))
 
 
+_SPLIT_BUCKET_SQL = ("(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+                     "::BIGINT % 10000)")
+
+@query("split_contamination", f"""
+WITH pairs AS ({_NGRAM_JACCARD_SQL}),
+s AS (
+  SELECT doc_id,
+         CASE WHEN {_SPLIT_BUCKET_SQL} < 8000 THEN 'train'
+              WHEN {_SPLIT_BUCKET_SQL} < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT CASE WHEN sa.split = 'test' THEN p.da ELSE p.db END AS test_doc,
+       CASE WHEN sa.split = 'test' THEN p.db ELSE p.da END AS train_doc,
+       p.jac
+FROM pairs p JOIN s sa ON p.da = sa.doc_id JOIN s sb ON p.db = sb.doc_id
+WHERE (sa.split = 'test' AND sb.split = 'train')
+   OR (sa.split = 'train' AND sb.split = 'test')
+""")
+def q_split_contamination(spark, sf_dir):
+    """Train/test contamination check (decontamination gate): test
+    documents with a verified >= 0.8 Jaccard near-duplicate in the
+    train split of the deterministic splitter — the leakage an exact
+    hash misses. Joins the materialized pair table (content-addressed,
+    shared with the dedup queries) to split labels on both endpoints —
+    shuffles ids and digests, never text."""
+    from mr_mpi_blast_spark.operators.sampling import deterministic_split
+    splits = deterministic_split(
+        _t(spark, sf_dir, "documents"), "doc_id").select("doc_id", "split")
+    p = _minhash_pairs(spark, sf_dir)
+    sa = splits.select(F.col("doc_id").alias("da"),
+                       F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("db"),
+                       F.col("split").alias("split_b"))
+    j = (p.join(sa, "da").join(sb, "db")
+         .filter(((F.col("split_a") == "test") & (F.col("split_b") == "train"))
+                 | ((F.col("split_a") == "train") & (F.col("split_b") == "test"))))
+    return j.select(
+        F.when(F.col("split_a") == "test", F.col("da"))
+         .otherwise(F.col("db")).alias("test_doc"),
+        F.when(F.col("split_a") == "test", F.col("db"))
+         .otherwise(F.col("da")).alias("train_doc"),
+        "jac")
+
+
+@query("doc_packing", """
+SELECT doc_id,
+       CAST(floor(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / 8192) AS BIGINT) AS pack_id
+FROM documents
+""")
+def q_doc_packing(spark, sf_dir):
+    """Sequence packing for training: assign documents to fixed-budget
+    packs (8192 chars) by greedy cumulative length — the LLM-training
+    twin of the reference's query-block builder (S5,
+    mrblast.cpp:144-161), and literally the same operator here:
+    assign_blocks' hierarchical prefix sum, no single-task global
+    window. The oracle's window-cumsum form is the semantic spec."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("n_chars").cast("int").alias("length"))
+    blocked = assign_blocks(docs, 8192, id_col="doc_id")
+    return blocked.select("doc_id", F.col("block_id").alias("pack_id"))
+
+
 @query("bucketed_orders_join", """
 SELECT o_custkey AS custkey, c_mktsegment, count(*) AS n_orders,
        round(sum(o_totalprice), 4) AS total
