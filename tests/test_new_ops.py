@@ -70,3 +70,27 @@ def test_quality_filter_thresholds(spark):
     finally:
         eq._t = orig
     assert got == {1: "keep", 2: "too_short", 3: "low_alpha"}
+
+
+def test_stratified_sample_matches_naive_window_form(spark):
+    """The hierarchical sampler must select exactly the rows the
+    naive per-stratum row_number form selects (bucket order by md5
+    prefix is consistent with the full md5 sort)."""
+    from pyspark.sql import Window
+    from mr_mpi_blast_spark.operators.sampling import stratified_sample_exact
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source=f"s{i % 3}") for i in range(211)])
+    got = {(r.doc_id, r.source)
+           for r in stratified_sample_exact(df, "source", "doc_id", 0.17,
+                                            n_buckets=8).collect()}
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    wn = Window.partitionBy("source")
+    want = {(r.doc_id, r.source) for r in
+            df.select("doc_id", "source",
+                      F.row_number().over(w).alias("rn"),
+                      F.count(F.lit(1)).over(wn).alias("n"))
+            .filter(F.col("rn") <= F.ceil(0.17 * F.col("n")))
+            .collect()}
+    assert got == want and len(got) > 0
