@@ -291,9 +291,12 @@ class SubjectIndex:
                      for L in lens]
         pos_arr = (np.concatenate(pos_parts) if pos_parts
                    else np.empty(0, dtype=np.int32))
-        gidx = pos_arr + np.array(offs, dtype=np.int64)[si_arr] \
-            if len(si_arr) else np.empty(0, dtype=np.int64)
-        hv = h[gidx] if len(gidx) else h
+        gidx = (pos_arr + np.array(offs, dtype=np.int64)[si_arr]
+                if len(si_arr) else np.empty(0, dtype=np.int64))
+        # empty gidx -> empty hash set (NOT the raw h: when every
+        # subject is shorter than k, h still holds separator-spanning
+        # windows that must never become buckets)
+        hv = h[gidx.astype(np.int64)]
         # group by hash: stable sort keeps (si asc, pos asc) bucket
         # order — identical iteration order to the dict build
         order = np.argsort(hv, kind="stable")

@@ -1,0 +1,82 @@
+"""Hypothesis property tests over the pure (Spark-free) kernel and
+codec layers — the invariants that must hold for EVERY input, not just
+the corpus fixtures: seeding-index equivalence, hash-scheme
+consistency, strand involution, and Karlin-Altschul monotonicity."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mr_mpi_blast_spark.config import BlastConfig
+from mr_mpi_blast_spark.kernel.builtin import (SubjectIndex, _window_hashes,
+                                               _HASH_P, align_query,
+                                               karlin_altschul_bitscore,
+                                               karlin_altschul_evalue,
+                                               revcomp)
+
+_DNA = st.text(alphabet="ACGT", min_size=0, max_size=80)
+_PROSE = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+    min_size=0, max_size=60)
+
+
+@given(_DNA)
+def test_revcomp_involution(s):
+    assert revcomp(revcomp(s)) == s
+    assert len(revcomp(s)) == len(s)
+
+
+@given(st.lists(st.integers(0, 0x10FFFF), min_size=0, max_size=40),
+       st.integers(1, 8))
+def test_window_hashes_match_direct_horner(codes, k):
+    arr = np.array(codes, dtype=np.uint32)
+    got = _window_hashes(arr, k)
+    n = max(len(codes) - k + 1, 0)
+    assert len(got) == n
+    for i in range(n):
+        h = np.uint64(0)
+        for c in codes[i:i + k]:
+            h = h * _HASH_P + np.uint64(c)
+        assert got[i] == h
+
+
+@given(st.lists(_PROSE, min_size=1, max_size=6), st.integers(2, 6),
+       st.integers(1, 200))
+@settings(max_examples=40, deadline=None)
+def test_hashed_index_equals_dict_index(seqs, k, cap):
+    """The vectorized hashed index and the per-position dict build must
+    expose identical (word -> [(si, pos)]) mappings for ANY subjects,
+    any word size, any kmer cap — including unicode text, empty and
+    shorter-than-k sequences."""
+    subjects = [(f"s{i}", s) for i, s in enumerate(seqs)]
+    fast = SubjectIndex(subjects, k, cap)
+    slow = SubjectIndex(subjects, k, cap)
+    slow.hashed = False
+    slow._str_index = slow._build_dict(False, False, False)
+    assert fast.index == slow._str_index
+
+
+@given(_DNA, st.lists(_DNA, min_size=1, max_size=4))
+@settings(max_examples=30, deadline=None)
+def test_align_results_identical_across_index_forms(q, seqs):
+    cfg = BlastConfig(task="blastn", word_size=4, min_score=4)
+    subjects = [(f"s{i}", s) for i, s in enumerate(seqs)]
+    fast = SubjectIndex(subjects, 4, 128)
+    slow = SubjectIndex(subjects, 4, 128)
+    slow.hashed = False
+    slow._str_index = slow._build_dict(False, False, False)
+    assert align_query(1, q, fast, cfg) == align_query(1, q, slow, cfg)
+
+
+@given(st.integers(1, 500), st.integers(2, 499))
+def test_bitscore_and_evalue_monotone_in_score(s1, delta):
+    """Higher raw score -> higher bitscore and lower (or equal)
+    e-value, for any score pair."""
+    s2 = s1 + delta
+    assert karlin_altschul_bitscore(s2) > karlin_altschul_bitscore(s1)
+    e1 = karlin_altschul_evalue(s1, qlen=100, dbsize=10_000)
+    e2 = karlin_altschul_evalue(s2, qlen=100, dbsize=10_000)
+    assert e2 <= e1
+    assert math.isfinite(e1) and e1 >= 0
