@@ -24,11 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 # Correctness-only queries: each is the exact (deliberately exhaustive)
-# oracle twin of a bucketed scale-path query that IS timed. Timing the
-# quadratic verifier as a headline number would misstate the engine's
-# dedup cost — the contract is answered by the LSH/prefix-filtered
-# form (dedup_minhash_lsh, 2.9 s at sf0.1 vs 7.5 s for the verifier).
-CORRECTNESS_ONLY = {"dedup_ngram_jaccard"}
+# baseline twin of a scale-path query that IS timed. Timing the
+# exhaustive form as a headline number would misstate the engine's
+# cost — the contract is answered by the scale twin:
+#   dedup_ngram_jaccard -> dedup_minhash_lsh (LSH candidates + verify)
+#   ann_cosine_topk (expression-form crossJoin) -> ann_cosine_topk_numpy
+#     (BLAS mapInPandas, 4x) and ann_ivf_topk/_nprobe2 (bucketed)
+CORRECTNESS_ONLY = {"dedup_ngram_jaccard", "ann_cosine_topk"}
 
 
 def main() -> None:

@@ -894,6 +894,31 @@ def q_multimodal_decode(spark, sf_dir):
         "asset_id", "modality", "width", "height", "n_frames", "duration_s")
 
 
+@query("multimodal_frames", """
+WITH v AS (
+  SELECT doc_id AS asset_id, text,
+         CAST(1 + ('0x' || substring(md5(text), 1, 8))::BIGINT % 24 AS INT)
+           AS n_frames
+  FROM documents WHERE doc_id % 3 = 2)
+SELECT asset_id, CAST(f AS INT) AS frame_no,
+       md5(text || ':' || f) AS frame_md5
+FROM v, unnest(range(0, n_frames, 4)) AS t(f)
+""")
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame sampling: every-4th-frame rows per video asset via
+    Arrow-batched mapInPandas — one output row per sampled frame, the
+    row-exploding shape of a real frame extractor. Frame count comes
+    from the deterministic fake codec's md5 seed and the stub frame
+    payload is md5(payload:frame_no), both replayed by the oracle
+    (compared as hex)."""
+    from mr_mpi_blast_spark.operators.multimodal import (
+        assets_from_documents, sample_frames)
+    assets = assets_from_documents(_t(spark, sf_dir, "documents"))
+    return sample_frames(assets, every_n=4).select(
+        "asset_id", "frame_no",
+        F.lower(F.hex("frame_payload")).alias("frame_md5"))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (operators/similarity.py)
 # ---------------------------------------------------------------------------
