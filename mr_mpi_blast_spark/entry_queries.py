@@ -919,6 +919,31 @@ def q_multimodal_frames(spark, sf_dir):
         F.lower(F.hex("frame_payload")).alias("frame_md5"))
 
 
+@query("multimodal_resize", """
+SELECT doc_id AS asset_id,
+       '64' AS resized_w, '48' AS resized_h,
+       source AS src_meta,
+       md5(text) AS payload_md5
+FROM documents WHERE doc_id % 3 = 0
+""")
+def q_multimodal_resize(spark, sf_dir):
+    """Image resize plumbing: image assets stream through the
+    Arrow-batched resize stub, which records target dims into the meta
+    map and (with the fake codec) passes the payload through. The
+    oracle checks the meta update, the original meta survives, and the
+    payload is byte-identical (compared by digest)."""
+    from mr_mpi_blast_spark.operators.multimodal import (
+        assets_from_documents, resize_images)
+    assets = assets_from_documents(_t(spark, sf_dir, "documents"))
+    r = resize_images(assets, width=64, height=48)
+    return r.select(
+        "asset_id",
+        F.col("meta")["resized_w"].alias("resized_w"),
+        F.col("meta")["resized_h"].alias("resized_h"),
+        F.col("meta")["source"].alias("src_meta"),
+        F.lower(F.md5("payload")).alias("payload_md5"))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (operators/similarity.py)
 # ---------------------------------------------------------------------------
