@@ -18,11 +18,12 @@ from mr_mpi_blast_spark.streaming.events import (
     dedup_stream,
     dedup_content_stream,
     run_available_now,
+    stream_to_parquet,
 )
 
 __all__ = [
     "read_event_stream", "hourly_counts", "sliding_value_stats",
     "session_aggregate", "stateful_user_totals", "dedup_stream",
     "dedup_content_stream", "run_available_now",
-    "click_error_interval_join",
+    "click_error_interval_join", "stream_to_parquet",
 ]

@@ -194,6 +194,25 @@ def click_error_interval_join(clicks: DataFrame, errors: DataFrame,
                     "c_ts", "err_id", "e_ts"))
 
 
+def stream_to_parquet(df: DataFrame, out_dir: str, checkpoint_dir: str,
+                      timeout_s: int = 120) -> None:
+    """Durable streaming sink: drain all available input into a
+    parquet directory with exactly-once file-sink semantics. The
+    checkpoint directory carries source offsets AND the file-sink
+    manifest (_spark_metadata), so a stopped/restarted query neither
+    re-reads input it already committed nor double-writes output —
+    restart with the SAME checkpoint_dir and only new input appears.
+    This is the production shape of every batch sink in sinks/ when
+    the input is unbounded; memory-sink draining (run_available_now)
+    is the test harness."""
+    q = (df.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+
+
 def run_available_now(df: DataFrame, query_name: str,
                       output_mode: str = "complete",
                       timeout_s: int = 120) -> DataFrame:

@@ -152,3 +152,31 @@ def test_interval_join_stream_batch_parity(spark, event_dir):
     assert bj.count() > 0
     assert got.exceptAll(bj).count() == 0
     assert bj.exceptAll(got).count() == 0
+
+
+def test_parquet_sink_exactly_once_across_restart(spark, tmp_path):
+    """The file sink + checkpoint must survive a stop/restart without
+    re-reading committed input or double-writing output."""
+    from mr_mpi_blast_spark.streaming import (read_event_stream,
+                                              stream_to_parquet)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, SF_DIR, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = read_event_stream(spark, src)
+    stream_to_parquet(stream.select("event_id", "user_id"), out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == first.count()
+
+    # restart with MORE input in the source dir and the same checkpoint
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    second.coalesce(1).write.mode("append").parquet(src)
+    stream2 = read_event_stream(spark, src)
+    stream_to_parquet(stream2.select("event_id", "user_id"), out, ckpt)
+
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()                     # no duplicates
+    assert got.select("event_id").distinct().count() == ev.count()
