@@ -919,6 +919,47 @@ def q_multimodal_frames(spark, sf_dir):
         F.lower(F.hex("frame_payload")).alias("frame_md5"))
 
 
+@query("fasta_roundtrip", """
+SELECT row_number() OVER (ORDER BY doc_id) AS qid,
+       'doc_' || doc_id || ' ' || source AS defline,
+       'doc_' || doc_id AS defline_part,
+       upper(regexp_replace(text, '\\s+', '', 'g')) AS seq,
+       length(upper(regexp_replace(text, '\\s+', '', 'g'))) AS length
+FROM documents
+""")
+def q_fasta_roundtrip(spark, sf_dir):
+    """S1+S2 oracle-checked end-to-end: documents rendered to FASTA
+    text (content-addressed in scratch), re-read through the scalable
+    FASTA source (newAPIHadoopFile with the '\\n>' record delimiter —
+    records never split across tasks no matter the file size,
+    seqindexer.py:12-120's streaming parse made distributed), serial
+    qids assigned in record order. The oracle derives the identical
+    table from documents directly — deflines, defline_part (-b 0
+    form), whitespace-stripped uppercased residues, lengths, and the
+    serial numbering."""
+    from mr_mpi_blast_spark.sources.fasta import read_fasta, write_fasta
+    import tempfile
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = f"fasta:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir()),
+        "spark_graft_fasta", hashlib.md5(key.encode()).hexdigest()[:16])
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = _t(spark, sf_dir, "documents")
+        fasta_df = (docs.select(
+            F.concat(F.lit("doc_"), "doc_id", F.lit(" "), "source")
+             .alias("defline"),
+            F.upper(F.regexp_replace("text", r"\s+", "")).alias("seq"),
+            F.col("doc_id"))
+            # single sorted file: record order (= serial qid order) is
+            # then doc_id order, which the oracle can replay; real
+            # multi-file inputs order by (file, offset) instead
+            .repartition(1).sortWithinPartitions("doc_id")
+            .drop("doc_id"))
+        write_fasta(fasta_df, path)
+    return read_fasta(spark, os.path.join(path, "part-*.txt"))
+
+
 @query("multimodal_resize", """
 SELECT doc_id AS asset_id,
        '64' AS resized_w, '48' AS resized_h,
