@@ -824,8 +824,24 @@ def q_embedding_near_dup(spark, sf_dir):
     it, random-hyperplane LSH candidates + exact verify — no driver
     collect, no corpus broadcast. The oracle matches the exact path,
     which is what runs at correctness scale."""
+    return _embedding_pairs(spark, sf_dir)
+
+
+def _embedding_pairs(spark, sf_dir):
+    """Cosine >= 0.45 pair table, materialized once per corpus
+    generation (content-addressed) — shared by embedding_near_dup and
+    embedding_clusters, same shape as _minhash_pairs."""
     from mr_mpi_blast_spark.operators.similarity import cosine_pairs_auto
-    return cosine_pairs_auto(_t(spark, sf_dir, "embeddings"), tau=0.45)
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = f"epairs:{sf_dir}:{st.st_mtime_ns}:{st.st_size}:0.45"
+    import tempfile
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir()),
+        "spark_graft_pairs", hashlib.md5(key.encode()).hexdigest()[:16])
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (cosine_pairs_auto(_t(spark, sf_dir, "embeddings"), tau=0.45)
+         .write.mode("overwrite").parquet(path))
+    return spark.read.parquet(path)
 
 
 @query("embedding_clusters", """
@@ -851,8 +867,7 @@ def q_embedding_clusters(spark, sf_dir):
     paraphrases). Edge list is output-sized; oracle is the recursive
     transitive closure with per-node component size."""
     from mr_mpi_blast_spark.operators.dedup import connected_components
-    from mr_mpi_blast_spark.operators.similarity import cosine_pairs_auto
-    pairs = cosine_pairs_auto(_t(spark, sf_dir, "embeddings"), tau=0.45)
+    pairs = _embedding_pairs(spark, sf_dir)
     comp = connected_components(pairs, "va", "vb")
     size = comp.groupBy("cluster").agg(F.count(F.lit(1)).alias("reach_n"))
     return (comp.join(size, "cluster")
