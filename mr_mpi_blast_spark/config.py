@@ -50,6 +50,29 @@ class BlastConfig:
     max_kmer_hits: int = 64        # skip ultra-frequent seeds (dust analog)
     min_score: int = 0             # 0 = derive from word size
 
+    # gapped extension (BLAST's two-stage model: ungapped X-drop first,
+    # then affine-gap local DP around HSPs that clear gap_trigger).
+    # Off by default: the builtin kernel's historical contract is
+    # ungapped (gaps column = 0) and the gapped DP is O(window^2) per
+    # HSP — opt in for fidelity, use the NCBI kernel for throughput.
+    gapped: bool = False
+    gap_open: int = 0              # 0 = task default (blastp 11, blastn 5)
+    gap_extend: int = 0            # 0 = task default (blastp 1, blastn 2)
+    gap_trigger: int = 0           # raw ungapped score to trigger DP
+    #                                (0 = min_raw_score)
+
+    @property
+    def gap_open_eff(self) -> int:
+        return self.gap_open or (11 if self.task == "blastp" else 5)
+
+    @property
+    def gap_extend_eff(self) -> int:
+        return self.gap_extend or (1 if self.task == "blastp" else 2)
+
+    @property
+    def gap_trigger_eff(self) -> int:
+        return self.gap_trigger or self.min_raw_score
+
     # scoring matrix for protein tasks (doc/USERGUIDE:46-66 -matrix);
     # the builtin kernel implements BLOSUM62, the NCBI kernel forwards
     # any name BLAST+ knows

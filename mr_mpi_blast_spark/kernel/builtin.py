@@ -54,6 +54,11 @@ from mr_mpi_blast_spark.config import BlastConfig
 # ungapped Karlin-Altschul (lambda, K, H) per scoring system
 KA_NUCL_1_2 = (1.33, 0.621, 1.12)         # blastn +1/-2
 KA_BLOSUM62 = (0.3176, 0.134, 0.4012)     # blastp BLOSUM62
+# gapped Karlin-Altschul for the default gap costs (NCBI blast_stat.c
+# precomputed tables: blastn_values_1_2 row for open 5 / extend 2;
+# blosum62_values row for open 11 / extend 1)
+KA_NUCL_1_2_G52 = (0.625, 0.275, 0.85)    # blastn +1/-2, gaps 5/2
+KA_BLOSUM62_G111 = (0.267, 0.041, 0.14)   # blastp BLOSUM62, gaps 11/1
 
 # kept as module constants for blastn compatibility with round-1 users
 LAMBDA, KAPPA = KA_NUCL_1_2[0], KA_NUCL_1_2[1]
@@ -130,7 +135,11 @@ def blosum62_score(a: str, b: str) -> int:
 
 
 def scoring_params(cfg: BlastConfig) -> tuple[float, float, float]:
-    """(lambda, K, H) for the config's scoring system (S8 statistics)."""
+    """(lambda, K, H) for the config's scoring system (S8 statistics).
+    Gapped runs use the gapped parameter rows for the default gap
+    costs (the constants NCBI precomputes per cost pair)."""
+    if cfg.gapped:
+        return KA_BLOSUM62_G111 if cfg.task == "blastp" else KA_NUCL_1_2_G52
     return KA_BLOSUM62 if cfg.task == "blastp" else KA_NUCL_1_2
 
 # Raw kernel output: scoring-space facts only; relational projections
@@ -599,6 +608,129 @@ def _extend_rows(q: str, s: str, qpos: int, spos: int, k: int,
     return best_score, qs, qe, ss, se, best_ident
 
 
+def _pair_score_matrix(a: str, b: str, protein: bool,
+                       reward: int, penalty: int) -> np.ndarray:
+    """Substitution score for every (a_i, b_j) pair as an (m, n) int
+    matrix — BLOSUM62 for protein, reward/penalty for nucleotide."""
+    if protein:
+        _, ai = encode_protein(a)
+        _, bi = encode_protein(b)
+        return _B62[np.ix_(ai, bi)]
+    av = np.frombuffer(a.encode("utf-32-le"), dtype="<u4")
+    bv = np.frombuffer(b.encode("utf-32-le"), dtype="<u4")
+    return np.where(av[:, None] == bv[None, :], reward, penalty).astype(np.int32)
+
+
+def gotoh_local(a: str, b: str, protein: bool, reward: int, penalty: int,
+                gap_open: int, gap_extend: int,
+                ) -> tuple[int, int, int, int, int, int, int, int]:
+    """Affine-gap Smith-Waterman (Gotoh) with traceback over two
+    windowed strings. A gap of length L costs gap_open + L*gap_extend
+    (NCBI's convention). Returns (score, a0, a1, b0, b1, ident, gaps,
+    align_len) with 0-based inclusive local coordinates; all-zero
+    score returns (0, ...) and callers skip.
+
+    Ties break deterministically: diagonal > gap-in-a > gap-in-b at
+    equal score, and the traceback starts from the FIRST maximal cell
+    in row-major order (stable across runs by construction). O(m*n)
+    time/space — used only on HSP-sized windows, never whole
+    sequences."""
+    m, n = len(a), len(b)
+    if m == 0 or n == 0:
+        return (0, 0, 0, 0, 0, 0, 0, 0)
+    sub = _pair_score_matrix(a, b, protein, reward, penalty)
+    NEG = -(10 ** 6)
+    H = np.zeros((m + 1, n + 1), dtype=np.int32)
+    E = np.full((m + 1, n + 1), NEG, dtype=np.int32)  # gap in a (left)
+    Fv = np.full((m + 1, n + 1), NEG, dtype=np.int32)  # gap in b (up)
+    # pointers: H: 0 stop, 1 diag, 2 from E, 3 from F; E/F: 1 = opened
+    PH = np.zeros((m + 1, n + 1), dtype=np.int8)
+    PE = np.zeros((m + 1, n + 1), dtype=np.int8)
+    PF = np.zeros((m + 1, n + 1), dtype=np.int8)
+    go = gap_open + gap_extend   # cost of a length-1 gap
+    for i in range(1, m + 1):
+        Hi, Hp = H[i], H[i - 1]
+        Ei, Fi, Fp = E[i], Fv[i], Fv[i - 1]
+        # F column-independent across j: vectorized for the whole row
+        open_f = Hp - go
+        ext_f = Fp - gap_extend
+        np.maximum(open_f, ext_f, out=Fi[0:])
+        PF[i] = np.where(open_f >= ext_f, 1, 0)
+        subrow = sub[i - 1]
+        for j in range(1, n + 1):
+            e_open = Hi[j - 1] - go
+            e_ext = Ei[j - 1] - gap_extend
+            if e_open >= e_ext:
+                Ei[j] = e_open
+                PE[i, j] = 1
+            else:
+                Ei[j] = e_ext
+            diag = Hp[j - 1] + subrow[j - 1]
+            best, ptr = 0, 0
+            if diag >= best:
+                best, ptr = diag, 1
+            if Ei[j] > best:
+                best, ptr = Ei[j], 2
+            if Fi[j] > best:
+                best, ptr = Fi[j], 3
+            Hi[j] = best
+            PH[i, j] = ptr
+    score = int(H.max())
+    if score <= 0:
+        return (0, 0, 0, 0, 0, 0, 0, 0)
+    flat = int(np.argmax(H))          # first maximal cell, row-major
+    i, j = divmod(flat, n + 1)
+    a1, b1 = i - 1, j - 1
+    ident = gaps = align_len = 0
+    state = "H"
+    while i > 0 and j > 0:
+        if state == "H":
+            p = PH[i, j]
+            if p == 0:
+                break
+            if p == 1:
+                align_len += 1
+                if a[i - 1] == b[j - 1]:
+                    ident += 1
+                i -= 1
+                j -= 1
+            elif p == 2:
+                state = "E"
+            else:
+                state = "F"
+        elif state == "E":
+            align_len += 1
+            gaps += 1
+            opened = PE[i, j]
+            j -= 1
+            state = "H" if opened else "E"
+        else:
+            align_len += 1
+            gaps += 1
+            opened = PF[i, j]
+            i -= 1
+            state = "H" if opened else "F"
+    return (score, i, a1, j, b1, ident, gaps, align_len)
+
+
+_GAP_PAD = 24
+
+
+def gapped_extend(q: str, s: str, qs: int, qe: int, ss: int, se: int,
+                  cfg: BlastConfig) -> tuple[int, int, int, int, int,
+                                             int, int, int]:
+    """BLAST's stage-2: affine-gap local DP on a window around an
+    ungapped HSP (the HSP extent padded by _GAP_PAD on each side).
+    Returns absolute coordinates in (q, s)."""
+    q0, q1 = max(0, qs - _GAP_PAD), min(len(q), qe + 1 + _GAP_PAD)
+    s0, s1 = max(0, ss - _GAP_PAD), min(len(s), se + 1 + _GAP_PAD)
+    (score, a0, a1, b0, b1, ident, gaps, align_len) = gotoh_local(
+        q[q0:q1], s[s0:s1], cfg.task == "blastp", cfg.reward, cfg.penalty,
+        cfg.gap_open_eff, cfg.gap_extend_eff)
+    return (score, q0 + a0, q0 + a1, s0 + b0, s0 + b1,
+            ident, gaps, align_len)
+
+
 def align_query(qid: int, seq: str, index: SubjectIndex,
                 cfg: BlastConfig) -> list[tuple]:
     """All HSPs of one query against one indexed partition, both strands."""
@@ -624,6 +756,7 @@ def align_query(qid: int, seq: str, index: SubjectIndex,
         two_hit = int(cfg.window_size or 0)
         seen: dict[tuple[int, int], int] = {}   # (si, diag) -> covered qend
         pending: dict[tuple[int, int], int] = {}  # (si, diag) -> last seed qpos
+        emitted: set[tuple] = set()   # gapped-alignment dedupe per strand
         hashed = index.hashed
         if hashed:
             qb = index.query_buckets(q_ext)
@@ -670,11 +803,27 @@ def align_query(qid: int, seq: str, index: SubjectIndex,
                 seen[(si, diag)] = qe
                 if score < cfg.min_raw_score:
                     continue
+                gaps_n, align_len = 0, qe - qs + 1
+                if cfg.gapped and score >= cfg.gap_trigger_eff:
+                    # stage 2 (BLAST's model): affine-gap DP around the
+                    # ungapped HSP; several seeds of one homology can
+                    # converge to the same gapped alignment — dedupe
+                    (gscore, gqs, gqe, gss, gse, gident, gg, galn
+                     ) = gapped_extend(q_ext, index.ext_seqs[si],
+                                       qs, qe, ss, se, cfg)
+                    if gscore < cfg.min_raw_score:
+                        continue
+                    score, qs, qe, ss, se = gscore, gqs, gqe, gss, gse
+                    ident, gaps_n, align_len = gident, gg, galn
+                    key = (si, qs, qe, ss, se)
+                    if key in emitted:
+                        continue
+                    emitted.add(key)
                 if qstrand == -1:
                     # map coords back to the forward query orientation
                     qs, qe = qlen - qe - 1, qlen - qs - 1
                 out.append((qid, index.subjects[si][0], score,
-                            qe - qs + 1, ident, 0,
+                            align_len, ident, gaps_n,
                             qs, qe, ss, se, qstrand, 1, qlen))
     return out
 

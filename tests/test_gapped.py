@@ -1,0 +1,87 @@
+"""Gapped (affine) extension: exact-arithmetic checks of the Gotoh DP
+and the stage-2 hookup in align_query. No Spark session needed."""
+
+from mr_mpi_blast_spark.config import BlastConfig
+from mr_mpi_blast_spark.kernel.builtin import (SubjectIndex, _B62, _B62_IDX,
+                                               align_query, gotoh_local)
+
+# 20 distinct residues inside the BLOSUM62 alphabet
+RES = "ARNDCQEGHILKMFPSTWYV"
+
+
+def _self_score(s: str) -> int:
+    return int(sum(_B62[_B62_IDX[ord(c)], _B62_IDX[ord(c)]] for c in s))
+
+
+def test_gotoh_exact_match_is_ungapped():
+    score, a0, a1, b0, b1, ident, gaps, aln = gotoh_local(
+        RES, RES, True, 1, -2, 11, 1)
+    assert (score, ident, gaps, aln) == (_self_score(RES), 20, 0, 20)
+    assert (a0, a1, b0, b1) == (0, 19, 0, 19)
+
+
+def test_gotoh_single_insertion_exact_arithmetic():
+    """b carries one extra residue mid-sequence: the optimal local
+    alignment bridges it with a length-1 gap costing open+extend."""
+    a = RES
+    b = RES[:10] + "W" + RES[10:]
+    score, a0, a1, b0, b1, ident, gaps, aln = gotoh_local(
+        a, b, True, 1, -2, 11, 1)
+    assert score == _self_score(RES) - (11 + 1)
+    assert (ident, gaps, aln) == (20, 1, 21)
+    assert (a0, a1) == (0, 19)
+    assert (b0, b1) == (0, 20)
+
+
+def test_gotoh_gap_extension_linear_in_length():
+    a = RES
+    for glen in (1, 2, 3):
+        b = RES[:10] + "W" * glen + RES[10:]
+        score, *_rest, gaps, aln = gotoh_local(a, b, True, 1, -2, 11, 1)
+        assert score == _self_score(RES) - (11 + glen)
+        assert gaps == glen and aln == 20 + glen
+
+
+def test_gotoh_blastn_scoring():
+    a = "ACGTACGTACGTACGTACGT"
+    b = a[:10] + "T" + a[10:]
+    score, *_rest, ident, gaps, aln = gotoh_local(a, b, False, 1, -2, 5, 2)
+    assert score == 20 - (5 + 2)
+    assert (ident, gaps, aln) == (20, 1, 21)
+
+
+def test_gotoh_prefers_mismatch_over_expensive_gap():
+    """With a cheap substitution available, the DP must not open a
+    gap: one mismatch (-2 vs ~-7 for open+ext) wins."""
+    a = "ACGTACGTACGTACGTACGT"
+    b = a[:10] + "T" + a[11:]      # substitution, same length
+    score, *_rest, ident, gaps, aln = gotoh_local(a, b, False, 1, -2, 5, 2)
+    assert gaps == 0 and aln == 20
+    assert score == 19 - 2 and ident == 19
+
+
+def test_align_query_gapped_bridges_insertion():
+    """End-to-end stage-2: ungapped seeds on either side of an
+    insertion merge into ONE gapped HSP spanning the whole homology."""
+    q = RES * 2                                   # 40 residues
+    s = RES + "W" + RES                           # insertion at 20
+    cfg = BlastConfig(task="blastp", word_size=8, gapped=True,
+                      min_score=10, max_kmer_hits=64)
+    idx = SubjectIndex([("s1", s)], 8, 64, protein=True)
+    hits = align_query(1, q, idx, cfg)
+    best = max(hits, key=lambda h: h[2])
+    score, align_len, ident, gaps = best[2], best[3], best[4], best[5]
+    assert gaps == 1 and align_len == 41 and ident == 40
+    assert score == _self_score(RES) * 2 - (11 + 1)
+    # full span on both sides (0-based inclusive)
+    assert (best[6], best[7]) == (0, 39)          # qstart0, qend0
+    assert (best[8], best[9]) == (0, 40)          # sstart0, send0
+
+
+def test_align_query_default_stays_ungapped():
+    q = RES * 2
+    s = RES + "W" + RES
+    cfg = BlastConfig(task="blastp", word_size=8, min_score=10)
+    idx = SubjectIndex([("s1", s)], 8, 64, protein=True)
+    hits = align_query(1, q, idx, cfg)
+    assert hits and all(h[5] == 0 for h in hits)   # gaps column all 0

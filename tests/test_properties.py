@@ -80,3 +80,26 @@ def test_bitscore_and_evalue_monotone_in_score(s1, delta):
     e2 = karlin_altschul_evalue(s2, qlen=100, dbsize=10_000)
     assert e2 <= e1
     assert math.isfinite(e1) and e1 >= 0
+
+
+@given(st.text(alphabet="ARNDCQEGHILKMFPSTWYV", min_size=0, max_size=24),
+       st.text(alphabet="ARNDCQEGHILKMFPSTWYV", min_size=0, max_size=24))
+@settings(max_examples=40, deadline=None)
+def test_gotoh_invariants_and_symmetry(a, b):
+    """Affine SW invariants for any inputs: bounded counts, and the
+    optimal SCORE is symmetric under operand swap (BLOSUM62 is a
+    symmetric matrix; tie-broken paths may differ, the score cannot)."""
+    from mr_mpi_blast_spark.kernel.builtin import gotoh_local
+    s1 = gotoh_local(a, b, True, 1, -2, 11, 1)
+    s2 = gotoh_local(b, a, True, 1, -2, 11, 1)
+    score, a0, a1, b0, b1, ident, gaps, aln = s1
+    assert score >= 0 and s2[0] == score
+    assert 0 <= ident <= aln and 0 <= gaps <= aln
+    if score > 0:
+        assert a0 <= a1 < len(a) and b0 <= b1 < len(b)
+        # path identity: every column is a match/mismatch or a gap in
+        # exactly one operand, so span_a + span_b - aln = match columns
+        # = aln - gaps, and identities fit inside the match columns
+        match_cols = (a1 - a0 + 1) + (b1 - b0 + 1) - aln
+        assert match_cols == aln - gaps
+        assert ident <= match_cols
