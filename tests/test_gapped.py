@@ -85,3 +85,25 @@ def test_align_query_default_stays_ungapped():
     idx = SubjectIndex([("s1", s)], 8, 64, protein=True)
     hits = align_query(1, q, idx, cfg)
     assert hits and all(h[5] == 0 for h in hits)   # gaps column all 0
+
+
+def test_run_search_gapped_pipeline(spark):
+    """Full pipeline with gapped=True: gaps column carries real gap
+    counts, e-values use the gapped K-A row, schema unchanged."""
+    from pyspark.sql import Row
+    from mr_mpi_blast_spark.plans.pipeline import run_search
+
+    q = RES * 3
+    s_ins = RES + "W" + RES + RES          # one insertion
+    queries = spark.createDataFrame([Row(
+        qid=1, defline="q1", defline_part="q1", seq=q, length=len(q))])
+    subjects = spark.createDataFrame([
+        Row(sid="s1", defline="s1", db_part="p0", seq=s_ins,
+            length=len(s_ins))])
+    cfg = BlastConfig(task="blastp", word_size=8, gapped=True,
+                      min_score=10, evalue=10.0)
+    hits = run_search(queries, subjects, cfg).collect()
+    assert hits
+    best = max(hits, key=lambda h: h.bitscore)
+    assert best.gaps == 1
+    assert best.align_len == len(q) + 1
