@@ -25,9 +25,12 @@ Faithful semantics kept from the reference:
   All default off (None) so they never perturb runs that don't ask
   for them; the NCBI kernel forwards the real flags instead.
 
-Simplifications vs NCBI BLAST (documented, deterministic): ungapped
-extension only (gaps column is 0), exact-word seeding (no neighborhood
-words / T threshold for blastp).
+Simplifications vs NCBI BLAST (documented, deterministic): exact-word
+seeding (no neighborhood words / T threshold for blastp); extension is
+ungapped by default (gaps column 0), with BLAST's stage-2 affine-gap
+extension available via BlastConfig(gapped=True) — Gotoh local DP
+around HSPs that clear gap_trigger, gap cost open + L*extend, gapped
+Karlin-Altschul parameter rows.
 
 Scoring fidelity: blastn uses the configured reward/penalty with the
 published ungapped Karlin-Altschul parameters for +1/-2
