@@ -138,6 +138,55 @@ class MrBlastRun:
     ignored: dict[str, str] = dataclasses.field(default_factory=dict)
 
 
+def apply_blast_cli_opts(cfg: BlastConfig,
+                         opts: tuple[str, ...] | list[str] | None = None,
+                         ) -> BlastConfig:
+    """Fold the BLAST CLI options the builtin kernel understands from a
+    pass-through option list (the reference forwards 'most NCBI
+    blastn/blastp options' untouched, doc/USERGUIDE:53-60; the NCBI
+    kernel still receives them verbatim — this just keeps the builtin
+    kernel honest for the ones it implements):
+    -gapopen/-gapextend (stage-2 costs, enabling gapped), -ungapped,
+    -word_size, -reward/-penalty, -evalue. Unknown options are left
+    for the NCBI kernel's CLI."""
+    opts = list(opts if opts is not None else cfg.extra_opts)
+    updates: dict = {}
+    i = 0
+    while i < len(opts):
+        o = opts[i]
+        nxt = opts[i + 1] if i + 1 < len(opts) else None
+        if o == "-ungapped":
+            updates["gapped"] = False
+            i += 1
+            continue
+        if nxt is not None:
+            if o == "-gapopen":
+                updates["gap_open"] = int(nxt)
+                updates.setdefault("gapped", True)
+            elif o == "-gapextend":
+                updates["gap_extend"] = int(nxt)
+                updates.setdefault("gapped", True)
+            elif o == "-word_size":
+                updates["word_size"] = int(nxt)
+            elif o == "-reward":
+                updates["reward"] = int(nxt)
+            elif o == "-penalty":
+                updates["penalty"] = int(nxt)
+            elif o == "-evalue":
+                updates["evalue"] = float(nxt)
+            else:
+                i += 1
+                continue
+            i += 2
+            continue
+        i += 1
+    # -ungapped wins over -gapopen/-gapextend regardless of order,
+    # like BLAST+ (the costs are then simply unused)
+    if "-ungapped" in opts:
+        updates["gapped"] = False
+    return dataclasses.replace(cfg, **updates) if updates else cfg
+
+
 def load_mrblast_ini(path: str,
                      base: BlastConfig | None = None) -> MrBlastRun:
     """Read a reference mrblast.ini unmodified (same KEY = value format

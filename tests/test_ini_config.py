@@ -72,3 +72,23 @@ def test_base_config_survives_unmapped_fields(tmp_path):
     assert run.cfg.num_hit_cutoff == 7
     assert (run.cfg.task, run.cfg.evalue, run.cfg.word_size) == \
         ("blastp", 1e-4, 5)
+
+
+def test_apply_blast_cli_opts_gap_options():
+    from mr_mpi_blast_spark.config import BlastConfig, apply_blast_cli_opts
+
+    cfg = apply_blast_cli_opts(
+        BlastConfig(task="blastp"),
+        ("-gapopen", "9", "-gapextend", "2", "-evalue", "1e-5"))
+    assert cfg.gapped and cfg.gap_open_eff == 9 and cfg.gap_extend_eff == 2
+    assert cfg.evalue == 1e-5
+
+    ug = apply_blast_cli_opts(
+        BlastConfig(task="blastp"),
+        ("-ungapped", "-gapopen", "9"))
+    assert not ug.gapped
+
+    # unknowns are ignored (left for the NCBI CLI), known ones applied
+    mixed = apply_blast_cli_opts(
+        BlastConfig(), ("-num_threads", "4", "-word_size", "7"))
+    assert mixed.word_size == 7 and mixed.extra_opts == ()
