@@ -89,6 +89,8 @@ def stratified_sample_exact(df: DataFrame, stratum_col: str, id_col: str,
     counts = (q.groupBy(stratum_col, "_hb")
               .agg(F.count(F.lit(1)).alias("_c")))
     rows = counts.collect()  # O(strata x buckets): plan-sized metadata
+    if not rows:             # empty input: nothing to rank or sample
+        return df.limit(0)
     per_stratum: dict = {}
     for r in rows:
         per_stratum.setdefault(r[0], []).append((r[1], r[2]))

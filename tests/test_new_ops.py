@@ -94,3 +94,9 @@ def test_stratified_sample_matches_naive_window_form(spark):
             .filter(F.col("rn") <= F.ceil(0.17 * F.col("n")))
             .collect()}
     assert got == want and len(got) > 0
+
+
+def test_stratified_sample_empty_input(spark):
+    from mr_mpi_blast_spark.operators.sampling import stratified_sample_exact
+    df = spark.createDataFrame([], "doc_id long, source string")
+    assert stratified_sample_exact(df, "source", "doc_id", 0.5).count() == 0
