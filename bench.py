@@ -30,7 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #   dedup_ngram_jaccard -> dedup_minhash_lsh (LSH candidates + verify)
 #   ann_cosine_topk (expression-form crossJoin) -> ann_cosine_topk_numpy
 #     (BLAS mapInPandas, 4x) and ann_ivf_topk/_nprobe2 (bucketed)
-CORRECTNESS_ONLY = {"dedup_ngram_jaccard", "ann_cosine_topk"}
+#   run_summary re-runs a small kernel purely to exercise the W7
+#     per-rank timing-log facility — instrumentation, not a workload
+CORRECTNESS_ONLY = {"dedup_ngram_jaccard", "ann_cosine_topk",
+                    "run_summary"}
 
 
 def main() -> None:

@@ -975,6 +975,44 @@ def q_fasta_roundtrip(spark, sf_dir):
     return read_fasta(spark, os.path.join(path, "part-*.txt"))
 
 
+@query("run_summary")  # timing values are wall-clock: rows-only check
+def q_run_summary(spark, sf_dir):
+    """W7/A6 end-to-end: a small kernel run with the reference's
+    TIMING=1 facility enabled (per-rank worker-local log files,
+    runlog.py) read back and reduced to the run epilogue — ONE row of
+    deterministic call totals (blast calls = blocks x volumes) plus
+    wall-time aggregates, which are measurements and therefore
+    rows-only (no value oracle can exist for timings)."""
+    import tempfile
+    from mr_mpi_blast_spark.plans.pipeline import run_search
+    from mr_mpi_blast_spark.runlog import read_run_logs, run_summary
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    queries_df = (docs.select(F.col("doc_id").alias("qid"),
+                              F.concat(F.lit("d"), "doc_id").alias("defline"),
+                              F.concat(F.lit("d"), "doc_id").alias("defline_part"),
+                              F.col("text").alias("seq"),
+                              F.col("n_chars").cast("int").alias("length")))
+    subjects = docs.select(
+        F.concat(F.lit("s"), "doc_id").alias("sid"),
+        F.concat(F.lit("s"), "doc_id").alias("defline"),
+        F.concat(F.lit("p"), F.pmod("doc_id", F.lit(2))).alias("db_part"),
+        F.col("text").alias("seq"))
+    log_dir = os.path.join(tempfile.gettempdir(), "spark_graft_runlog",
+                           hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    import shutil
+    shutil.rmtree(log_dir, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    cfg = _blast_cfg()
+    run_search(queries_df, subjects, cfg, log_dir=log_dir) \
+        .write.format("noop").mode("overwrite").save()
+    per_rank = run_summary(read_run_logs(spark, log_dir))
+    return per_rank.agg(
+        F.sum("n_calls").alias("n_calls_total"),
+        (F.count(F.lit(1)) >= 1).alias("has_ranks"),
+        (F.sum("busy_s") > 0).alias("busy_positive"))
+
+
 @query("multimodal_resize", """
 SELECT doc_id AS asset_id,
        '64' AS resized_w, '48' AS resized_h,
