@@ -54,6 +54,12 @@ from pyspark.sql.types import (DoubleType, IntegerType, LongType, StringType,
 
 from mr_mpi_blast_spark.config import BlastConfig
 
+# Raw-output spec version: callers that persist RAW_HITS keyed on input
+# content must also key on this, so a kernel change (scoring, seeding,
+# extension) invalidates cached raw hits from older code. Bump on any
+# change that can alter RAW_HITS values for some config.
+KERNEL_SPEC = "k4"
+
 # ungapped Karlin-Altschul (lambda, K, H) per scoring system
 KA_NUCL_1_2 = (1.33, 0.621, 1.12)         # blastn +1/-2
 KA_BLOSUM62 = (0.3176, 0.134, 0.4012)     # blastp BLOSUM62
