@@ -34,6 +34,14 @@ class BlastConfig:
     # default: the NCBI kernel omits the flag entirely (BLAST+ applies
     # its own defaults, e.g. dust on for blastn), the builtin kernel
     # treats None as off so round-1 outputs are unchanged.
+    # -threshold: blastp neighborhood-word seeding. A subject word
+    # seeds when it scores >= threshold against the query word under
+    # the matrix (including the query word itself ONLY when its
+    # self-score clears the threshold — real BLAST semantics; NCBI
+    # default T=11 for blastp word_size 3). None = exact-word seeding
+    # (the builtin kernel's historical contract; right for long words
+    # where the neighborhood is empty anyway).
+    threshold: int | None = None
     dust: str | None = None        # blastn low-complexity filter: "yes"/"no"/"L W T"
     seg: str | None = None         # blastp SEG filter: "yes"/"no"/"w lc hc"
     soft_masking: bool | None = None  # masked regions excluded from seeding only
@@ -147,8 +155,9 @@ def apply_blast_cli_opts(cfg: BlastConfig,
     kernel still receives them verbatim — this just keeps the builtin
     kernel honest for the ones it implements):
     -gapopen/-gapextend (stage-2 costs, enabling gapped), -ungapped,
-    -word_size, -reward/-penalty, -evalue. Unknown options are left
-    for the NCBI kernel's CLI."""
+    -word_size, -reward/-penalty, -evalue, -threshold (blastp
+    neighborhood-word seeding). Unknown options are left for the NCBI
+    kernel's CLI."""
     opts = list(opts if opts is not None else cfg.extra_opts)
     updates: dict = {}
     i = 0
@@ -174,6 +183,8 @@ def apply_blast_cli_opts(cfg: BlastConfig,
                 updates["penalty"] = int(nxt)
             elif o == "-evalue":
                 updates["evalue"] = float(nxt)
+            elif o == "-threshold":
+                updates["threshold"] = int(float(nxt))
             else:
                 i += 1
                 continue

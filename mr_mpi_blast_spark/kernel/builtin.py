@@ -25,12 +25,19 @@ Faithful semantics kept from the reference:
   All default off (None) so they never perturb runs that don't ask
   for them; the NCBI kernel forwards the real flags instead.
 
-Simplifications vs NCBI BLAST (documented, deterministic): exact-word
-seeding (no neighborhood words / T threshold for blastp); extension is
-ungapped by default (gaps column 0), with BLAST's stage-2 affine-gap
-extension available via BlastConfig(gapped=True) — Gotoh local DP
-around HSPs that clear gap_trigger, gap cost open + L*extend, gapped
-Karlin-Altschul parameter rows.
+Simplifications vs NCBI BLAST (documented, deterministic): extension
+is ungapped by default (gaps column 0), with BLAST's stage-2
+affine-gap extension available via BlastConfig(gapped=True) — Gotoh
+local DP around HSPs that clear gap_trigger, gap cost open +
+L*extend, gapped Karlin-Altschul rows keyed on the actual gap costs.
+The gapped DP runs on a window around the ungapped HSP rather than
+BLAST+'s unbounded X-drop extension; the window doubles whenever the
+alignment touches a growable edge (gapped_extend), so results are not
+truncated, but pathological alignments wider than _GAP_PAD_MAX per
+side are. blastp seeding defaults to exact word matches; BLAST's
+neighborhood-word seeding (words scoring >= T against the query word
+under BLOSUM62) is available via BlastConfig(threshold=T), the real
+-threshold semantics for short protein words.
 
 Scoring fidelity: blastn uses the configured reward/penalty with the
 published ungapped Karlin-Altschul parameters for +1/-2
@@ -63,11 +70,38 @@ KERNEL_SPEC = "k4"
 # ungapped Karlin-Altschul (lambda, K, H) per scoring system
 KA_NUCL_1_2 = (1.33, 0.621, 1.12)         # blastn +1/-2
 KA_BLOSUM62 = (0.3176, 0.134, 0.4012)     # blastp BLOSUM62
-# gapped Karlin-Altschul for the default gap costs (NCBI blast_stat.c
-# precomputed tables: blastn_values_1_2 row for open 5 / extend 2;
-# blosum62_values row for open 11 / extend 1)
-KA_NUCL_1_2_G52 = (0.625, 0.275, 0.85)    # blastn +1/-2, gaps 5/2
-KA_BLOSUM62_G111 = (0.267, 0.041, 0.14)   # blastp BLOSUM62, gaps 11/1
+# Gapped Karlin-Altschul (lambda, K, H) keyed on the ACTUAL gap costs,
+# per NCBI blast_stat.c's precomputed tables — the reference forwards
+# -gapopen/-gapextend straight to NCBI (doc/USERGUIDE:47-50), where
+# blast_stat.c looks up the row matching the costs and ERRORS on
+# unsupported pairs. Same contract here: unknown (open, extend) raises
+# instead of silently reusing the default-cost constants.
+#
+# BLOSUM62 rows are the published blosum62_values table (Altschul et
+# al. 1997 / NCBI blast_stat.c; reproduced in Korf, Yandell & Bedell,
+# "BLAST", O'Reilly 2003, App. B).
+KA_GAPPED_BLOSUM62: dict[tuple[int, int], tuple[float, float, float]] = {
+    (11, 2): (0.297, 0.082, 0.27),
+    (10, 2): (0.291, 0.075, 0.23),
+    (9, 2):  (0.279, 0.058, 0.19),
+    (8, 2):  (0.264, 0.045, 0.15),
+    (7, 2):  (0.239, 0.027, 0.10),
+    (6, 2):  (0.201, 0.012, 0.061),
+    (13, 1): (0.292, 0.071, 0.23),
+    (12, 1): (0.283, 0.059, 0.19),
+    (11, 1): (0.267, 0.041, 0.14),   # blastp default costs
+    (10, 1): (0.243, 0.024, 0.10),
+    (9, 1):  (0.206, 0.010, 0.052),
+}
+# blastn +1/-2 gapped rows: only the default-cost pair is carried (the
+# pair every entry/test path uses); other cost pairs raise until their
+# published blast_stat.c row is added.
+KA_GAPPED_NUCL_1_2: dict[tuple[int, int], tuple[float, float, float]] = {
+    (5, 2): (0.625, 0.275, 0.85),    # blastn default costs
+}
+# kept as named constants for round-3 callers
+KA_NUCL_1_2_G52 = KA_GAPPED_NUCL_1_2[(5, 2)]
+KA_BLOSUM62_G111 = KA_GAPPED_BLOSUM62[(11, 1)]
 
 # kept as module constants for blastn compatibility with round-1 users
 LAMBDA, KAPPA = KA_NUCL_1_2[0], KA_NUCL_1_2[1]
@@ -145,10 +179,23 @@ def blosum62_score(a: str, b: str) -> int:
 
 def scoring_params(cfg: BlastConfig) -> tuple[float, float, float]:
     """(lambda, K, H) for the config's scoring system (S8 statistics).
-    Gapped runs use the gapped parameter rows for the default gap
-    costs (the constants NCBI precomputes per cost pair)."""
+
+    Gapped runs look up the row matching the EFFECTIVE gap costs
+    (blast_stat.c semantics: statistics are a function of the costs,
+    not just the matrix). Unsupported cost pairs raise ValueError —
+    never silently score with another pair's constants."""
     if cfg.gapped:
-        return KA_BLOSUM62_G111 if cfg.task == "blastp" else KA_NUCL_1_2_G52
+        table = (KA_GAPPED_BLOSUM62 if cfg.task == "blastp"
+                 else KA_GAPPED_NUCL_1_2)
+        key = (cfg.gap_open_eff, cfg.gap_extend_eff)
+        try:
+            return table[key]
+        except KeyError:
+            raise ValueError(
+                f"no gapped Karlin-Altschul parameters for {cfg.task} gap "
+                f"costs open={key[0]} extend={key[1]}; supported pairs: "
+                f"{sorted(table)} (add the published blast_stat.c row to "
+                f"extend)") from None
     return KA_BLOSUM62 if cfg.task == "blastp" else KA_NUCL_1_2
 
 # Raw kernel output: scoring-space facts only; relational projections
@@ -217,6 +264,51 @@ def _window_hashes(codes: np.ndarray, k: int) -> np.ndarray:
     for j in range(1, k):
         h = h * _HASH_P + codes[j:j + n].astype(np.uint64)
     return h
+
+
+# the 20 standard residues — the alphabet BLAST enumerates
+# neighborhood words over (degenerate codes B/Z/X never seed)
+_STD_RES = "ARNDCQEGHILKMFPSTWYV"
+_STD_RES_IDX = np.array([_B62_ALPHA.index(r) for r in _STD_RES],
+                        dtype=np.intp)
+
+
+def neighborhood_words(word: str, threshold: int) -> list[tuple[str, int]]:
+    """BLAST's blastp neighborhood for one query word: every length-k
+    word over the 20 standard residues whose BLOSUM62 score against
+    ``word`` is >= threshold, as (neighbor, score) pairs — including
+    the query word itself ONLY when its self-score clears the
+    threshold (real -threshold semantics: a low-complexity query word
+    below T produces no seeds at all).
+
+    Enumeration is branch-and-bound over positions: a prefix is pruned
+    the moment prefix_score + max-achievable-suffix < threshold, so
+    the cost tracks the neighborhood size (tens of words at the
+    default T=11, k=3), not 20^k. Results are memoized per (word, T)
+    at the call sites (query vocabularies repeat heavily)."""
+    k = len(word)
+    qrows = []
+    for c in word:
+        o = ord(c)
+        ri = _B62_IDX[o] if o < 256 else _B62_X
+        qrows.append(_B62[ri][_STD_RES_IDX])
+    suffix_max = [0] * (k + 1)
+    for i in range(k - 1, -1, -1):
+        suffix_max[i] = suffix_max[i + 1] + int(qrows[i].max())
+    out: list[tuple[str, int]] = []
+
+    def rec(i: int, prefix: str, sc: int) -> None:
+        if i == k:
+            out.append((prefix, sc))
+            return
+        row, rem = qrows[i], suffix_max[i + 1]
+        for j, r in enumerate(_STD_RES):
+            v = int(row[j])
+            if sc + v + rem >= threshold:
+                rec(i + 1, prefix + r, sc + v)
+
+    rec(0, "", 0)
+    return out
 
 
 class SubjectIndex:
@@ -351,6 +443,48 @@ class SubjectIndex:
         s0, e0 = self._bstart[bi], self._bend[bi]
         return zip(self._sis[s0:e0], self._poss[s0:e0])
 
+    def lookup_word(self, word: str) -> list[tuple[int, int]]:
+        """Exact occurrences of an ARBITRARY word (not necessarily a
+        query window) — the probe neighborhood seeding needs. Hashed
+        form: one hash + searchsorted + exact re-verify; dict form:
+        direct get."""
+        if not self.hashed:
+            return self._str_index.get(word, []) if self._str_index else []
+        codes = np.frombuffer(word.encode("utf-32-le"), dtype="<u4")
+        h = _window_hashes(codes, self.word_size)
+        if not len(h) or not len(self._ukeys):
+            return []
+        ii = int(np.searchsorted(self._ukeys, h[0]))
+        if ii >= len(self._ukeys) or self._ukeys[ii] != h[0]:
+            return []
+        k = self.word_size
+        return [(si, spos) for si, spos in self.bucket_pairs(ii)
+                if self.ext_seqs[si][spos:spos + k] == word]
+
+    def neighborhood_hits(self, word: str, threshold: int,
+                          ) -> list[tuple[list[tuple[int, int]], int, int]]:
+        """Seeding candidates for one query word under -threshold
+        semantics: [(occurrences, seed_score, seed_ident)] over every
+        neighborhood word present in this partition. Memoized on the
+        index instance (it is cached per worker across query blocks,
+        so the neighborhood of a repeated word is computed once per
+        volume, the lookup-table reuse real BLAST gets from its
+        per-search word table)."""
+        cache = getattr(self, "_nb_cache", None)
+        if cache is None:
+            cache = self._nb_cache = {}
+        key = (word, threshold)
+        got = cache.get(key)
+        if got is None:
+            got = []
+            for w2, sc in neighborhood_words(word, threshold):
+                hits = self.lookup_word(w2)
+                if hits:
+                    ident = sum(a == b for a, b in zip(word, w2))
+                    got.append((hits, sc, ident))
+            cache[key] = got
+        return got
+
     @property
     def index(self) -> dict[str, list[tuple[int, int]]]:
         """String-keyed view (lazy for the hashed form)."""
@@ -369,6 +503,36 @@ class SubjectIndex:
         if self._encoded is None:
             self._encoded = [encode_protein(s) for s in self.ext_seqs]
         return self._encoded
+
+    @property
+    def cat_protein(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Whole-volume concatenated protein encoding for the batched
+        extension path: (ord array, BLOSUM row-index array, subject
+        start offsets), with ONE boundary sentinel between subjects
+        (ord -1 never matches a real character; row index _B62_SENT
+        scores the huge negative that X-drop-stops any extension at a
+        subject boundary — the batched analog of per-subject array
+        bounds). Built lazily once per volume, cached like the index."""
+        if getattr(self, "_cat_protein", None) is None:
+            ords, rows = [], []
+            offs = np.empty(len(self.ext_seqs), dtype=np.int64)
+            sep_o = np.array([-1], dtype=np.int32)
+            sep_r = np.array([_B62_SENT], dtype=np.intp)
+            cursor = 0
+            for i, s in enumerate(self.ext_seqs):
+                o, r = encode_protein(s)
+                offs[i] = cursor
+                ords.append(o)
+                rows.append(r)
+                ords.append(sep_o)
+                rows.append(sep_r)
+                cursor += len(o) + 1
+            cat_o = (np.concatenate(ords) if ords
+                     else np.empty(0, dtype=np.int32))
+            cat_r = (np.concatenate(rows) if rows
+                     else np.empty(0, dtype=np.intp))
+            self._cat_protein = (cat_o, cat_r, offs)
+        return self._cat_protein
 
 
 def get_subject_index(cache_key: str, subjects, word_size: int,
@@ -541,7 +705,7 @@ def _extend_vec(qo: np.ndarray, qi: np.ndarray, so: np.ndarray,
                 si: np.ndarray, qpos: int, spos: int, k: int,
                 seed_score: int, xdrop: int,
                 q: str | None = None, s: str | None = None,
-                qrows: list | None = None):
+                qrows: list | None = None, seed_ident: int | None = None):
     """Vectorized ungapped X-drop extension (blastp hot path): exact
     same semantics as the sequential walk — first-maximum tie-breaking,
     strict improvement, break when best-cur > xdrop — scored by numpy
@@ -559,7 +723,7 @@ def _extend_vec(qo: np.ndarray, qi: np.ndarray, so: np.ndarray,
         gain_r, ext_r = _extend_dir(qi[qpos + k:], si[spos + k:], xdrop)
         gain_l, ext_l = _extend_dir(qi[:qpos][::-1], si[:spos][::-1], xdrop)
     qs, qe = qpos - ext_l, qpos + k - 1 + ext_r
-    ident = k
+    ident = seed_ident if seed_ident is not None else k
     if ext_r:
         ident += int(np.count_nonzero(
             qo[qpos + k:qpos + k + ext_r] == so[spos + k:spos + k + ext_r]))
@@ -722,7 +886,11 @@ def gotoh_local(a: str, b: str, protein: bool, reward: int, penalty: int,
     return (score, i, a1, j, b1, ident, gaps, align_len)
 
 
+# initial pad around the ungapped HSP for the stage-2 DP window; the
+# window doubles (to _GAP_PAD_MAX) whenever the alignment reaches an
+# edge that has sequence beyond it, so the bound never truncates.
 _GAP_PAD = 24
+_GAP_PAD_MAX = 4096
 
 
 def gapped_extend(q: str, s: str, qs: int, qe: int, ss: int, se: int,
@@ -730,14 +898,27 @@ def gapped_extend(q: str, s: str, qs: int, qe: int, ss: int, se: int,
                                              int, int, int]:
     """BLAST's stage-2: affine-gap local DP on a window around an
     ungapped HSP (the HSP extent padded by _GAP_PAD on each side).
+
+    Unlike BLAST+'s unbounded X-drop gapped extension, the DP is
+    windowed — but the window GROWS: whenever the optimal local
+    alignment touches a window edge that could still extend (more
+    sequence exists beyond it), the pad doubles and the DP reruns, so
+    no alignment is truncated by the initial window choice. Geometric
+    growth keeps the total cost within ~4x of the final window's DP.
     Returns absolute coordinates in (q, s)."""
-    q0, q1 = max(0, qs - _GAP_PAD), min(len(q), qe + 1 + _GAP_PAD)
-    s0, s1 = max(0, ss - _GAP_PAD), min(len(s), se + 1 + _GAP_PAD)
-    (score, a0, a1, b0, b1, ident, gaps, align_len) = gotoh_local(
-        q[q0:q1], s[s0:s1], cfg.task == "blastp", cfg.reward, cfg.penalty,
-        cfg.gap_open_eff, cfg.gap_extend_eff)
-    return (score, q0 + a0, q0 + a1, s0 + b0, s0 + b1,
-            ident, gaps, align_len)
+    pad = _GAP_PAD
+    while True:
+        q0, q1 = max(0, qs - pad), min(len(q), qe + 1 + pad)
+        s0, s1 = max(0, ss - pad), min(len(s), se + 1 + pad)
+        (score, a0, a1, b0, b1, ident, gaps, align_len) = gotoh_local(
+            q[q0:q1], s[s0:s1], cfg.task == "blastp", cfg.reward,
+            cfg.penalty, cfg.gap_open_eff, cfg.gap_extend_eff)
+        touches = ((a0 == 0 and q0 > 0) or (a1 == q1 - q0 - 1 and q1 < len(q))
+                   or (b0 == 0 and s0 > 0) or (b1 == s1 - s0 - 1 and s1 < len(s)))
+        if not touches or pad >= _GAP_PAD_MAX:
+            return (score, q0 + a0, q0 + a1, s0 + b0, s0 + b1,
+                    ident, gaps, align_len)
+        pad *= 2
 
 
 def align_query(qid: int, seq: str, index: SubjectIndex,
@@ -763,18 +944,29 @@ def align_query(qid: int, seq: str, index: SubjectIndex,
             enc = index.encoded
         lcase = cfg.lcase_masking
         two_hit = int(cfg.window_size or 0)
+        # neighborhood seeding (-threshold) is a blastp concept: short
+        # protein words seed on near matches scoring >= T; nucleotide
+        # seeding is exact-match by definition in BLAST
+        nb_threshold = cfg.threshold if is_protein else None
         seen: dict[tuple[int, int], int] = {}   # (si, diag) -> covered qend
         pending: dict[tuple[int, int], int] = {}  # (si, diag) -> last seed qpos
         emitted: set[tuple] = set()   # gapped-alignment dedupe per strand
         hashed = index.hashed
-        if hashed:
+        if hashed and nb_threshold is None:
             qb = index.query_buckets(q_ext)
             ext = index.ext_seqs
         for qpos in range(0, len(q) - k + 1):
             word = q[qpos:qpos + k]
             if lcase and word_is_lowercase_masked(word):
                 continue
-            if hashed:
+            if nb_threshold is not None:
+                # each candidate carries its own seed score/identity
+                # (the neighbor word generally differs from the query
+                # word); the query word's own exact hits participate
+                # only when its self-score clears T — BLAST semantics
+                cand = index.neighborhood_hits(
+                    q_ext[qpos:qpos + k], nb_threshold)
+            elif hashed:
                 bi = qb[qpos]
                 if bi < 0:
                     continue
@@ -783,57 +975,62 @@ def align_query(qid: int, seq: str, index: SubjectIndex,
                 # decides (collisions can never fabricate a seed)
                 hits = [(si, spos) for si, spos in index.bucket_pairs(bi)
                         if ext[si][spos:spos + k] == wkey]
+                cand = [(hits, None, None)]
             else:
                 hits = index.index.get(word.upper() if fold else word)
-            if not hits:
-                continue
-            for si, spos in hits:
-                diag = spos - qpos
-                if seen.get((si, diag), -1) >= qpos:
+                cand = [(hits, None, None)]
+            for hits, nb_score, nb_ident in cand:
+                if not hits:
                     continue
-                if two_hit:
-                    # two-hit seeding analog (-window_size): extend only
-                    # when a second seed lands on the same diagonal
-                    # within the window; single seeds stay pending
-                    prev = pending.get((si, diag))
-                    pending[(si, diag)] = qpos
-                    if prev is None or qpos - prev > two_hit:
+                for si, spos in hits:
+                    diag = spos - qpos
+                    if seen.get((si, diag), -1) >= qpos:
                         continue
-                if is_protein:
-                    so, si_arr = enc[si]
-                    score, qs, qe, ss, se, ident = _extend_vec(
-                        qo, qi_arr, so, si_arr, qpos, spos, k,
-                        pref[qpos + k] - pref[qpos], cfg.xdrop,
-                        q=q_ext, s=index.ext_seqs[si], qrows=q_rowdicts)
-                else:
-                    score, qs, qe, ss, se, ident = _extend_rp(
-                        q_ext, index.ext_seqs[si], qpos, spos, k,
-                        cfg.reward, cfg.penalty, cfg.xdrop)
-                seen[(si, diag)] = qe
-                if score < cfg.min_raw_score:
-                    continue
-                gaps_n, align_len = 0, qe - qs + 1
-                if cfg.gapped and score >= cfg.gap_trigger_eff:
-                    # stage 2 (BLAST's model): affine-gap DP around the
-                    # ungapped HSP; several seeds of one homology can
-                    # converge to the same gapped alignment — dedupe
-                    (gscore, gqs, gqe, gss, gse, gident, gg, galn
-                     ) = gapped_extend(q_ext, index.ext_seqs[si],
-                                       qs, qe, ss, se, cfg)
-                    if gscore < cfg.min_raw_score:
+                    if two_hit:
+                        # two-hit seeding analog (-window_size): extend only
+                        # when a second seed lands on the same diagonal
+                        # within the window; single seeds stay pending
+                        prev = pending.get((si, diag))
+                        pending[(si, diag)] = qpos
+                        if prev is None or qpos - prev > two_hit:
+                            continue
+                    if is_protein:
+                        so, si_arr = enc[si]
+                        score, qs, qe, ss, se, ident = _extend_vec(
+                            qo, qi_arr, so, si_arr, qpos, spos, k,
+                            (nb_score if nb_score is not None
+                             else pref[qpos + k] - pref[qpos]), cfg.xdrop,
+                            q=q_ext, s=index.ext_seqs[si], qrows=q_rowdicts,
+                            seed_ident=nb_ident)
+                    else:
+                        score, qs, qe, ss, se, ident = _extend_rp(
+                            q_ext, index.ext_seqs[si], qpos, spos, k,
+                            cfg.reward, cfg.penalty, cfg.xdrop)
+                    seen[(si, diag)] = qe
+                    if score < cfg.min_raw_score:
                         continue
-                    score, qs, qe, ss, se = gscore, gqs, gqe, gss, gse
-                    ident, gaps_n, align_len = gident, gg, galn
-                    key = (si, qs, qe, ss, se)
-                    if key in emitted:
-                        continue
-                    emitted.add(key)
-                if qstrand == -1:
-                    # map coords back to the forward query orientation
-                    qs, qe = qlen - qe - 1, qlen - qs - 1
-                out.append((qid, index.subjects[si][0], score,
-                            align_len, ident, gaps_n,
-                            qs, qe, ss, se, qstrand, 1, qlen))
+                    gaps_n, align_len = 0, qe - qs + 1
+                    if cfg.gapped and score >= cfg.gap_trigger_eff:
+                        # stage 2 (BLAST's model): affine-gap DP around the
+                        # ungapped HSP; several seeds of one homology can
+                        # converge to the same gapped alignment — dedupe
+                        (gscore, gqs, gqe, gss, gse, gident, gg, galn
+                         ) = gapped_extend(q_ext, index.ext_seqs[si],
+                                           qs, qe, ss, se, cfg)
+                        if gscore < cfg.min_raw_score:
+                            continue
+                        score, qs, qe, ss, se = gscore, gqs, gqe, gss, gse
+                        ident, gaps_n, align_len = gident, gg, galn
+                        key = (si, qs, qe, ss, se)
+                        if key in emitted:
+                            continue
+                        emitted.add(key)
+                    if qstrand == -1:
+                        # map coords back to the forward query orientation
+                        qs, qe = qlen - qe - 1, qlen - qs - 1
+                    out.append((qid, index.subjects[si][0], score,
+                                align_len, ident, gaps_n,
+                                qs, qe, ss, se, qstrand, 1, qlen))
     return out
 
 

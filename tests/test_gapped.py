@@ -87,6 +87,41 @@ def test_align_query_default_stays_ungapped():
     assert hits and all(h[5] == 0 for h in hits)   # gaps column all 0
 
 
+def test_scoring_params_keyed_on_gap_costs():
+    """blast_stat.c semantics: gapped (lambda, K, H) is a function of
+    the actual gap costs. Pin the published blosum62_values rows for
+    the default (11,1) and the common alternative (10,2)."""
+    import math
+    from mr_mpi_blast_spark.kernel.builtin import scoring_params
+
+    p11_1 = scoring_params(BlastConfig(task="blastp", gapped=True))
+    assert p11_1 == (0.267, 0.041, 0.14)
+    p10_2 = scoring_params(BlastConfig(task="blastp", gapped=True,
+                                       gap_open=10, gap_extend=2))
+    assert p10_2 == (0.291, 0.075, 0.23)
+    # bitscore = (lambda*S - ln K) / ln 2 with the row's constants:
+    # raw 100 under (11,1) vs (10,2) differ by the published params
+    lam, k, _ = p11_1
+    assert round((lam * 100 - math.log(k)) / math.log(2), 2) == 43.13
+    lam, k, _ = p10_2
+    assert round((lam * 100 - math.log(k)) / math.log(2), 2) == 45.72
+
+
+def test_scoring_params_rejects_unknown_gap_costs():
+    import pytest
+    from mr_mpi_blast_spark.kernel.builtin import scoring_params
+
+    with pytest.raises(ValueError, match="gap"):
+        scoring_params(BlastConfig(task="blastp", gapped=True,
+                                   gap_open=7, gap_extend=1))
+    with pytest.raises(ValueError, match="gap"):
+        scoring_params(BlastConfig(task="blastn", gapped=True,
+                                   gap_open=4, gap_extend=4))
+    # ungapped never consults the gapped table
+    assert scoring_params(BlastConfig(task="blastp", gap_open=7,
+                                      gap_extend=1))
+
+
 def test_run_search_gapped_pipeline(spark):
     """Full pipeline with gapped=True: gaps column carries real gap
     counts, e-values use the gapped K-A row, schema unchanged."""

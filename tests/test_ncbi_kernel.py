@@ -59,3 +59,42 @@ def test_gated_without_blast(spark):
         [("s1", "ACGT" * 30, "p0")], ["sid", "seq", "db_part"])
     with pytest.raises(NotImplementedError, match="not on PATH"):
         run_search_ncbi(docs, subj, BlastConfig())
+
+
+@pytest.mark.skipif(not available(), reason="NCBI BLAST+ not installed")
+def test_blastp_threshold_parity_with_ncbi(spark):
+    """Builtin neighborhood seeding (word_size=3, T=11) vs real blastp:
+    the builtin's (qid, sid) hit set must cover NCBI's for a small
+    protein corpus (builtin is ungapped by default, so compare against
+    blastp -ungapped; scores differ in rounding, membership must not).
+    Runs only where BLAST+ exists; the in-container contract is the
+    exact-arithmetic pinning in test_neighborhood.py."""
+    import numpy as np
+    from mr_mpi_blast_spark.plans.pipeline import run_search
+
+    rng = np.random.default_rng(11)
+    res = list("ARNDCQEGHILKMFPSTWYV")
+    base = "".join(rng.choice(res, 120))
+    # three subjects: one near-identical (5 substitutions), one with a
+    # shared 40-residue domain, one unrelated
+    mut = list(base)
+    for p in (10, 35, 60, 85, 110):
+        mut[p] = "A" if mut[p] != "A" else "G"
+    subj_rows = [("near", "".join(mut), "p0"),
+                 ("domain", "".join(rng.choice(res, 40)) + base[30:70]
+                  + "".join(rng.choice(res, 40)), "p0"),
+                 ("unrel", "".join(rng.choice(res, 120)), "p0")]
+    queries = spark.createDataFrame(
+        [(1, "q1", "q1", base, 120)],
+        ["qid", "defline", "defline_part", "seq", "length"])
+    subjects = spark.createDataFrame(subj_rows, ["sid", "seq", "db_part"])
+
+    cfg = BlastConfig(task="blastp", word_size=3, threshold=11,
+                      evalue=1e-3, min_score=10)
+    builtin_pairs = {(r.qid, r.sid) for r in
+                     run_search(queries, subjects, cfg).collect()}
+    ncbi_pairs = {(r.qid, r.sid) for r in run_search_ncbi(
+        queries, subjects,
+        BlastConfig(task="blastp", word_size=3, evalue=1e-3,
+                    extra_opts=("-threshold", "11", "-ungapped"))).collect()}
+    assert ncbi_pairs <= builtin_pairs
