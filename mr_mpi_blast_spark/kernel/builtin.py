@@ -152,6 +152,16 @@ def _b62_index_table() -> np.ndarray:
 _B62_IDX = _b62_index_table()
 _B62 = np.array(_B62_ROWS, dtype=np.int32)
 
+# Extended matrix for the batched extension path: row/col _B62_SENT is
+# the subject-boundary / out-of-range sentinel, scoring so negative
+# that the X-drop test stops an extension the moment it reaches one
+# (the batched analog of per-subject array bounds). int64 so chunked
+# cumulative sums can never wrap.
+_B62_SENT = len(_B62_ALPHA)                   # 24
+_B62_NEG = -(10 ** 9)
+_B62E = np.full((_B62_SENT + 1, _B62_SENT + 1), _B62_NEG, dtype=np.int64)
+_B62E[:_B62_SENT, :_B62_SENT] = _B62
+
 
 def _b62_row_maps() -> list[dict[str, int]]:
     """One {char: score} dict per matrix row, covering all 256 byte
@@ -442,6 +452,36 @@ class SubjectIndex:
         order."""
         s0, e0 = self._bstart[bi], self._bend[bi]
         return zip(self._sis[s0:e0], self._poss[s0:e0])
+
+    @property
+    def bucket_bounds_np(self) -> tuple[np.ndarray, np.ndarray]:
+        """(bucket start, bucket end) arrays for the batched seeding
+        path (the hashed form's _bstart/_bend as int64 views)."""
+        if getattr(self, "_bounds_np", None) is None:
+            self._bounds_np = (np.asarray(self._bstart, dtype=np.int64),
+                               np.asarray(self._bend, dtype=np.int64))
+        return self._bounds_np
+
+    @property
+    def sis_np(self) -> np.ndarray:
+        if getattr(self, "_sis_np", None) is None:
+            self._sis_np = np.asarray(self._sis, dtype=np.int64)
+        return self._sis_np
+
+    @property
+    def poss_np(self) -> np.ndarray:
+        if getattr(self, "_poss_np", None) is None:
+            self._poss_np = np.asarray(self._poss, dtype=np.int64)
+        return self._poss_np
+
+    @property
+    def sids_np(self) -> np.ndarray:
+        """Subject display ids as an object array (vectorized gather
+        for the batched emission path)."""
+        if getattr(self, "_sids_np", None) is None:
+            self._sids_np = np.array([sid for sid, _ in self.subjects],
+                                     dtype=object)
+        return self._sids_np
 
     def lookup_word(self, word: str) -> list[tuple[int, int]]:
         """Exact occurrences of an ARBITRARY word (not necessarily a
@@ -735,6 +775,271 @@ def _extend_vec(qo: np.ndarray, qi: np.ndarray, so: np.ndarray,
     return seed_score + gain_r + gain_l, qs, qe, ss, se, ident
 
 
+def _extend_batch(qrow: np.ndarray, qord: np.ndarray,
+                  crow: np.ndarray, cord: np.ndarray,
+                  q0: np.ndarray, g0: np.ndarray, sign: int,
+                  xdrop: int, chunk: int = 64,
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One direction of X-drop extension for N seeds AT ONCE.
+
+    qrow/qord: the query's BLOSUM row-index and ord arrays;
+    crow/cord: the whole volume's concatenated arrays (cat_protein);
+    q0/g0: each seed's first query/volume position in this direction;
+    sign: +1 (rightward) or -1 (leftward).
+
+    Semantics are exactly the sequential walk's (_extend_dir): running
+    best with first-maximum tie-breaking, strict improvement, stop
+    when best - cur > xdrop — evaluated chunk-wise with 2D gathers, so
+    the per-seed Python loop disappears. Out-of-range and
+    subject-boundary positions score _B62_NEG, which trips the X-drop
+    test at that column and can never join an alignment.
+
+    Returns (gain, length, matches) per seed: best score gained, chars
+    extended, and identities among them."""
+    n = len(q0)
+    best = np.zeros(n, dtype=np.int64)
+    best_at = np.zeros(n, dtype=np.int64)
+    best_m = np.zeros(n, dtype=np.int64)
+    base = np.zeros(n, dtype=np.int64)
+    base_m = np.zeros(n, dtype=np.int64)
+    active = np.arange(n)
+    qlen, clen = len(qrow), len(crow)
+    offset = 0
+    j = np.arange(chunk, dtype=np.int64)
+    while len(active):
+        qidx = q0[active, None] + sign * (offset + j)[None, :]
+        gidx = g0[active, None] + sign * (offset + j)[None, :]
+        qok = (qidx >= 0) & (qidx < qlen)
+        gok = (gidx >= 0) & (gidx < clen)
+        qr = np.where(qok, qrow[np.clip(qidx, 0, qlen - 1)], _B62_SENT)
+        sr = np.where(gok, crow[np.clip(gidx, 0, clen - 1)], _B62_SENT)
+        sc = _B62E[qr, sr]
+        # fills are pairwise-distinct AND distinct from the subject
+        # separator ord (-1), so no out-of-range pair can count as a
+        # match (scores there are _B62_NEG anyway, but identity must
+        # not drift either)
+        eq = (np.where(qok, qord[np.clip(qidx, 0, qlen - 1)], -3)
+              == np.where(gok, cord[np.clip(gidx, 0, clen - 1)], -2))
+        c = base[active, None] + np.cumsum(sc, axis=1)
+        m = base_m[active, None] + np.cumsum(eq, axis=1)
+        run = np.maximum.accumulate(
+            np.maximum(c, best[active, None]), axis=1)
+        drop = (run - c) > xdrop
+        stopped = drop.any(axis=1)
+        upto = np.where(stopped, np.argmax(drop, axis=1), chunk - 1)
+        cm = np.where(j[None, :] <= upto[:, None], c, np.int64(-2**62))
+        chunk_best = cm.max(axis=1)
+        improved = chunk_best > best[active]
+        bidx = np.argmax(cm == chunk_best[:, None], axis=1)
+        rows = active[improved]
+        best[rows] = chunk_best[improved]
+        best_at[rows] = offset + bidx[improved] + 1
+        best_m[rows] = m[improved, bidx[improved]]
+        cont = ~stopped
+        base[active[cont]] = c[cont, -1]
+        base_m[active[cont]] = m[cont, -1]
+        active = active[cont]
+        offset += chunk
+    return best, best_at, best_m
+
+
+def _align_protein_batched_arrays(qid: int, q_ext: str,
+                                  index: SubjectIndex, cfg: BlastConfig,
+                                  lcase_src: str | None,
+                                  qlen: int) -> dict[str, np.ndarray]:
+    """The blastp hot path with the per-seed Python loop removed: seed
+    collection, exact-word verification, X-drop extension, and row
+    emission are all vectorized over the volume's concatenated
+    encoding (cat_protein); output is one numpy column per RAW_HITS
+    field, ready for zero-copy DataFrame assembly (align_block).
+
+    Rows are IDENTICAL to the sequential branch's (pinned by
+    test_batched_parity): seeds are processed per (subject, diagonal)
+    in qpos order with the same coverage dedupe (a seed starting
+    inside the previous extension's query extent on its diagonal is
+    skipped, and coverage updates even below min_raw_score), and
+    emissions are sorted to the sequential (qpos, si, spos) visit
+    order. Rounds = longest surviving seed chain on any diagonal (1-2
+    in practice), each a fully vectorized batch."""
+    k = cfg.word_size
+    qo, qi_arr = encode_protein(q_ext)
+    prefnp = np.concatenate(([0], np.cumsum(_B62[qi_arr, qi_arr])))
+    cord, crow, offs = index.cat_protein
+    qb = np.asarray(index.query_buckets(q_ext), dtype=np.int64)
+    if lcase_src is not None:
+        # -lcase_masking inspects the ORIGINAL query casing (q_ext may
+        # be case-folded when masking options are in play)
+        low = np.array([c.islower() for c in lcase_src], dtype=np.int32)
+        lowc = np.concatenate(([0], np.cumsum(low)))
+        masked = (lowc[k:] - lowc[:-k]) > 0       # window has lowercase
+        qb = np.where(masked, -1, qb)
+
+    # --- seed collection: expand every live word position's bucket ---
+    qpos_list = np.flatnonzero(qb >= 0)
+    if not len(qpos_list):
+        return _empty_raw_cols()
+    bis = qb[qpos_list]
+    bstart, bend = index.bucket_bounds_np
+    counts = bend[bis] - bstart[bis]
+    total = int(counts.sum())
+    if total == 0:
+        return _empty_raw_cols()
+    sq = np.repeat(qpos_list, counts)
+    cum = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
+    flat = np.repeat(bstart[bis], counts) + within
+    ssi = index.sis_np[flat]
+    ssp = index.poss_np[flat]
+    # exact-word re-verify, vectorized: the hash routes, the ord
+    # compare decides (collisions can never fabricate a seed)
+    gpos = offs[ssi] + ssp
+    ok = np.ones(total, dtype=bool)
+    for j in range(k):
+        ok &= cord[gpos + j] == qo[sq + j]
+    if not ok.all():
+        sq, ssi, ssp, gpos = sq[ok], ssi[ok], ssp[ok], gpos[ok]
+    if not len(sq):
+        return _empty_raw_cols()
+
+    # --- group by (subject, diagonal); within a group qpos ascends
+    # (collection order is qpos-major, bucket order si/spos asc) ---
+    diag = ssp - sq
+    dkey = ssi * np.int64(2 ** 32) + (diag + np.int64(2 ** 31))
+    order = np.argsort(dkey, kind="stable")
+    sq, ssi, ssp = sq[order], ssi[order], ssp[order]
+    gpos, dkey = gpos[order], dkey[order]
+    seed_rank = order                     # original visit rank
+    bounds = np.flatnonzero(dkey[1:] != dkey[:-1]) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(dkey)]))
+    ptr = starts.copy()
+    covered = np.full(len(starts), -1, dtype=np.int64)
+    seed_sc = prefnp[sq + k] - prefnp[sq]
+    min_raw = cfg.min_raw_score
+    res: list[tuple[np.ndarray, ...]] = []
+    while True:
+        # advance each diagonal's pointer past covered seeds, then the
+        # first live seed per diagonal is this round's candidate — the
+        # sequential `seen` semantics, whole-array at a time
+        while True:
+            live = ptr < ends
+            adv = live.copy()
+            adv[live] = sq[ptr[live]] <= covered[live]
+            if not adv.any():
+                break
+            ptr[adv] += 1
+        d_idx = np.flatnonzero(ptr < ends)
+        if not len(d_idx):
+            break
+        ci = ptr[d_idx]
+        gain_r, ext_r, m_r = _extend_batch(
+            qi_arr, qo, crow, cord, sq[ci] + k, gpos[ci] + k, +1, cfg.xdrop)
+        gain_l, ext_l, m_l = _extend_batch(
+            qi_arr, qo, crow, cord, sq[ci] - 1, gpos[ci] - 1, -1, cfg.xdrop)
+        score = seed_sc[ci] + gain_r + gain_l
+        qs = sq[ci] - ext_l
+        qe = sq[ci] + k - 1 + ext_r
+        ident = k + m_r + m_l
+        ss = ssp[ci] - (sq[ci] - qs)
+        covered[d_idx] = qe               # coverage updates regardless
+        ptr[d_idx] = ci + 1
+        keep = score >= min_raw
+        if keep.any():
+            res.append((seed_rank[ci[keep]], ssi[ci[keep]],
+                        score[keep], ident[keep], qs[keep], qe[keep],
+                        ss[keep]))
+    if not res:
+        return _empty_raw_cols()
+    rank = np.concatenate([r[0] for r in res])
+    emit = np.argsort(rank)               # sequential visit order
+    r_si = np.concatenate([r[1] for r in res])[emit]
+    r_sc = np.concatenate([r[2] for r in res])[emit]
+    r_id = np.concatenate([r[3] for r in res])[emit]
+    r_qs = np.concatenate([r[4] for r in res])[emit]
+    r_qe = np.concatenate([r[5] for r in res])[emit]
+    r_ss = np.concatenate([r[6] for r in res])[emit]
+    r_se = r_ss + (r_qe - r_qs)
+
+    if cfg.gapped:
+        # stage 2 stays per-HSP (few survivors): same loop + dedupe as
+        # the sequential branch
+        ext_seqs = index.ext_seqs
+        rows = []
+        emitted: set[tuple] = set()
+        trig = cfg.gap_trigger_eff
+        for t in range(len(r_sc)):
+            score, qs_v, qe_v, ss_v, se_v, ident_v = (
+                int(r_sc[t]), int(r_qs[t]), int(r_qe[t]),
+                int(r_ss[t]), int(r_se[t]), int(r_id[t]))
+            gaps_n, align_len = 0, qe_v - qs_v + 1
+            si_t = int(r_si[t])
+            if score >= trig:
+                (gscore, gqs, gqe, gss, gse, gident, gg, galn
+                 ) = gapped_extend(q_ext, ext_seqs[si_t],
+                                   qs_v, qe_v, ss_v, se_v, cfg)
+                if gscore < min_raw:
+                    continue
+                score, qs_v, qe_v, ss_v, se_v = gscore, gqs, gqe, gss, gse
+                ident_v, gaps_n, align_len = gident, gg, galn
+                key = (si_t, qs_v, qe_v, ss_v, se_v)
+                if key in emitted:
+                    continue
+                emitted.add(key)
+            rows.append((si_t, score, align_len, ident_v, gaps_n,
+                         qs_v, qe_v, ss_v, se_v))
+        if not rows:
+            return _empty_raw_cols()
+        arr = np.array(rows, dtype=np.int64)
+        r_si, r_sc, al, r_id, gp = arr[:, 0], arr[:, 1], arr[:, 2], \
+            arr[:, 3], arr[:, 4]
+        r_qs, r_qe, r_ss, r_se = arr[:, 5], arr[:, 6], arr[:, 7], arr[:, 8]
+    else:
+        al = r_qe - r_qs + 1
+        gp = np.zeros(len(r_sc), dtype=np.int64)
+
+    n = len(r_sc)
+    i32 = np.int32
+    return {
+        "qid": np.full(n, qid, dtype=np.int64),
+        "sid": index.sids_np[r_si],
+        "score": r_sc.astype(i32),
+        "align_len": al.astype(i32),
+        "ident_count": r_id.astype(i32),
+        "gaps": gp.astype(i32),
+        "qstart0": r_qs.astype(i32),
+        "qend0": r_qe.astype(i32),
+        "sstart0": r_ss.astype(i32),
+        "send0": r_se.astype(i32),
+        "qstrand": np.ones(n, dtype=i32),
+        "sstrand": np.ones(n, dtype=i32),
+        "qlen": np.full(n, qlen, dtype=i32),
+    }
+
+
+def _empty_raw_cols() -> dict[str, np.ndarray]:
+    out = {}
+    for f in RAW_HITS.fields:
+        if f.name == "qid":
+            out[f.name] = np.empty(0, dtype=np.int64)
+        elif f.name == "sid":
+            out[f.name] = np.empty(0, dtype=object)
+        else:
+            out[f.name] = np.empty(0, dtype=np.int32)
+    return out
+
+
+def _align_protein_batched(qid: int, q_ext: str, index: SubjectIndex,
+                           cfg: BlastConfig, lcase_src: str | None,
+                           qlen: int) -> list[tuple]:
+    """Tuple-form adapter over the arrays implementation (align_query
+    API compatibility; kernels use align_block's column path)."""
+    cols = _align_protein_batched_arrays(qid, q_ext, index, cfg,
+                                         lcase_src, qlen)
+    names = [f.name for f in RAW_HITS.fields]
+    seqs = [cols[nm].tolist() for nm in names]
+    return list(zip(*seqs)) if len(seqs[0]) else []
+
+
 def _extend_rows(q: str, s: str, qpos: int, spos: int, k: int,
                  qrows: list, seed_score: int, xdrop: int):
     """Ungapped X-drop extension, matrix scoring (blastp): ``qrows``
@@ -928,6 +1233,30 @@ def align_query(qid: int, seq: str, index: SubjectIndex,
     k = cfg.word_size
     qlen = len(seq)
     is_protein = cfg.task == "blastp"
+    # blastp hot path: hashed index, exact-word seeding, one-hit — the
+    # per-seed Python loop is replaced by batched 2D extension with
+    # identical outputs (test_batched_extension_parity). Neighborhood
+    # (-threshold) and two-hit seeding keep the sequential branch: both
+    # carry per-seed state the batch would have to thread through.
+    if (is_protein and index.hashed and cfg.threshold is None
+            and not cfg.window_size):
+        q_ext = seq.upper() if index.fold_case else seq
+        return _align_protein_batched(qid, q_ext, index, cfg,
+                                      seq if cfg.lcase_masking else None,
+                                      qlen)
+    return _align_query_sequential(qid, seq, index, cfg)
+
+
+def _align_query_sequential(qid: int, seq: str, index: SubjectIndex,
+                            cfg: BlastConfig) -> list[tuple]:
+    """The reference implementation of the seed-and-extend loop: one
+    Python iteration per seed. Still the execution path for blastn,
+    neighborhood (-threshold) and two-hit seeding, and the semantic
+    oracle the batched path is pinned against."""
+    out = []
+    k = cfg.word_size
+    qlen = len(seq)
+    is_protein = cfg.task == "blastp"
     strands = [(seq, 1)]
     if cfg.task == "blastn":
         strands.append((revcomp(seq), -1))
@@ -1034,6 +1363,33 @@ def align_query(qid: int, seq: str, index: SubjectIndex,
     return out
 
 
+def align_block(items, index: SubjectIndex, cfg: BlastConfig,
+                ) -> pd.DataFrame:
+    """K2 batch loop over one query block -> RAW_HITS DataFrame.
+
+    For the blastp hot path (hashed index, exact-word one-hit seeding)
+    the frame is assembled column-wise from the batched arrays — no
+    per-hit Python tuple ever exists. Other configs (blastn,
+    -threshold, two-hit) route through align_query's row path."""
+    names = [f.name for f in RAW_HITS.fields]
+    if (cfg.task == "blastp" and index.hashed and cfg.threshold is None
+            and not cfg.window_size):
+        per_q = [_align_protein_batched_arrays(
+            int(qid), seq.upper() if index.fold_case else seq, index, cfg,
+            seq if cfg.lcase_masking else None, len(seq))
+            for qid, seq in items]
+        if per_q:
+            cols = {nm: np.concatenate([d[nm] for d in per_q])
+                    for nm in names}
+        else:
+            cols = _empty_raw_cols()
+        return pd.DataFrame(cols, columns=names)
+    rows: list[tuple] = []
+    for qid, seq in items:
+        rows.extend(align_query(int(qid), seq, index, cfg))
+    return pd.DataFrame(rows, columns=names)
+
+
 def make_block_kernel(subjects_bc, cfg: BlastConfig, cache_key: str):
     """Kernel factory for applyInPandas over query blocks (K1/K2).
 
@@ -1050,11 +1406,9 @@ def make_block_kernel(subjects_bc, cfg: BlastConfig, cache_key: str):
                                   complexity=cfg.complexity_filter,
                                   protein=cfg.task == "blastp",
                                   fold_case=cfg.mask_fold_case)
-        rows: list[tuple] = []
-        # K2 batch loop: iterate queries within the block
-        for qid, seq in zip(pdf["qid"].to_numpy(), pdf["seq"].to_numpy()):
-            rows.extend(align_query(int(qid), seq, index, cfg))
-        return pd.DataFrame(rows, columns=[f.name for f in RAW_HITS.fields])
+        # K2 batch loop: all queries of the block through align_block
+        return align_block(zip(pdf["qid"].to_numpy(),
+                               pdf["seq"].to_numpy()), index, cfg)
     return kernel
 
 
@@ -1097,10 +1451,8 @@ def make_lazy_block_kernel(db_dir: str, cfg: BlastConfig, gen: str):
             complexity=cfg.complexity_filter,
             protein=cfg.task == "blastp",
             fold_case=cfg.mask_fold_case)
-        rows: list[tuple] = []
-        for qid, seq in zip(pdf["qid"].to_numpy(), pdf["seq"].to_numpy()):
-            rows.extend(align_query(int(qid), seq, index, cfg))
-        return pd.DataFrame(rows, columns=[f.name for f in RAW_HITS.fields])
+        return align_block(zip(pdf["qid"].to_numpy(),
+                               pdf["seq"].to_numpy()), index, cfg)
     return kernel
 
 
