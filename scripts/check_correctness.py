@@ -53,11 +53,35 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def dtype_drift(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
+    """Columns where one side fetches integer and the other float.
+
+    The external driver's value-hash is representation-sensitive, so a
+    DuckDB HUGEINT (sum of INTEGER) rendered as float64 fails its hash
+    against a Spark int64 even when values are exactly equal. Surface
+    that here so it never reaches the driver.
+    """
+    drift = []
+    for c in a.columns:
+        if c not in b.columns:
+            continue
+        ai = pd.api.types.is_integer_dtype(a[c])
+        bi = pd.api.types.is_integer_dtype(b[c])
+        af = pd.api.types.is_float_dtype(a[c])
+        bf = pd.api.types.is_float_dtype(b[c])
+        if (ai and bf) or (af and bi):
+            drift.append(f"{c}: spark={a[c].dtype} oracle={b[c].dtype}")
+    return drift
+
+
 def frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
     if sorted(a.columns) != sorted(b.columns):
         return False, f"schema mismatch: spark={sorted(a.columns)} oracle={sorted(b.columns)}"
     if len(a) != len(b):
         return False, f"row count mismatch: spark={len(a)} oracle={len(b)}"
+    drift = dtype_drift(a, b)
+    if drift:
+        return False, f"dtype drift (driver-hash risk): {'; '.join(drift)}"
     a, b = canon(a), canon(b)
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
