@@ -1,0 +1,158 @@
+"""Batched-vs-sequential kernel parity.
+
+`_align_protein_batched_arrays` is the DEFAULT blastp execution path
+(hashed index, no -threshold, no -window_size); its contract is
+bit-identical rows, in identical order, to `_align_query_sequential` —
+the readable per-seed loop that serves as the semantic oracle
+(kernel/builtin.py docstrings name these tests). Randomized corpora
+with planted homologies exercise the cases where the two
+implementations could plausibly diverge: multi-seed diagonals
+(coverage dedupe), seeds below min_raw_score (coverage must still
+update), gapped stage-2 convergence dedupe, lowercase query masking,
+and case folding.
+"""
+
+import numpy as np
+import pytest
+
+from mr_mpi_blast_spark.config import BlastConfig
+from mr_mpi_blast_spark.kernel.builtin import (SubjectIndex,
+                                               _align_query_sequential,
+                                               _extend_batch, _extend_vec,
+                                               align_query, encode_protein)
+
+RES20 = "ARNDCQEGHILKMFPSTWYV"
+
+
+def _rand_protein(rng: np.random.Generator, n: int) -> str:
+    return "".join(rng.choice(list(RES20), size=n))
+
+
+def _mutate(rng: np.random.Generator, s: str, rate: float) -> str:
+    out = list(s)
+    for i in range(len(out)):
+        if rng.random() < rate:
+            out[i] = RES20[rng.integers(20)]
+    return "".join(out)
+
+
+def _corpus(seed: int, n_subjects: int = 8, sub_len: int = 120,
+            n_queries: int = 6, q_len: int = 80):
+    """Subjects plus queries stitched from mutated subject fragments, so
+    seeds exist, chain on shared diagonals, and straddle min_raw_score."""
+    rng = np.random.default_rng(seed)
+    subjects = [(f"s{i}", _rand_protein(rng, sub_len))
+                for i in range(n_subjects)]
+    queries = []
+    for qn in range(n_queries):
+        src = subjects[rng.integers(n_subjects)][1]
+        a = int(rng.integers(0, max(1, len(src) - q_len)))
+        frag = _mutate(rng, src[a:a + q_len], rate=0.08)
+        # duplicate a window inside the query -> repeated seeds on
+        # shifted diagonals (stresses the coverage/dedupe machinery)
+        w = frag[10:30]
+        frag = frag[:50] + w + frag[70:]
+        queries.append((qn, frag))
+    return subjects, queries
+
+
+def _run_both(subjects, queries, cfg, fold_case=False, lcase=None):
+    idx = SubjectIndex(subjects, cfg.word_size, 4096, protein=True,
+                       fold_case=fold_case)
+    assert idx.hashed, "parity target is the hashed fast path"
+    batched, sequential = [], []
+    for qid, q in queries:
+        if lcase is not None:
+            q = lcase(q)
+        got = align_query(qid, q, idx, cfg)
+        batched.extend(got)
+        sequential.extend(_align_query_sequential(qid, q, idx, cfg))
+    return batched, sequential
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.parametrize("gapped", [False, True])
+def test_batched_parity(seed, gapped):
+    """Default blastp config (the flagship blast_pipeline shape):
+    batched rows == sequential rows, exactly, including order."""
+    subjects, queries = _corpus(seed)
+    cfg = BlastConfig(task="blastp", word_size=4, gapped=gapped)
+    assert cfg.threshold is None and not cfg.window_size
+    batched, sequential = _run_both(subjects, queries, cfg)
+    assert batched == sequential
+    assert len(batched) > 0, "corpus must actually produce hits"
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_batched_parity_lcase_masking(seed):
+    """-lcase_masking with fold_case: lowercase query windows must not
+    seed on either path, and extension still scores through them."""
+    rng = np.random.default_rng(seed)
+
+    def lcase(q):
+        # lowercase two random runs of the query
+        out = list(q)
+        for _ in range(2):
+            a = int(rng.integers(0, len(out) - 12))
+            for i in range(a, a + 12):
+                out[i] = out[i].lower()
+        return "".join(out)
+
+    subjects, queries = _corpus(seed)
+    cfg = BlastConfig(task="blastp", word_size=4, lcase_masking=True)
+    batched, sequential = _run_both(subjects, queries, cfg,
+                                    fold_case=True, lcase=lcase)
+    assert batched == sequential
+    assert len(batched) > 0
+
+
+def test_batched_parity_min_score_coverage():
+    """A seed whose extension scores below min_raw_score must still
+    mark diagonal coverage on both paths (emission differs from
+    coverage — the subtlest sequential semantic)."""
+    subjects, queries = _corpus(21)
+    cfg = BlastConfig(task="blastp", word_size=4, min_score=30)
+    batched, sequential = _run_both(subjects, queries, cfg)
+    assert batched == sequential
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33])
+def test_batched_extension_parity(seed):
+    """_extend_batch over N seeds == _extend_vec per seed, on the same
+    volume: gain, extension length, and identity count all match."""
+    rng = np.random.default_rng(seed)
+    subjects = [(f"s{i}", _rand_protein(rng, 150)) for i in range(4)]
+    q = _mutate(rng, subjects[1][1][10:130], 0.1)
+    k = 4
+    idx = SubjectIndex(subjects, k, 4096, protein=True)
+    cord, crow, offs = idx.cat_protein
+    qo, qi_arr = encode_protein(q)
+
+    # exact-word seeds, found by scanning (independent of the index)
+    seeds = []
+    for si, (_, s) in enumerate(subjects):
+        for qpos in range(len(q) - k + 1):
+            w = q[qpos:qpos + k]
+            at = s.find(w)
+            while at >= 0:
+                seeds.append((qpos, si, at))
+                at = s.find(w, at + 1)
+    assert seeds, "need at least one seed"
+    sq = np.array([t[0] for t in seeds], dtype=np.int64)
+    ssi = np.array([t[1] for t in seeds], dtype=np.int64)
+    ssp = np.array([t[2] for t in seeds], dtype=np.int64)
+    gpos = offs[ssi] + ssp
+
+    xdrop = 16
+    gain_r, ext_r, m_r = _extend_batch(qi_arr, qo, crow, cord,
+                                       sq + k, gpos + k, +1, xdrop)
+    gain_l, ext_l, m_l = _extend_batch(qi_arr, qo, crow, cord,
+                                       sq - 1, gpos - 1, -1, xdrop)
+    for t, (qpos, si, spos) in enumerate(seeds):
+        so, si_arr2 = idx.encoded[si]
+        score, qs, qe, ss, se, ident = _extend_vec(
+            qo, qi_arr, so, si_arr2, qpos, spos, k, 0, xdrop)
+        assert int(gain_r[t] + gain_l[t]) == score, seeds[t]
+        assert int(sq[t] - ext_l[t]) == qs
+        assert int(sq[t] + k - 1 + ext_r[t]) == qe
+        assert k + int(m_r[t] + m_l[t]) == ident
