@@ -11,6 +11,7 @@ pipeline driver loop.
 from __future__ import annotations
 
 import dataclasses
+import math
 import os
 from dataclasses import dataclass
 
@@ -184,7 +185,10 @@ def apply_blast_cli_opts(cfg: BlastConfig,
             elif o == "-evalue":
                 updates["evalue"] = float(nxt)
             elif o == "-threshold":
-                updates["threshold"] = int(float(nxt))
+                # BLAST+ accepts real-valued T and seeds on word
+                # score >= T; for integer matrix scores that is
+                # ceil(T), never a truncation (11.5 behaves like 12)
+                updates["threshold"] = math.ceil(float(nxt))
             else:
                 i += 1
                 continue

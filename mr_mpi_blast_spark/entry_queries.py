@@ -1142,12 +1142,45 @@ _BLAST_RAW_META = "_raw_meta.json"
 
 def _blast_raw_key(sf_dir: str) -> str:
     """Full validity key for persisted raw hits: input content key +
-    kernel code version + the config fields that shape raw output."""
+    kernel code version + the ENTIRE config. Hashing every field (not a
+    hand-picked subset) means a future edit to _blast_cfg — adding
+    threshold, changing xdrop, anything — can never silently serve
+    stale raw hits to a fresh process."""
+    import dataclasses
+    import hashlib
     from mr_mpi_blast_spark.kernel.builtin import KERNEL_SPEC
-    cfg = _blast_cfg()
-    return "|".join((_blast_volume_key(sf_dir), KERNEL_SPEC,
-                     cfg.task, str(cfg.word_size), str(cfg.block_size),
-                     str(cfg.max_kmer_hits), str(cfg.gapped)))
+    cfg_repr = repr(sorted(dataclasses.asdict(_blast_cfg()).items()))
+    cfg_hash = hashlib.md5(cfg_repr.encode()).hexdigest()
+    return "|".join((_blast_volume_key(sf_dir), KERNEL_SPEC, cfg_hash))
+
+
+def _blast_raw_cache_dir(key: str) -> str:
+    """Per-key cache dir: different scale factors (and configs/kernel
+    versions) persist side by side, so a warmup at sf0.001 can never
+    evict the sf0.1 raw hits — the round-4 bench's cold-run trap."""
+    import hashlib
+    h = hashlib.md5(key.encode()).hexdigest()[:16]
+    return f"/tmp/spark_graft_blast_raw_{h}.parquet"
+
+
+def _point_current_at(cache_dir: str) -> None:
+    """Atomically repoint the fixed _BLAST_RAW_PATH symlink (the path
+    the static blast_tail oracle SQL reads) at this run's cache dir.
+    os.replace of a freshly created symlink is atomic on POSIX, so a
+    concurrent reader sees either the old or the new target, never a
+    missing path."""
+    tmp = _BLAST_RAW_PATH + ".lnk.tmp"
+    if os.path.islink(_BLAST_RAW_PATH) or os.path.exists(_BLAST_RAW_PATH):
+        if not os.path.islink(_BLAST_RAW_PATH):
+            # pre-symlink layout (a real dir from an older build): clear it
+            import shutil
+            shutil.rmtree(_BLAST_RAW_PATH, ignore_errors=True)
+    try:
+        os.unlink(tmp)
+    except FileNotFoundError:
+        pass
+    os.symlink(cache_dir, tmp)
+    os.replace(tmp, _BLAST_RAW_PATH)
 
 
 def _blast_raw(spark, sf_dir):
@@ -1157,24 +1190,30 @@ def _blast_raw(spark, sf_dir):
     from mr_mpi_blast_spark.plans.pipeline import run_kernel_raw
 
     key = _blast_raw_key(sf_dir)
-    meta_p = os.path.join(_BLAST_RAW_PATH, _BLAST_RAW_META)
-    if (os.path.exists(os.path.join(_BLAST_RAW_PATH, "_SUCCESS"))
+    cache_dir = _blast_raw_cache_dir(key)
+    meta_p = os.path.join(cache_dir, _BLAST_RAW_META)
+    if (os.path.exists(os.path.join(cache_dir, "_SUCCESS"))
             and os.path.exists(meta_p)):
         with open(meta_p) as fh:
             meta = json.load(fh)
         if meta.get("key") == key:
-            return (spark.read.parquet(_BLAST_RAW_PATH),
+            _point_current_at(cache_dir)
+            return (spark.read.parquet(cache_dir),
                     int(meta["dbsize"]), int(meta["n_seqs"]))
     queries_df, subjects = _blast_inputs(spark, sf_dir)
     raw, dbsize, n_seqs = run_kernel_raw(
         queries_df, subjects, _blast_cfg(),
         cache_key=_blast_volume_key(sf_dir))
-    raw.write.mode("overwrite").parquet(_BLAST_RAW_PATH)
-    # meta written AFTER _SUCCESS exists; reuse requires both, so a
-    # concurrent reader never treats a half-written dir as complete.
-    with open(meta_p, "w") as fh:
+    raw.write.mode("overwrite").parquet(cache_dir)
+    # meta is written atomically (temp + os.replace) AFTER _SUCCESS
+    # exists; reuse requires both, so neither a half-written dir nor a
+    # half-written meta can ever be treated as complete.
+    tmp = meta_p + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump({"key": key, "dbsize": dbsize, "n_seqs": n_seqs}, fh)
-    return spark.read.parquet(_BLAST_RAW_PATH), dbsize, n_seqs
+    os.replace(tmp, meta_p)
+    _point_current_at(cache_dir)
+    return spark.read.parquet(cache_dir), dbsize, n_seqs
 
 
 @query("blast_pipeline")  # kernel = non-SQL-expressible; rows-only check

@@ -92,3 +92,14 @@ def test_apply_blast_cli_opts_gap_options():
     mixed = apply_blast_cli_opts(
         BlastConfig(), ("-num_threads", "4", "-word_size", "7"))
     assert mixed.word_size == 7 and mixed.extra_opts == ()
+
+
+def test_apply_blast_cli_opts_threshold_real_valued():
+    """BLAST+ accepts real-valued -threshold and compares word score
+    >= T; with integer matrix scores that means ceil(T), never a
+    truncation (11.5 must behave like 12, not 11)."""
+    from mr_mpi_blast_spark.config import BlastConfig, apply_blast_cli_opts
+    base = BlastConfig(task="blastp")
+    assert apply_blast_cli_opts(base, ["-threshold", "11"]).threshold == 11
+    assert apply_blast_cli_opts(base, ["-threshold", "11.5"]).threshold == 12
+    assert apply_blast_cli_opts(base, ["-threshold", "11.0"]).threshold == 11
