@@ -525,6 +525,40 @@ class SubjectIndex:
             cache[key] = got
         return got
 
+    def neighborhood_arrays(self, word: str, threshold: int,
+                            ) -> tuple[np.ndarray, np.ndarray,
+                                       np.ndarray, np.ndarray] | None:
+        """neighborhood_hits flattened to numpy columns
+        (si, spos, seed_score, seed_ident) in visit order — neighbor
+        enumeration order then bucket (si, spos) order — for the
+        batched seeding path: per-qpos collection becomes O(1) array
+        appends instead of a per-seed Python loop. Cached per
+        (word, T) like neighborhood_hits."""
+        cache = getattr(self, "_nb_np_cache", None)
+        if cache is None:
+            cache = self._nb_np_cache = {}
+        key = (word, threshold)
+        got = cache.get(key, False)
+        if got is not False:
+            return got
+        groups = self.neighborhood_hits(word, threshold)
+        if not groups:
+            cache[key] = None
+            return None
+        si_l, sp_l, sc_l, id_l = [], [], [], []
+        for hits, sc, idt in groups:
+            for si, spos in hits:
+                si_l.append(si)
+                sp_l.append(spos)
+            sc_l.extend([sc] * len(hits))
+            id_l.extend([idt] * len(hits))
+        out = (np.array(si_l, dtype=np.int64),
+               np.array(sp_l, dtype=np.int64),
+               np.array(sc_l, dtype=np.int64),
+               np.array(id_l, dtype=np.int64))
+        cache[key] = out
+        return out
+
     @property
     def index(self) -> dict[str, list[tuple[int, int]]]:
         """String-keyed view (lazy for the hashed form)."""
@@ -778,7 +812,7 @@ def _extend_vec(qo: np.ndarray, qi: np.ndarray, so: np.ndarray,
 def _extend_batch(qrow: np.ndarray, qord: np.ndarray,
                   crow: np.ndarray, cord: np.ndarray,
                   q0: np.ndarray, g0: np.ndarray, sign: int,
-                  xdrop: int, chunk: int = 64,
+                  xdrop: int, chunk: int = 64, chunk_max: int = 256,
                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One direction of X-drop extension for N seeds AT ONCE.
 
@@ -805,8 +839,12 @@ def _extend_batch(qrow: np.ndarray, qord: np.ndarray,
     active = np.arange(n)
     qlen, clen = len(qrow), len(crow)
     offset = 0
-    j = np.arange(chunk, dtype=np.int64)
+    # chunk width grows geometrically to chunk_max: most seeds X-drop
+    # out within a few residues (weak neighborhood seeds especially),
+    # so the first round stays narrow; the few survivors — genuine
+    # homologies — re-vectorize wide. Semantics are width-invariant.
     while len(active):
+        j = np.arange(chunk, dtype=np.int64)
         qidx = q0[active, None] + sign * (offset + j)[None, :]
         gidx = g0[active, None] + sign * (offset + j)[None, :]
         qok = (qidx >= 0) & (qidx < qlen)
@@ -840,6 +878,7 @@ def _extend_batch(qrow: np.ndarray, qord: np.ndarray,
         base_m[active[cont]] = m[cont, -1]
         active = active[cont]
         offset += chunk
+        chunk = min(chunk * 4, chunk_max)
     return best, best_at, best_m
 
 
@@ -865,41 +904,81 @@ def _align_protein_batched_arrays(qid: int, q_ext: str,
     qo, qi_arr = encode_protein(q_ext)
     prefnp = np.concatenate(([0], np.cumsum(_B62[qi_arr, qi_arr])))
     cord, crow, offs = index.cat_protein
-    qb = np.asarray(index.query_buckets(q_ext), dtype=np.int64)
+    nb_threshold = cfg.threshold
+    masked = None
     if lcase_src is not None:
         # -lcase_masking inspects the ORIGINAL query casing (q_ext may
         # be case-folded when masking options are in play)
         low = np.array([c.islower() for c in lcase_src], dtype=np.int32)
         lowc = np.concatenate(([0], np.cumsum(low)))
         masked = (lowc[k:] - lowc[:-k]) > 0       # window has lowercase
-        qb = np.where(masked, -1, qb)
 
-    # --- seed collection: expand every live word position's bucket ---
-    qpos_list = np.flatnonzero(qb >= 0)
-    if not len(qpos_list):
-        return _empty_raw_cols()
-    bis = qb[qpos_list]
-    bstart, bend = index.bucket_bounds_np
-    counts = bend[bis] - bstart[bis]
-    total = int(counts.sum())
-    if total == 0:
-        return _empty_raw_cols()
-    sq = np.repeat(qpos_list, counts)
-    cum = np.concatenate(([0], np.cumsum(counts)))[:-1]
-    within = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
-    flat = np.repeat(bstart[bis], counts) + within
-    ssi = index.sis_np[flat]
-    ssp = index.poss_np[flat]
-    # exact-word re-verify, vectorized: the hash routes, the ord
-    # compare decides (collisions can never fabricate a seed)
-    gpos = offs[ssi] + ssp
-    ok = np.ones(total, dtype=bool)
-    for j in range(k):
-        ok &= cord[gpos + j] == qo[sq + j]
-    if not ok.all():
-        sq, ssi, ssp, gpos = sq[ok], ssi[ok], ssp[ok], gpos[ok]
-    if not len(sq):
-        return _empty_raw_cols()
+    if nb_threshold is not None:
+        # --- neighborhood (-threshold) seed collection: probe every
+        # neighbor word's occurrences per live query position. The
+        # probes stay a (memoized) per-word loop — BLAST's word-table
+        # build — but every seed they yield joins the SAME batched
+        # extension below, with its own (seed_score, seed_ident)
+        # carried per seed; the per-seed extension loop is gone.
+        # Visit order matches the sequential branch exactly:
+        # qpos-major, then neighbor-word enumeration order, then
+        # bucket (si, spos) order. One (si, spos) can only match ONE
+        # neighbor word (the subject word itself), so within a
+        # (subject, diagonal) group qpos still strictly ascends.
+        n_words = len(q_ext) - k + 1
+        qp_parts: list[np.ndarray] = []
+        parts: list[tuple[np.ndarray, np.ndarray, np.ndarray,
+                          np.ndarray]] = []
+        for qpos in range(max(n_words, 0)):
+            if masked is not None and masked[qpos]:
+                continue
+            arrs = index.neighborhood_arrays(
+                q_ext[qpos:qpos + k], nb_threshold)
+            if arrs is None:
+                continue
+            qp_parts.append(np.full(len(arrs[0]), qpos, dtype=np.int64))
+            parts.append(arrs)
+        if not parts:
+            return _empty_raw_cols()
+        sq = np.concatenate(qp_parts)
+        ssi = np.concatenate([a[0] for a in parts])
+        ssp = np.concatenate([a[1] for a in parts])
+        gpos = offs[ssi] + ssp
+        seed_sc_all = np.concatenate([a[2] for a in parts])
+        seed_id_all = np.concatenate([a[3] for a in parts])
+    else:
+        qb = np.asarray(index.query_buckets(q_ext), dtype=np.int64)
+        if masked is not None:
+            qb = np.where(masked, -1, qb)
+
+        # --- seed collection: expand every live word position's bucket ---
+        qpos_list = np.flatnonzero(qb >= 0)
+        if not len(qpos_list):
+            return _empty_raw_cols()
+        bis = qb[qpos_list]
+        bstart, bend = index.bucket_bounds_np
+        counts = bend[bis] - bstart[bis]
+        total = int(counts.sum())
+        if total == 0:
+            return _empty_raw_cols()
+        sq = np.repeat(qpos_list, counts)
+        cum = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        within = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
+        flat = np.repeat(bstart[bis], counts) + within
+        ssi = index.sis_np[flat]
+        ssp = index.poss_np[flat]
+        # exact-word re-verify, vectorized: the hash routes, the ord
+        # compare decides (collisions can never fabricate a seed)
+        gpos = offs[ssi] + ssp
+        ok = np.ones(total, dtype=bool)
+        for j in range(k):
+            ok &= cord[gpos + j] == qo[sq + j]
+        if not ok.all():
+            sq, ssi, ssp, gpos = sq[ok], ssi[ok], ssp[ok], gpos[ok]
+        if not len(sq):
+            return _empty_raw_cols()
+        seed_sc_all = prefnp[sq + k] - prefnp[sq]
+        seed_id_all = np.full(len(sq), k, dtype=np.int64)
 
     # --- group by (subject, diagonal); within a group qpos ascends
     # (collection order is qpos-major, bucket order si/spos asc) ---
@@ -908,13 +987,14 @@ def _align_protein_batched_arrays(qid: int, q_ext: str,
     order = np.argsort(dkey, kind="stable")
     sq, ssi, ssp = sq[order], ssi[order], ssp[order]
     gpos, dkey = gpos[order], dkey[order]
+    seed_sc = seed_sc_all[order]
+    seed_idb = seed_id_all[order]
     seed_rank = order                     # original visit rank
     bounds = np.flatnonzero(dkey[1:] != dkey[:-1]) + 1
     starts = np.concatenate(([0], bounds))
     ends = np.concatenate((bounds, [len(dkey)]))
     ptr = starts.copy()
     covered = np.full(len(starts), -1, dtype=np.int64)
-    seed_sc = prefnp[sq + k] - prefnp[sq]
     min_raw = cfg.min_raw_score
     res: list[tuple[np.ndarray, ...]] = []
     while True:
@@ -932,14 +1012,20 @@ def _align_protein_batched_arrays(qid: int, q_ext: str,
         if not len(d_idx):
             break
         ci = ptr[d_idx]
+        # neighborhood seeds are mostly weak (score ~T) and X-drop out
+        # within a few residues: start the extension chunk narrow and
+        # let it grow; exact long-word seeds keep the wider start.
+        c0 = 16 if nb_threshold is not None else 64
         gain_r, ext_r, m_r = _extend_batch(
-            qi_arr, qo, crow, cord, sq[ci] + k, gpos[ci] + k, +1, cfg.xdrop)
+            qi_arr, qo, crow, cord, sq[ci] + k, gpos[ci] + k, +1, cfg.xdrop,
+            chunk=c0)
         gain_l, ext_l, m_l = _extend_batch(
-            qi_arr, qo, crow, cord, sq[ci] - 1, gpos[ci] - 1, -1, cfg.xdrop)
+            qi_arr, qo, crow, cord, sq[ci] - 1, gpos[ci] - 1, -1, cfg.xdrop,
+            chunk=c0)
         score = seed_sc[ci] + gain_r + gain_l
         qs = sq[ci] - ext_l
         qe = sq[ci] + k - 1 + ext_r
-        ident = k + m_r + m_l
+        ident = seed_idb[ci] + m_r + m_l
         ss = ssp[ci] - (sq[ci] - qs)
         covered[d_idx] = qe               # coverage updates regardless
         ptr[d_idx] = ci + 1
@@ -1233,13 +1319,14 @@ def align_query(qid: int, seq: str, index: SubjectIndex,
     k = cfg.word_size
     qlen = len(seq)
     is_protein = cfg.task == "blastp"
-    # blastp hot path: hashed index, exact-word seeding, one-hit — the
-    # per-seed Python loop is replaced by batched 2D extension with
-    # identical outputs (test_batched_extension_parity). Neighborhood
-    # (-threshold) and two-hit seeding keep the sequential branch: both
-    # carry per-seed state the batch would have to thread through.
-    if (is_protein and index.hashed and cfg.threshold is None
-            and not cfg.window_size):
+    # blastp hot path: hashed index, one-hit seeding — exact-word AND
+    # neighborhood (-threshold): the per-seed Python loop is replaced
+    # by batched 2D extension with identical outputs
+    # (test_batched_parity / test_batched_extension_parity; threshold
+    # configs carry per-seed (score, ident) arrays through the batch).
+    # Two-hit (-window_size) seeding keeps the sequential branch: its
+    # pending-seed state is inherently ordered per diagonal.
+    if is_protein and index.hashed and not cfg.window_size:
         q_ext = seq.upper() if index.fold_case else seq
         return _align_protein_batched(qid, q_ext, index, cfg,
                                       seq if cfg.lcase_masking else None,
@@ -1367,12 +1454,12 @@ def align_block(items, index: SubjectIndex, cfg: BlastConfig,
                 ) -> pd.DataFrame:
     """K2 batch loop over one query block -> RAW_HITS DataFrame.
 
-    For the blastp hot path (hashed index, exact-word one-hit seeding)
-    the frame is assembled column-wise from the batched arrays — no
-    per-hit Python tuple ever exists. Other configs (blastn,
-    -threshold, two-hit) route through align_query's row path."""
+    For the blastp hot path (hashed index, one-hit seeding — exact or
+    neighborhood) the frame is assembled column-wise from the batched
+    arrays — no per-hit Python tuple ever exists. Other configs
+    (blastn, two-hit) route through align_query's row path."""
     names = [f.name for f in RAW_HITS.fields]
-    if (cfg.task == "blastp" and index.hashed and cfg.threshold is None
+    if (cfg.task == "blastp" and index.hashed
             and not cfg.window_size):
         per_q = [_align_protein_batched_arrays(
             int(qid), seq.upper() if index.fold_case else seq, index, cfg,

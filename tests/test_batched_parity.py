@@ -156,3 +156,43 @@ def test_batched_extension_parity(seed):
         assert int(sq[t] - ext_l[t]) == qs
         assert int(sq[t] + k - 1 + ext_r[t]) == qe
         assert k + int(m_r[t] + m_l[t]) == ident
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+@pytest.mark.parametrize("gapped", [False, True])
+def test_batched_parity_neighborhood(seed, gapped):
+    """Realistic blastp shape — word_size=3, T=11 neighborhood seeding:
+    the batched path carries per-seed (score, ident) arrays and must
+    equal the sequential oracle exactly."""
+    subjects, queries = _corpus(seed, n_subjects=5, sub_len=90,
+                                n_queries=4, q_len=60)
+    cfg = BlastConfig(task="blastp", word_size=3, threshold=11,
+                      gapped=gapped)
+    batched, sequential = _run_both(subjects, queries, cfg)
+    assert batched == sequential
+    assert len(batched) > 0
+
+
+def test_batched_parity_neighborhood_lcase():
+    rng = np.random.default_rng(51)
+
+    def lcase(q):
+        a = int(rng.integers(0, len(q) - 15))
+        return q[:a] + q[a:a + 15].lower() + q[a + 15:]
+
+    subjects, queries = _corpus(51, n_subjects=5, sub_len=90,
+                                n_queries=4, q_len=60)
+    cfg = BlastConfig(task="blastp", word_size=3, threshold=11,
+                      lcase_masking=True)
+    batched, sequential = _run_both(subjects, queries, cfg,
+                                    fold_case=True, lcase=lcase)
+    assert batched == sequential
+
+
+def test_two_hit_still_routes_sequential():
+    """-window_size keeps the sequential branch (pending-seed state);
+    this pins the routing so a future edit can't silently change it."""
+    subjects, queries = _corpus(61)
+    cfg = BlastConfig(task="blastp", word_size=4, window_size=40)
+    batched, sequential = _run_both(subjects, queries, cfg)
+    assert batched == sequential  # align_query == sequential: same path
