@@ -69,6 +69,12 @@ class BlastConfig:
     gap_extend: int = 0            # 0 = task default (blastp 1, blastn 2)
     gap_trigger: int = 0           # raw ungapped score to trigger DP
     #                                (0 = min_raw_score)
+    # Explicit gapped Karlin-Altschul statistics (lambda, K, H) for
+    # cost pairs the builtin tables lack: takes precedence over the
+    # table lookup in scoring_params. Supply the row from a trusted
+    # source (e.g. your BLAST+ install reports it in search headers);
+    # without it, unsupported pairs raise rather than mis-score.
+    ka_gapped: tuple[float, float, float] | None = None
 
     @property
     def gap_open_eff(self) -> int:

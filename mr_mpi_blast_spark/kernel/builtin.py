@@ -193,8 +193,16 @@ def scoring_params(cfg: BlastConfig) -> tuple[float, float, float]:
     Gapped runs look up the row matching the EFFECTIVE gap costs
     (blast_stat.c semantics: statistics are a function of the costs,
     not just the matrix). Unsupported cost pairs raise ValueError —
-    never silently score with another pair's constants."""
+    never silently score with another pair's constants. A user with a
+    cost pair this table lacks supplies the row explicitly via
+    cfg.ka_gapped=(lambda, K, H) — e.g. copied from their BLAST+
+    install's reported statistics — which takes precedence over the
+    table. (The alternative — shipping blastn rows from memory without
+    the published source at hand — risks silently wrong e-values,
+    which is strictly worse than this loud contract.)"""
     if cfg.gapped:
+        if cfg.ka_gapped is not None:
+            return cfg.ka_gapped
         table = (KA_GAPPED_BLOSUM62 if cfg.task == "blastp"
                  else KA_GAPPED_NUCL_1_2)
         key = (cfg.gap_open_eff, cfg.gap_extend_eff)
@@ -204,8 +212,9 @@ def scoring_params(cfg: BlastConfig) -> tuple[float, float, float]:
             raise ValueError(
                 f"no gapped Karlin-Altschul parameters for {cfg.task} gap "
                 f"costs open={key[0]} extend={key[1]}; supported pairs: "
-                f"{sorted(table)} (add the published blast_stat.c row to "
-                f"extend)") from None
+                f"{sorted(table)}. Either add the published blast_stat.c "
+                f"row, or pass the statistics explicitly via "
+                f"BlastConfig(ka_gapped=(lambda, K, H))") from None
     return KA_BLOSUM62 if cfg.task == "blastp" else KA_NUCL_1_2
 
 # Raw kernel output: scoring-space facts only; relational projections

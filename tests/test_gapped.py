@@ -1,5 +1,7 @@
 """Gapped (affine) extension: exact-arithmetic checks of the Gotoh DP
 and the stage-2 hookup in align_query. No Spark session needed."""
+import dataclasses
+
 
 from mr_mpi_blast_spark.config import BlastConfig
 from mr_mpi_blast_spark.kernel.builtin import (SubjectIndex, _B62, _B62_IDX,
@@ -142,3 +144,24 @@ def test_run_search_gapped_pipeline(spark):
     best = max(hits, key=lambda h: h.bitscore)
     assert best.gaps == 1
     assert best.align_len == len(q) + 1
+
+
+def test_ka_gapped_explicit_override():
+    """Cost pairs absent from the builtin tables run when the user
+    supplies the (lambda, K, H) row explicitly; the override also wins
+    over a table row when both exist."""
+    import pytest as _pytest
+    from mr_mpi_blast_spark.kernel.builtin import (KA_GAPPED_BLOSUM62,
+                                                   scoring_params)
+    # blastn at (2,1): no builtin row -> loud failure without override
+    cfg = BlastConfig(task="blastn", gapped=True, gap_open=2, gap_extend=1)
+    with _pytest.raises(ValueError, match="ka_gapped"):
+        scoring_params(cfg)
+    row = (1.28, 0.46, 0.85)
+    cfg2 = dataclasses.replace(cfg, ka_gapped=row)
+    assert scoring_params(cfg2) == row
+    # override precedence over an existing table row
+    cfgp = BlastConfig(task="blastp", gapped=True, ka_gapped=row)
+    assert scoring_params(cfgp) == row
+    assert scoring_params(dataclasses.replace(cfgp, ka_gapped=None)) \
+        == KA_GAPPED_BLOSUM62[(11, 1)]
