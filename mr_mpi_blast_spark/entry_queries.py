@@ -465,8 +465,8 @@ def q_doc_train_split(spark, sf_dir):
 
 _SHINGLE_N = 10
 _JAC_TAU = 0.8
-_NUM_HASHES = 64
-_BANDS = 16
+_NUM_HASHES = 128
+_BANDS = 32
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _SHINGLES_SQL = ("list_distinct(list_transform("
@@ -536,17 +536,19 @@ def _minhash_pairs(spark, sf_dir):
 
 @query("dedup_minhash_lsh", _NGRAM_JACCARD_SQL)
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(64) + LSH(16 bands x 4) candidates, exact-Jaccard
+    """MinHash(128) + LSH(32 bands x 4) candidates, exact-Jaccard
     verify >= 0.8. Same output contract as the exact query — the
     oracle IS the exact computation. 4-row bands keep candidates
     output-sized on template-heavy corpora: with 2-row bands every
-    moderately-similar pair collides (P(cand|s)=1-(1-s^2)^16 = 0.99
+    moderately-similar pair collides (P(cand|s)=1-(1-s^2)^b -> 0.99
     at s=0.5 -> 79k candidate pairs at sf0.1, verify-join bound);
-    at r=4 the same corpus yields ~420 candidates. 16 bands keep
-    recall at the threshold: a pair at s=0.8 is missed with
-    (1-0.8^4)^16 = 2e-4, and the corpus's weakest true pair
-    (s=0.83) with 3e-5 (verified pair-identical to the exact query
-    at sf0.001/0.01/0.1). Pairs materialize once per corpus
+    r=4 keeps the same corpus in the hundreds. 32 bands put the
+    recall margin far below the oracle's resolution: a pair AT the
+    0.8 threshold is missed with (1-0.8^4)^32 = 5e-8 (was 2e-4 at
+    16 bands — close enough to matter on an exact-equality oracle
+    over enough rounds), and the corpus's weakest true pair (s=0.83)
+    with 1e-9. All 128 minima still compute inside the one shingle
+    hash-aggregate pass. Pairs materialize once per corpus
     generation (_minhash_pairs) and feed dedup_clusters too."""
     return _minhash_pairs(spark, sf_dir)
 

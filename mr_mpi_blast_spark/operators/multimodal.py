@@ -8,8 +8,11 @@ tested; the codec layer is pluggable:
 - ``decoder="fake"`` (default): a deterministic arithmetic decode from
   the payload bytes (md5-seeded), so tests and DuckDB oracles can
   replay it exactly without image/audio libraries.
-- ``decoder="real"``: raises NotImplementedError — this container has
-  no PIL/ffmpeg/torchaudio; swap in a real codec by passing a callable.
+- ``decoder="real"``: pure-Python BMP (image) and PCM WAV (audio)
+  codecs — struct header walk + numpy pixel/sample statistics, no
+  PIL/ffmpeg needed. Other containers (video, JPEG, MP3, ...) raise
+  NotImplementedError; swap in a real codec by passing a callable.
+  ``encode_bmp`` / ``encode_wav`` build valid payloads for tests.
 
 Scale notes (100 TB): payloads stay in executor memory one Arrow batch
 at a time (spark.sql.execution.arrow.maxRecordsPerBatch bounds rows;
@@ -20,6 +23,7 @@ operators are narrow (per-partition) transforms except where noted.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -60,10 +64,122 @@ def fake_decode(payload: bytes, modality: str) -> dict:
             "duration_s": duration_s, "feature": feature.tolist()}
 
 
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Minimal BMP writer (BITMAPINFOHEADER, 24 bpp, bottom-up):
+    pixels is (H, W, 3) uint8 BGR. The test-fixture counterpart of
+    _decode_bmp — round-trips exactly."""
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = pixels.reshape(h, w * 3)
+    body = rows.tobytes()
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    return header + body
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000,
+               channels: int = 1) -> bytes:
+    """Minimal PCM WAV writer (16-bit): samples is int16 (interleaved
+    if multi-channel). Round-trips through _decode_wav."""
+    data = samples.astype("<i2").tobytes()
+    block = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block,
+                      block, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    """Pure-Python BMP decode (BITMAPINFOHEADER, uncompressed 8/24/32
+    bpp — the format's common core). Returns real dimensions and an
+    8-dim feature vector from the actual pixel data (per-image mean /
+    std / extrema), no imaging library required."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (8, 24, 32):
+        raise ValueError(
+            f"unsupported BMP (compression={compression}, bpp={bpp})")
+    height_abs = abs(height)           # negative height = top-down rows
+    stride = ((width * bpp // 8) + 3) // 4 * 4
+    px = np.frombuffer(payload, dtype=np.uint8,
+                       count=stride * height_abs, offset=data_off)
+    px = px.reshape(height_abs, stride)[:, :width * bpp // 8]
+    vals = px.astype(np.float64)
+    feature = np.array([
+        width, height_abs, bpp,
+        round(float(vals.mean()), 6), round(float(vals.std()), 6),
+        float(vals.min()), float(vals.max()),
+        width * height_abs,
+    ], dtype=np.float32)
+    return {"width": width, "height": height_abs, "n_frames": 1,
+            "duration_s": None, "feature": feature.tolist()}
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """Pure-Python WAV decode (RIFF/WAVE, PCM fmt chunk): real channel
+    count, sample rate, and duration from the chunk walk; feature
+    vector from the actual PCM samples (16-bit) or raw data bytes."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        csz = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + csz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)     # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt / data chunk")
+    _audio_fmt, channels, rate, byte_rate, _block, bits = fmt
+    duration_s = round(len(data) / byte_rate, 4) if byte_rate else None
+    if bits == 16:
+        samples = np.frombuffer(
+            data[:len(data) - (len(data) % 2)], dtype="<i2").astype(np.float64)
+    else:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+    if not len(samples):
+        samples = np.zeros(1)
+    feature = np.array([
+        channels, rate / 1000.0, bits,
+        duration_s or 0.0,
+        round(float(samples.mean()), 6),
+        round(float(np.sqrt((samples ** 2).mean())), 6),
+        float(samples.min()), float(samples.max()),
+    ], dtype=np.float32)
+    return {"width": None, "height": None, "n_frames": None,
+            "duration_s": duration_s, "feature": feature.tolist()}
+
+
 def real_decode(payload: bytes, modality: str) -> dict:
+    """In-container real-codec floor: BMP for images and PCM WAV for
+    audio decode in pure Python + numpy (struct header walk, pixel /
+    sample statistics) — so decoder="real" is exercisable without
+    PIL/ffmpeg. Video (and non-BMP/WAV containers) still needs a real
+    library: pass decoder=<callable> to supply one."""
+    if payload is None:
+        return {"width": None, "height": None, "n_frames": None,
+                "duration_s": None, "feature": None}
+    if modality == "image":
+        return _decode_bmp(bytes(payload))
+    if modality == "audio":
+        return _decode_wav(bytes(payload))
     raise NotImplementedError(
-        "real codecs (PIL/ffmpeg/torchaudio) are not installed in this "
-        "environment; pass decoder=<callable> to supply one")
+        f"no in-container codec for modality {modality!r} (BMP images "
+        f"and PCM WAV audio decode natively; ffmpeg-class containers "
+        f"need decoder=<callable>)")
 
 
 def _resolve(decoder) -> Callable[[bytes, str], dict]:

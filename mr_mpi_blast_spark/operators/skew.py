@@ -31,7 +31,23 @@ def salted_join(fact: DataFrame, dim: DataFrame, fact_key: str,
     merge hint opts out of broadcast so the pattern is exercised even
     when the dim fits the broadcast threshold (its purpose is the
     broadcast-too-big case). Result rows are exactly the plain join's
-    (salt is dropped)."""
+    (salt is dropped).
+
+    Only fact-side-preserving join types are accepted: the dim side is
+    replicated once per salt value, so a right/full outer join would
+    emit every UNMATCHED dim row salt_mod times — silently wrong rows,
+    not a perf trade. Flip the sides (or dedupe afterwards) for
+    dim-preserving semantics."""
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi",
+               "left_anti", "leftanti", "anti"}
+    if how.lower().replace("_", "") not in {a.replace("_", "")
+                                            for a in allowed}:
+        raise ValueError(
+            f"salted_join: join type {how!r} is not fact-side-"
+            f"preserving; the salt-replicated dim side would duplicate "
+            f"unmatched dim rows. Supported: inner, left, left_semi, "
+            f"left_anti")
     f = fact.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(row_key)), F.lit(salt_mod)))
     d = dim.withColumn(

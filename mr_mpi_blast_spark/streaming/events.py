@@ -210,7 +210,16 @@ def stream_to_parquet(df: DataFrame, out_dir: str, checkpoint_dir: str,
          .option("checkpointLocation", checkpoint_dir)
          .outputMode("append")
          .trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        # a hung drain must fail loudly, not return with a partial
+        # directory the caller then treats as complete; the checkpoint
+        # makes the retry safe (exactly-once resume)
+        q.stop()
+        raise TimeoutError(
+            f"stream_to_parquet: drain did not finish within "
+            f"{timeout_s}s (checkpoint {checkpoint_dir!r} preserved; "
+            f"rerun to resume exactly-once)")
 
 
 def run_available_now(df: DataFrame, query_name: str,
@@ -222,5 +231,10 @@ def run_available_now(df: DataFrame, query_name: str,
     q = (df.writeStream.format("memory").queryName(query_name)
          .outputMode(output_mode)
          .trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"run_available_now({query_name!r}): drain did not finish "
+            f"within {timeout_s}s")
     return df.sparkSession.table(query_name)

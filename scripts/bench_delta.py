@@ -1,14 +1,13 @@
 #!/usr/bin/env python
-"""Round-over-round bench comparison: print a per-query delta table
-between two bench JSON lines (e.g. BENCH_r01.json vs a fresh
-``python bench.py`` run) so regressions are visible at a glance.
+"""Compare two BENCH_r*.json files over the intersection of their
+query names (the catalog grows round over round, so raw totals are not
+comparable).
 
-Usage: python scripts/bench_delta.py OLD.json NEW.json [--md]
+Usage: python scripts/bench_delta.py BENCH_r04.json BENCH_r05.json
 
-Output: one row per query with old/new seconds and the ratio; queries
-present on only one side are listed separately. Exit code 1 when any
-query regressed by more than REGRESS_RATIO (and by at least
-NOISE_FLOOR seconds — this box is noisy at the sub-second scale).
+Prints a markdown summary: comparable totals, and every query whose
+ratio moved beyond the noise gate (>1.25x AND >0.25 s absolute), both
+directions, sorted by absolute delta.
 """
 
 from __future__ import annotations
@@ -16,66 +15,45 @@ from __future__ import annotations
 import json
 import sys
 
-REGRESS_RATIO = 1.5
-NOISE_FLOOR = 0.75   # sec; below this, ratios are box noise
 
-
-def load(path: str) -> dict:
-    with open(path) as f:
-        text = f.read()
-    try:
-        obj = json.loads(text)           # whole-file (pretty-printed) form
-        if "queries" in obj:
-            return obj
-        # driver wrapper: the bench line is embedded in obj["tail"]
-        tail = obj.get("tail", "")
-        at = tail.rfind('{"metric"')
-        if at >= 0:
-            return json.JSONDecoder().raw_decode(tail[at:])[0]
-    except json.JSONDecodeError:
-        pass
-    for line in text.splitlines():       # bench.py's one-JSON-line form
-        line = line.strip()
-        if line.startswith("{"):
-            try:
-                return json.loads(line)
-            except json.JSONDecodeError:
-                continue
-    raise SystemExit(f"no JSON object in {path}")
-
-
-def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    if len(args) != 2:
-        raise SystemExit(__doc__)
-    old, new = load(args[0]), load(args[1])
-    oq, nq = old.get("queries", {}), new.get("queries", {})
-    shared = sorted(set(oq) & set(nq),
-                    key=lambda q: -(nq[q] / max(oq[q], 1e-9)))
-    print(f"| query | {args[0]} | {args[1]} | ratio |")
-    print("|---|---:|---:|---:|")
-    regressed = []
-    for q in shared:
-        r = nq[q] / max(oq[q], 1e-9)
-        flag = ""
-        if r > REGRESS_RATIO and nq[q] - oq[q] > NOISE_FLOOR:
-            flag = " **regressed**"
-            regressed.append(q)
-        print(f"| {q} | {oq[q]:.2f} | {nq[q]:.2f} | {r:.2f}x{flag} |")
-    tot_o = sum(oq[q] for q in shared)
-    tot_n = sum(nq[q] for q in shared)
-    print(f"| **total (shared)** | {tot_o:.2f} | {tot_n:.2f} | "
-          f"{tot_n / max(tot_o, 1e-9):.2f}x |")
-    for side, only in (("old", set(oq) - set(nq)), ("new", set(nq) - set(oq))):
-        if only:
-            print(f"\n{side}-only: " + ", ".join(
-                f"{q} ({(oq if side == 'old' else nq)[q]:.2f}s)"
-                for q in sorted(only)))
-    if regressed:
-        print(f"\nREGRESSED (> {REGRESS_RATIO}x and > {NOISE_FLOOR}s): "
-              + ", ".join(regressed), file=sys.stderr)
-        raise SystemExit(1)
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__)
+        return 2
+    a = json.load(open(sys.argv[1]))
+    b = json.load(open(sys.argv[2]))
+    # the driver's BENCH_r*.json wraps bench.py's line under "parsed"
+    a, b = a.get("parsed", a), b.get("parsed", b)
+    qa, qb = a["queries"], b["queries"]
+    common = sorted(k for k in qa.keys() & qb.keys()
+                    if qa[k] >= 0 and qb[k] >= 0)
+    ta = sum(qa[k] for k in common)
+    tb = sum(qb[k] for k in common)
+    print(f"## Bench delta: {sys.argv[1]} -> {sys.argv[2]}")
+    print(f"- common queries: {len(common)} "
+          f"(only {len(qa)}/{len(qb)} total are comparable)")
+    print(f"- comparable total: {ta:.2f} s -> {tb:.2f} s "
+          f"({tb / ta:.2f}x)")
+    if b.get("aggregation") == "median":
+        print(f"- new file aggregates {b.get('bench_reps')} reps by "
+              f"median; cold runs reported separately: "
+              f"{b.get('cold') or '{}'}")
+    movers = []
+    for k in common:
+        d = qb[k] - qa[k]
+        r = qb[k] / qa[k] if qa[k] > 0 else float("inf")
+        if abs(d) > 0.25 and (r > 1.25 or r < 0.8):
+            movers.append((abs(d), k, qa[k], qb[k], r))
+    if movers:
+        print("\n| query | before s | after s | ratio |")
+        print("|---|---|---|---|")
+        for _, k, va, vb, r in sorted(movers, reverse=True):
+            print(f"| {k} | {va:.2f} | {vb:.2f} | {r:.2f}x |")
+    else:
+        print("\nNo query moved beyond the noise gate "
+              "(>1.25x and >0.25 s).")
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
