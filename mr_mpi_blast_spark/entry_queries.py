@@ -991,6 +991,80 @@ def q_ann_ivf_nprobe2(spark, sf_dir):
                     nprobe=2)
 
 
+# Trained-centroid artifact: the engine trains centroids (seeded
+# numpy k-means, deterministic) and persists them as ONE parquet file
+# the static oracle SQL replays the downstream relational computation
+# from — the blast_tail architecture (engine materializes an
+# intermediate, the oracle reads it back). Atomic single-file write.
+_IVF_CENT_PATH = "/tmp/spark_graft_ivf_centroids.parquet"
+
+_IVF_RECALL_SQL = f"""
+WITH cent AS (SELECT cid, CAST(embedding AS DOUBLE[]) AS cemb
+              FROM read_parquet('{_IVF_CENT_PATH}')),
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id % 20 = 0),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+brute AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid, v.vec_id AS nid,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY floor(list_cosine_similarity(q.emb, v.emb) * 1e6 + 0.5) / 1e6 DESC,
+                      v.vec_id) AS rank
+    FROM q JOIN v ON v.vec_id != q.qid)
+  WHERE rank <= 5),
+ranks AS (
+  SELECT v.vec_id, c.cid,
+         row_number() OVER (PARTITION BY v.vec_id
+           ORDER BY floor(list_cosine_similarity(v.emb, c.cemb) * 1e6 + 0.5) / 1e6 DESC,
+                    c.cid) AS r
+  FROM v CROSS JOIN cent c),
+assign AS (SELECT vec_id, cid FROM ranks WHERE r = 1),
+probes AS (SELECT * FROM (VALUES (1), (2), (4)) t(np)),
+qa AS (SELECT p.np, r.vec_id, r.cid FROM ranks r JOIN probes p ON r.r <= p.np),
+ivf AS (
+  SELECT np, qid, nid FROM (
+    SELECT qa.np, q.qid, cv.vec_id AS nid,
+           row_number() OVER (PARTITION BY qa.np, q.qid
+             ORDER BY floor(list_cosine_similarity(q.emb, cv.emb) * 1e6 + 0.5) / 1e6 DESC,
+                      cv.vec_id) AS rank
+    FROM q
+    JOIN qa ON qa.vec_id = q.qid
+    JOIN assign a ON a.cid = qa.cid
+    JOIN v cv ON cv.vec_id = a.vec_id AND cv.vec_id != q.qid)
+  WHERE rank <= 5),
+nq AS (SELECT count(*) AS n FROM q)
+SELECT CAST(p.np AS BIGINT) AS nprobe,
+       CAST((SELECT n FROM nq) AS BIGINT) AS n_queries,
+       floor(count(b.qid) / CAST(5 * (SELECT n FROM nq) AS DOUBLE)
+             * 1e4 + 0.5) / 1e4 AS recall
+FROM probes p
+LEFT JOIN ivf i ON i.np = p.np
+LEFT JOIN brute b ON b.qid = i.qid AND b.nid = i.nid
+GROUP BY p.np
+"""
+
+
+@query("ann_ivf_recall", _IVF_RECALL_SQL)
+def q_ann_ivf_recall(spark, sf_dir):
+    """Trained IVF acceptance metric: seeded spherical k-means (k=8,
+    10 fixed Lloyd iterations, deterministic ties) trains real
+    centroids, then recall@5 of the IVF bucket search vs the exact
+    brute-force answer at nprobe 1/2/4 — the classic recall/latency
+    dial, measured rather than assumed. The trained centroid table is
+    persisted (atomic single-file parquet) and the oracle replays
+    assignment, bucket top-k, and the recall aggregation from that
+    artifact."""
+    from mr_mpi_blast_spark.operators.similarity import (ivf_recall,
+                                                         train_ivf_centroids)
+    e = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(e, k=8, n_iter=10, seed=7)
+    tmp = _IVF_CENT_PATH + ".tmp"
+    cents.toPandas().to_parquet(tmp, index=False)
+    os.replace(tmp, _IVF_CENT_PATH)
+    return ivf_recall(e.filter(F.col("vec_id") % 20 == 0), e, cents, k=5,
+                      nprobes=(1, 2, 4))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (functions/text.py)
 # ---------------------------------------------------------------------------

@@ -344,3 +344,91 @@ def brute_force_topk_numpy(queries: DataFrame, corpus: DataFrame, k: int,
     return (partial.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "nid", round4_xengine(F.col("cos")).alias("cos"), "rank"))
+
+
+def train_ivf_centroids(vectors: DataFrame, k: int, n_iter: int = 10,
+                        seed: int = 7, sample_mod: int | None = None,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Seeded spherical k-means: real trained centroids for the IVF
+    index (replacing first-k-vectors demo init).
+
+    Deterministic by construction — fixed seed, fixed iteration count
+    (no convergence-dependent early exit), ties broken by lowest
+    centroid id — so a run is exactly reproducible and the trained
+    centroids can be persisted and replayed by an external oracle.
+
+    Scale shape: k-means training reads a bounded SAMPLE
+    (sample_mod=m keeps vec_ids with xxhash64(id) % m == 0 — at 100 TB
+    pick m so the sample is ~10^5-10^6 rows), the sample is collected
+    to the driver once (training set, not the corpus), and Lloyd's
+    iterations run in numpy. The corpus itself never leaves the
+    executors; only the tiny (k x d) centroid table is returned, as a
+    DataFrame ready for ivf_topk / broadcast.
+    """
+    src = vectors
+    if sample_mod is not None and sample_mod > 1:
+        src = src.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+    rows = (src.select(id_col, F.col(vec_col).cast("array<double>"))
+            .orderBy(id_col).collect())          # stable training order
+    ids = [r[0] for r in rows]
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    n, d = mat.shape
+    if n < k:
+        raise ValueError(f"k-means: sample has {n} rows < k={k}")
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+
+    rng = np.random.default_rng(seed)
+    cents = unit[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(n_iter):
+        sims = unit @ cents.T                          # n x k
+        # argmax with lowest-cid ties (argmax returns first maximum)
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = unit[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    cents[c] = m / nm
+            # empty cluster: keep the previous centroid (deterministic)
+
+    spark = vectors.sparkSession
+    pdf = pd.DataFrame({
+        "cid": np.arange(k, dtype=np.int64),
+        "embedding": [cents[c].tolist() for c in range(k)]})
+    return spark.createDataFrame(pdf, schema="cid long, embedding array<double>")
+
+
+def ivf_recall(queries: DataFrame, corpus: DataFrame,
+               centroids: DataFrame, k: int,
+               nprobes: tuple[int, ...] = (1, 2, 4),
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """recall@k of the IVF index vs the exact brute-force answer, per
+    nprobe setting — the acceptance metric of any ANN index build.
+
+    recall = |ivf_topk ∩ brute_topk| / |brute_topk| over all queries.
+    Both sides use the same rounded ranking keys, so the metric is
+    deterministic. Output: (nprobe, n_queries, recall) — one row per
+    probed setting, recall rounded to 1e-4."""
+    brute = brute_force_topk(queries, corpus, k, id_col, vec_col)
+    brute = brute.select("qid", "nid").persist()
+    n_queries = queries.select(id_col).distinct().count()
+    parts = []
+    for np_ in nprobes:
+        got = ivf_topk(queries, corpus, centroids, k, id_col, vec_col,
+                       nprobe=np_)
+        hit = brute.join(got.select("qid", "nid"), ["qid", "nid"], "inner")
+        parts.append(hit.agg(
+            F.lit(int(np_)).cast("long").alias("nprobe"),
+            F.lit(int(n_queries)).cast("long").alias("n_queries"),
+            (F.floor(F.count(F.lit(1)) / F.lit(float(k * n_queries))
+                     * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias("recall")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -173,3 +173,30 @@ def test_cosine_pairs_auto_routes_by_size(spark, emb):
     s = {(r.va, r.vb) for r in small.collect()}
     b = {(r.va, r.vb) for r in big.collect()}
     assert b <= s and len(b) >= 0.5 * len(s)
+
+
+def test_trained_ivf_centroids_and_recall(spark):
+    """Seeded k-means is deterministic (same seed -> identical
+    centroids, different seed -> different), centroids are unit-norm,
+    and recall@k rises monotonically with nprobe, reaching 1.0 when
+    every bucket is probed (nprobe = k_centroids => exhaustive)."""
+    import numpy as np
+    from mr_mpi_blast_spark.operators.similarity import (ivf_recall,
+                                                         train_ivf_centroids)
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = train_ivf_centroids(e, k=4, n_iter=5, seed=7).collect()
+    c2 = train_ivf_centroids(e, k=4, n_iter=5, seed=7).collect()
+    c3 = train_ivf_centroids(e, k=4, n_iter=5, seed=8).collect()
+    assert [r["embedding"] for r in sorted(c1, key=lambda r: r["cid"])] \
+        == [r["embedding"] for r in sorted(c2, key=lambda r: r["cid"])]
+    assert [r["embedding"] for r in c1] != [r["embedding"] for r in c3]
+    for r in c1:
+        assert abs(np.linalg.norm(r["embedding"]) - 1.0) < 1e-9
+
+    cents = train_ivf_centroids(e, k=4, n_iter=5, seed=7)
+    q = e.filter(e.vec_id % 10 == 0)
+    rec = {r["nprobe"]: r["recall"]
+           for r in ivf_recall(q, e, cents, k=3,
+                               nprobes=(1, 2, 4)).collect()}
+    assert rec[1] <= rec[2] <= rec[4]
+    assert rec[4] == 1.0          # probing all 4 buckets == brute force
