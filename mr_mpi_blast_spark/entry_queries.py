@@ -436,6 +436,40 @@ def q_events_percentiles(spark, sf_dir):
                    for p in (0.5, 0.9, 0.99)]))
 
 
+@query("events_interval_join", f"""
+WITH clicks AS (SELECT event_id AS click_id, user_id, ts
+                FROM events WHERE event_type = 'click'),
+errors AS (SELECT event_id AS err_id, user_id, ts
+           FROM events WHERE event_type = 'error')
+SELECT c.click_id, c.user_id,
+       strftime(c.ts, '{_TS_FMT_DUCK}') AS c_ts,
+       e.err_id,
+       strftime(e.ts, '{_TS_FMT_DUCK}') AS e_ts
+FROM clicks c JOIN errors e
+  ON c.user_id = e.user_id
+ AND e.ts <= c.ts
+ AND e.ts >= c.ts - INTERVAL 1 HOUR
+""")
+def q_events_interval_join(spark, sf_dir):
+    """Batch-parity oracle for the stream-stream interval join
+    (streaming/events.py click_error_interval_join): every click pairs
+    with ALL of the same user's errors in the preceding hour. The
+    SAME function runs here on batch DataFrames (watermarks are no-ops
+    in batch), so the streaming operator's join semantics get a
+    value-level DuckDB oracle — the streaming execution itself is
+    covered by the stream/batch parity pytest."""
+    from mr_mpi_blast_spark.streaming.events import click_error_interval_join
+    ev = _t(spark, sf_dir, "events")
+    j = click_error_interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "error"), horizon="1 hour")
+    return j.select(
+        "click_id", "user_id",
+        F.date_format("c_ts", _TS_FMT_SPARK).alias("c_ts"),
+        "err_id",
+        F.date_format("e_ts", _TS_FMT_SPARK).alias("e_ts"))
+
+
 @query("doc_train_split", f"""
 SELECT doc_id,
        {{bucket}} AS bucket,

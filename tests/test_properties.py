@@ -103,3 +103,58 @@ def test_gotoh_invariants_and_symmetry(a, b):
         match_cols = (a1 - a0 + 1) + (b1 - b0 + 1) - aln
         assert match_cols == aln - gaps
         assert ident <= match_cols
+
+
+def test_prefix_sum_clustered_ids_spread(spark):
+    """Skew hardening (histogram-equalized buckets): 99% of ids packed
+    into 1% of the key range still spread across many windows — a
+    fixed-width split funnels them into ~1 — and the exclusive prefix
+    is exactly the id-ordered cumulative sum either way."""
+    from mr_mpi_blast_spark.operators.blocks import (_equal_count_packing,
+                                                     ordered_prefix_sum)
+    # hot region: 990 ids in [0, 9_900] (1% of range); 10 outliers out
+    # to 1_000_000 define the full key range
+    ids = list(range(0, 9900, 10)) + [10**6 - i * 10**4 for i in range(10)]
+    df = spark.createDataFrame([(i, 2) for i in ids], ["qid", "length"])
+    out = ordered_prefix_sum(df, "length", ["qid"], "prev",
+                             n_buckets=32).collect()
+    got = {r["qid"]: r["prev"] for r in out}
+    expect, acc = {}, 0
+    for i in sorted(ids):
+        expect[i] = acc
+        acc += 2
+    assert got == expect
+
+    # spread: replay the operator's own geometry + packing and count
+    # distinct coarse buckets the HOT region occupies
+    lo, hi = min(ids), max(ids)
+    n_fine = 32 * 64
+    width = max(1, (hi - lo) // n_fine + 1)
+    hist = {}
+    for i in ids:
+        b = (i - lo) // width
+        v, c = hist.get(b, (0, 0))
+        hist[b] = (v + 2, c + 1)
+    target = max(1, len(ids) // 32)
+    fine_map, _ = _equal_count_packing(hist, target, 32)
+    coarse_of = dict(fine_map)
+    hot_buckets = {coarse_of[(i - lo) // width] for i in ids if i <= 9900}
+    assert len(hot_buckets) >= 16, hot_buckets
+
+
+def test_equal_count_packing_pathological():
+    """Direct unit test of the packing on adversarial histograms:
+    a single mega-cell cannot be split further (residual bound), but
+    everything around it still packs to ~equal row counts."""
+    from mr_mpi_blast_spark.operators.blocks import _equal_count_packing
+    hist = {0: (1000, 1000), 1: (10, 10), 2: (10, 10), 3: (10, 10)}
+    fine_map, offs = _equal_count_packing(hist, target=100, n_buckets=8)
+    coarse_of = dict(fine_map)
+    # the mega-cell fills bucket 0 alone; later cells each start fresh
+    assert coarse_of[0] == 0 and coarse_of[1] == 1
+    # offsets are exclusive value prefixes at bucket starts
+    assert offs[0] == (0, 0) and offs[1] == (1, 1000)
+    # monotone coarse ids in key order, never exceeding n_buckets
+    assert [coarse_of[k] for k in sorted(coarse_of)] == sorted(
+        coarse_of[k] for k in sorted(coarse_of))
+    assert max(coarse_of.values()) < 8
