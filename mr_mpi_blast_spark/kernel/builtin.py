@@ -95,7 +95,10 @@ KA_GAPPED_BLOSUM62: dict[tuple[int, int], tuple[float, float, float]] = {
 }
 # blastn +1/-2 gapped rows: only the default-cost pair is carried (the
 # pair every entry/test path uses); other cost pairs raise until their
-# published blast_stat.c row is added.
+# published blast_stat.c row is added (or the caller supplies one via
+# BlastConfig(ka_gapped=...)). UNGAPPED statistics need no table at
+# all — kernel/ka.py solves Karlin-Altschul 1990 exactly for any
+# reward/penalty (validated against the published rows below).
 KA_GAPPED_NUCL_1_2: dict[tuple[int, int], tuple[float, float, float]] = {
     (5, 2): (0.625, 0.275, 0.85),    # blastn default costs
 }
@@ -199,7 +202,15 @@ def scoring_params(cfg: BlastConfig) -> tuple[float, float, float]:
     install's reported statistics — which takes precedence over the
     table. (The alternative — shipping blastn rows from memory without
     the published source at hand — risks silently wrong e-values,
-    which is strictly worse than this loud contract.)"""
+    which is strictly worse than this loud contract.)
+
+    Ungapped runs need no table at all: for any blastn
+    reward/penalty the exact Karlin-Altschul 1990 solution is
+    computed analytically (kernel/ka.py — the same math NCBI's
+    blast_stat.c runs), mirroring the reference's pass-through of
+    arbitrary -reward/-penalty (doc/USERGUIDE:47-50). The default
+    +1/-2 and blastp BLOSUM62 constants stay pinned to the published
+    values; tests assert the solver reproduces both to 4 digits."""
     if cfg.gapped:
         if cfg.ka_gapped is not None:
             return cfg.ka_gapped
@@ -215,7 +226,12 @@ def scoring_params(cfg: BlastConfig) -> tuple[float, float, float]:
                 f"{sorted(table)}. Either add the published blast_stat.c "
                 f"row, or pass the statistics explicitly via "
                 f"BlastConfig(ka_gapped=(lambda, K, H))") from None
-    return KA_BLOSUM62 if cfg.task == "blastp" else KA_NUCL_1_2
+    if cfg.task == "blastp":
+        return KA_BLOSUM62
+    if (cfg.reward, cfg.penalty) == (1, -2):
+        return KA_NUCL_1_2
+    from mr_mpi_blast_spark.kernel.ka import ka_ungapped_nucl
+    return ka_ungapped_nucl(cfg.reward, cfg.penalty)
 
 # Raw kernel output: scoring-space facts only; relational projections
 # (P2-P9) happen downstream as column expressions.
