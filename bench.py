@@ -10,6 +10,14 @@ Methodology (round-5 hygiene):
   reported per-query number and the total are MEDIANS, so a one-off GC
   pause or page-cache miss can't masquerade as a regression. All raw
   reps are emitted under "reps" for post-hoc inspection.
+- Reps are INTERLEAVED round-robin (pass 1 over every query, then
+  pass 2, ...), not consecutive: this box's noise arrives in
+  multi-second bursts, and three back-to-back reps of one query sit
+  inside the same burst — the median absorbs it wholesale (observed:
+  a query stable at 1.5 s benched [2.6, 7.6, 6.7] while a standalone
+  probe minutes later measured [1.85, 1.5, 1.44]). Round-robin
+  decorrelates the burst across the suite; per-pass totals are
+  emitted under "pass_totals" so a noisy pass is visible directly.
 - blast_pipeline's persisted raw-hits cache for the timed scale factor
   is cleared before its first rep: rep 1 is a deterministic COLD run
   (kernel executes), later reps are warm (persisted-parquet reuse, the
@@ -86,30 +94,34 @@ def main() -> None:
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
     cold: dict[str, float] = {}
-    for name, fn in qs.items():
-        if name == "blast_pipeline":
-            _clear_raw_cache(sf_dir)
-        runs: list[float] = []
-        failed = False
-        for r in range(reps_n):
+    failed: set[str] = set()
+    pass_totals: list[float] = []
+    _clear_raw_cache(sf_dir)  # pass-1 blast_pipeline = deterministic cold
+    for r in range(reps_n):
+        pass_t0 = time.time()
+        for name, fn in qs.items():
+            if name in failed:
+                continue
             t0 = time.time()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                runs.append(round(time.time() - t0, 3))
+                reps.setdefault(name, []).append(round(time.time() - t0, 3))
             except Exception as ex:  # a failing query must not hide the rest
-                failed = True
+                failed.add(name)
                 print(f"bench: {name} rep {r} failed: {ex}", file=sys.stderr)
-                break
             # queries are independent; drop intra-query persists so
             # earlier reps' cached blocks don't tax later ones
             spark.catalog.clearCache()
-        if failed or not runs:
+        pass_totals.append(round(time.time() - pass_t0, 3))
+    for name in qs:
+        runs = reps.get(name, [])
+        if name in failed or not runs:
             timings[name] = -1.0
+            reps.pop(name, None)
             continue
-        reps[name] = runs
         if name == "blast_pipeline" and len(runs) > 1:
-            # rep 1 = deterministic cold kernel run; steady state is
-            # the warm persisted-parquet read path
+            # pass-1 rep = deterministic cold kernel run; steady state
+            # is the warm persisted-parquet read path
             cold[name] = runs[0]
             timings[name] = round(statistics.median(runs[1:]), 3)
         else:
@@ -128,6 +140,8 @@ def main() -> None:
         "n_queries": len(timings),
         "bench_reps": reps_n,
         "aggregation": "median",
+        "rep_order": "interleaved",
+        "pass_totals": pass_totals,
         "cold": cold,
         "reps": reps,
         "correctness_only": sorted(CORRECTNESS_ONLY),
