@@ -650,17 +650,59 @@ def get_subject_index(cache_key: str, subjects, word_size: int,
 def get_subject_index_lazy(cache_key: str, loader, word_size: int,
                            max_kmer_hits: int, soft_mask: bool = False,
                            complexity: bool = False, protein: bool = False,
-                           fold_case: bool = False) -> SubjectIndex:
+                           fold_case: bool = False,
+                           disk_cache: bool = False) -> SubjectIndex:
     """Same cache, but subjects come from a zero-arg ``loader`` that is
     only invoked on a miss — so the lazy staged-volume path pays the
-    read+index cost once per worker per partition."""
+    read+index cost once per worker per partition.
+
+    disk_cache=True additionally persists the BUILT index to a
+    content-keyed pickle under the scratch dir — the makeblastdb
+    analog: the reference formats the database once on disk and every
+    rank opens the preformatted volume (doc/USERGUIDE:224-264) instead
+    of re-indexing raw FASTA per process. Here the first worker to
+    touch a volume builds and publishes (atomic os.replace, last
+    writer wins, corrupt/stale files rebuild silently); every other
+    worker process — and every LATER process on the box — loads numpy
+    arrays instead of re-hashing the volume. Callers enable it only
+    for content-addressed keys (a nonce-keyed index can never be hit
+    again, so persisting it would only leak scratch space); the key is
+    salted with KERNEL_SPEC so a kernel upgrade invalidates pickles
+    from older code."""
     key = (cache_key, word_size, max_kmer_hits, soft_mask, complexity,
            protein, fold_case)
     idx = _DB_CACHE.get(key)
     if idx is None:
-        idx = SubjectIndex(loader(), word_size, max_kmer_hits,
-                           soft_mask=soft_mask, complexity=complexity,
-                           protein=protein, fold_case=fold_case)
+        path = None
+        if disk_cache:
+            import hashlib
+            import pickle
+            import tempfile
+            h = hashlib.md5(repr((KERNEL_SPEC, key)).encode()).hexdigest()
+            cache_root = os.path.join(
+                os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir()),
+                "spark_graft_idx_cache")
+            path = os.path.join(cache_root, h + ".pkl")
+            try:
+                with open(path, "rb") as fh:
+                    idx = pickle.load(fh)
+            except Exception:
+                idx = None
+        if idx is None:
+            idx = SubjectIndex(loader(), word_size, max_kmer_hits,
+                               soft_mask=soft_mask, complexity=complexity,
+                               protein=protein, fold_case=fold_case)
+            if path is not None:
+                try:
+                    import pickle
+                    os.makedirs(cache_root, exist_ok=True)
+                    tmp = f"{path}.{os.getpid()}.tmp"
+                    with open(tmp, "wb") as fh:
+                        pickle.dump(idx, fh,
+                                    protocol=pickle.HIGHEST_PROTOCOL)
+                    os.replace(tmp, path)
+                except Exception:
+                    pass  # cache is an optimization, never a failure
         _DB_CACHE.clear()      # one partition resident at a time, like the ref
         _DB_CACHE[key] = idx
     return idx
@@ -1546,13 +1588,17 @@ def read_staged_part(db_dir: str, part: str) -> list[tuple[str, str]]:
     return out
 
 
-def make_lazy_block_kernel(db_dir: str, cfg: BlastConfig, gen: str):
+def make_lazy_block_kernel(db_dir: str, cfg: BlastConfig, gen: str,
+                           disk_cache: bool = False):
     """Kernel factory for the cogrouped work-item plan: one invocation
     per (query block x db_part) group. The group's ``db_part`` column
     names the staged volume; the subject index is built on first touch
     and reused across blocks of the same partition via the per-worker
     cache (S7 DB-handle reuse, mrblast.cpp:838-845), keyed by ``gen``
-    so a restaged database can never hit a stale index."""
+    so a restaged database can never hit a stale index. Callers with a
+    CONTENT-addressed gen pass disk_cache=True to also persist built
+    indexes on scratch disk (the makeblastdb analog — see
+    get_subject_index_lazy)."""
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         part = str(pdf["db_part"].iat[0])
         index = get_subject_index_lazy(
@@ -1562,7 +1608,8 @@ def make_lazy_block_kernel(db_dir: str, cfg: BlastConfig, gen: str):
             soft_mask=cfg.subject_soft_mask,
             complexity=cfg.complexity_filter,
             protein=cfg.task == "blastp",
-            fold_case=cfg.mask_fold_case)
+            fold_case=cfg.mask_fold_case,
+            disk_cache=disk_cache)
         return align_block(zip(pdf["qid"].to_numpy(),
                                pdf["seq"].to_numpy()), index, cfg)
     return kernel

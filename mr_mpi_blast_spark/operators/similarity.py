@@ -99,9 +99,13 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
 
 def ivf_assign(vectors: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               cent_id: str = "cid", nprobe: int = 1) -> DataFrame:
+               cent_id: str = "cid", nprobe: int = 1,
+               with_rank: bool = False) -> DataFrame:
     """Assign each vector to its ``nprobe`` max-cosine centroids
-    (tie: lowest cid). Output: (vec_id, cid) — one row per probe.
+    (tie: lowest cid). Output: (vec_id, cid) — one row per probe —
+    plus the probe rank ``pr`` (1 = nearest centroid) when
+    ``with_rank``, so a caller evaluating several nprobe settings can
+    assign ONCE at the largest and filter ``pr <= np`` per setting.
     The centroid table is tiny -> broadcast. Corpus vectors index with
     nprobe=1 (each lives in ONE bucket); query-side callers pass
     nprobe>1 to widen the search fan-out without touching the index."""
@@ -114,9 +118,11 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
                   F.col("vvec"), F.col("cvec"),
                   F.col("vnorm"), F.col("cnorm")))))
     w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("cid").asc())
-    return (scored.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") <= nprobe)
-            .select(F.col("vid").alias(id_col), "cid"))
+    out = (scored.withColumn("pr", F.row_number().over(w))
+           .filter(F.col("pr") <= nprobe))
+    cols = [F.col("vid").alias(id_col), "cid"] + (
+        ["pr"] if with_rank else [])
+    return out.select(*cols)
 
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
@@ -414,14 +420,39 @@ def ivf_recall(queries: DataFrame, corpus: DataFrame,
     recall = |ivf_topk ∩ brute_topk| / |brute_topk| over all queries.
     Both sides use the same rounded ranking keys, so the metric is
     deterministic. Output: (nprobe, n_queries, recall) — one row per
-    probed setting, recall rounded to 1e-4."""
-    brute = brute_force_topk(queries, corpus, k, id_col, vec_col)
+    probed setting, recall rounded to 1e-4.
+
+    One scoring pass serves every probe setting: queries are assigned
+    once at max(nprobes) with the probe rank ``pr`` attached, bucket
+    candidates are scored once, and each setting is a window over the
+    already-scored candidates filtered to ``pr <= np`` — the same
+    shape the replaying SQL oracle uses. The exact side runs through
+    the BLAS brute-force path (identical contract to the expression
+    form; both satisfy the same oracle)."""
+    brute = brute_force_topk_numpy(queries, corpus, k, id_col, vec_col)
     brute = brute.select("qid", "nid").persist()
     n_queries = queries.select(id_col).distinct().count()
+    max_np = max(nprobes)
+    assign = ivf_assign(corpus, centroids, id_col, vec_col)
+    qa = (ivf_assign(queries, centroids, id_col, vec_col,
+                     nprobe=max_np, with_rank=True)
+          .withColumnRenamed(id_col, "qid"))
+    q = _vec(queries, id_col, vec_col, "q").join(qa, "qid")
+    c = _vec(corpus, id_col, vec_col, "n").join(
+        assign.withColumnRenamed(id_col, "nid"), "nid")
+    cand = (q.join(c, "cid")
+            .filter(F.col("qid") != F.col("nid"))
+            .withColumn("cos", round6_xengine(_cosine_pre(
+                F.col("qvec"), F.col("nvec"),
+                F.col("qnorm"), F.col("nnorm"))))
+            .select("qid", "nid", "cos", "pr").persist())
     parts = []
     for np_ in nprobes:
-        got = ivf_topk(queries, corpus, centroids, k, id_col, vec_col,
-                       nprobe=np_)
+        w = Window.partitionBy("qid").orderBy(F.col("cos").desc(),
+                                              F.col("nid").asc())
+        got = (cand.filter(F.col("pr") <= np_)
+               .withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k))
         hit = brute.join(got.select("qid", "nid"), ["qid", "nid"], "inner")
         parts.append(hit.agg(
             F.lit(int(np_)).cast("long").alias("nprobe"),

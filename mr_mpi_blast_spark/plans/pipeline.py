@@ -189,7 +189,10 @@ def run_kernel_raw(queries: DataFrame, subjects: DataFrame,
             cfg.mask_fold_case))).encode()).hexdigest()[:12]
     else:
         gen = str(next(_BROADCAST_GEN))
-    kernel = make_lazy_block_kernel(db_dir, cfg, gen=gen)
+    # content-addressed gen -> persist built indexes on scratch disk
+    # (the makeblastdb analog; a nonce gen can never be hit again)
+    kernel = make_lazy_block_kernel(db_dir, cfg, gen=gen,
+                                    disk_cache=cache_key is not None)
     if log_dir:
         # W7: per-rank timing log (TIMING=1 analog, mrblast.cpp:900-935)
         from mr_mpi_blast_spark.runlog import timed_kernel

@@ -176,3 +176,55 @@ def test_max_target_seqs_cap(spark):
     capped = run_search(queries, subjects,
                         BlastConfig(evalue=10.0, max_target_seqs=1))
     assert capped.select("sid").distinct().count() == 1
+
+
+def test_disk_index_cache_roundtrip(tmp_path, monkeypatch):
+    """makeblastdb analog: a content-keyed built index persists to
+    scratch disk and a fresh in-memory cache loads it WITHOUT invoking
+    the subject loader; a corrupt pickle rebuilds silently."""
+    from mr_mpi_blast_spark.kernel import builtin as B
+
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path))
+    subjects = [("s1", "ACGTACGTACGTACGTAC"), ("s2", "TTTTACGTACGTACGTAAAA")]
+    calls = {"n": 0}
+
+    def loader():
+        calls["n"] += 1
+        return list(subjects)
+
+    B._DB_CACHE.clear()
+    idx1 = B.get_subject_index_lazy("ck:v0:content", loader, 8, 64,
+                                    disk_cache=True)
+    assert calls["n"] == 1
+    cache_dir = tmp_path / "spark_graft_idx_cache"
+    pkls = list(cache_dir.glob("*.pkl"))
+    assert len(pkls) == 1
+
+    # fresh process simulation: empty in-memory cache -> disk hit,
+    # loader NOT invoked, identical search results
+    B._DB_CACHE.clear()
+    idx2 = B.get_subject_index_lazy("ck:v0:content", loader, 8, 64,
+                                    disk_cache=True)
+    assert calls["n"] == 1
+    cfg = B.BlastConfig()
+    q = ("ACGTACGTACGTACGT")
+    h1 = B.align_query(1, q, idx1, cfg)
+    h2 = B.align_query(1, q, idx2, cfg)
+    assert [tuple(r) for r in h1] == [tuple(r) for r in h2]
+    assert h1  # the query does hit
+
+    # corrupt pickle -> silent rebuild (cache is never a failure mode)
+    pkls[0].write_bytes(b"not a pickle")
+    B._DB_CACHE.clear()
+    idx3 = B.get_subject_index_lazy("ck:v0:content", loader, 8, 64,
+                                    disk_cache=True)
+    assert calls["n"] == 2
+    assert [tuple(r) for r in B.align_query(1, q, idx3, cfg)] == \
+        [tuple(r) for r in h1]
+
+    # nonce-keyed callers never touch disk
+    B._DB_CACHE.clear()
+    B.get_subject_index_lazy("ck:v0:nonce", loader, 8, 64,
+                             disk_cache=False)
+    assert sorted(cache_dir.glob("*.pkl")) == pkls
+    B._DB_CACHE.clear()
