@@ -29,7 +29,9 @@ Simplifications vs NCBI BLAST (documented, deterministic): extension
 is ungapped by default (gaps column 0), with BLAST's stage-2
 affine-gap extension available via BlastConfig(gapped=True) — Gotoh
 local DP around HSPs that clear gap_trigger, gap cost open +
-L*extend, gapped Karlin-Altschul rows keyed on the actual gap costs.
+L*extend, gapped Karlin-Altschul rows keyed on the actual scoring
+scheme (matrix/reward/penalty + gap costs; unknown schemes raise,
+calibratable via the kernel/ka_sim.py island estimator).
 The gapped DP runs on a window around the ungapped HSP rather than
 BLAST+'s unbounded X-drop extension; the window doubles whenever the
 alignment touches a growable edge (gapped_extend), so results are not
@@ -93,17 +95,26 @@ KA_GAPPED_BLOSUM62: dict[tuple[int, int], tuple[float, float, float]] = {
     (10, 1): (0.243, 0.024, 0.10),
     (9, 1):  (0.206, 0.010, 0.052),
 }
-# blastn +1/-2 gapped rows: only the default-cost pair is carried (the
-# pair every entry/test path uses); other cost pairs raise until their
-# published blast_stat.c row is added (or the caller supplies one via
-# BlastConfig(ka_gapped=...)). UNGAPPED statistics need no table at
+# Gapped nucleotide rows are keyed on the FULL scheme
+# (reward, penalty, gap_open, gap_extend): gapped statistics depend on
+# the substitution scores as much as the gap costs. (Until round 5
+# this table was keyed on gap costs alone under a "+1/-2" label and
+# carried (5,2) -> (0.625, 0.275, 0.85); the island-method estimator
+# in kernel/ka_sim.py showed that row is really blast_stat.c's
+# blastn_values_2_3 entry — +2/-3 with gaps (5,2), the NCBI blastn
+# task defaults, {5, 2, 0.625, 0.41, 0.78} — and that +1/-2 under the
+# same gap costs behaves nearly ungapped (lambda ~1.33: one gap costs
+# 7 while a mismatch costs 2). Simulation reproduces lambda 0.625 and
+# K ~0.40 for +2/-3 (5,2); the old K=0.275 was wrong.) Unknown
+# schemes raise; calibrate a row with kernel/ka_sim.py or supply
+# BlastConfig(ka_gapped=...). UNGAPPED statistics need no table at
 # all — kernel/ka.py solves Karlin-Altschul 1990 exactly for any
-# reward/penalty (validated against the published rows below).
-KA_GAPPED_NUCL_1_2: dict[tuple[int, int], tuple[float, float, float]] = {
-    (5, 2): (0.625, 0.275, 0.85),    # blastn default costs
+# reward/penalty (validated against the published rows above).
+KA_GAPPED_NUCL: dict[tuple[int, int, int, int],
+                     tuple[float, float, float]] = {
+    (2, -3, 5, 2): (0.625, 0.41, 0.78),  # NCBI blastn task defaults
 }
-# kept as named constants for round-3 callers
-KA_NUCL_1_2_G52 = KA_GAPPED_NUCL_1_2[(5, 2)]
+# kept as a named constant for round-3 callers
 KA_BLOSUM62_G111 = KA_GAPPED_BLOSUM62[(11, 1)]
 
 # kept as module constants for blastn compatibility with round-1 users
@@ -214,18 +225,26 @@ def scoring_params(cfg: BlastConfig) -> tuple[float, float, float]:
     if cfg.gapped:
         if cfg.ka_gapped is not None:
             return cfg.ka_gapped
-        table = (KA_GAPPED_BLOSUM62 if cfg.task == "blastp"
-                 else KA_GAPPED_NUCL_1_2)
-        key = (cfg.gap_open_eff, cfg.gap_extend_eff)
+        if cfg.task == "blastp":
+            table, key = (KA_GAPPED_BLOSUM62,
+                          (cfg.gap_open_eff, cfg.gap_extend_eff))
+        else:
+            # gapped nucleotide statistics depend on reward/penalty as
+            # much as the gap costs — key on the full scheme
+            table, key = (KA_GAPPED_NUCL,
+                          (cfg.reward, cfg.penalty,
+                           cfg.gap_open_eff, cfg.gap_extend_eff))
         try:
             return table[key]
         except KeyError:
             raise ValueError(
-                f"no gapped Karlin-Altschul parameters for {cfg.task} gap "
-                f"costs open={key[0]} extend={key[1]}; supported pairs: "
-                f"{sorted(table)}. Either add the published blast_stat.c "
-                f"row, or pass the statistics explicitly via "
-                f"BlastConfig(ka_gapped=(lambda, K, H))") from None
+                f"no gapped Karlin-Altschul parameters for {cfg.task} "
+                f"scheme {key}; supported: {sorted(table)}. Either add "
+                f"the published blast_stat.c row, calibrate one with "
+                f"the island-method estimator (kernel/ka_sim.py, "
+                f"documented tolerances), or pass the statistics "
+                f"explicitly via BlastConfig(ka_gapped=(lambda, K, H))"
+            ) from None
     if cfg.task == "blastp":
         return KA_BLOSUM62
     if (cfg.reward, cfg.penalty) == (1, -2):
