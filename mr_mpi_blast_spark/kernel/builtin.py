@@ -652,6 +652,33 @@ class SubjectIndex:
             self._cat_protein = (cat_o, cat_r, offs)
         return self._cat_protein
 
+    @property
+    def cat_nucl(self) -> tuple[np.ndarray, np.ndarray]:
+        """Whole-volume concatenated codepoint encoding for the
+        batched nucleotide extension path: (ord array, subject start
+        offsets) with a -1 separator between subjects (no real
+        codepoint is negative, and the rp scorer gives separators
+        _B62_NEG — the batched analog of per-subject bounds). Built
+        lazily once per volume, cached like the index; getattr-guarded
+        so indexes unpickled from older disk-cache entries grow it on
+        first touch."""
+        if getattr(self, "_cat_nucl", None) is None:
+            ords = []
+            offs = np.empty(len(self.ext_seqs), dtype=np.int64)
+            sep = np.array([-1], dtype=np.int32)
+            cursor = 0
+            for i, s in enumerate(self.ext_seqs):
+                o = np.frombuffer(s.encode("utf-32-le"),
+                                  dtype="<u4").astype(np.int32)
+                offs[i] = cursor
+                ords.append(o)
+                ords.append(sep)
+                cursor += len(o) + 1
+            cat_o = (np.concatenate(ords) if ords
+                     else np.empty(0, dtype=np.int32))
+            self._cat_nucl = (cat_o, offs)
+        return self._cat_nucl
+
 
 def get_subject_index(cache_key: str, subjects, word_size: int,
                       max_kmer_hits: int, soft_mask: bool = False,
@@ -895,10 +922,11 @@ def _extend_vec(qo: np.ndarray, qi: np.ndarray, so: np.ndarray,
     return seed_score + gain_r + gain_l, qs, qe, ss, se, ident
 
 
-def _extend_batch(qrow: np.ndarray, qord: np.ndarray,
-                  crow: np.ndarray, cord: np.ndarray,
+def _extend_batch(qrow: np.ndarray | None, qord: np.ndarray,
+                  crow: np.ndarray | None, cord: np.ndarray,
                   q0: np.ndarray, g0: np.ndarray, sign: int,
                   xdrop: int, chunk: int = 64, chunk_max: int = 256,
+                  rp: tuple[int, int] | None = None,
                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One direction of X-drop extension for N seeds AT ONCE.
 
@@ -906,6 +934,11 @@ def _extend_batch(qrow: np.ndarray, qord: np.ndarray,
     crow/cord: the whole volume's concatenated arrays (cat_protein);
     q0/g0: each seed's first query/volume position in this direction;
     sign: +1 (rightward) or -1 (leftward).
+
+    rp=(reward, penalty) switches to nucleotide match/mismatch
+    scoring on the ord arrays (qrow/crow unused, cat_nucl form): score
+    = reward when ords are equal, penalty otherwise, _B62_NEG at
+    out-of-range or subject-separator positions.
 
     Semantics are exactly the sequential walk's (_extend_dir): running
     best with first-maximum tie-breaking, strict improvement, stop
@@ -923,7 +956,7 @@ def _extend_batch(qrow: np.ndarray, qord: np.ndarray,
     base = np.zeros(n, dtype=np.int64)
     base_m = np.zeros(n, dtype=np.int64)
     active = np.arange(n)
-    qlen, clen = len(qrow), len(crow)
+    qlen, clen = len(qord), len(cord)
     offset = 0
     # chunk width grows geometrically to chunk_max: most seeds X-drop
     # out within a few residues (weak neighborhood seeds especially),
@@ -935,15 +968,22 @@ def _extend_batch(qrow: np.ndarray, qord: np.ndarray,
         gidx = g0[active, None] + sign * (offset + j)[None, :]
         qok = (qidx >= 0) & (qidx < qlen)
         gok = (gidx >= 0) & (gidx < clen)
-        qr = np.where(qok, qrow[np.clip(qidx, 0, qlen - 1)], _B62_SENT)
-        sr = np.where(gok, crow[np.clip(gidx, 0, clen - 1)], _B62_SENT)
-        sc = _B62E[qr, sr]
         # fills are pairwise-distinct AND distinct from the subject
         # separator ord (-1), so no out-of-range pair can count as a
         # match (scores there are _B62_NEG anyway, but identity must
         # not drift either)
-        eq = (np.where(qok, qord[np.clip(qidx, 0, qlen - 1)], -3)
-              == np.where(gok, cord[np.clip(gidx, 0, clen - 1)], -2))
+        qv = np.where(qok, qord[np.clip(qidx, 0, qlen - 1)], -3)
+        sv = np.where(gok, cord[np.clip(gidx, 0, clen - 1)], -2)
+        eq = qv == sv
+        if rp is None:
+            qr = np.where(qok, qrow[np.clip(qidx, 0, qlen - 1)], _B62_SENT)
+            sr = np.where(gok, crow[np.clip(gidx, 0, clen - 1)], _B62_SENT)
+            sc = _B62E[qr, sr]
+        else:
+            # match/mismatch scoring; separators/out-of-range kill the
+            # extension exactly like the sentinel BLOSUM row does
+            sc = np.where(qok & gok & (sv != -1),
+                          np.where(eq, rp[0], rp[1]), _B62_NEG)
         c = base[active, None] + np.cumsum(sc, axis=1)
         m = base_m[active, None] + np.cumsum(eq, axis=1)
         run = np.maximum.accumulate(
@@ -1066,6 +1106,28 @@ def _align_protein_batched_arrays(qid: int, q_ext: str,
         seed_sc_all = prefnp[sq + k] - prefnp[sq]
         seed_id_all = np.full(len(sq), k, dtype=np.int64)
 
+    core = _batched_core(q_ext, index, cfg, k, sq, ssi, ssp, gpos,
+                         seed_sc_all, seed_id_all,
+                         (qi_arr, qo, crow, cord, None),
+                         narrow=nb_threshold is not None)
+    if core is None:
+        return _empty_raw_cols()
+    return _raw_cols_from_core(qid, qlen, index, core, qstrand=1)
+
+
+def _batched_core(q_ext: str, index: SubjectIndex, cfg: BlastConfig,
+                  k: int, sq, ssi, ssp, gpos, seed_sc_all, seed_id_all,
+                  ext_args, narrow: bool = False):
+    """Shared batched stage for one query strand: group seeds by
+    (subject, diagonal), replay the sequential coverage dedupe in
+    whole-array rounds, extend every round's survivors in one 2D
+    X-drop batch, optionally run the per-HSP gapped stage, and return
+    the emitted rows in sequential visit order as
+    (si, score, align_len, ident, gaps, qs, qe, ss, se) arrays — or
+    None when nothing clears min_raw_score. ``ext_args`` =
+    (qrow, qord, crow, cord, rp) selects BLOSUM (rp=None) or
+    reward/penalty scoring for the extension batches."""
+    qrow, qord, crow, cord, rp = ext_args
     # --- group by (subject, diagonal); within a group qpos ascends
     # (collection order is qpos-major, bucket order si/spos asc) ---
     diag = ssp - sq
@@ -1079,21 +1141,24 @@ def _align_protein_batched_arrays(qid: int, q_ext: str,
     bounds = np.flatnonzero(dkey[1:] != dkey[:-1]) + 1
     starts = np.concatenate(([0], bounds))
     ends = np.concatenate((bounds, [len(dkey)]))
-    ptr = starts.copy()
-    covered = np.full(len(starts), -1, dtype=np.int64)
+    n_groups = len(starts)
+    # group-augmented seed key: globally ascending because sq ascends
+    # within each group — one searchsorted jumps every group's pointer
+    # past its covered prefix in a single vectorized call (the naive
+    # one-step advance loop was O(longest chain) whole-array passes: a
+    # 300 bp homology puts ~300 seeds on one diagonal)
+    _OFF = np.int64(1) << np.int64(32)
+    gid = np.repeat(np.arange(n_groups, dtype=np.int64),
+                    ends - starts)
+    aug = gid * _OFF + sq
+    covered = np.full(n_groups, -1, dtype=np.int64)
+    g_all = np.arange(n_groups, dtype=np.int64)
     min_raw = cfg.min_raw_score
     res: list[tuple[np.ndarray, ...]] = []
     while True:
-        # advance each diagonal's pointer past covered seeds, then the
-        # first live seed per diagonal is this round's candidate — the
-        # sequential `seen` semantics, whole-array at a time
-        while True:
-            live = ptr < ends
-            adv = live.copy()
-            adv[live] = sq[ptr[live]] <= covered[live]
-            if not adv.any():
-                break
-            ptr[adv] += 1
+        # first seed per group with sq > covered — the sequential
+        # `seen` semantics, one searchsorted for all groups
+        ptr = np.searchsorted(aug, g_all * _OFF + covered, side="right")
         d_idx = np.flatnonzero(ptr < ends)
         if not len(d_idx):
             break
@@ -1101,27 +1166,26 @@ def _align_protein_batched_arrays(qid: int, q_ext: str,
         # neighborhood seeds are mostly weak (score ~T) and X-drop out
         # within a few residues: start the extension chunk narrow and
         # let it grow; exact long-word seeds keep the wider start.
-        c0 = 16 if nb_threshold is not None else 64
+        c0 = 16 if narrow else 64
         gain_r, ext_r, m_r = _extend_batch(
-            qi_arr, qo, crow, cord, sq[ci] + k, gpos[ci] + k, +1, cfg.xdrop,
-            chunk=c0)
+            qrow, qord, crow, cord, sq[ci] + k, gpos[ci] + k, +1,
+            cfg.xdrop, chunk=c0, rp=rp)
         gain_l, ext_l, m_l = _extend_batch(
-            qi_arr, qo, crow, cord, sq[ci] - 1, gpos[ci] - 1, -1, cfg.xdrop,
-            chunk=c0)
+            qrow, qord, crow, cord, sq[ci] - 1, gpos[ci] - 1, -1,
+            cfg.xdrop, chunk=c0, rp=rp)
         score = seed_sc[ci] + gain_r + gain_l
         qs = sq[ci] - ext_l
         qe = sq[ci] + k - 1 + ext_r
         ident = seed_idb[ci] + m_r + m_l
         ss = ssp[ci] - (sq[ci] - qs)
         covered[d_idx] = qe               # coverage updates regardless
-        ptr[d_idx] = ci + 1
         keep = score >= min_raw
         if keep.any():
             res.append((seed_rank[ci[keep]], ssi[ci[keep]],
                         score[keep], ident[keep], qs[keep], qe[keep],
                         ss[keep]))
     if not res:
-        return _empty_raw_cols()
+        return None
     rank = np.concatenate([r[0] for r in res])
     emit = np.argsort(rank)               # sequential visit order
     r_si = np.concatenate([r[1] for r in res])[emit]
@@ -1160,15 +1224,24 @@ def _align_protein_batched_arrays(qid: int, q_ext: str,
             rows.append((si_t, score, align_len, ident_v, gaps_n,
                          qs_v, qe_v, ss_v, se_v))
         if not rows:
-            return _empty_raw_cols()
+            return None
         arr = np.array(rows, dtype=np.int64)
-        r_si, r_sc, al, r_id, gp = arr[:, 0], arr[:, 1], arr[:, 2], \
-            arr[:, 3], arr[:, 4]
-        r_qs, r_qe, r_ss, r_se = arr[:, 5], arr[:, 6], arr[:, 7], arr[:, 8]
-    else:
-        al = r_qe - r_qs + 1
-        gp = np.zeros(len(r_sc), dtype=np.int64)
+        return (arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3], arr[:, 4],
+                arr[:, 5], arr[:, 6], arr[:, 7], arr[:, 8])
+    al = r_qe - r_qs + 1
+    gp = np.zeros(len(r_sc), dtype=np.int64)
+    return (r_si, r_sc, al, r_id, gp, r_qs, r_qe, r_ss, r_se)
 
+
+def _raw_cols_from_core(qid: int, qlen: int, index: SubjectIndex,
+                        core, qstrand: int) -> dict[str, np.ndarray]:
+    """RAW_HITS column dict from a _batched_core result. For the minus
+    strand the query coords are mapped back to the forward
+    orientation, exactly like the sequential branch (after the gapped
+    stage)."""
+    r_si, r_sc, al, r_id, gp, r_qs, r_qe, r_ss, r_se = core
+    if qstrand == -1:
+        r_qs, r_qe = qlen - r_qe - 1, qlen - r_qs - 1
     n = len(r_sc)
     i32 = np.int32
     return {
@@ -1182,10 +1255,75 @@ def _align_protein_batched_arrays(qid: int, q_ext: str,
         "qend0": r_qe.astype(i32),
         "sstart0": r_ss.astype(i32),
         "send0": r_se.astype(i32),
-        "qstrand": np.ones(n, dtype=i32),
+        "qstrand": np.full(n, qstrand, dtype=i32),
         "sstrand": np.ones(n, dtype=i32),
         "qlen": np.full(n, qlen, dtype=i32),
     }
+
+
+def _align_nucl_batched_arrays(qid: int, seq: str, index: SubjectIndex,
+                               cfg: BlastConfig,
+                               qlen: int) -> dict[str, np.ndarray]:
+    """The blastn batched path: the sequential per-seed loop replaced
+    by the same vectorized stages as blastp — per strand: hashed seed
+    collection over the query's word buckets, vectorized exact-word
+    verification against the volume's concatenated codepoints
+    (cat_nucl), (subject, diagonal) coverage dedupe in whole-array
+    rounds, batched reward/penalty X-drop extension, optional gapped
+    stage. Both strands run the full stage (forward first, then the
+    reverse complement with coordinates mapped back), matching the
+    sequential branch's strand-major emission order; rows are pinned
+    identical by test_batched_parity's blastn cases."""
+    k = cfg.word_size
+    cord, offs = index.cat_nucl
+    fold = index.fold_case
+    parts: list[dict[str, np.ndarray]] = []
+    strands = [(seq, 1), (revcomp(seq), -1)]
+    for q, qstrand in strands:
+        q_ext = q.upper() if fold else q
+        qo = np.frombuffer(q_ext.encode("utf-32-le"),
+                           dtype="<u4").astype(np.int32)
+        qb = np.asarray(index.query_buckets(q_ext), dtype=np.int64)
+        if cfg.lcase_masking:
+            low = np.array([c.islower() for c in q], dtype=np.int32)
+            lowc = np.concatenate(([0], np.cumsum(low)))
+            qb = np.where((lowc[k:] - lowc[:-k]) > 0, -1, qb)
+        qpos_list = np.flatnonzero(qb >= 0)
+        if not len(qpos_list):
+            continue
+        bis = qb[qpos_list]
+        bstart, bend = index.bucket_bounds_np
+        counts = bend[bis] - bstart[bis]
+        total = int(counts.sum())
+        if total == 0:
+            continue
+        sq = np.repeat(qpos_list, counts)
+        cum = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        within = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
+        flat = np.repeat(bstart[bis], counts) + within
+        ssi = index.sis_np[flat]
+        ssp = index.poss_np[flat]
+        gpos = offs[ssi] + ssp
+        ok = np.ones(total, dtype=bool)
+        for j in range(k):
+            ok &= cord[gpos + j] == qo[sq + j]
+        if not ok.all():
+            sq, ssi, ssp, gpos = sq[ok], ssi[ok], ssp[ok], gpos[ok]
+        if not len(sq):
+            continue
+        seed_sc_all = np.full(len(sq), k * cfg.reward, dtype=np.int64)
+        seed_id_all = np.full(len(sq), k, dtype=np.int64)
+        core = _batched_core(q_ext, index, cfg, k, sq, ssi, ssp, gpos,
+                             seed_sc_all, seed_id_all,
+                             (None, qo, None, cord,
+                              (cfg.reward, cfg.penalty)))
+        if core is not None:
+            parts.append(_raw_cols_from_core(qid, qlen, index, core,
+                                             qstrand=qstrand))
+    if not parts:
+        return _empty_raw_cols()
+    names = [f.name for f in RAW_HITS.fields]
+    return {nm: np.concatenate([p[nm] for p in parts]) for nm in names}
 
 
 def _empty_raw_cols() -> dict[str, np.ndarray]:
@@ -1403,20 +1541,30 @@ def align_query(qid: int, seq: str, index: SubjectIndex,
     """All HSPs of one query against one indexed partition, both strands."""
     out = []
     k = cfg.word_size
+    if k != index.word_size:
+        raise ValueError(
+            f"config word_size={k} does not match the subject index's "
+            f"word_size={index.word_size}; rebuild the index with the "
+            f"config's k (stage gen keys on word_size for this reason)")
     qlen = len(seq)
     is_protein = cfg.task == "blastp"
-    # blastp hot path: hashed index, one-hit seeding — exact-word AND
-    # neighborhood (-threshold): the per-seed Python loop is replaced
-    # by batched 2D extension with identical outputs
-    # (test_batched_parity / test_batched_extension_parity; threshold
-    # configs carry per-seed (score, ident) arrays through the batch).
-    # Two-hit (-window_size) seeding keeps the sequential branch: its
+    # hot paths: hashed index, one-hit seeding — blastp (exact-word
+    # AND neighborhood -threshold) and blastn (both strands): the
+    # per-seed Python loop is replaced by batched 2D extension with
+    # identical outputs (test_batched_parity; threshold configs carry
+    # per-seed (score, ident) arrays through the batch). Two-hit
+    # (-window_size) seeding keeps the sequential branch: its
     # pending-seed state is inherently ordered per diagonal.
-    if is_protein and index.hashed and not cfg.window_size:
-        q_ext = seq.upper() if index.fold_case else seq
-        return _align_protein_batched(qid, q_ext, index, cfg,
-                                      seq if cfg.lcase_masking else None,
-                                      qlen)
+    if index.hashed and not cfg.window_size:
+        if is_protein:
+            q_ext = seq.upper() if index.fold_case else seq
+            return _align_protein_batched(
+                qid, q_ext, index, cfg,
+                seq if cfg.lcase_masking else None, qlen)
+        cols = _align_nucl_batched_arrays(qid, seq, index, cfg, qlen)
+        names = [f.name for f in RAW_HITS.fields]
+        return list(zip(*(cols[nm] for nm in names))) \
+            if len(cols["qid"]) else []
     return _align_query_sequential(qid, seq, index, cfg)
 
 
@@ -1545,12 +1693,17 @@ def align_block(items, index: SubjectIndex, cfg: BlastConfig,
     arrays — no per-hit Python tuple ever exists. Other configs
     (blastn, two-hit) route through align_query's row path."""
     names = [f.name for f in RAW_HITS.fields]
-    if (cfg.task == "blastp" and index.hashed
-            and not cfg.window_size):
-        per_q = [_align_protein_batched_arrays(
-            int(qid), seq.upper() if index.fold_case else seq, index, cfg,
-            seq if cfg.lcase_masking else None, len(seq))
-            for qid, seq in items]
+    if index.hashed and not cfg.window_size:
+        if cfg.task == "blastp":
+            per_q = [_align_protein_batched_arrays(
+                int(qid), seq.upper() if index.fold_case else seq,
+                index, cfg,
+                seq if cfg.lcase_masking else None, len(seq))
+                for qid, seq in items]
+        else:
+            per_q = [_align_nucl_batched_arrays(
+                int(qid), seq, index, cfg, len(seq))
+                for qid, seq in items]
         if per_q:
             cols = {nm: np.concatenate([d[nm] for d in per_q])
                     for nm in names}

@@ -196,3 +196,97 @@ def test_two_hit_still_routes_sequential():
     cfg = BlastConfig(task="blastp", word_size=4, window_size=40)
     batched, sequential = _run_both(subjects, queries, cfg)
     assert batched == sequential  # align_query == sequential: same path
+
+
+# ---------------------------------------------------------------------------
+# blastn batched path (round 5): both strands, reward/penalty scoring
+# ---------------------------------------------------------------------------
+
+NUCS = "ACGT"
+
+
+def _rand_dna(rng: np.random.Generator, n: int) -> str:
+    return "".join(rng.choice(list(NUCS), size=n))
+
+
+def _mutate_dna(rng: np.random.Generator, s: str, rate: float) -> str:
+    out = list(s)
+    for i in range(len(out)):
+        if rng.random() < rate:
+            out[i] = NUCS[rng.integers(4)]
+    return "".join(out)
+
+
+def _corpus_dna(seed: int, n_subjects: int = 8, sub_len: int = 160,
+                n_queries: int = 6, q_len: int = 90, word: int = 8):
+    """DNA subjects plus queries stitched from mutated fragments of
+    BOTH orientations, so minus-strand hits exist and seeds chain."""
+    from mr_mpi_blast_spark.kernel.builtin import revcomp
+    rng = np.random.default_rng(seed)
+    subjects = [(f"s{i}", _rand_dna(rng, sub_len))
+                for i in range(n_subjects)]
+    queries = []
+    for qn in range(n_queries):
+        src = subjects[rng.integers(n_subjects)][1]
+        a = int(rng.integers(0, max(1, len(src) - q_len)))
+        frag = _mutate_dna(rng, src[a:a + q_len], rate=0.06)
+        if qn % 2:                       # half the queries hit on minus
+            frag = revcomp(frag)
+        w = frag[10:10 + 2 * word]       # duplicated window: multi-seed
+        frag = frag[:50] + w + frag[50 + 2 * word:]
+        queries.append((qn, frag))
+    return subjects, queries
+
+
+def _run_both_dna(subjects, queries, cfg, fold_case=False, lcase=None):
+    idx = SubjectIndex(subjects, cfg.word_size, 4096, protein=False,
+                       fold_case=fold_case)
+    assert idx.hashed
+    batched, sequential = [], []
+    for qid, q in queries:
+        if lcase is not None:
+            q = lcase(q)
+        batched.extend(tuple(map(int, r[:1])) + (r[1],)
+                       + tuple(map(int, r[2:]))
+                       for r in align_query(qid, q, idx, cfg))
+        sequential.extend(_align_query_sequential(qid, q, idx, cfg))
+    return batched, sequential
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.parametrize("gapped", [False, True])
+def test_batched_parity_blastn(seed, gapped):
+    subjects, queries = _corpus_dna(seed)
+    cfg = BlastConfig(task="blastn", word_size=8, min_score=12,
+                      gapped=gapped,
+                      ka_gapped=(1.3, 0.5, 1.0) if gapped else None)
+    batched, sequential = _run_both_dna(subjects, queries, cfg)
+    assert batched == [tuple(r) for r in sequential]
+    assert batched  # corpora are built to hit
+    # both strands actually exercised
+    strands = {r[10] for r in batched}
+    assert strands == {1, -1}
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_batched_parity_blastn_reward_penalty(seed):
+    """Non-default +2/-3 scoring flows through the batched rp scorer."""
+    subjects, queries = _corpus_dna(seed)
+    cfg = BlastConfig(task="blastn", word_size=8, reward=2, penalty=-3,
+                      min_score=20)
+    batched, sequential = _run_both_dna(subjects, queries, cfg)
+    assert batched == [tuple(r) for r in sequential]
+    assert batched
+
+
+def test_batched_parity_blastn_lcase_masking():
+    subjects, queries = _corpus_dna(9)
+
+    def mask(q):  # lowercase a window -> those words must not seed
+        return q[:20] + q[20:44].lower() + q[44:]
+
+    cfg = BlastConfig(task="blastn", word_size=8, min_score=12,
+                      lcase_masking=True)
+    batched, sequential = _run_both_dna(subjects, queries, cfg,
+                                        lcase=mask)
+    assert batched == [tuple(r) for r in sequential]

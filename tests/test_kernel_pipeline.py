@@ -206,7 +206,7 @@ def test_disk_index_cache_roundtrip(tmp_path, monkeypatch):
     idx2 = B.get_subject_index_lazy("ck:v0:content", loader, 8, 64,
                                     disk_cache=True)
     assert calls["n"] == 1
-    cfg = B.BlastConfig()
+    cfg = B.BlastConfig(word_size=8)   # must match the index's k
     q = ("ACGTACGTACGTACGT")
     h1 = B.align_query(1, q, idx1, cfg)
     h2 = B.align_query(1, q, idx2, cfg)
