@@ -63,15 +63,40 @@ def _time(fn, queries, reps=3):
     return best, hits
 
 
+def _corpus_dna(seed=7, n_subjects=60, sub_len=2000, n_queries=30,
+                q_len=300):
+    from mr_mpi_blast_spark.kernel.builtin import revcomp
+    rng = np.random.default_rng(seed)
+    nucs = "ACGT"
+    subjects = [(f"s{i}", "".join(rng.choice(list(nucs), size=sub_len)))
+                for i in range(n_subjects)]
+    queries = []
+    for qn in range(n_queries):
+        src = subjects[rng.integers(n_subjects)][1]
+        a = int(rng.integers(0, sub_len - q_len))
+        frag = "".join(c if rng.random() > 0.05 else nucs[rng.integers(4)]
+                       for c in src[a:a + q_len])
+        queries.append((qn, revcomp(frag) if qn % 2 else frag))
+    return subjects, queries
+
+
 def main():
     subjects, queries = _corpus()
+    dna_subjects, dna_queries = _corpus_dna()
     out = {}
     for label, cfg in [
         ("exact_w4", BlastConfig(task="blastp", word_size=4)),
         ("nb_w3_t11", BlastConfig(task="blastp", word_size=3,
                                   threshold=11)),
+        ("blastn_w8", BlastConfig(task="blastn", word_size=8,
+                                  min_score=12)),
+        ("blastn_w11", BlastConfig(task="blastn", word_size=11,
+                                   min_score=16)),
     ]:
-        idx = SubjectIndex(subjects, cfg.word_size, 4096, protein=True)
+        if cfg.task == "blastn":
+            subjects, queries = dna_subjects, dna_queries
+        idx = SubjectIndex(subjects, cfg.word_size, 4096,
+                           protein=cfg.task == "blastp")
         # warm the per-volume word/neighborhood caches for BOTH paths
         # (the pipeline reuses them across blocks the same way)
         for q, s in queries:
