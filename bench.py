@@ -67,8 +67,11 @@ def _clear_raw_cache(sf_dir: str) -> None:
                                                       _blast_raw_key)
         shutil.rmtree(_blast_raw_cache_dir(_blast_raw_key(sf_dir)),
                       ignore_errors=True)
-    except Exception:
-        pass
+    except Exception as ex:
+        # a failed clear would silently mislabel rep 1 as "cold" — the
+        # exact ambiguity the methodology exists to remove; make it loud
+        print(f"bench: raw-cache clear failed ({ex}); 'cold' rep may "
+              f"actually be warm", file=sys.stderr)
 
 
 def main() -> None:

@@ -1009,8 +1009,24 @@ def q_ann_ivf_nprobe2(spark, sf_dir):
 # numpy k-means, deterministic) and persists them as ONE parquet file
 # the static oracle SQL replays the downstream relational computation
 # from — the blast_tail architecture (engine materializes an
-# intermediate, the oracle reads it back). Atomic single-file write.
+# intermediate, the oracle reads it back). Because the oracle SQL is
+# a static string, it reads a FIXED symlink; the engine writes a
+# per-(sf, data-mtime) real file and atomically repoints the link
+# (pid-suffixed temp), so concurrent runs of the SAME key are
+# idempotent (training is deterministic) and a run at another sf
+# never tears this one's file mid-read.
 _IVF_CENT_PATH = "/tmp/spark_graft_ivf_centroids.parquet"
+
+
+def _ivf_cent_store(sf_dir: str) -> str:
+    import hashlib
+    try:
+        mtime = int(os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+                    .st_mtime)
+    except OSError:
+        mtime = 0
+    h = hashlib.md5(f"{sf_dir}|{mtime}".encode()).hexdigest()[:16]
+    return f"/tmp/spark_graft_ivf_centroids_{h}.parquet"
 
 _IVF_RECALL_SQL = f"""
 WITH cent AS (SELECT cid, CAST(embedding AS DOUBLE[]) AS cemb
@@ -1072,9 +1088,19 @@ def q_ann_ivf_recall(spark, sf_dir):
                                                          train_ivf_centroids)
     e = _t(spark, sf_dir, "embeddings")
     cents = train_ivf_centroids(e, k=8, n_iter=10, seed=7)
-    tmp = _IVF_CENT_PATH + ".tmp"
+    store = _ivf_cent_store(sf_dir)
+    tmp = f"{store}.{os.getpid()}.tmp"
     cents.toPandas().to_parquet(tmp, index=False)
-    os.replace(tmp, _IVF_CENT_PATH)
+    os.replace(tmp, store)
+    lnk = f"{_IVF_CENT_PATH}.lnk.{os.getpid()}.tmp"
+    if os.path.exists(_IVF_CENT_PATH) and not os.path.islink(_IVF_CENT_PATH):
+        os.unlink(_IVF_CENT_PATH)     # pre-symlink layout from older code
+    try:
+        os.unlink(lnk)
+    except FileNotFoundError:
+        pass
+    os.symlink(store, lnk)
+    os.replace(lnk, _IVF_CENT_PATH)
     return ivf_recall(e.filter(F.col("vec_id") % 20 == 0), e, cents, k=5,
                       nprobes=(1, 2, 4))
 
@@ -1259,7 +1285,11 @@ def _point_current_at(cache_dir: str) -> None:
     os.replace of a freshly created symlink is atomic on POSIX, so a
     concurrent reader sees either the old or the new target, never a
     missing path."""
-    tmp = _BLAST_RAW_PATH + ".lnk.tmp"
+    # pid-suffixed temp name: two processes repointing concurrently
+    # each create their own symlink and the os.replace's race cleanly
+    # (a shared temp name would crash the second os.symlink with
+    # FileExistsError)
+    tmp = f"{_BLAST_RAW_PATH}.lnk.{os.getpid()}.tmp"
     if os.path.islink(_BLAST_RAW_PATH) or os.path.exists(_BLAST_RAW_PATH):
         if not os.path.islink(_BLAST_RAW_PATH):
             # pre-symlink layout (a real dir from an older build): clear it

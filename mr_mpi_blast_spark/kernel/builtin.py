@@ -725,15 +725,26 @@ def get_subject_index_lazy(cache_key: str, loader, word_size: int,
             import pickle
             import tempfile
             h = hashlib.md5(repr((KERNEL_SPEC, key)).encode()).hexdigest()
+            # uid-scoped, 0700 directory: loading a pickle from a
+            # world-writable shared path would let any local user
+            # plant code; refuse the cache entirely if the dir exists
+            # but is not ours
             cache_root = os.path.join(
                 os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir()),
-                "spark_graft_idx_cache")
+                f"spark_graft_idx_cache_{os.getuid()}")
             path = os.path.join(cache_root, h + ".pkl")
             try:
-                with open(path, "rb") as fh:
-                    idx = pickle.load(fh)
-            except Exception:
-                idx = None
+                st = os.stat(cache_root)
+                if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+                    path = None
+            except FileNotFoundError:
+                pass
+            if path is not None:
+                try:
+                    with open(path, "rb") as fh:
+                        idx = pickle.load(fh)
+                except Exception:
+                    idx = None
         if idx is None:
             idx = SubjectIndex(loader(), word_size, max_kmer_hits,
                                soft_mask=soft_mask, complexity=complexity,
@@ -741,7 +752,7 @@ def get_subject_index_lazy(cache_key: str, loader, word_size: int,
             if path is not None:
                 try:
                     import pickle
-                    os.makedirs(cache_root, exist_ok=True)
+                    os.makedirs(cache_root, mode=0o700, exist_ok=True)
                     tmp = f"{path}.{os.getpid()}.tmp"
                     with open(tmp, "wb") as fh:
                         pickle.dump(idx, fh,
@@ -1688,10 +1699,11 @@ def align_block(items, index: SubjectIndex, cfg: BlastConfig,
                 ) -> pd.DataFrame:
     """K2 batch loop over one query block -> RAW_HITS DataFrame.
 
-    For the blastp hot path (hashed index, one-hit seeding — exact or
-    neighborhood) the frame is assembled column-wise from the batched
-    arrays — no per-hit Python tuple ever exists. Other configs
-    (blastn, two-hit) route through align_query's row path."""
+    For the hashed one-hit hot paths — blastp (exact or neighborhood
+    seeding) AND blastn (both strands) — the frame is assembled
+    column-wise from the batched arrays; no per-hit Python tuple ever
+    exists. Only two-hit (-window_size) and non-hashed (masking)
+    configs route through align_query's sequential row path."""
     names = [f.name for f in RAW_HITS.fields]
     if index.hashed and not cfg.window_size:
         if cfg.task == "blastp":

@@ -378,7 +378,6 @@ def train_ivf_centroids(vectors: DataFrame, k: int, n_iter: int = 10,
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
     rows = (src.select(id_col, F.col(vec_col).cast("array<double>"))
             .orderBy(id_col).collect())          # stable training order
-    ids = [r[0] for r in rows]
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     n, d = mat.shape
     if n < k:
@@ -462,4 +461,12 @@ def ivf_recall(queries: DataFrame, corpus: DataFrame,
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    # the result is a tiny per-nprobe aggregate: materialize it now so
+    # the two persisted intermediates (brute top-k, scored candidates)
+    # can be unpersisted instead of pinning executor memory for the
+    # session's lifetime
+    rows = out.collect()
+    brute.unpersist()
+    cand.unpersist()
+    return queries.sparkSession.createDataFrame(
+        rows, schema="nprobe long, n_queries long, recall double")

@@ -63,6 +63,12 @@ def main() -> None:
             except Exception as ex:
                 print(f"scaling: {name}@{sf} failed: {ex}", file=sys.stderr)
                 continue
+            if name == "blast_pipeline" and len(runs) > 1:
+                # rep 1 is the deliberately-cold kernel run; mixing it
+                # into the median would blend kernel-execution scaling
+                # with the warm read path's (bench.py separates these
+                # for the same reason)
+                runs = runs[1:]
             timings.setdefault(name, {})[sf] = round(
                 statistics.median(runs), 3)
 

@@ -196,7 +196,8 @@ def test_disk_index_cache_roundtrip(tmp_path, monkeypatch):
     idx1 = B.get_subject_index_lazy("ck:v0:content", loader, 8, 64,
                                     disk_cache=True)
     assert calls["n"] == 1
-    cache_dir = tmp_path / "spark_graft_idx_cache"
+    import os as _os
+    cache_dir = tmp_path / f"spark_graft_idx_cache_{_os.getuid()}"
     pkls = list(cache_dir.glob("*.pkl"))
     assert len(pkls) == 1
 
