@@ -158,3 +158,29 @@ def test_equal_count_packing_pathological():
     assert [coarse_of[k] for k in sorted(coarse_of)] == sorted(
         coarse_of[k] for k in sorted(coarse_of))
     assert max(coarse_of.values()) < 8
+
+
+@given(st.lists(st.text(alphabet="ACGTacgt", min_size=0, max_size=60),
+                min_size=1, max_size=5),
+       st.lists(st.text(alphabet="ACGTacgt", min_size=0, max_size=50),
+                min_size=1, max_size=4),
+       st.integers(4, 9), st.booleans())
+@settings(max_examples=40, deadline=None)
+def test_blastn_batched_equals_sequential(subject_seqs, query_seqs, k,
+                                          gapped):
+    """The batched blastn path must emit byte-identical rows, in
+    identical order, to the sequential per-seed oracle for ANY DNA
+    corpus — both strands, mixed case, arbitrary word size, gapped or
+    not."""
+    from mr_mpi_blast_spark.kernel.builtin import _align_query_sequential
+    subjects = [(f"s{i}", s) for i, s in enumerate(subject_seqs)]
+    cfg = BlastConfig(task="blastn", word_size=k, min_score=k,
+                      gapped=gapped,
+                      ka_gapped=(1.3, 0.5, 1.0) if gapped else None)
+    idx = SubjectIndex(subjects, k, 4096, protein=False)
+    assert idx.hashed
+    for qid, q in enumerate(query_seqs):
+        got = [tuple(int(v) if not isinstance(v, str) else v for v in r)
+               for r in align_query(qid, q, idx, cfg)]
+        ref = [tuple(r) for r in _align_query_sequential(qid, q, idx, cfg)]
+        assert got == ref
