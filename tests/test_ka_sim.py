@@ -145,3 +145,13 @@ def test_estimate_triple_roundtrip():
     e = estimate_ka_nucl(1, -2, 5, 2, n_batches=4, seed=11)
     cfg = BlastConfig(task="blastn", gapped=True, ka_gapped=e.triple)
     assert scoring_params(cfg) == e.triple
+
+
+def test_gapped_reproduces_published_blosum62_10_2():
+    """Third independent published gapped row — BLOSUM62 (10,2) =
+    (0.291, 0.075, 0.23): the estimator generalizes across gap-cost
+    pairs, not just the two rows it was tuned against."""
+    e = estimate_ka_blosum62(10, 2, n_batches=15, seed=11)
+    assert e.lam == pytest.approx(0.291, rel=0.06)
+    assert e.k == pytest.approx(0.075, rel=0.35)
+    assert e.h == pytest.approx(0.23, rel=0.35)
