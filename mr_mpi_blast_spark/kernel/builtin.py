@@ -67,7 +67,7 @@ from mr_mpi_blast_spark.config import BlastConfig
 # content must also key on this, so a kernel change (scoring, seeding,
 # extension) invalidates cached raw hits from older code. Bump on any
 # change that can alter RAW_HITS values for some config.
-KERNEL_SPEC = "k4"
+KERNEL_SPEC = "k5"
 
 # ungapped Karlin-Altschul (lambda, K, H) per scoring system
 KA_NUCL_1_2 = (1.33, 0.621, 1.12)         # blastn +1/-2
@@ -484,12 +484,19 @@ class SubjectIndex:
         searchsorted against the sorted key array."""
         codes = np.frombuffer(q.encode("utf-32-le"), dtype="<u4")
         qh = _window_hashes(codes, self.word_size)
+        return self.buckets_for_hashes(qh).tolist()
+
+    def buckets_for_hashes(self, qh: np.ndarray) -> np.ndarray:
+        """Bucket id (-1 = miss) for an arbitrary array of window
+        hashes — the block-batched path hashes a whole query block's
+        concatenation once and resolves every window here in one
+        searchsorted."""
         if not len(qh) or not len(self._ukeys):
-            return [-1] * len(qh)
+            return np.full(len(qh), -1, dtype=np.int64)
         ii = np.searchsorted(self._ukeys, qh)
         iic = np.minimum(ii, len(self._ukeys) - 1)
         found = self._ukeys[iic] == qh
-        return np.where(found, iic, -1).tolist()
+        return np.where(found, iic, -1)
 
     def bucket_pairs(self, bi: int) -> zip:
         """(subject_idx, pos) pairs of one bucket, in (si asc, pos asc)
@@ -933,6 +940,12 @@ def _extend_vec(qo: np.ndarray, qi: np.ndarray, so: np.ndarray,
     return seed_score + gain_r + gain_l, qs, qe, ss, se, ident
 
 
+# Seed-tile width for _extend_batch: keeps each 2D temporary around
+# (tile x 64) x 8 B ~ 2 MB so the whole op pipeline stays in LLC even
+# when block-level batching hands over 10^5+ seeds at once.
+_EXT_TILE = 4096
+
+
 def _extend_batch(qrow: np.ndarray | None, qord: np.ndarray,
                   crow: np.ndarray | None, cord: np.ndarray,
                   q0: np.ndarray, g0: np.ndarray, sign: int,
@@ -959,8 +972,25 @@ def _extend_batch(qrow: np.ndarray | None, qord: np.ndarray,
     test at that column and can never join an alignment.
 
     Returns (gain, length, matches) per seed: best score gained, chars
-    extended, and identities among them."""
+    extended, and identities among them.
+
+    Seeds are mutually independent, so the batch is processed in
+    cache-sized TILES: one huge call (block-level batching can carry
+    hundreds of thousands of seeds) would otherwise materialize
+    ~100 MB 2D temporaries per numpy op and turn the extension
+    DRAM-bandwidth-bound — measured 3x slower than the same seeds in
+    small calls. Tiling restores cache residency at ~zero overhead."""
     n = len(q0)
+    if n > _EXT_TILE:
+        gains = np.empty(n, dtype=np.int64)
+        exts = np.empty(n, dtype=np.int64)
+        ms = np.empty(n, dtype=np.int64)
+        for t0 in range(0, n, _EXT_TILE):
+            sl = slice(t0, min(t0 + _EXT_TILE, n))
+            gains[sl], exts[sl], ms[sl] = _extend_batch(
+                qrow, qord, crow, cord, q0[sl], g0[sl], sign, xdrop,
+                chunk=chunk, chunk_max=chunk_max, rp=rp)
+        return gains, exts, ms
     best = np.zeros(n, dtype=np.int64)
     best_at = np.zeros(n, dtype=np.int64)
     best_m = np.zeros(n, dtype=np.int64)
@@ -992,8 +1022,11 @@ def _extend_batch(qrow: np.ndarray | None, qord: np.ndarray,
             sc = _B62E[qr, sr]
         else:
             # match/mismatch scoring; separators/out-of-range kill the
-            # extension exactly like the sentinel BLOSUM row does
-            sc = np.where(qok & gok & (sv != -1),
+            # extension exactly like the sentinel BLOSUM row does.
+            # qv >= 0 also rejects the QUERY-side block separator (-1)
+            # so a block-concatenated query can never extend into its
+            # neighbor.
+            sc = np.where(qok & gok & (sv != -1) & (qv >= 0),
                           np.where(eq, rp[0], rp[1]), _B62_NEG)
         c = base[active, None] + np.cumsum(sc, axis=1)
         m = base_m[active, None] + np.cumsum(eq, axis=1)
@@ -1128,7 +1161,9 @@ def _align_protein_batched_arrays(qid: int, q_ext: str,
 
 def _batched_core(q_ext: str, index: SubjectIndex, cfg: BlastConfig,
                   k: int, sq, ssi, ssp, gpos, seed_sc_all, seed_id_all,
-                  ext_args, narrow: bool = False):
+                  ext_args, narrow: bool = False,
+                  qoffs: np.ndarray | None = None,
+                  q_strs: list[str] | None = None):
     """Shared batched stage for one query strand: group seeds by
     (subject, diagonal), replay the sequential coverage dedupe in
     whole-array rounds, extend every round's survivors in one 2D
@@ -1137,21 +1172,51 @@ def _batched_core(q_ext: str, index: SubjectIndex, cfg: BlastConfig,
     (si, score, align_len, ident, gaps, qs, qe, ss, se) arrays — or
     None when nothing clears min_raw_score. ``ext_args`` =
     (qrow, qord, crow, cord, rp) selects BLOSUM (rp=None) or
-    reward/penalty scoring for the extension batches."""
+    reward/penalty scoring for the extension batches.
+
+    Block mode (qoffs/q_strs given): the query side is a whole
+    BLOCK's concatenation (sentinel-separated, exactly like the
+    volume's cat_protein/cat_nucl) and ``sq`` carries GLOBAL
+    positions. Grouping then keys on (query, subject, diagonal-in-
+    query-local-coords) so two queries can never share a coverage
+    group, and the gapped stage slices each HSP's own query string
+    back out via qoffs. Returned q coords stay GLOBAL; callers map
+    them back per row."""
     qrow, qord, crow, cord, rp = ext_args
     # --- group by (subject, diagonal); within a group qpos ascends
     # (collection order is qpos-major, bucket order si/spos asc) ---
-    diag = ssp - sq
-    dkey = ssi * np.int64(2 ** 32) + (diag + np.int64(2 ** 31))
-    order = np.argsort(dkey, kind="stable")
-    sq, ssi, ssp = sq[order], ssi[order], ssp[order]
-    gpos, dkey = gpos[order], dkey[order]
-    seed_sc = seed_sc_all[order]
-    seed_idb = seed_id_all[order]
-    seed_rank = order                     # original visit rank
-    bounds = np.flatnonzero(dkey[1:] != dkey[:-1]) + 1
-    starts = np.concatenate(([0], bounds))
-    ends = np.concatenate((bounds, [len(dkey)]))
+    seed_rank = None
+    if qoffs is not None:
+        qidx_all = np.searchsorted(qoffs, sq, side="right") - 1
+        diag = ssp - (sq - qoffs[qidx_all])
+        # lexsort (stable): groups ordered by (qidx, ssi, diag); the
+        # original collection order is global-qpos-major, so within
+        # each group sq still ascends — same invariant as the
+        # single-query argsort path, no int64 key packing needed
+        order = np.lexsort((diag, ssi, qidx_all))
+        qidx_s = qidx_all[order]
+        sq, ssi, ssp = sq[order], ssi[order], ssp[order]
+        gpos, diag_s = gpos[order], diag[order]
+        seed_sc = seed_sc_all[order]
+        seed_idb = seed_id_all[order]
+        seed_rank = order
+        chg = ((qidx_s[1:] != qidx_s[:-1]) | (ssi[1:] != ssi[:-1])
+               | (diag_s[1:] != diag_s[:-1]))
+        bounds = np.flatnonzero(chg) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(sq)]))
+    else:
+        diag = ssp - sq
+        dkey = ssi * np.int64(2 ** 32) + (diag + np.int64(2 ** 31))
+        order = np.argsort(dkey, kind="stable")
+        sq, ssi, ssp = sq[order], ssi[order], ssp[order]
+        gpos, dkey = gpos[order], dkey[order]
+        seed_sc = seed_sc_all[order]
+        seed_idb = seed_id_all[order]
+        seed_rank = order                 # original visit rank
+        bounds = np.flatnonzero(dkey[1:] != dkey[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(dkey)]))
     n_groups = len(starts)
     # group-augmented seed key: globally ascending because sq ascends
     # within each group — one searchsorted jumps every group's pointer
@@ -1209,7 +1274,9 @@ def _batched_core(q_ext: str, index: SubjectIndex, cfg: BlastConfig,
 
     if cfg.gapped:
         # stage 2 stays per-HSP (few survivors): same loop + dedupe as
-        # the sequential branch
+        # the sequential branch. Block mode slices each HSP's own
+        # query string (DP must never see the sentinel-joined
+        # neighbors) and scopes the dedupe key per query.
         ext_seqs = index.ext_seqs
         rows = []
         emitted: set[tuple] = set()
@@ -1221,14 +1288,24 @@ def _batched_core(q_ext: str, index: SubjectIndex, cfg: BlastConfig,
             gaps_n, align_len = 0, qe_v - qs_v + 1
             si_t = int(r_si[t])
             if score >= trig:
-                (gscore, gqs, gqe, gss, gse, gident, gg, galn
-                 ) = gapped_extend(q_ext, ext_seqs[si_t],
-                                   qs_v, qe_v, ss_v, se_v, cfg)
+                if qoffs is not None:
+                    qi_t = int(np.searchsorted(qoffs, qs_v, "right")) - 1
+                    off = int(qoffs[qi_t])
+                    (gscore, gqs, gqe, gss, gse, gident, gg, galn
+                     ) = gapped_extend(q_strs[qi_t], ext_seqs[si_t],
+                                       qs_v - off, qe_v - off,
+                                       ss_v, se_v, cfg)
+                    gqs, gqe = gqs + off, gqe + off
+                    key = (qi_t, si_t, gqs, gqe, gss, gse)
+                else:
+                    (gscore, gqs, gqe, gss, gse, gident, gg, galn
+                     ) = gapped_extend(q_ext, ext_seqs[si_t],
+                                       qs_v, qe_v, ss_v, se_v, cfg)
+                    key = (si_t, gqs, gqe, gss, gse)
                 if gscore < min_raw:
                     continue
                 score, qs_v, qe_v, ss_v, se_v = gscore, gqs, gqe, gss, gse
                 ident_v, gaps_n, align_len = gident, gg, galn
-                key = (si_t, qs_v, qe_v, ss_v, se_v)
                 if key in emitted:
                     continue
                 emitted.add(key)
@@ -1347,6 +1424,264 @@ def _empty_raw_cols() -> dict[str, np.ndarray]:
         else:
             out[f.name] = np.empty(0, dtype=np.int32)
     return out
+
+
+def _raw_cols_from_core_block(core, index: SubjectIndex,
+                              qoffs: np.ndarray, qids_np: np.ndarray,
+                              qlens_np: np.ndarray, qstrand: int,
+                              ) -> tuple[dict[str, np.ndarray], np.ndarray]:
+    """RAW_HITS columns from a BLOCK-mode _batched_core result: each
+    row's query is recovered from its global start offset, coords map
+    back to that query's local (and, for the minus strand, forward)
+    orientation. Also returns the per-row query index so the blastn
+    caller can restore per-query strand-major emission order."""
+    r_si, r_sc, al, r_id, gp, r_qs, r_qe, r_ss, r_se = core
+    qidx = np.searchsorted(qoffs, r_qs, side="right") - 1
+    off = qoffs[qidx]
+    r_qs = r_qs - off
+    r_qe = r_qe - off
+    qlen = qlens_np[qidx]
+    if qstrand == -1:
+        r_qs, r_qe = qlen - r_qe - 1, qlen - r_qs - 1
+    n = len(r_sc)
+    i32 = np.int32
+    cols = {
+        "qid": qids_np[qidx],
+        "sid": index.sids_np[r_si],
+        "score": r_sc.astype(i32),
+        "align_len": al.astype(i32),
+        "ident_count": r_id.astype(i32),
+        "gaps": gp.astype(i32),
+        "qstart0": r_qs.astype(i32),
+        "qend0": r_qe.astype(i32),
+        "sstart0": r_ss.astype(i32),
+        "send0": r_se.astype(i32),
+        "qstrand": np.full(n, qstrand, dtype=i32),
+        "sstrand": np.ones(n, dtype=i32),
+        "qlen": qlen.astype(i32),
+    }
+    return cols, qidx
+
+
+def _expand_buckets(index: SubjectIndex, qpos_list: np.ndarray,
+                    bis: np.ndarray):
+    """Expand bucket ids into per-seed (global qpos, subject idx,
+    subject pos) arrays — the shared seed-expansion step of every
+    batched path."""
+    bstart, bend = index.bucket_bounds_np
+    counts = bend[bis] - bstart[bis]
+    total = int(counts.sum())
+    if total == 0:
+        return None
+    sq = np.repeat(qpos_list, counts)
+    cum = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
+    flat = np.repeat(bstart[bis], counts) + within
+    return sq, index.sis_np[flat], index.poss_np[flat]
+
+
+def _align_block_protein_batched(items: list[tuple[int, str]],
+                                 index: SubjectIndex, cfg: BlastConfig,
+                                 ) -> dict[str, np.ndarray]:
+    """Block-level blastp batching: the WHOLE query block is
+    concatenated into one sentinel-separated encoding (the query-side
+    mirror of the volume's cat_protein), so seed collection, exact-word
+    verification, the coverage-dedupe rounds and the X-drop extension
+    batches each run ONCE per (block, volume) task instead of once per
+    query — the per-query fixed overhead that made seed-sparse
+    workloads slower batched than sequential disappears. Rows are
+    identical to align_query per query, concatenated in block order
+    (pinned by test_batched_parity's block cases)."""
+    k = cfg.word_size
+    fold = index.fold_case
+    sepw = max(k - 1, 1)
+    sep_o = np.full(sepw, -1, dtype=np.int32)
+    sep_r = np.full(sepw, _B62_SENT, dtype=np.intp)
+    sep_c = np.full(sepw, _HASH_SEP, dtype=np.uint32)
+    qids, qlens, qoffs, q_strs = [], [], [], []
+    ords, rows, codes = [], [], []
+    masked_parts: list[np.ndarray] = []
+    cursor = 0
+    for qid, seq in items:
+        q_ext = seq.upper() if fold else seq
+        qids.append(int(qid))
+        qlens.append(len(seq))
+        qoffs.append(cursor)
+        q_strs.append(q_ext)
+        o, r = encode_protein(q_ext)
+        ords += [o, sep_o]
+        rows += [r, sep_r]
+        codes += [np.frombuffer(q_ext.encode("utf-32-le"),
+                                dtype="<u4"), sep_c]
+        nw = len(seq) - k + 1
+        if nw > 0:
+            v = cursor + np.arange(nw, dtype=np.int64)
+            if cfg.lcase_masking:
+                # original casing decides, exactly like the per-query
+                # path's lcase_src
+                low = np.array([ch.islower() for ch in seq],
+                               dtype=np.int32)
+                lowc = np.concatenate(([0], np.cumsum(low)))
+                v = v[(lowc[k:] - lowc[:-k]) == 0]
+            masked_parts.append(v)
+        cursor += len(o) + sepw
+    if not qids or not masked_parts:
+        return _empty_raw_cols()
+    qo = np.concatenate(ords)
+    qi_arr = np.concatenate(rows)
+    qc = np.concatenate(codes)
+    qoffs_np = np.asarray(qoffs, dtype=np.int64)
+    qlens_np = np.asarray(qlens, dtype=np.int64)
+    qids_np = np.asarray(qids, dtype=np.int64)
+    valid = np.concatenate(masked_parts)
+    cord, crow, offs = index.cat_protein
+    nb_threshold = cfg.threshold
+    if nb_threshold is not None:
+        # neighborhood probes stay a (memoized) per-word loop, but now
+        # over the block's positions at once; every seed joins ONE
+        # shared extension batch. Visit order = global qpos-major =
+        # per-query sequential order concatenated.
+        qn_of = np.searchsorted(qoffs_np, valid, side="right") - 1
+        qp_parts: list[np.ndarray] = []
+        parts: list[tuple[np.ndarray, ...]] = []
+        for gp, qn in zip(valid.tolist(), qn_of.tolist()):
+            lp = gp - qoffs[qn]
+            arrs = index.neighborhood_arrays(
+                q_strs[qn][lp:lp + k], nb_threshold)
+            if arrs is None:
+                continue
+            qp_parts.append(np.full(len(arrs[0]), gp, dtype=np.int64))
+            parts.append(arrs)
+        if not parts:
+            return _empty_raw_cols()
+        sq = np.concatenate(qp_parts)
+        ssi = np.concatenate([a[0] for a in parts])
+        ssp = np.concatenate([a[1] for a in parts])
+        gpos = offs[ssi] + ssp
+        seed_sc_all = np.concatenate([a[2] for a in parts])
+        seed_id_all = np.concatenate([a[3] for a in parts])
+    else:
+        h = _window_hashes(qc, k)
+        qb = index.buckets_for_hashes(h[valid])
+        live = qb >= 0
+        qpos_list = valid[live]
+        if not len(qpos_list):
+            return _empty_raw_cols()
+        expanded = _expand_buckets(index, qpos_list, qb[live])
+        if expanded is None:
+            return _empty_raw_cols()
+        sq, ssi, ssp = expanded
+        gpos = offs[ssi] + ssp
+        ok = np.ones(len(sq), dtype=bool)
+        for j in range(k):
+            ok &= cord[gpos + j] == qo[sq + j]
+        if not ok.all():
+            sq, ssi, ssp, gpos = sq[ok], ssi[ok], ssp[ok], gpos[ok]
+        if not len(sq):
+            return _empty_raw_cols()
+        # self-score prefix over the cat: _B62E so sentinel rows are
+        # indexable (valid windows never include one)
+        prefnp = np.concatenate(([0], np.cumsum(_B62E[qi_arr, qi_arr])))
+        seed_sc_all = prefnp[sq + k] - prefnp[sq]
+        seed_id_all = np.full(len(sq), k, dtype=np.int64)
+    core = _batched_core(None, index, cfg, k, sq, ssi, ssp, gpos,
+                         seed_sc_all, seed_id_all,
+                         (qi_arr, qo, crow, cord, None),
+                         narrow=nb_threshold is not None,
+                         qoffs=qoffs_np, q_strs=q_strs)
+    if core is None:
+        return _empty_raw_cols()
+    cols, _ = _raw_cols_from_core_block(core, index, qoffs_np, qids_np,
+                                        qlens_np, qstrand=1)
+    return cols
+
+
+def _align_block_nucl_batched(items: list[tuple[int, str]],
+                              index: SubjectIndex, cfg: BlastConfig,
+                              ) -> dict[str, np.ndarray]:
+    """Block-level blastn batching: per strand, all of the block's
+    (strand-oriented) queries concatenate into one sentinel-separated
+    codepoint array and run the shared batched stages once. Final rows
+    are restored to the sequential per-query strand-major order (every
+    query's plus rows, then its minus rows) by a stable sort on the
+    per-row query index over [plus; minus]."""
+    k = cfg.word_size
+    fold = index.fold_case
+    sepw = max(k - 1, 1)
+    sep_o = np.full(sepw, -1, dtype=np.int32)
+    sep_c = np.full(sepw, _HASH_SEP, dtype=np.uint32)
+    cord, offs = index.cat_nucl
+    if not items:
+        return _empty_raw_cols()
+    qids_np = np.asarray([q for q, _ in items], dtype=np.int64)
+    qlens_np = np.asarray([len(s) for _, s in items], dtype=np.int64)
+    strand_parts: list[tuple[dict[str, np.ndarray], np.ndarray]] = []
+    for qstrand in (1, -1):
+        seqs = [s if qstrand == 1 else revcomp(s) for _, s in items]
+        ords, codes, qoffs, q_strs = [], [], [], []
+        masked_parts: list[np.ndarray] = []
+        cursor = 0
+        for s in seqs:
+            q_ext = s.upper() if fold else s
+            q_strs.append(q_ext)
+            c = np.frombuffer(q_ext.encode("utf-32-le"), dtype="<u4")
+            qoffs.append(cursor)
+            ords += [c.astype(np.int32), sep_o]
+            codes += [c, sep_c]
+            nw = len(s) - k + 1
+            if nw > 0:
+                v = cursor + np.arange(nw, dtype=np.int64)
+                if cfg.lcase_masking:
+                    low = np.array([ch.islower() for ch in s],
+                                   dtype=np.int32)
+                    lowc = np.concatenate(([0], np.cumsum(low)))
+                    v = v[(lowc[k:] - lowc[:-k]) == 0]
+                masked_parts.append(v)
+            cursor += len(c) + sepw
+        if not masked_parts:
+            continue
+        qo = np.concatenate(ords)
+        qc = np.concatenate(codes)
+        qoffs_np = np.asarray(qoffs, dtype=np.int64)
+        valid = np.concatenate(masked_parts)
+        h = _window_hashes(qc, k)
+        qb = index.buckets_for_hashes(h[valid])
+        live = qb >= 0
+        qpos_list = valid[live]
+        if not len(qpos_list):
+            continue
+        expanded = _expand_buckets(index, qpos_list, qb[live])
+        if expanded is None:
+            continue
+        sq, ssi, ssp = expanded
+        gpos = offs[ssi] + ssp
+        ok = np.ones(len(sq), dtype=bool)
+        for j in range(k):
+            ok &= cord[gpos + j] == qo[sq + j]
+        if not ok.all():
+            sq, ssi, ssp, gpos = sq[ok], ssi[ok], ssp[ok], gpos[ok]
+        if not len(sq):
+            continue
+        seed_sc_all = np.full(len(sq), k * cfg.reward, dtype=np.int64)
+        seed_id_all = np.full(len(sq), k, dtype=np.int64)
+        core = _batched_core(None, index, cfg, k, sq, ssi, ssp, gpos,
+                             seed_sc_all, seed_id_all,
+                             (None, qo, None, cord,
+                              (cfg.reward, cfg.penalty)),
+                             qoffs=qoffs_np, q_strs=q_strs)
+        if core is None:
+            continue
+        strand_parts.append(_raw_cols_from_core_block(
+            core, index, qoffs_np, qids_np, qlens_np, qstrand))
+    if not strand_parts:
+        return _empty_raw_cols()
+    names = [f.name for f in RAW_HITS.fields]
+    if len(strand_parts) == 1:
+        return strand_parts[0][0]
+    qidx_all = np.concatenate([p[1] for p in strand_parts])
+    emit = np.argsort(qidx_all, kind="stable")
+    return {nm: np.concatenate([p[0][nm] for p in strand_parts])[emit]
+            for nm in names}
 
 
 def _align_protein_batched(qid: int, q_ext: str, index: SubjectIndex,
@@ -1700,27 +2035,20 @@ def align_block(items, index: SubjectIndex, cfg: BlastConfig,
     """K2 batch loop over one query block -> RAW_HITS DataFrame.
 
     For the hashed one-hit hot paths — blastp (exact or neighborhood
-    seeding) AND blastn (both strands) — the frame is assembled
-    column-wise from the batched arrays; no per-hit Python tuple ever
-    exists. Only two-hit (-window_size) and non-hashed (masking)
-    configs route through align_query's sequential row path."""
+    seeding) AND blastn (both strands) — the WHOLE block runs as one
+    sentinel-concatenated batch (block-level batching: seed
+    collection, coverage rounds and extension batches happen once per
+    task, not once per query), and the frame is assembled column-wise;
+    no per-hit Python tuple ever exists. Only two-hit (-window_size)
+    and non-hashed (masking) configs route through align_query's
+    sequential row path."""
     names = [f.name for f in RAW_HITS.fields]
     if index.hashed and not cfg.window_size:
+        qitems = [(int(qid), seq) for qid, seq in items]
         if cfg.task == "blastp":
-            per_q = [_align_protein_batched_arrays(
-                int(qid), seq.upper() if index.fold_case else seq,
-                index, cfg,
-                seq if cfg.lcase_masking else None, len(seq))
-                for qid, seq in items]
+            cols = _align_block_protein_batched(qitems, index, cfg)
         else:
-            per_q = [_align_nucl_batched_arrays(
-                int(qid), seq, index, cfg, len(seq))
-                for qid, seq in items]
-        if per_q:
-            cols = {nm: np.concatenate([d[nm] for d in per_q])
-                    for nm in names}
-        else:
-            cols = _empty_raw_cols()
+            cols = _align_block_nucl_batched(qitems, index, cfg)
         return pd.DataFrame(cols, columns=names)
     rows: list[tuple] = []
     for qid, seq in items:

@@ -290,3 +290,129 @@ def test_batched_parity_blastn_lcase_masking():
     batched, sequential = _run_both_dna(subjects, queries, cfg,
                                         lcase=mask)
     assert batched == [tuple(r) for r in sequential]
+
+
+# ---------------------------------------------------------------------------
+# Block-level batching: align_block concatenates the WHOLE query block
+# (sentinel-separated, like the volume's cat arrays) and runs seed
+# collection + extension rounds once per task. Its contract is the
+# same bit-identical parity, now at the block level: the emitted
+# DataFrame equals the per-query sequential oracle rows concatenated
+# in block order.
+# ---------------------------------------------------------------------------
+
+from mr_mpi_blast_spark.kernel.builtin import align_block  # noqa: E402
+
+
+def _norm(rows):
+    return [tuple(x if isinstance(x, str) else int(x) for x in r)
+            for r in rows]
+
+
+def _block_vs_sequential(subjects, queries, cfg, protein,
+                         fold_case=False, lcase=None):
+    idx = SubjectIndex(subjects, cfg.word_size, 4096, protein=protein,
+                       fold_case=fold_case)
+    assert idx.hashed, "block batching is the hashed-path contract"
+    if lcase is not None:
+        queries = [(qid, lcase(q)) for qid, q in queries]
+    df = align_block(queries, idx, cfg)
+    got = _norm(df.itertuples(index=False, name=None))
+    exp = []
+    for qid, q in queries:
+        exp.extend(_align_query_sequential(qid, q, idx, cfg))
+    return got, _norm(exp)
+
+
+@pytest.mark.parametrize("seed", [41, 42, 43])
+@pytest.mark.parametrize("gapped", [False, True])
+def test_block_parity_blastp(seed, gapped):
+    subjects, queries = _corpus(seed)
+    cfg = BlastConfig(task="blastp", word_size=4, gapped=gapped)
+    got, exp = _block_vs_sequential(subjects, queries, cfg, protein=True)
+    assert got == exp
+    assert got, "corpus must actually produce hits"
+
+
+def test_block_parity_blastp_flagship_shape():
+    """word_size=16 over text-like queries — the blast_pipeline config
+    shape (long words, sparse seeds)."""
+    rng = np.random.default_rng(7)
+    subjects = [(f"s{i}", _rand_protein(rng, 300)) for i in range(5)]
+    queries = []
+    for qn in range(8):
+        src = subjects[rng.integers(5)][1]
+        a = int(rng.integers(0, 150))
+        queries.append((qn, _mutate(rng, src[a:a + 120], 0.02)))
+    cfg = BlastConfig(task="blastp", word_size=16)
+    got, exp = _block_vs_sequential(subjects, queries, cfg, protein=True)
+    assert got == exp
+    assert got
+
+
+@pytest.mark.parametrize("seed", [44, 45])
+def test_block_parity_blastp_neighborhood(seed):
+    """-threshold (word_size=3, T=11 — realistic blastp) through the
+    block-level batch."""
+    subjects, queries = _corpus(seed, sub_len=90, q_len=60)
+    cfg = BlastConfig(task="blastp", word_size=3, threshold=11,
+                      min_score=18)
+    got, exp = _block_vs_sequential(subjects, queries, cfg, protein=True)
+    assert got == exp
+    assert got
+
+
+def test_block_parity_blastp_lcase():
+    rng = np.random.default_rng(51)
+
+    def lcase(q):
+        a = int(rng.integers(0, len(q) - 12))
+        return q[:a] + q[a:a + 12].lower() + q[a + 12:]
+
+    subjects, queries = _corpus(51)
+    cfg = BlastConfig(task="blastp", word_size=4, lcase_masking=True)
+    got, exp = _block_vs_sequential(subjects, queries, cfg, protein=True,
+                                    fold_case=True, lcase=lcase)
+    assert got == exp
+    assert got
+
+
+@pytest.mark.parametrize("seed", [61, 62])
+@pytest.mark.parametrize("gapped", [False, True])
+def test_block_parity_blastn(seed, gapped):
+    """Both strands through the block batch: per-query strand-major
+    emission order must survive the [plus; minus] stable re-sort."""
+    subjects, queries = _corpus_dna(seed)
+    cfg = BlastConfig(task="blastn", word_size=8, min_score=12,
+                      gapped=gapped,
+                      ka_gapped=(1.3, 0.5, 1.0) if gapped else None)
+    got, exp = _block_vs_sequential(subjects, queries, cfg, protein=False)
+    assert got == exp
+    assert got
+    assert {r[10] for r in got} == {1, -1}
+
+
+def test_block_parity_blastn_rp_lcase():
+    subjects, queries = _corpus_dna(71)
+
+    def mask(q):
+        return q[:20] + q[20:44].lower() + q[44:]
+
+    cfg = BlastConfig(task="blastn", word_size=8, reward=2, penalty=-3,
+                      min_score=20, lcase_masking=True)
+    got, exp = _block_vs_sequential(subjects, queries, cfg,
+                                    protein=False, lcase=mask)
+    assert got == exp
+
+
+def test_block_parity_single_and_empty():
+    """Degenerate blocks: one query, zero queries, queries shorter than
+    the word size."""
+    subjects, queries = _corpus(81)
+    cfg = BlastConfig(task="blastp", word_size=4)
+    got, exp = _block_vs_sequential(subjects, queries[:1], cfg,
+                                    protein=True)
+    assert got == exp
+    idx = SubjectIndex(subjects, cfg.word_size, 4096, protein=True)
+    assert len(align_block([], idx, cfg)) == 0
+    assert len(align_block([(0, "AR")], idx, cfg)) == 0  # < word_size
