@@ -1230,15 +1230,54 @@ def _batched_core(q_ext: str, index: SubjectIndex, cfg: BlastConfig,
     covered = np.full(n_groups, -1, dtype=np.int64)
     g_all = np.arange(n_groups, dtype=np.int64)
     min_raw = cfg.min_raw_score
+    two_hit = int(cfg.window_size or 0)
+    if two_hit:
+        # Two-hit seeding, vectorized. Sequential semantics per group
+        # (qpos ascending): a covered seed is skipped outright; an
+        # uncovered seed first compares against the LAST VISITED
+        # uncovered seed (`pending`), then becomes pending itself;
+        # only a pair within the window triggers an extension. So a
+        # round's trigger is either the first uncovered seed (when the
+        # carried pending is within the window) or the first
+        # consecutive in-group pair within the window strictly after
+        # it — precomputable: d_i = sq_i - sq_{i-1} and a suffix-min
+        # "next index with d <= window" table.
+        d_prev = np.empty(len(sq), dtype=np.int64)
+        if len(sq) > 1:
+            d_prev[1:] = sq[1:] - sq[:-1]
+        d_prev[starts] = np.int64(2 ** 62)    # group start: no prev
+        idx_all = np.arange(len(sq), dtype=np.int64)
+        nok = np.where(d_prev <= two_hit, idx_all, np.int64(2 ** 62))
+        next_ok = np.minimum.accumulate(nok[::-1])[::-1]
+        pending = np.full(n_groups, np.int64(-2 ** 62), dtype=np.int64)
+        th_done = np.zeros(n_groups, dtype=bool)
     res: list[tuple[np.ndarray, ...]] = []
     while True:
         # first seed per group with sq > covered — the sequential
         # `seen` semantics, one searchsorted for all groups
         ptr = np.searchsorted(aug, g_all * _OFF + covered, side="right")
-        d_idx = np.flatnonzero(ptr < ends)
-        if not len(d_idx):
-            break
-        ci = ptr[d_idx]
+        if two_hit:
+            lg = np.flatnonzero((ptr < ends) & ~th_done)
+            if not len(lg):
+                break
+            p = ptr[lg]
+            trig_at_p = (sq[p] - pending[lg]) <= two_hit
+            nxt = next_ok[np.minimum(p + 1, len(sq) - 1)]
+            nxt = np.where(p + 1 < len(sq), nxt, np.int64(2 ** 62))
+            cand = np.where(trig_at_p, p, nxt)
+            has = cand < ends[lg]
+            # no trigger left and covered only grows -> never will be
+            th_done[lg[~has]] = True
+            d_idx = lg[has]
+            if not len(d_idx):
+                continue
+            ci = cand[has]
+            pending[d_idx] = sq[ci]
+        else:
+            d_idx = np.flatnonzero(ptr < ends)
+            if not len(d_idx):
+                break
+            ci = ptr[d_idx]
         # neighborhood seeds are mostly weak (score ~T) and X-drop out
         # within a few residues: start the extension chunk narrow and
         # let it grow; exact long-word seeds keep the wider start.
@@ -1894,14 +1933,14 @@ def align_query(qid: int, seq: str, index: SubjectIndex,
             f"config's k (stage gen keys on word_size for this reason)")
     qlen = len(seq)
     is_protein = cfg.task == "blastp"
-    # hot paths: hashed index, one-hit seeding — blastp (exact-word
-    # AND neighborhood -threshold) and blastn (both strands): the
-    # per-seed Python loop is replaced by batched 2D extension with
-    # identical outputs (test_batched_parity; threshold configs carry
-    # per-seed (score, ident) arrays through the batch). Two-hit
-    # (-window_size) seeding keeps the sequential branch: its
-    # pending-seed state is inherently ordered per diagonal.
-    if index.hashed and not cfg.window_size:
+    # hot paths: any hashed-index config — blastp (exact-word AND
+    # neighborhood -threshold) and blastn (both strands), one-hit AND
+    # two-hit (-window_size) seeding: the per-seed Python loop is
+    # replaced by batched 2D extension with identical outputs
+    # (test_batched_parity; threshold configs carry per-seed
+    # (score, ident) arrays through the batch; two-hit replays the
+    # pending-seed scan with a precomputed next-trigger table).
+    if index.hashed:
         if is_protein:
             q_ext = seq.upper() if index.fold_case else seq
             return _align_protein_batched(
@@ -1917,9 +1956,9 @@ def align_query(qid: int, seq: str, index: SubjectIndex,
 def _align_query_sequential(qid: int, seq: str, index: SubjectIndex,
                             cfg: BlastConfig) -> list[tuple]:
     """The reference implementation of the seed-and-extend loop: one
-    Python iteration per seed. Still the execution path for blastn,
-    neighborhood (-threshold) and two-hit seeding, and the semantic
-    oracle the batched path is pinned against."""
+    Python iteration per seed. Still the execution path for
+    non-hashed (subject-masking) indexes, and the semantic oracle
+    every batched path is pinned against (test_batched_parity)."""
     out = []
     k = cfg.word_size
     qlen = len(seq)
@@ -2039,11 +2078,11 @@ def align_block(items, index: SubjectIndex, cfg: BlastConfig,
     sentinel-concatenated batch (block-level batching: seed
     collection, coverage rounds and extension batches happen once per
     task, not once per query), and the frame is assembled column-wise;
-    no per-hit Python tuple ever exists. Only two-hit (-window_size)
-    and non-hashed (masking) configs route through align_query's
-    sequential row path."""
+    no per-hit Python tuple ever exists. Only non-hashed (subject
+    masking) configs route through align_query's sequential row
+    path."""
     names = [f.name for f in RAW_HITS.fields]
-    if index.hashed and not cfg.window_size:
+    if index.hashed:
         qitems = [(int(qid), seq) for qid, seq in items]
         if cfg.task == "blastp":
             cols = _align_block_protein_batched(qitems, index, cfg)

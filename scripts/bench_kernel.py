@@ -92,9 +92,13 @@ def main():
                                   min_score=12)),
         ("blastn_w11", BlastConfig(task="blastn", word_size=11,
                                    min_score=16)),
+        ("nb_w3_t11_win40", BlastConfig(task="blastp", word_size=3,
+                                        threshold=11, window_size=40)),
     ]:
         if cfg.task == "blastn":
             subjects, queries = dna_subjects, dna_queries
+        else:
+            subjects, queries = _corpus()
         idx = SubjectIndex(subjects, cfg.word_size, 4096,
                            protein=cfg.task == "blastp")
         # warm the per-volume word/neighborhood caches for BOTH paths

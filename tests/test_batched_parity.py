@@ -189,13 +189,27 @@ def test_batched_parity_neighborhood_lcase():
     assert batched == sequential
 
 
-def test_two_hit_still_routes_sequential():
-    """-window_size keeps the sequential branch (pending-seed state);
-    this pins the routing so a future edit can't silently change it."""
+@pytest.mark.parametrize("window", [10, 40])
+def test_batched_parity_two_hit(window):
+    """-window_size (two-hit seeding) through the batched path: the
+    pending-seed scan is replayed with a precomputed next-trigger
+    table; rows must match the sequential oracle exactly."""
     subjects, queries = _corpus(61)
-    cfg = BlastConfig(task="blastp", word_size=4, window_size=40)
+    cfg = BlastConfig(task="blastp", word_size=4, window_size=window)
     batched, sequential = _run_both(subjects, queries, cfg)
-    assert batched == sequential  # align_query == sequential: same path
+    assert batched == sequential
+    assert batched, "corpus must produce two-hit extensions"
+
+
+def test_batched_parity_two_hit_neighborhood():
+    """Realistic blastp shape: -threshold AND -window_size together
+    (neighborhood seeds feeding the two-hit trigger scan)."""
+    subjects, queries = _corpus(62, sub_len=90, q_len=60)
+    cfg = BlastConfig(task="blastp", word_size=3, threshold=11,
+                      window_size=40, min_score=18)
+    batched, sequential = _run_both(subjects, queries, cfg)
+    assert batched == sequential
+    assert batched
 
 
 # ---------------------------------------------------------------------------
@@ -416,3 +430,37 @@ def test_block_parity_single_and_empty():
     idx = SubjectIndex(subjects, cfg.word_size, 4096, protein=True)
     assert len(align_block([], idx, cfg)) == 0
     assert len(align_block([(0, "AR")], idx, cfg)) == 0  # < word_size
+
+
+@pytest.mark.parametrize("seed", [91, 92])
+@pytest.mark.parametrize("gapped", [False, True])
+def test_block_parity_two_hit(seed, gapped):
+    """Two-hit seeding at the block level (blastp)."""
+    subjects, queries = _corpus(seed)
+    cfg = BlastConfig(task="blastp", word_size=4, window_size=30,
+                      gapped=gapped)
+    got, exp = _block_vs_sequential(subjects, queries, cfg, protein=True)
+    assert got == exp
+    assert got
+
+
+def test_block_parity_two_hit_blastn():
+    """Two-hit seeding on both blastn strands at the block level."""
+    subjects, queries = _corpus_dna(93)
+    cfg = BlastConfig(task="blastn", word_size=8, min_score=12,
+                      window_size=30)
+    got, exp = _block_vs_sequential(subjects, queries, cfg,
+                                    protein=False)
+    assert got == exp
+    assert got
+    assert {r[10] for r in got} == {1, -1}
+
+
+def test_block_parity_two_hit_threshold():
+    """-threshold + -window_size together through the block batch."""
+    subjects, queries = _corpus(94, sub_len=90, q_len=60)
+    cfg = BlastConfig(task="blastp", word_size=3, threshold=11,
+                      window_size=40, min_score=18)
+    got, exp = _block_vs_sequential(subjects, queries, cfg, protein=True)
+    assert got == exp
+    assert got
