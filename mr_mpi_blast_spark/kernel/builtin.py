@@ -297,6 +297,63 @@ def word_low_complexity(word: str, protein: bool) -> bool:
     return len({c.upper() for c in word}) <= (1 if protein else 2)
 
 
+# vectorized forms of the two word predicates above, evaluated over a
+# whole subject's codepoints at once (the masked index build): tables
+# cover the Latin-1 range the biological alphabets live in; rarer
+# codepoints fall back to the exact per-char predicate
+_LOWER_TBL = np.array([chr(i).islower() for i in range(256)], dtype=bool)
+_UPPER_TBL = np.array(
+    [ord(chr(i).upper()) if len(chr(i).upper()) == 1
+     and ord(chr(i).upper()) < 2 ** 31 else i for i in range(256)],
+    dtype=np.int64)
+
+
+def _islower_np(codes: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(codes), dtype=bool)
+    small = codes < 256
+    out[small] = _LOWER_TBL[codes[small]]
+    for i in np.flatnonzero(~small).tolist():
+        out[i] = chr(int(codes[i])).islower()
+    return out
+
+
+def _upper_np(codes: np.ndarray) -> np.ndarray:
+    out = codes.copy()
+    small = codes < 256
+    out[small] = _UPPER_TBL[codes[small]]
+    for i in np.flatnonzero(~small).tolist():
+        u = chr(int(codes[i])).upper()
+        if len(u) == 1:
+            out[i] = ord(u)
+    return out
+
+
+def _low_complexity_windows_np(codes: np.ndarray, k: int,
+                               protein: bool) -> np.ndarray:
+    """word_low_complexity for every length-k window of a codepoint
+    array: distinct (case-folded) count <= 1 for protein words, <= 2
+    for nucleotide words — k-1 vectorized passes tracking the first
+    and (for nucleotides) second distinct value."""
+    nw = len(codes) - k + 1
+    if nw <= 0:
+        return np.zeros(0, dtype=bool)
+    u = _upper_np(codes)
+    a = u[:nw]
+    if protein:
+        ok = np.ones(nw, dtype=bool)
+        for j in range(1, k):
+            ok &= u[j:j + nw] == a
+        return ok
+    second = np.full(nw, -1, dtype=np.int64)
+    ok = np.ones(nw, dtype=bool)
+    for j in range(1, k):
+        v = u[j:j + nw]
+        isnew = (v != a) & (second == -1)
+        second = np.where(isnew, v, second)
+        ok &= (v == a) | (v == second)
+    return ok
+
+
 # polynomial rolling-hash base for the vectorized word index (FNV
 # prime; uint64 wraparound multiply — collisions are resolved by an
 # exact word compare at seed time, so the hash only routes, never
@@ -408,32 +465,18 @@ class SubjectIndex:
         self._str_index: dict[str, list[tuple[int, int]]] | None = None
         self.ext_seqs = ([seq.upper() for _, seq in subjects] if fold_case
                          else [seq for _, seq in subjects])
-        self.hashed = not (soft_mask or complexity)
-        if self.hashed:
-            self._build_hashed()
-        else:
-            self._str_index = self._build_dict(soft_mask, complexity, protein)
+        # every config builds the hashed form: subject-side masking
+        # (soft_mask / complexity) is a vectorized per-window drop
+        # filter inside the build, so masked configs run the same
+        # batched hot path as everything else (the per-window dict
+        # build this replaced was the one remaining sequential route)
+        self.hashed = True
+        self._build_hashed(soft_mask=soft_mask, complexity=complexity,
+                           protein=protein)
 
-    def _build_dict(self, soft_mask: bool, complexity: bool,
-                    protein: bool) -> dict[str, list[tuple[int, int]]]:
-        word_size, max_kmer_hits = self.word_size, self.max_kmer_hits
-        index: dict[str, list[tuple[int, int]]] = {}
-        for si, (_, seq) in enumerate(self.subjects):
-            for pos in range(0, len(seq) - word_size + 1):
-                kmer = seq[pos:pos + word_size]
-                if soft_mask and word_is_lowercase_masked(kmer):
-                    continue
-                if complexity and word_low_complexity(kmer, protein):
-                    continue
-                if self.fold_case:
-                    kmer = kmer.upper()
-                bucket = index.setdefault(kmer, [])
-                if len(bucket) <= max_kmer_hits:   # keep one past cap to detect
-                    bucket.append((si, pos))
-        # drop over-cap kmers entirely (dust analog: repetitive words)
-        return {k: v for k, v in index.items() if len(v) <= max_kmer_hits}
-
-    def _build_hashed(self) -> None:
+    def _build_hashed(self, soft_mask: bool = False,
+                      complexity: bool = False,
+                      protein: bool = False) -> None:
         k = self.word_size
         sep = np.full(k - 1 if k > 1 else 0, _HASH_SEP, dtype=np.uint32)
         chunks, offs, lens = [], [], []
@@ -457,6 +500,30 @@ class SubjectIndex:
                    else np.empty(0, dtype=np.int32))
         gidx = (pos_arr + np.array(offs, dtype=np.int64)[si_arr]
                 if len(si_arr) else np.empty(0, dtype=np.int64))
+        if (soft_mask or complexity) and len(si_arr):
+            # subject-side masking as a window drop filter (F3): the
+            # predicates run on the ORIGINAL subject strings (case is
+            # annotation; self.ext_seqs may be case-folded), vectorized
+            # per subject in the same (si asc, pos asc) enumeration
+            # order as the window arrays above
+            parts = []
+            for _, s in self.subjects:
+                nw = max(len(s) - k + 1, 0)
+                if nw == 0:
+                    continue
+                codes = np.frombuffer(s.encode("utf-32-le"),
+                                      dtype="<u4").astype(np.int64)
+                m = np.zeros(nw, dtype=bool)
+                if soft_mask:
+                    low = _islower_np(codes).astype(np.int64)
+                    c = np.concatenate(([0], np.cumsum(low)))
+                    m |= (c[k:] - c[:-k]) > 0
+                if complexity:
+                    m |= _low_complexity_windows_np(codes, k, protein)
+                parts.append(m)
+            keep_w = ~np.concatenate(parts)
+            si_arr, pos_arr = si_arr[keep_w], pos_arr[keep_w]
+            gidx = gidx[keep_w]
         # empty gidx -> empty hash set (NOT the raw h: when every
         # subject is shorter than k, h still holds separator-spanning
         # windows that must never become buckets)

@@ -157,3 +157,40 @@ def test_masking_off_is_byte_identical():
     assert idx.ext_seqs[0] == subj[0][1]
     # lowercase and uppercase words are distinct seeds
     assert UNIQ[:8] in idx.index and UNIQ[:8].lower() in idx.index
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+@pytest.mark.parametrize("protein", [False, True])
+def test_masked_hashed_index_equals_reference_build(seed, protein):
+    """The masked index is now built hashed (vectorized window drop
+    filter); its string view must equal the straightforward per-window
+    reference build using the scalar predicates — for random corpora
+    with lowercase runs and planted low-complexity repeats."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    alpha = "ARNDCQEGHILKMFPSTWYV" if protein else "ACGT"
+    k = 3 if protein else 6
+    subs = []
+    for i in range(6):
+        s = "".join(rng.choice(list(alpha), size=80))
+        a = int(rng.integers(0, 60))
+        s = s[:a] + s[a:a + 12].lower() + s[a + 12:]       # soft-masked run
+        b = int(rng.integers(0, 60))
+        rep = (alpha[0] * 8) if protein else ("AT" * 4)     # low-complexity
+        s = s[:b] + rep + s[b + len(rep):]
+        subs.append((f"s{i}", s))
+    for soft, comp in [(True, False), (False, True), (True, True)]:
+        idx = SubjectIndex(subs, k, 64, soft_mask=soft, complexity=comp,
+                           protein=protein)
+        assert idx.hashed
+        ref: dict = {}
+        for si, (_, seq) in enumerate(subs):
+            for pos in range(len(seq) - k + 1):
+                w = seq[pos:pos + k]
+                if soft and word_is_lowercase_masked(w):
+                    continue
+                if comp and word_low_complexity(w, protein):
+                    continue
+                ref.setdefault(w, []).append((si, pos))
+        ref = {w: v for w, v in ref.items() if len(v) <= 64}
+        assert idx.index == ref

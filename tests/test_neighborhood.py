@@ -121,14 +121,17 @@ def test_threshold_cli_passthrough():
 
 
 def test_neighborhood_hits_dict_and_hashed_forms_agree():
-    """The two physical index forms (hashed fast path vs exact dict)
-    must produce identical neighborhood candidates."""
+    """Neighborhood candidates from the masked index (complexity
+    filter on — low-complexity words dropped at build time) must be a
+    subset of the unmasked index's, with identical entries for every
+    word both forms keep. Both forms are hashed since the masked build
+    went vectorized."""
     rng = np.random.default_rng(7)
     s = "".join(rng.choice(list(RES20), 200))
     hashed = SubjectIndex([("s1", s)], 3, 64, protein=True)
     dicted = SubjectIndex([("s1", s)], 3, 64, protein=True,
-                          complexity=True)   # forces dict build
-    assert hashed.hashed and not dicted.hashed
+                          complexity=True)   # masked build
+    assert hashed.hashed and dicted.hashed
     for word in ("WCH", "AKE", "LIV"):
         h1 = sorted((tuple(sorted(h)), sc, idn)
                     for h, sc, idn in hashed.neighborhood_hits(word, 11))

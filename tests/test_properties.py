@@ -42,6 +42,16 @@ def test_window_hashes_match_direct_horner(codes, k):
         assert got[i] == h
 
 
+def _reference_index(subjects, k, cap):
+    """The straightforward per-window dict build (the former
+    _build_dict, unmasked form) kept here as the property oracle."""
+    ref = {}
+    for si, (_, seq) in enumerate(subjects):
+        for pos in range(len(seq) - k + 1):
+            ref.setdefault(seq[pos:pos + k], []).append((si, pos))
+    return {w: v for w, v in ref.items() if len(v) <= cap}
+
+
 @given(st.lists(_PROSE, min_size=1, max_size=6), st.integers(2, 6),
        st.integers(1, 200))
 @settings(max_examples=40, deadline=None)
@@ -52,10 +62,7 @@ def test_hashed_index_equals_dict_index(seqs, k, cap):
     shorter-than-k sequences."""
     subjects = [(f"s{i}", s) for i, s in enumerate(seqs)]
     fast = SubjectIndex(subjects, k, cap)
-    slow = SubjectIndex(subjects, k, cap)
-    slow.hashed = False
-    slow._str_index = slow._build_dict(False, False, False)
-    assert fast.index == slow._str_index
+    assert fast.index == _reference_index(subjects, k, cap)
 
 
 @given(_DNA, st.lists(_DNA, min_size=1, max_size=4))
@@ -64,9 +71,12 @@ def test_align_results_identical_across_index_forms(q, seqs):
     cfg = BlastConfig(task="blastn", word_size=4, min_score=4)
     subjects = [(f"s{i}", s) for i, s in enumerate(seqs)]
     fast = SubjectIndex(subjects, 4, 128)
+    # force the sequential dict route: hashed off + reference mapping
+    # (the per-word dict build is no longer a production path, but the
+    # sequential oracle still knows how to walk one)
     slow = SubjectIndex(subjects, 4, 128)
     slow.hashed = False
-    slow._str_index = slow._build_dict(False, False, False)
+    slow._str_index = _reference_index(subjects, 4, 128)
     assert align_query(1, q, fast, cfg) == align_query(1, q, slow, cfg)
 
 
