@@ -1874,7 +1874,190 @@ def gotoh_local(a: str, b: str, protein: bool, reward: int, penalty: int,
     equal score, and the traceback starts from the FIRST maximal cell
     in row-major order (stable across runs by construction). O(m*n)
     time/space — used only on HSP-sized windows, never whole
-    sequences."""
+    sequences.
+
+    The forward DP runs as a vectorized ANTI-DIAGONAL sweep over
+    rolling 1D buffers indexed by row (every dependency of diagonal
+    i+j=d lives on d-1 / d-2 at row i or i-1, i.e. pure slices — no
+    2D gathers); H/pointer rows are kept diagonal-major for the
+    traceback. Recurrences, pointer codes and tie-breaking are
+    bit-identical to the per-cell reference (_gotoh_local_scalar,
+    pinned by test_gapped's equivalence cases); the traceback stays a
+    scalar walk — it is O(alignment), not O(m*n)."""
+    m, n = len(a), len(b)
+    if m == 0 or n == 0:
+        return (0, 0, 0, 0, 0, 0, 0, 0)
+    sub = _pair_score_matrix(a, b, protein, reward, penalty)
+    subf = sub[:, ::-1]               # anti-diagonals become diagonals
+    NEG = np.int32(-(10 ** 6))
+    go = gap_open + gap_extend        # cost of a length-1 gap
+    ge = gap_extend
+    # rolling row-indexed buffers for diagonals d-1 / d-2; defaults ARE
+    # the DP boundary: H=0 on row 0 / col 0, E/F=-inf
+    H1 = np.zeros(m + 1, dtype=np.int32)
+    H2 = np.zeros(m + 1, dtype=np.int32)
+    E1 = np.full(m + 1, NEG, dtype=np.int32)
+    F1 = np.full(m + 1, NEG, dtype=np.int32)
+    # diagonal-major storage for traceback + argmax: per diagonal d the
+    # compact arrays cover rows lo_d..hi_d
+    hs: list = [None, None]
+    phs: list = [None, None]
+    pes: list = [None, None]
+    pfs: list = [None, None]
+    los = [0, 0]
+    best_score = 0
+    for d in range(2, m + n + 1):
+        lo = max(1, d - n)
+        hi = min(m, d - 1)
+        if lo > hi:
+            hs.append(None)
+            phs.append(None)
+            pes.append(None)
+            pfs.append(None)
+            los.append(lo)
+            continue
+        e_open = H1[lo:hi + 1] - go
+        e_ext = E1[lo:hi + 1] - ge
+        e_v = np.maximum(e_open, e_ext)
+        pe = e_open >= e_ext
+        f_open = H1[lo - 1:hi] - go
+        f_ext = F1[lo - 1:hi] - ge
+        f_v = np.maximum(f_open, f_ext)
+        pf = f_open >= f_ext
+        # sub[i-1, d-i-1] for i=lo..hi == a diagonal of the flipped
+        # matrix: subf[r, r + n - d + 1] for r = lo-1..hi-1
+        off = n - d + 1
+        r0 = max(0, -off)
+        sd = subf.diagonal(off)[lo - 1 - r0:hi - r0]
+        diag = H2[lo - 1:hi] + sd
+        best = np.where(diag >= 0, diag, 0).astype(np.int32)
+        ptr = np.where(diag >= 0, np.int8(1), np.int8(0))
+        ptr = np.where(e_v > best, np.int8(2), ptr)
+        best = np.maximum(e_v, best)
+        ptr = np.where(f_v > best, np.int8(3), ptr)
+        best = np.maximum(f_v, best)
+        hs.append(best)
+        phs.append(ptr)
+        pes.append(pe)
+        pfs.append(pf)
+        los.append(lo)
+        mx = int(best.max())
+        if mx > best_score:
+            best_score = mx
+        # rotate: new H row buffer with boundary defaults outside lo..hi
+        H2 = H1
+        H1 = np.zeros(m + 1, dtype=np.int32)
+        H1[lo:hi + 1] = best
+        E1 = np.full(m + 1, NEG, dtype=np.int32)
+        E1[lo:hi + 1] = e_v
+        F1 = np.full(m + 1, NEG, dtype=np.int32)
+        F1[lo:hi + 1] = f_v
+    if best_score <= 0:
+        return (0, 0, 0, 0, 0, 0, 0, 0)
+    # first maximal cell in ROW-MAJOR order: smallest i, then smallest
+    # j — i.e. among diagonals containing the max, the candidate with
+    # the smallest row, ties broken by smaller j = smaller d
+    bi, bj = m + 1, n + 1
+    for d in range(2, m + n + 1):
+        hv = hs[d]
+        if hv is None or len(hv) == 0:
+            continue
+        w = np.flatnonzero(hv == best_score)
+        if not len(w):
+            continue
+        i = los[d] + int(w[0])        # smallest row on this diagonal
+        j = d - i
+        if i < bi or (i == bi and j < bj):
+            bi, bj = i, j
+    return _gotoh_traceback_diag(a, b, best_score, bi, bj,
+                                 phs, pes, pfs, los)
+
+
+def _gotoh_traceback_diag(a, b, score, i, j, phs, pes, pfs, los):
+    """Scalar traceback over diagonal-major pointer rows: PH[i, j] ==
+    phs[i + j][i - los[i + j]]."""
+    a1, b1 = i - 1, j - 1
+    ident = gaps = align_len = 0
+    state = "H"
+    while i > 0 and j > 0:
+        d = i + j
+        pos = i - los[d]
+        if state == "H":
+            p = phs[d][pos]
+            if p == 0:
+                break
+            if p == 1:
+                align_len += 1
+                if a[i - 1] == b[j - 1]:
+                    ident += 1
+                i -= 1
+                j -= 1
+            elif p == 2:
+                state = "E"
+            else:
+                state = "F"
+        elif state == "E":
+            align_len += 1
+            gaps += 1
+            opened = pes[d][pos]
+            j -= 1
+            state = "H" if opened else "E"
+        else:
+            align_len += 1
+            gaps += 1
+            opened = pfs[d][pos]
+            i -= 1
+            state = "H" if opened else "F"
+    return (score, i, a1, j, b1, ident, gaps, align_len)
+
+
+def _gotoh_traceback(a, b, H, PH, PE, PF, m, n):
+    """Shared scalar traceback over filled pointer matrices —
+    O(alignment length), no need to vectorize."""
+    score = int(H.max())
+    if score <= 0:
+        return (0, 0, 0, 0, 0, 0, 0, 0)
+    flat = int(np.argmax(H))          # first maximal cell, row-major
+    i, j = divmod(flat, n + 1)
+    a1, b1 = i - 1, j - 1
+    ident = gaps = align_len = 0
+    state = "H"
+    while i > 0 and j > 0:
+        if state == "H":
+            p = PH[i, j]
+            if p == 0:
+                break
+            if p == 1:
+                align_len += 1
+                if a[i - 1] == b[j - 1]:
+                    ident += 1
+                i -= 1
+                j -= 1
+            elif p == 2:
+                state = "E"
+            else:
+                state = "F"
+        elif state == "E":
+            align_len += 1
+            gaps += 1
+            opened = PE[i, j]
+            j -= 1
+            state = "H" if opened else "E"
+        else:
+            align_len += 1
+            gaps += 1
+            opened = PF[i, j]
+            i -= 1
+            state = "H" if opened else "F"
+    return (score, i, a1, j, b1, ident, gaps, align_len)
+
+
+def _gotoh_local_scalar(a: str, b: str, protein: bool, reward: int,
+                        penalty: int, gap_open: int, gap_extend: int,
+                        ) -> tuple[int, int, int, int, int, int, int, int]:
+    """The readable per-cell reference implementation of gotoh_local,
+    kept as the parity oracle for the anti-diagonal sweep
+    (test_gapped equivalence + hypothesis property)."""
     m, n = len(a), len(b)
     if m == 0 or n == 0:
         return (0, 0, 0, 0, 0, 0, 0, 0)
@@ -1915,42 +2098,7 @@ def gotoh_local(a: str, b: str, protein: bool, reward: int, penalty: int,
                 best, ptr = Fi[j], 3
             Hi[j] = best
             PH[i, j] = ptr
-    score = int(H.max())
-    if score <= 0:
-        return (0, 0, 0, 0, 0, 0, 0, 0)
-    flat = int(np.argmax(H))          # first maximal cell, row-major
-    i, j = divmod(flat, n + 1)
-    a1, b1 = i - 1, j - 1
-    ident = gaps = align_len = 0
-    state = "H"
-    while i > 0 and j > 0:
-        if state == "H":
-            p = PH[i, j]
-            if p == 0:
-                break
-            if p == 1:
-                align_len += 1
-                if a[i - 1] == b[j - 1]:
-                    ident += 1
-                i -= 1
-                j -= 1
-            elif p == 2:
-                state = "E"
-            else:
-                state = "F"
-        elif state == "E":
-            align_len += 1
-            gaps += 1
-            opened = PE[i, j]
-            j -= 1
-            state = "H" if opened else "E"
-        else:
-            align_len += 1
-            gaps += 1
-            opened = PF[i, j]
-            i -= 1
-            state = "H" if opened else "F"
-    return (score, i, a1, j, b1, ident, gaps, align_len)
+    return _gotoh_traceback(a, b, H, PH, PE, PF, m, n)
 
 
 # initial pad around the ungapped HSP for the stage-2 DP window; the

@@ -94,6 +94,8 @@ def main():
                                    min_score=16)),
         ("nb_w3_t11_win40", BlastConfig(task="blastp", word_size=3,
                                         threshold=11, window_size=40)),
+        ("exact_w4_gapped", BlastConfig(task="blastp", word_size=4,
+                                        gapped=True)),
     ]:
         if cfg.task == "blastn":
             subjects, queries = dna_subjects, dna_queries

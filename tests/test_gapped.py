@@ -165,3 +165,26 @@ def test_ka_gapped_explicit_override():
     assert scoring_params(cfgp) == row
     assert scoring_params(dataclasses.replace(cfgp, ka_gapped=None)) \
         == KA_GAPPED_BLOSUM62[(11, 1)]
+
+
+def test_gotoh_vectorized_equals_scalar_reference():
+    """The anti-diagonal sweep must reproduce the per-cell reference
+    exactly — score, coordinates, identity/gap counts — on random
+    protein and DNA pairs with planted homologies, across gap costs."""
+    import numpy as np
+    from mr_mpi_blast_spark.kernel.builtin import (_gotoh_local_scalar,
+                                                   gotoh_local)
+    rng = np.random.default_rng(11)
+    RES = "ARNDCQEGHILKMFPSTWYV"
+    for t in range(150):
+        protein = t % 2 == 0
+        alpha = RES if protein else "ACGT"
+        la = int(rng.integers(0, 70))
+        a = "".join(rng.choice(list(alpha), size=la))
+        b = "".join(rng.choice(list(alpha), size=int(rng.integers(0, 70))))
+        if rng.random() < 0.5 and la > 10:
+            b = a[2:min(la, 40)] + b[:20]      # shared block -> gaps
+        go = int(rng.integers(1, 12))
+        ge = int(rng.integers(1, 4))
+        assert gotoh_local(a, b, protein, 1, -2, go, ge) == \
+            _gotoh_local_scalar(a, b, protein, 1, -2, go, ge), (a, b)
