@@ -659,21 +659,51 @@ class SubjectIndex:
         got = cache.get(key, False)
         if got is not False:
             return got
-        groups = self.neighborhood_hits(word, threshold)
-        if not groups:
-            cache[key] = None
-            return None
-        si_l, sp_l, sc_l, id_l = [], [], [], []
-        for hits, sc, idt in groups:
-            for si, spos in hits:
-                si_l.append(si)
-                sp_l.append(spos)
-            sc_l.extend([sc] * len(hits))
-            id_l.extend([idt] * len(hits))
-        out = (np.array(si_l, dtype=np.int64),
-               np.array(sp_l, dtype=np.int64),
-               np.array(sc_l, dtype=np.int64),
-               np.array(id_l, dtype=np.int64))
+        # cold path, fully vectorized: hash EVERY neighbor word at
+        # once, resolve all buckets in one searchsorted, expand, and
+        # exact-verify against the volume's concatenated ords in k
+        # passes — the per-neighbor lookup_word loop with its
+        # per-occurrence Python string compare is gone. Order is
+        # identical to neighborhood_hits: neighbor enumeration order,
+        # then bucket (si, spos) order (expansion is neighbor-major
+        # and the verify filter preserves order).
+        nbrs = neighborhood_words(word, threshold)
+        out = None
+        if nbrs and len(self._ukeys):
+            k = self.word_size
+            wordmat = np.array([[ord(c) for c in w2] for w2, _ in nbrs],
+                               dtype=np.int64)
+            h = np.zeros(len(nbrs), dtype=np.uint64)
+            for j in range(k):
+                h = h * _HASH_P + wordmat[:, j].astype(np.uint64)
+            bis = self.buckets_for_hashes(h)
+            live = np.flatnonzero(bis >= 0)
+            if len(live):
+                bstart, bend = self.bucket_bounds_np
+                bb = bis[live]
+                counts = bend[bb] - bstart[bb]
+                total = int(counts.sum())
+                if total:
+                    wi = np.repeat(live, counts)
+                    cum = np.concatenate(([0], np.cumsum(counts)))[:-1]
+                    within = (np.arange(total, dtype=np.int64)
+                              - np.repeat(cum, counts))
+                    flat = np.repeat(bstart[bb], counts) + within
+                    si = self.sis_np[flat]
+                    sp = self.poss_np[flat]
+                    cord, _, offs = self.cat_protein
+                    gpos = offs[si] + sp
+                    ok = np.ones(total, dtype=bool)
+                    for j in range(k):
+                        ok &= cord[gpos + j] == wordmat[wi, j]
+                    wi, si, sp = wi[ok], si[ok], sp[ok]
+                    if len(si):
+                        scs = np.array([sc for _, sc in nbrs],
+                                       dtype=np.int64)[wi]
+                        wo = np.array([ord(c) for c in word],
+                                      dtype=np.int64)
+                        idvec = (wordmat == wo[None, :]).sum(axis=1)
+                        out = (si, sp, scs, idvec[wi])
         cache[key] = out
         return out
 
