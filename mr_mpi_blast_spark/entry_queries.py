@@ -1212,11 +1212,13 @@ def _blast_cfg():
                        block_size=20000, num_hit_cutoff=10, max_kmer_hits=128)
 
 
-def _blast_inputs(spark, sf_dir):
-    """The shared kernel inputs: every 25th document is a query; all
-    documents form the database, bucketed into 4 partitions."""
+def _blast_inputs(spark, sf_dir, qmod: int = 25):
+    """The shared kernel inputs: every qmod-th document is a query
+    (25 for the flagship); all documents form the database, bucketed
+    into 4 partitions — so every config shares the staged volumes and
+    disk-cached subject indexes."""
     docs = _t(spark, sf_dir, "documents")
-    queries_df = (docs.filter(F.col("doc_id") % 25 == 0)
+    queries_df = (docs.filter(F.col("doc_id") % qmod == 0)
                   .select(F.col("doc_id").alias("qid"),
                           F.concat(F.lit("doc_"), "doc_id").alias("defline"),
                           F.concat(F.lit("doc_"), "doc_id").alias("defline_part"),
@@ -1256,16 +1258,19 @@ def _blast_volume_key(sf_dir: str) -> str:
 _BLAST_RAW_META = "_raw_meta.json"
 
 
-def _blast_raw_key(sf_dir: str) -> str:
+def _blast_raw_key(sf_dir: str, cfg=None, qmod: int = 25) -> str:
     """Full validity key for persisted raw hits: input content key +
-    kernel code version + the ENTIRE config. Hashing every field (not a
-    hand-picked subset) means a future edit to _blast_cfg — adding
-    threshold, changing xdrop, anything — can never silently serve
-    stale raw hits to a fresh process."""
+    kernel code version + the ENTIRE config (+ the query-subset
+    modulus). Hashing every field (not a hand-picked subset) means a
+    future edit to _blast_cfg — adding threshold, changing xdrop,
+    anything — can never silently serve stale raw hits to a fresh
+    process."""
     import dataclasses
     import hashlib
     from mr_mpi_blast_spark.kernel.builtin import KERNEL_SPEC
-    cfg_repr = repr(sorted(dataclasses.asdict(_blast_cfg()).items()))
+    if cfg is None:
+        cfg = _blast_cfg()
+    cfg_repr = repr((qmod, sorted(dataclasses.asdict(cfg).items())))
     cfg_hash = hashlib.md5(cfg_repr.encode()).hexdigest()
     return "|".join((_blast_volume_key(sf_dir), KERNEL_SPEC, cfg_hash))
 
@@ -1279,37 +1284,46 @@ def _blast_raw_cache_dir(key: str) -> str:
     return f"/tmp/spark_graft_blast_raw_{h}.parquet"
 
 
-def _point_current_at(cache_dir: str) -> None:
-    """Atomically repoint the fixed _BLAST_RAW_PATH symlink (the path
-    the static blast_tail oracle SQL reads) at this run's cache dir.
+def _point_current_at(cache_dir: str, link: str | None = None) -> None:
+    """Atomically repoint a fixed symlink (the path a static tail
+    oracle SQL reads — _BLAST_RAW_PATH for the flagship, the gapped
+    variant's link for blast_gapped_tail) at this run's cache dir.
     os.replace of a freshly created symlink is atomic on POSIX, so a
     concurrent reader sees either the old or the new target, never a
     missing path."""
+    if link is None:
+        link = _BLAST_RAW_PATH
     # pid-suffixed temp name: two processes repointing concurrently
     # each create their own symlink and the os.replace's race cleanly
     # (a shared temp name would crash the second os.symlink with
     # FileExistsError)
-    tmp = f"{_BLAST_RAW_PATH}.lnk.{os.getpid()}.tmp"
-    if os.path.islink(_BLAST_RAW_PATH) or os.path.exists(_BLAST_RAW_PATH):
-        if not os.path.islink(_BLAST_RAW_PATH):
+    tmp = f"{link}.lnk.{os.getpid()}.tmp"
+    if os.path.islink(link) or os.path.exists(link):
+        if not os.path.islink(link):
             # pre-symlink layout (a real dir from an older build): clear it
             import shutil
-            shutil.rmtree(_BLAST_RAW_PATH, ignore_errors=True)
+            shutil.rmtree(link, ignore_errors=True)
     try:
         os.unlink(tmp)
     except FileNotFoundError:
         pass
     os.symlink(cache_dir, tmp)
-    os.replace(tmp, _BLAST_RAW_PATH)
+    os.replace(tmp, link)
 
 
-def _blast_raw(spark, sf_dir):
-    """Run (or reuse) the kernel for sf_dir; returns (raw DataFrame
-    re-read from the persisted parquet, dbsize, n_seqs)."""
+def _blast_raw(spark, sf_dir, cfg=None, qmod: int = 25,
+               link: str | None = None):
+    """Run (or reuse) the kernel for (sf_dir, cfg, query subset);
+    returns (raw DataFrame re-read from the persisted parquet, dbsize,
+    n_seqs). Every config shares the same staged volumes and
+    disk-cached subject indexes (volume key is config-independent);
+    only the persisted RAW output is keyed per config."""
     import json
     from mr_mpi_blast_spark.plans.pipeline import run_kernel_raw
 
-    key = _blast_raw_key(sf_dir)
+    if cfg is None:
+        cfg = _blast_cfg()
+    key = _blast_raw_key(sf_dir, cfg, qmod)
     cache_dir = _blast_raw_cache_dir(key)
     meta_p = os.path.join(cache_dir, _BLAST_RAW_META)
     if (os.path.exists(os.path.join(cache_dir, "_SUCCESS"))
@@ -1317,12 +1331,12 @@ def _blast_raw(spark, sf_dir):
         with open(meta_p) as fh:
             meta = json.load(fh)
         if meta.get("key") == key:
-            _point_current_at(cache_dir)
+            _point_current_at(cache_dir, link)
             return (spark.read.parquet(cache_dir),
                     int(meta["dbsize"]), int(meta["n_seqs"]))
-    queries_df, subjects = _blast_inputs(spark, sf_dir)
+    queries_df, subjects = _blast_inputs(spark, sf_dir, qmod)
     raw, dbsize, n_seqs = run_kernel_raw(
-        queries_df, subjects, _blast_cfg(),
+        queries_df, subjects, cfg,
         cache_key=_blast_volume_key(sf_dir))
     raw.write.mode("overwrite").parquet(cache_dir)
     # meta is written atomically (temp + os.replace) AFTER _SUCCESS
@@ -1332,7 +1346,7 @@ def _blast_raw(spark, sf_dir):
     with open(tmp, "w") as fh:
         json.dump({"key": key, "dbsize": dbsize, "n_seqs": n_seqs}, fh)
     os.replace(tmp, meta_p)
-    _point_current_at(cache_dir)
+    _point_current_at(cache_dir, link)
     return spark.read.parquet(cache_dir), dbsize, n_seqs
 
 
@@ -1660,8 +1674,14 @@ from mr_mpi_blast_spark.kernel.builtin import KA_BLOSUM62 as _KAP  # noqa: E402
 
 _LAM, _KAP_K, _KAP_H = _KAP
 
-_BLAST_TAIL_ORACLE = f"""
-WITH raw AS (SELECT * FROM read_parquet('{_BLAST_RAW_PATH}/*.parquet')),
+def _tail_oracle_sql(raw_path: str, lam: float, kk: float,
+                     hh: float) -> str:
+    """The relational-tail oracle SQL, templated on the persisted raw
+    path and the Karlin-Altschul constants so the flagship (ungapped
+    BLOSUM62) and gapped (BLOSUM62 11,1) pipelines share one
+    derivation verbatim."""
+    return f"""
+WITH raw AS (SELECT * FROM read_parquet('{raw_path}/*.parquet')),
 db AS (SELECT CAST(sum(length(text)) AS DOUBLE) AS dbsize,
               CAST(count(*) AS DOUBLE) AS nseqs FROM documents),
 proj AS (
@@ -1671,15 +1691,15 @@ proj AS (
          qstart0 + 1 AS qstart, qend0 + 1 AS qend,
          CASE WHEN qstrand != sstrand THEN send0 + 1 ELSE sstart0 + 1 END AS sstart,
          CASE WHEN qstrand != sstrand THEN sstart0 + 1 ELSE send0 + 1 END AS send,
-         ({_LAM} * score - ln({_KAP_K})) / ln(2.0) AS bit,
+         ({lam} * score - ln({kk})) / ln(2.0) AS bit,
          score, qstart0, send0, sstart0, qend0, ident_count, qlen
   FROM raw),
 adj AS (
   SELECT p.*,
          greatest(CAST(qlen AS DOUBLE)
-                  - floor(ln({_KAP_K} * qlen * db.dbsize) / {_KAP_H}), 1.0) AS m_eff,
+                  - floor(ln({kk} * qlen * db.dbsize) / {hh}), 1.0) AS m_eff,
          greatest(db.dbsize
-                  - db.nseqs * floor(ln({_KAP_K} * qlen * db.dbsize) / {_KAP_H}), 1.0) AS n_eff
+                  - db.nseqs * floor(ln({kk} * qlen * db.dbsize) / {hh}), 1.0) AS n_eff
   FROM proj p, db),
 scored AS (
   SELECT a.*, floor((log10(m_eff) + log10(n_eff)
@@ -1704,27 +1724,20 @@ FROM ranked WHERE rank <= 10
 """
 
 
-@query("blast_tail", _BLAST_TAIL_ORACLE)
-def q_blast_tail(spark, sf_dir):
-    """The pipeline's relational tail (P3-P9 + F1 + O2/O3) oracle-
-    checked end-to-end: the kernel runs once, its raw output (pure
-    integers) is persisted, and BOTH engines derive projections,
-    Karlin-Altschul statistics with length adjustment
-    (mrblast.cpp:1039; blastp BLOSUM62 constants KA_BLOSUM62), the
-    e-value threshold, and the per-query top-10 from the same rows.
-    E-values are compared in log10 space (magnitude-independent
-    rounding); ranking uses integer keys only (score desc == evalue
-    asc within a query, since qlen and the length adjustment are
-    constant per qid), so cross-engine order is exact."""
-    rawdf, dbsize, n_seqs = _blast_raw(spark, sf_dir)
+_BLAST_TAIL_ORACLE = _tail_oracle_sql(_BLAST_RAW_PATH, _LAM, _KAP_K, _KAP_H)
+
+def _tail_from_raw(rawdf, dbsize, n_seqs, lam, kk, hh):
+    """Shared Spark-side relational tail (P3-P9 + F1 + O2/O3) over a
+    persisted RAW_HITS frame — the exact twin of _tail_oracle_sql,
+    parameterized the same way on the Karlin-Altschul constants."""
 
     def r4(c):
         return F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
 
     qlen_d = F.col("qlen").cast("double")
-    bit = (F.lit(_LAM) * F.col("score") - F.log(F.lit(_KAP_K))) / F.log(F.lit(2.0))
-    ell = F.floor(F.log(F.lit(_KAP_K) * qlen_d * F.lit(float(dbsize)))
-                  / F.lit(_KAP_H))
+    bit = (F.lit(lam) * F.col("score") - F.log(F.lit(kk))) / F.log(F.lit(2.0))
+    ell = F.floor(F.log(F.lit(kk) * qlen_d * F.lit(float(dbsize)))
+                  / F.lit(hh))
     m_eff = F.greatest(qlen_d - ell, F.lit(1.0))
     n_eff = F.greatest(F.lit(float(dbsize)) - F.lit(float(n_seqs)) * ell,
                        F.lit(1.0))
@@ -1758,6 +1771,55 @@ def q_blast_tail(spark, sf_dir):
             .select("qid", "sid", "ident", "align_len", "mismatches", "gaps",
                     "qstart", "qend", "sstart", "send", "log10_evalue",
                     "bitscore", "rank"))
+
+
+@query("blast_tail", _BLAST_TAIL_ORACLE)
+def q_blast_tail(spark, sf_dir):
+    """The pipeline's relational tail (P3-P9 + F1 + O2/O3) oracle-
+    checked end-to-end: the kernel runs once, its raw output (pure
+    integers) is persisted, and BOTH engines derive projections,
+    Karlin-Altschul statistics with length adjustment
+    (mrblast.cpp:1039; blastp BLOSUM62 constants KA_BLOSUM62), the
+    e-value threshold, and the per-query top-10 from the same rows.
+    E-values are compared in log10 space (magnitude-independent
+    rounding); ranking uses integer keys only (score desc == evalue
+    asc within a query, since qlen and the length adjustment are
+    constant per qid), so cross-engine order is exact."""
+    rawdf, dbsize, n_seqs = _blast_raw(spark, sf_dir)
+    return _tail_from_raw(rawdf, dbsize, n_seqs, _LAM, _KAP_K, _KAP_H)
+
+
+# Gapped pipeline coverage: same flagship shape but gapped=True (the
+# reference's actual default — NCBI BLAST is gapped unless told
+# otherwise, doc/USERGUIDE:47-50), with BLOSUM62 (11,1) gapped
+# Karlin-Altschul statistics on both engines. The query subset is
+# bounded (every 100th document) because the gapped DP makes this a
+# kernel-heavy run; it is CORRECTNESS-ONLY in bench.py — its value is
+# the hash-checked oracle row over rows the GAPPED kernel produced
+# (nonzero gaps column, gap-aware mismatches, (11,1) e-values), the
+# evidence the ungapped flagship cannot provide.
+_BLAST_RAW_GAPPED_PATH = "/tmp/spark_graft_blast_raw_gapped_current.parquet"
+from mr_mpi_blast_spark.kernel.builtin import KA_BLOSUM62_G111 as _KAG  # noqa: E402
+_GLAM, _GK, _GH = _KAG
+
+
+def _blast_gapped_cfg():
+    import dataclasses
+    return dataclasses.replace(_blast_cfg(), gapped=True)
+
+
+@query("blast_gapped_tail", _tail_oracle_sql(_BLAST_RAW_GAPPED_PATH,
+                                             _GLAM, _GK, _GH))
+def q_blast_gapped_tail(spark, sf_dir):
+    """blast_tail's gapped twin: the gapped kernel (batched Gotoh
+    stage-2) persists its raw hits under a second fixed link and both
+    engines replay the identical tail derivation with the gapped
+    (11,1) constants. Shares staged volumes and disk-cached subject
+    indexes with the flagship; only the raw output is config-keyed."""
+    rawdf, dbsize, n_seqs = _blast_raw(
+        spark, sf_dir, cfg=_blast_gapped_cfg(), qmod=100,
+        link=_BLAST_RAW_GAPPED_PATH)
+    return _tail_from_raw(rawdf, dbsize, n_seqs, _GLAM, _GK, _GH)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

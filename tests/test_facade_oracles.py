@@ -30,6 +30,9 @@ FACADES = [
     # verbatim with a recorded scale-path query) — registered in the
     # tail so unique-evidence queries keep the driver's prefix slots
     "dedup_ngram_jaccard", "ann_cosine_topk",
+    # gapped-kernel tail: unique evidence (nonzero gaps column, (11,1)
+    # statistics) that registers past the driver's recording window
+    "blast_gapped_tail",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
