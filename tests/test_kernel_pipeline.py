@@ -229,3 +229,27 @@ def test_disk_index_cache_roundtrip(tmp_path, monkeypatch):
                              disk_cache=False)
     assert sorted(cache_dir.glob("*.pkl")) == pkls
     B._DB_CACHE.clear()
+
+
+def test_raw_cache_keys_distinct_per_config_and_subset():
+    """The persisted-raw cache must key on the FULL config and the
+    query-subset modulus: the flagship, the gapped variant, and a
+    different qmod may never share a cache dir (a collision would
+    serve one config's hits as another's)."""
+    from mr_mpi_blast_spark.entry_queries import (_blast_cfg,
+                                                  _blast_gapped_cfg,
+                                                  _blast_raw_cache_dir,
+                                                  _blast_raw_key)
+    sf = "/root/testdata/sf0.001"
+    keys = {
+        "flagship": _blast_raw_key(sf),
+        "explicit-default": _blast_raw_key(sf, _blast_cfg(), 25),
+        "gapped": _blast_raw_key(sf, _blast_gapped_cfg(), 100),
+        "gapped-q25": _blast_raw_key(sf, _blast_gapped_cfg(), 25),
+        "flagship-q100": _blast_raw_key(sf, _blast_cfg(), 100),
+    }
+    assert keys["flagship"] == keys["explicit-default"]
+    distinct = {k: v for k, v in keys.items() if k != "explicit-default"}
+    assert len(set(distinct.values())) == len(distinct)
+    dirs = {_blast_raw_cache_dir(v) for v in distinct.values()}
+    assert len(dirs) == len(distinct)
