@@ -5,9 +5,17 @@ iteration (mrblast.cpp:199-222, doc/USERGUIDE:508-517), which the batch
 pipeline keeps as a driver loop. This package is the beyond-reference
 streaming layer a training-data platform needs: file-source event
 streams, watermarked windowed aggregates, declarative session windows,
-and a custom stateful operator via applyInPandasWithState.
+and a custom stateful operator via applyInPandasWithState — plus
+kernel_stream: the reference's real operational mode (query-file parts
+arriving over time against fixed DB volumes) as a foreachBatch stream
+through the SAME block kernel as the batch pipeline, exactly-once by
+per-batch output directories.
 """
 
+from mr_mpi_blast_spark.streaming.kernel_stream import (  # noqa: F401
+    read_stream_hits,
+    search_query_stream,
+)
 from mr_mpi_blast_spark.streaming.events import (
     click_error_interval_join,
     read_event_stream,
@@ -26,4 +34,5 @@ __all__ = [
     "session_aggregate", "stateful_user_totals", "dedup_stream",
     "dedup_content_stream", "run_available_now",
     "click_error_interval_join", "stream_to_parquet",
+    "search_query_stream", "read_stream_hits",
 ]

@@ -1,0 +1,83 @@
+"""Streaming search: query batches arrive as a STREAM against a
+static, pre-formatted subject database — the reference's operational
+mode re-expressed as Structured Streaming. The HiCOMB production runs
+delivered queries as numbered file parts against fixed DB volumes
+(examples/refseq-all-vs-all/README:36-60 — 63 query-file parts, 3 DB
+partitions; the scheduler consumed (query part x volume) work items);
+here `readStream` over a query directory is the arrival mechanism,
+and every micro-batch runs the SAME applyInPandas block kernel as the
+batch pipeline (plans/pipeline.run_kernel_raw), so stream and batch
+results are identical by construction — pinned by
+tests/test_streaming.py::test_kernel_stream_equals_batch.
+
+Exactly-once without a two-phase sink: each micro-batch commits to its
+own `batch=<id>` directory. A batch replayed after a crash overwrites
+ITS OWN directory (mode=overwrite), never appending duplicates — the
+idempotent-by-path contract the reference gets from one output file
+per work item (mrblast.cpp hit-file naming). The checkpoint makes
+re-delivery of already-committed source files impossible on restart;
+the per-batch overwrite makes the torn-batch window harmless.
+
+Scale shape: the subject volumes are staged ONCE (content-keyed
+makeblastdb analog shared with the batch path), so a long-running
+stream pays indexing once per volume per executor and each arriving
+query file costs only its own kernel compute — exactly the
+amortization the reference's resident DB handle provides across query
+parts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mr_mpi_blast_spark.config import BlastConfig
+
+
+def search_query_stream(query_stream: DataFrame, subjects: DataFrame,
+                        cfg: BlastConfig, out_dir: str,
+                        checkpoint_dir: str,
+                        cache_key: str | None = None,
+                        timeout_s: int = 300) -> str:
+    """Drain a (bounded) query stream through the block kernel with
+    Trigger.AvailableNow; returns out_dir. Raises TimeoutError (query
+    stopped, checkpoint preserved) if the drain exceeds timeout_s —
+    a rerun resumes from the checkpoint without recomputing committed
+    batches."""
+    from mr_mpi_blast_spark.plans.pipeline import run_kernel_raw
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        part = os.path.join(out_dir, f"batch={batch_id}")
+        if os.path.exists(os.path.join(part, "_SUCCESS")):
+            return                    # crash replay: already committed
+        if batch_df.isEmpty():
+            return
+        raw, _, _ = run_kernel_raw(batch_df, subjects, cfg,
+                                   cache_key=cache_key)
+        raw.write.mode("overwrite").parquet(part)
+
+    q = (query_stream.writeStream
+         .foreachBatch(process)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"search_query_stream did not drain within {timeout_s}s "
+            f"(checkpoint {checkpoint_dir!r} preserved; rerun resumes)")
+    return out_dir
+
+
+def read_stream_hits(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All committed batches' RAW_HITS as one DataFrame (the stream's
+    cumulative answer). basePath keeps the batch=<id> partition column
+    out of the schema so rows are directly comparable to the batch
+    pipeline's."""
+    from mr_mpi_blast_spark.kernel.builtin import RAW_HITS
+    return (spark.read.schema(RAW_HITS)
+            .option("basePath", out_dir)
+            .option("recursiveFileLookup", "true")
+            .parquet(out_dir))

@@ -6,6 +6,8 @@ stream them with maxFilesPerTrigger=1 (multiple micro-batches), and
 compare the drained streaming result against the equivalent batch
 aggregate on the same data."""
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -180,3 +182,56 @@ def test_parquet_sink_exactly_once_across_restart(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == ev.count()                     # no duplicates
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_kernel_stream_equals_batch(spark, tmp_path):
+    """Streaming search parity: query files delivered as a stream (one
+    file per micro-batch) through the block kernel must produce
+    EXACTLY the batch pipeline's rows over the same query set — and a
+    rerun against the same checkpoint must commit nothing new
+    (exactly-once across restart)."""
+    from mr_mpi_blast_spark.config import BlastConfig
+    from mr_mpi_blast_spark.plans.pipeline import run_kernel_raw
+    from mr_mpi_blast_spark.streaming.kernel_stream import (
+        read_stream_hits, search_query_stream)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    queries = (docs.filter(F.col("doc_id") % 7 == 0)
+               .select(F.col("doc_id").alias("qid"),
+                       F.concat(F.lit("q_"), "doc_id").alias("defline"),
+                       F.col("text").alias("seq"),
+                       F.col("n_chars").cast("int").alias("length")))
+    subjects = (docs.filter(F.col("doc_id") % 3 == 0)
+                .select(F.concat(F.lit("s_"), "doc_id").alias("sid"),
+                        F.concat(F.lit("s_"), "doc_id").alias("defline"),
+                        F.lit("db.0").alias("db_part"),
+                        F.col("text").alias("seq"),
+                        F.col("n_chars").cast("int").alias("length")))
+    cfg = BlastConfig(task="blastp", word_size=12, block_size=5000)
+
+    # deliver the queries as THREE files -> three micro-batches
+    src = str(tmp_path / "qsrc")
+    queries.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(queries.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "hits")
+    ckpt = str(tmp_path / "ckpt")
+    search_query_stream(stream, subjects, cfg, out, ckpt)
+
+    got = read_stream_hits(spark, out)
+    want, _, _ = run_kernel_raw(queries, subjects, cfg)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    n_batches = len([d for d in os.listdir(out) if d.startswith("batch=")])
+    assert n_batches >= 2, "stream must actually micro-batch"
+
+    # restart against the same checkpoint: nothing new to commit
+    import time as _t
+    mtimes = {d: os.path.getmtime(os.path.join(out, d))
+              for d in os.listdir(out)}
+    stream2 = (spark.readStream.schema(queries.schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    search_query_stream(stream2, subjects, cfg, out, ckpt)
+    assert {d: os.path.getmtime(os.path.join(out, d))
+            for d in os.listdir(out)} == mtimes
+    assert read_stream_hits(spark, out).count() == want.count()
