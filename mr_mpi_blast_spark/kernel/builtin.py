@@ -328,6 +328,21 @@ def _upper_np(codes: np.ndarray) -> np.ndarray:
     return out
 
 
+def fold_case_str(s: str) -> str:
+    """LENGTH-PRESERVING case fold for sequence data: each character
+    maps to its single-codepoint uppercase, or stays itself when
+    str.upper() would change the string's length (e.g. eszett ->
+    'SS'). Every coordinate in the engine (window positions, HSP
+    spans, identity counts) assumes the folded string is positionally
+    aligned with the original — plain str.upper() breaks that for a
+    handful of codepoints and used to crash the masked index build
+    (mask computed on the original, windows enumerated on a
+    longer folded string)."""
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype="<u4")
+    folded = _upper_np(codes.astype(np.int64)).astype("<u4")
+    return folded.tobytes().decode("utf-32-le")
+
+
 def _low_complexity_windows_np(codes: np.ndarray, k: int,
                                protein: bool) -> np.ndarray:
     """word_low_complexity for every length-k window of a codepoint
@@ -435,22 +450,21 @@ class SubjectIndex:
 
     fold_case: when masking is in play, case is annotation, not
     sequence (the dustmasker convention BLAST+ consumes) — index keys
-    and extension strings are uppercased so a masked region still
-    *matches* during extension. Off by default so unmasked runs stay
-    byte-identical.
+    and extension strings are case-folded (length-preserving
+    fold_case_str) so a masked region still *matches* during
+    extension. Off by default so unmasked runs stay byte-identical.
 
-    Two physical forms, one contract:
-    - hashed fast path (default): all subjects are concatenated (with
-      separators) into one codepoint array, every window hashed in k
-      vectorized passes, buckets grouped by a single argsort — the
-      per-position Python loop of the dict build was the dominant
-      kernel cost at bench scale (~0.6 s per 1,250-doc volume,
-      rebuilt per task). Hash collisions cannot corrupt results: seed
-      consumers re-verify the exact word before extending.
-    - exact dict build when a per-word filter (soft_mask/complexity)
-      must inspect each window's characters.
-    The string-keyed ``index`` mapping is materialized lazily from the
-    hashed form for callers that introspect it (tests/tools).
+    One physical form: the hashed build — all subjects are
+    concatenated (with separators) into one codepoint array, every
+    window hashed in k vectorized passes, buckets grouped by a single
+    argsort; subject-side masking (soft_mask/complexity) is a
+    vectorized window-drop filter inside the same build. Hash
+    collisions cannot corrupt results: seed consumers re-verify the
+    exact word before extending. ``hashed`` is always True in
+    production; tests force it False (with a hand-built _str_index)
+    only to drive the sequential oracle's dict route for equivalence
+    checks. The string-keyed ``index`` mapping is materialized lazily
+    from the hashed form for callers that introspect it.
     """
 
     def __init__(self, subjects: list[tuple[str, str]], word_size: int,
@@ -463,7 +477,7 @@ class SubjectIndex:
         self.max_kmer_hits = max_kmer_hits
         self._encoded: list[tuple[np.ndarray, np.ndarray]] | None = None
         self._str_index: dict[str, list[tuple[int, int]]] | None = None
-        self.ext_seqs = ([seq.upper() for _, seq in subjects] if fold_case
+        self.ext_seqs = ([fold_case_str(seq) for _, seq in subjects] if fold_case
                          else [seq for _, seq in subjects])
         # every config builds the hashed form: subject-side masking
         # (soft_mask / complexity) is a vectorized per-window drop
@@ -1321,6 +1335,15 @@ def _batched_core(q_ext: str, index: SubjectIndex, cfg: BlastConfig,
     # one-step advance loop was O(longest chain) whole-array passes: a
     # 300 bp homology puts ~300 seeds on one diagonal)
     _OFF = np.int64(1) << np.int64(32)
+    # the coverage keys pack (group id, query position) into one int64;
+    # silent wraparound would corrupt the dedupe, so reject outright —
+    # unreachable for sane block_size (a block would need 2^32 query
+    # chars or 2^31 seed groups), but loud beats wrong
+    if len(sq) and (int(sq.max()) >= int(_OFF) or n_groups >= 2 ** 31):
+        raise ValueError(
+            f"block too large for coverage-key packing "
+            f"(max qpos {int(sq.max())}, {n_groups} groups); "
+            f"reduce cfg.block_size")
     gid = np.repeat(np.arange(n_groups, dtype=np.int64),
                     ends - starts)
     aug = gid * _OFF + sq
@@ -1504,7 +1527,7 @@ def _align_nucl_batched_arrays(qid: int, seq: str, index: SubjectIndex,
     parts: list[dict[str, np.ndarray]] = []
     strands = [(seq, 1), (revcomp(seq), -1)]
     for q, qstrand in strands:
-        q_ext = q.upper() if fold else q
+        q_ext = fold_case_str(q) if fold else q
         qo = np.frombuffer(q_ext.encode("utf-32-le"),
                            dtype="<u4").astype(np.int32)
         qb = np.asarray(index.query_buckets(q_ext), dtype=np.int64)
@@ -1639,7 +1662,7 @@ def _align_block_protein_batched(items: list[tuple[int, str]],
     masked_parts: list[np.ndarray] = []
     cursor = 0
     for qid, seq in items:
-        q_ext = seq.upper() if fold else seq
+        q_ext = fold_case_str(seq) if fold else seq
         qids.append(int(qid))
         qlens.append(len(seq))
         qoffs.append(cursor)
@@ -1758,7 +1781,7 @@ def _align_block_nucl_batched(items: list[tuple[int, str]],
         masked_parts: list[np.ndarray] = []
         cursor = 0
         for s in seqs:
-            q_ext = s.upper() if fold else s
+            q_ext = fold_case_str(s) if fold else s
             q_strs.append(q_ext)
             c = np.frombuffer(q_ext.encode("utf-32-le"), dtype="<u4")
             qoffs.append(cursor)
@@ -2187,7 +2210,7 @@ def align_query(qid: int, seq: str, index: SubjectIndex,
     # pending-seed scan with a precomputed next-trigger table).
     if index.hashed:
         if is_protein:
-            q_ext = seq.upper() if index.fold_case else seq
+            q_ext = fold_case_str(seq) if index.fold_case else seq
             return _align_protein_batched(
                 qid, q_ext, index, cfg,
                 seq if cfg.lcase_masking else None, qlen)
@@ -2201,9 +2224,11 @@ def align_query(qid: int, seq: str, index: SubjectIndex,
 def _align_query_sequential(qid: int, seq: str, index: SubjectIndex,
                             cfg: BlastConfig) -> list[tuple]:
     """The reference implementation of the seed-and-extend loop: one
-    Python iteration per seed. Still the execution path for
-    non-hashed (subject-masking) indexes, and the semantic oracle
-    every batched path is pinned against (test_batched_parity)."""
+    Python iteration per seed — the semantic oracle every batched path
+    is pinned against (test_batched_parity). Never the production
+    route (production indexes are always hashed); its dict branch runs
+    only when tests force ``hashed = False`` with a hand-built
+    _str_index for equivalence checks."""
     out = []
     k = cfg.word_size
     qlen = len(seq)
@@ -2213,7 +2238,7 @@ def _align_query_sequential(qid: int, seq: str, index: SubjectIndex,
         strands.append((revcomp(seq), -1))
     fold = index.fold_case
     for q, qstrand in strands:
-        q_ext = q.upper() if fold else q
+        q_ext = fold_case_str(q) if fold else q
         if is_protein:
             # encode once; seeds are exact word matches, so a seed's
             # score is a diagonal prefix-sum difference — O(1) per seed
@@ -2257,7 +2282,8 @@ def _align_query_sequential(qid: int, seq: str, index: SubjectIndex,
                         if ext[si][spos:spos + k] == wkey]
                 cand = [(hits, None, None)]
             else:
-                hits = index.index.get(word.upper() if fold else word)
+                hits = index.index.get(
+                    fold_case_str(word) if fold else word)
                 cand = [(hits, None, None)]
             for hits, nb_score, nb_ident in cand:
                 if not hits:
@@ -2323,9 +2349,9 @@ def align_block(items, index: SubjectIndex, cfg: BlastConfig,
     sentinel-concatenated batch (block-level batching: seed
     collection, coverage rounds and extension batches happen once per
     task, not once per query), and the frame is assembled column-wise;
-    no per-hit Python tuple ever exists. Only non-hashed (subject
-    masking) configs route through align_query's sequential row
-    path."""
+    no per-hit Python tuple ever exists. The sequential rows fallback
+    below is unreachable in production (indexes are always hashed);
+    it serves tests that force a dict-backed index."""
     names = [f.name for f in RAW_HITS.fields]
     if index.hashed:
         qitems = [(int(qid), seq) for qid, seq in items]

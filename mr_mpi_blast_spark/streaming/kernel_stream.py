@@ -47,6 +47,11 @@ def search_query_stream(query_stream: DataFrame, subjects: DataFrame,
     batches."""
     from mr_mpi_blast_spark.plans.pipeline import run_kernel_raw
 
+    # an all-empty stream commits no batch; the out_dir must still
+    # exist so read_stream_hits returns the empty RAW_HITS frame
+    # instead of PATH_NOT_FOUND
+    os.makedirs(out_dir, exist_ok=True)
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         part = os.path.join(out_dir, f"batch={batch_id}")
         if os.path.exists(os.path.join(part, "_SUCCESS")):

@@ -81,7 +81,7 @@ def _corpus_dna(seed=7, n_subjects=60, sub_len=2000, n_queries=30,
 
 
 def main():
-    subjects, queries = _corpus()
+    prot_subjects, prot_queries = _corpus()
     dna_subjects, dna_queries = _corpus_dna()
     out = {}
     for label, cfg in [
@@ -100,7 +100,7 @@ def main():
         if cfg.task == "blastn":
             subjects, queries = dna_subjects, dna_queries
         else:
-            subjects, queries = _corpus()
+            subjects, queries = prot_subjects, prot_queries
         idx = SubjectIndex(subjects, cfg.word_size, 4096,
                            protein=cfg.task == "blastp")
         # warm the per-volume word/neighborhood caches for BOTH paths

@@ -194,3 +194,27 @@ def test_masked_hashed_index_equals_reference_build(seed, protein):
                 ref.setdefault(w, []).append((si, pos))
         ref = {w: v for w, v in ref.items() if len(v) <= 64}
         assert idx.index == ref
+
+
+def test_fold_case_length_preserving_multichar_upper():
+    """Regression: a subject containing a codepoint whose str.upper()
+    is multi-char (eszett) used to crash the masked fold_case index
+    build (mask computed on the original, windows enumerated on a
+    LONGER folded string). fold_case_str folds per codepoint and
+    preserves length, so coordinates stay aligned end-to-end."""
+    from mr_mpi_blast_spark.kernel.builtin import (SubjectIndex,
+                                                   fold_case_str)
+    assert fold_case_str("acgtß") == "ACGTß"
+    assert len(fold_case_str("ARNDßCQEG")) == 9
+    idx = SubjectIndex([("s0", "ARNDßCQEG"), ("s1", "arndcqeg")], 3, 64,
+                       soft_mask=True, protein=True, fold_case=True)
+    assert idx.hashed
+    # s1 is fully lowercase -> every word soft-masked out; s0's
+    # eszett is ITSELF lowercase, so its windows are soft-masked too
+    # (the scalar predicate agrees: word_is_lowercase_masked('NDß'))
+    assert all(si == 0 for hits in idx.index.values() for si, _ in hits)
+    assert set(idx.index) == {"ARN", "RND", "CQE", "QEG"}
+    # without soft-masking the eszett windows survive, folded in place
+    idx2 = SubjectIndex([("s0", "ARNDßCQEG")], 3, 64, complexity=True,
+                        protein=True, fold_case=True)
+    assert "NDß" in idx2.index and "ßCQ" in idx2.index

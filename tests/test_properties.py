@@ -194,3 +194,34 @@ def test_blastn_batched_equals_sequential(subject_seqs, query_seqs, k,
                for r in align_query(qid, q, idx, cfg)]
         ref = [tuple(r) for r in _align_query_sequential(qid, q, idx, cfg)]
         assert got == ref
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32,
+                                      max_codepoint=0x2FF),
+               min_size=0, max_size=60),
+       st.integers(2, 8))
+@settings(max_examples=60, deadline=None)
+def test_vectorized_mask_predicates_match_scalar(s, k):
+    """_islower_np / _low_complexity_windows_np (the masked index
+    build's vectorized predicates) must agree with the per-char
+    scalar predicates for ANY text, including non-Latin-1 codepoints
+    that take the exact fallback path."""
+    from mr_mpi_blast_spark.kernel.builtin import (
+        _islower_np, _low_complexity_windows_np, word_low_complexity)
+    codes = np.frombuffer(s.encode("utf-32-le"),
+                          dtype="<u4").astype(np.int64)
+    low = _islower_np(codes)
+    assert [bool(x) for x in low] == [c.islower() for c in s]
+    for protein in (False, True):
+        got = _low_complexity_windows_np(codes, k, protein)
+        want = [word_low_complexity(s[i:i + k], protein)
+                for i in range(max(len(s) - k + 1, 0))]
+        # the scalar predicate uses str.upper() per char, which maps a
+        # handful of codepoints to MULTI-char strings (ß -> SS); the
+        # vectorized form folds single codepoints only. Windows
+        # containing such chars are excluded from the comparison.
+        multi = [len(c.upper()) != 1 for c in s]
+        for i, (g, w) in enumerate(zip(got, want)):
+            if any(multi[i:i + k]):
+                continue
+            assert bool(g) == w, (s, k, i, protein)
