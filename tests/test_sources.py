@@ -154,3 +154,31 @@ def test_serial_number_matches_global_row_number(spark):
         "k", F.coalesce(F.sum("payload").over(w2), F.lit(0))
         .cast("long").alias("ps")).collect()}
     assert got_ps == want_ps
+
+
+def test_cli_main_end_to_end(spark, tmp_path):
+    """`python -m mr_mpi_blast_spark` surface: FASTA in, every sink
+    out, via the same session. Covers arg parsing, splitter wiring,
+    BLAST-opt pass-through, and the sidecar writers."""
+    import random
+
+    from mr_mpi_blast_spark.__main__ import main
+
+    fa = tmp_path / "q.fa"
+    rng = random.Random(5)
+    with open(fa, "w") as f:
+        for i in range(8):
+            seq = "".join(rng.choice("ACGT") for _ in range(600))
+            f.write(f">rec_{i} cli test\n{seq}\n")
+    out = tmp_path / "out"
+    rc = main(["--query", str(fa), "--out-dir", str(out),
+               "--formats", "parquet,csv,bin",
+               "--split", "300,150",
+               "-task", "blastn", "-word_size", "16", "-evalue", "1e-3"])
+    assert rc == 0
+    assert (out / "output.idx").exists() and (out / "output.def").exists()
+    assert (out / "output.csv").exists() and (out / "output.bin").exists()
+    got = spark.read.parquet(str(out / "output.parquet"))
+    assert got.count() > 0
+    assert rc == 0 and main(["--formats", "bogus",
+                             "--query", str(fa)]) == 2
