@@ -58,6 +58,13 @@ def _parse_args(argv: list[str]):
     ap.add_argument("--split", default=None, metavar="LEN,OVERLAP",
                     help="shred queries into overlapping windows "
                          "(reference splitter.py), e.g. 1000,500")
+    ap.add_argument("--kernel", choices=("builtin", "ncbi"),
+                    default="builtin",
+                    help="alignment kernel: builtin (hermetic "
+                         "seed-and-extend) or ncbi (BLAST+ subprocess "
+                         "per task — the reference's actual engine; "
+                         "requires blastn/blastp + makeblastdb on "
+                         "PATH)")
     # everything the parser does not know is BLAST+ pass-through
     # (apply_blast_cli_opts consumes the options it recognizes and
     # records the rest for the NCBI plugin's command line)
@@ -126,7 +133,11 @@ def main(argv: list[str] | None = None) -> int:
     log_dir = None
     if run and run.timing:
         log_dir = os.path.join(args.out_dir, "ranklogs")
-    hits = run_search(queries, subjects, cfg, log_dir=log_dir).cache()
+    if args.kernel == "ncbi":
+        from mr_mpi_blast_spark.kernel.ncbi import run_search_ncbi
+        hits = run_search_ncbi(queries, subjects, cfg).cache()
+    else:
+        hits = run_search(queries, subjects, cfg, log_dir=log_dir).cache()
     n = hits.count()
 
     deflines = queries.select("qid", "defline")
