@@ -58,6 +58,13 @@ def _parse_args(argv: list[str]):
     ap.add_argument("--split", default=None, metavar="LEN,OVERLAP",
                     help="shred queries into overlapping windows "
                          "(reference splitter.py), e.g. 1000,500")
+    ap.add_argument("--stream-watch", metavar="DIR",
+                    help="treat DIR as a stream of query PARQUET "
+                         "files (qid, defline, defline_part, seq, "
+                         "length) and drain it through the kernel "
+                         "with exactly-once per-batch commits "
+                         "(streaming/kernel_stream) instead of a "
+                         "batch FASTA run; --query is not used")
     ap.add_argument("--kernel", choices=("builtin", "ncbi"),
                     default="builtin",
                     help="alignment kernel: builtin (hermetic "
@@ -83,7 +90,8 @@ def main(argv: list[str] | None = None) -> int:
     cfg = apply_blast_cli_opts(cfg, blast_opts)
 
     query_fa = args.query or (run.query_file if run else None)
-    if not query_fa or not os.path.exists(query_fa):
+    if not args.stream_watch and (not query_fa
+                                  or not os.path.exists(query_fa)):
         print("error: no query FASTA (--query or ini QUERYFILENAME)",
               file=sys.stderr)
         return 2
@@ -107,6 +115,37 @@ def main(argv: list[str] | None = None) -> int:
 
     os.makedirs(args.out_dir, exist_ok=True)
     spark = get_spark("mrblast")
+
+    if args.stream_watch:
+        if not args.db or not os.path.exists(args.db):
+            print("error: --stream-watch requires --db", file=sys.stderr)
+            return 2
+        from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                       StructField, StructType)
+
+        from mr_mpi_blast_spark.streaming.kernel_stream import (
+            read_stream_hits, search_query_stream)
+        subjects = read_fasta(spark, args.db).select(
+            F.col("defline_part").alias("sid"), "defline",
+            F.concat(F.lit("vol"),
+                     F.pmod(F.crc32("defline"), F.lit(args.volumes))
+                     .cast("string")).alias("db_part"),
+            "seq", F.length("seq").cast("int").alias("length"))
+        qschema = StructType([
+            StructField("qid", LongType()),
+            StructField("defline", StringType()),
+            StructField("defline_part", StringType()),
+            StructField("seq", StringType()),
+            StructField("length", IntegerType())])
+        stream = (spark.readStream.schema(qschema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(args.stream_watch))
+        out = os.path.join(args.out_dir, "stream_hits")
+        ckpt = os.path.join(args.out_dir, "stream_ckpt")
+        search_query_stream(stream, subjects, cfg, out, ckpt)
+        n = read_stream_hits(spark, out).count()
+        print(f"{n} raw hits across committed batches -> {out}")
+        return 0
 
     raw_q = read_fasta(spark, query_fa)
     if args.split:
