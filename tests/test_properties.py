@@ -225,3 +225,37 @@ def test_vectorized_mask_predicates_match_scalar(s, k):
             if any(multi[i:i + k]):
                 continue
             assert bool(g) == w, (s, k, i, protein)
+
+
+@given(st.lists(st.text(alphabet="ARNDCQEGHILKMFPSTWYVarndcqeg",
+                        min_size=0, max_size=50),
+                min_size=1, max_size=4),
+       st.lists(st.text(alphabet="ARNDCQEGHILKMFPSTWYVarndcqeg",
+                        min_size=0, max_size=40),
+                min_size=1, max_size=3),
+       st.integers(2, 4), st.booleans(), st.booleans())
+@settings(max_examples=40, deadline=None)
+def test_blastp_block_equals_sequential(subject_seqs, query_seqs, k,
+                                        gapped, two_hit):
+    """The BLOCK-batched blastp path (the production route) must emit
+    byte-identical rows, in identical order, to the sequential
+    per-seed oracle concatenated per query — for ANY protein corpus,
+    mixed case with fold_case + lcase_masking on, gapped or not,
+    one-hit or two-hit seeding."""
+    from mr_mpi_blast_spark.kernel.builtin import (_align_query_sequential,
+                                                   align_block)
+    subjects = [(f"s{i}", s) for i, s in enumerate(subject_seqs)]
+    cfg = BlastConfig(task="blastp", word_size=k, min_score=k,
+                      gapped=gapped, lcase_masking=True,
+                      window_size=20 if two_hit else None)
+    idx = SubjectIndex(subjects, k, 4096, protein=True, fold_case=True)
+    assert idx.hashed
+    queries = list(enumerate(query_seqs))
+    df = align_block(queries, idx, cfg)
+    got = [tuple(v if isinstance(v, str) else int(v) for v in r)
+           for r in df.itertuples(index=False, name=None)]
+    ref = []
+    for qid, q in queries:
+        ref.extend(tuple(r) for r in
+                   _align_query_sequential(qid, q, idx, cfg))
+    assert got == ref
