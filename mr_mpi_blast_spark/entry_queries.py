@@ -1822,6 +1822,63 @@ def q_blast_gapped_tail(spark, sf_dir):
     return _tail_from_raw(rawdf, dbsize, n_seqs, _GLAM, _GK, _GH)
 
 
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_URL = "https?://[^ ]+"
+_PII_PHONE = "\\+1-[0-9]{3}-[0-9]{4}"
+
+_PII_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail.example.org or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' via https://ex.org/d/' || doc_id AS t
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(t, '{_PII_URL}'))   AS n_urls,
+       len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{_PII_URL}', '<URL>', 'g'),
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g')) AS scrub_md5
+FROM aug
+"""
+
+
+@query("text_pii_scrub", _PII_SQL)
+def q_text_pii_scrub(spark, sf_dir):
+    """PII detection + redaction over text columns — the scrub gate of
+    a training-data pipeline: count and replace emails, URLs and phone
+    numbers with typed placeholders, order-sensitive (URLs first so an
+    address inside a URL path is not double-scrubbed), all as pure
+    column expressions (JVM regex, shuffle-free). The synthetic corpus
+    contains no PII, so the query DERIVES deterministic pseudo-PII
+    from doc_id identically on both engines — the oracle checks the
+    regex/replacement machinery on real table columns, not the
+    corpus's (empty) PII content. Patterns restricted to the
+    Java-regex/RE2 common subset so both engines scrub identically;
+    the scrubbed text is compared by md5."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@mail.example.org or +1-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"),
+               4, "0"),
+        F.lit(" via https://ex.org/d/"), F.col("doc_id"))
+    scrub = F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        t, _PII_URL, "<URL>"), _PII_EMAIL, "<EMAIL>"),
+        _PII_PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), 0))
+         .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_URL), 0))
+         .cast("long").alias("n_urls"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE), 0))
+         .cast("long").alias("n_phones"),
+        F.md5(scrub).alias("scrub_md5"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_blast_pipeline(spark, sf_dir)
 

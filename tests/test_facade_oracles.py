@@ -33,6 +33,8 @@ FACADES = [
     # gapped-kernel tail: unique evidence (nonzero gaps column, (11,1)
     # statistics) that registers past the driver's recording window
     "blast_gapped_tail",
+    # PII scrub: derived pseudo-PII machinery check (tail-registered)
+    "text_pii_scrub",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
