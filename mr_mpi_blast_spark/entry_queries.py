@@ -1879,6 +1879,55 @@ def q_text_pii_scrub(spark, sf_dir):
         F.md5(scrub).alias("scrub_md5"))
 
 
+_REP_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS word
+  FROM documents),
+cnt AS (SELECT doc_id, word, count(*) AS c FROM w
+        WHERE word != '' GROUP BY doc_id, word),
+agg AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+               max(c) AS top_c
+        FROM cnt GROUP BY doc_id)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       floor(n_distinct * 1.0 / n_words * 1e4 + 0.5) / 1e4 AS distinct_ratio,
+       floor(top_c * 1.0 / n_words * 1e4 + 0.5) / 1e4 AS top_word_frac,
+       CASE WHEN top_c * 1.0 / n_words > 0.2 THEN 'repetitive'
+            ELSE 'ok' END AS verdict
+FROM agg
+"""
+
+
+@query("text_repetition", _REP_SQL)
+def q_text_repetition(spark, sf_dir):
+    """Word-repetition quality signal (the Gopher-rule family: a
+    document dominated by one token is boilerplate): distinct-word
+    ratio and top-word fraction per document with a keep/drop verdict.
+    Two-phase hash aggregate on (doc_id, word) then per-doc rollup —
+    the same shape both engines execute; ratios floor-rounded at 1e-4
+    so libm differences cannot flip the hash."""
+    from mr_mpi_blast_spark.functions.hashing import normalized_text
+    docs = _t(spark, sf_dir, "documents")
+    words = (docs.select("doc_id",
+                         F.explode(F.split(normalized_text(F.col("text")),
+                                           " ")).alias("word"))
+             .filter(F.col("word") != ""))
+    cnt = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"))
+
+    def r4(c):
+        return F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+
+    return agg.select(
+        "doc_id", F.col("n_words").cast("long").alias("n_words"),
+        r4(F.col("n_distinct") / F.col("n_words")).alias("distinct_ratio"),
+        r4(F.col("top_c") / F.col("n_words")).alias("top_word_frac"),
+        F.when(F.col("top_c") / F.col("n_words") > 0.2, "repetitive")
+         .otherwise("ok").alias("verdict"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_blast_pipeline(spark, sf_dir)
 

@@ -34,7 +34,7 @@ FACADES = [
     # statistics) that registers past the driver's recording window
     "blast_gapped_tail",
     # PII scrub: derived pseudo-PII machinery check (tail-registered)
-    "text_pii_scrub",
+    "text_pii_scrub", "text_repetition",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
