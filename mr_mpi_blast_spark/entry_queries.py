@@ -1907,15 +1907,28 @@ def q_text_repetition(spark, sf_dir):
     so libm differences cannot flip the hash."""
     from mr_mpi_blast_spark.functions.hashing import normalized_text
     docs = _t(spark, sf_dir, "documents")
-    words = (docs.select("doc_id",
-                         F.explode(F.split(normalized_text(F.col("text")),
-                                           " ")).alias("word"))
-             .filter(F.col("word") != ""))
-    cnt = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
-    agg = cnt.groupBy("doc_id").agg(
-        F.sum("c").alias("n_words"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.max("c").alias("top_c"))
+    # SHUFFLE-FREE form: the oracle's explode + two-phase aggregate is
+    # the semantic spec, but per-document word statistics never need a
+    # shuffle — sort the word array in place and fold run lengths with
+    # higher-order functions. At 100 TB this is a pure map over the
+    # scan; the groupBy form would shuffle every (doc, word) pair
+    # twice.
+    ws = F.array_sort(F.filter(F.split(normalized_text(F.col("text")),
+                                       " "), lambda w: w != ""))
+    agg = (docs.select("doc_id", ws.alias("ws"))
+           .withColumn("n_words", F.size("ws"))
+           .filter(F.col("n_words") > 0)
+           .withColumn("n_distinct", F.expr(
+               "1 + size(filter(sequence(1, size(ws) - 1), "
+               "i -> ws[i] != ws[i - 1]))"))
+           .withColumn("top_c", F.expr(
+               "aggregate(sequence(1, size(ws) - 1), "
+               "named_struct('run', 1, 'best', 1), "
+               "(acc, i) -> IF(ws[i] = ws[i - 1], "
+               "  named_struct('run', acc.run + 1, "
+               "               'best', greatest(acc.best, acc.run + 1)), "
+               "  named_struct('run', 1, 'best', acc.best)), "
+               "acc -> acc.best)")))
 
     def r4(c):
         return F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
