@@ -169,11 +169,15 @@ _B62 = np.array(_B62_ROWS, dtype=np.int32)
 # Extended matrix for the batched extension path: row/col _B62_SENT is
 # the subject-boundary / out-of-range sentinel, scoring so negative
 # that the X-drop test stops an extension the moment it reaches one
-# (the batched analog of per-subject array bounds). int64 so chunked
-# cumulative sums can never wrap.
+# (the batched analog of per-subject array bounds). int32 keeps the
+# extension's 2D temporaries half the size (bandwidth is the batched
+# path's ceiling); the sentinel is sized so a whole 256-wide chunk of
+# sentinels (256 x -4e6 ~ -1.02e9) still cannot wrap int32, yet dwarfs
+# any real xdrop. Block-level prefix sums over cats that CONTAIN
+# sentinel rows must accumulate in int64 (they do, explicitly).
 _B62_SENT = len(_B62_ALPHA)                   # 24
-_B62_NEG = -(10 ** 9)
-_B62E = np.full((_B62_SENT + 1, _B62_SENT + 1), _B62_NEG, dtype=np.int64)
+_B62_NEG = -(4 * 10 ** 6)
+_B62E = np.full((_B62_SENT + 1, _B62_SENT + 1), _B62_NEG, dtype=np.int32)
 _B62E[:_B62_SENT, :_B62_SENT] = _B62
 
 
@@ -1136,9 +1140,10 @@ def _extend_batch(qrow: np.ndarray | None, qord: np.ndarray,
             # extension exactly like the sentinel BLOSUM row does.
             # qv >= 0 also rejects the QUERY-side block separator (-1)
             # so a block-concatenated query can never extend into its
-            # neighbor.
+            # neighbor. int32 operands keep the whole pipeline narrow.
             sc = np.where(qok & gok & (sv != -1) & (qv >= 0),
-                          np.where(eq, rp[0], rp[1]), _B62_NEG)
+                          np.where(eq, np.int32(rp[0]), np.int32(rp[1])),
+                          np.int32(_B62_NEG))
         c = base[active, None] + np.cumsum(sc, axis=1)
         m = base_m[active, None] + np.cumsum(eq, axis=1)
         run = np.maximum.accumulate(
@@ -1146,7 +1151,7 @@ def _extend_batch(qrow: np.ndarray | None, qord: np.ndarray,
         drop = (run - c) > xdrop
         stopped = drop.any(axis=1)
         upto = np.where(stopped, np.argmax(drop, axis=1), chunk - 1)
-        cm = np.where(j[None, :] <= upto[:, None], c, np.int64(-2**62))
+        cm = np.where(j[None, :] <= upto[:, None], c, np.int32(-2**30))
         chunk_best = cm.max(axis=1)
         improved = chunk_best > best[active]
         bidx = np.argmax(cm == chunk_best[:, None], axis=1)
@@ -1183,7 +1188,8 @@ def _align_protein_batched_arrays(qid: int, q_ext: str,
     in practice), each a fully vectorized batch."""
     k = cfg.word_size
     qo, qi_arr = encode_protein(q_ext)
-    prefnp = np.concatenate(([0], np.cumsum(_B62[qi_arr, qi_arr])))
+    prefnp = np.concatenate(([0], np.cumsum(_B62[qi_arr, qi_arr],
+                                            dtype=np.int64)))
     cord, crow, offs = index.cat_protein
     nb_threshold = cfg.threshold
     masked = None
@@ -1740,7 +1746,8 @@ def _align_block_protein_batched(items: list[tuple[int, str]],
             return _empty_raw_cols()
         # self-score prefix over the cat: _B62E so sentinel rows are
         # indexable (valid windows never include one)
-        prefnp = np.concatenate(([0], np.cumsum(_B62E[qi_arr, qi_arr])))
+        prefnp = np.concatenate(([0], np.cumsum(
+            _B62E[qi_arr, qi_arr], dtype=np.int64)))
         seed_sc_all = prefnp[sq + k] - prefnp[sq]
         seed_id_all = np.full(len(sq), k, dtype=np.int64)
     core = _batched_core(None, index, cfg, k, sq, ssi, ssp, gpos,
