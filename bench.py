@@ -131,6 +131,20 @@ def main() -> None:
             timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Round-5 lesson: the driver keeps only a bounded TAIL of stdout, and
+    # embedding the per-rep arrays in the one JSON line pushed the leading
+    # "metric"/"value" fields past the capture window (BENCH_r05.json
+    # "parsed": null). The raw evidence (reps, pass totals) goes to a
+    # sidecar file; stdout gets ONLY the compact summary, as the LAST line.
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_reps.json")
+    try:
+        with open(sidecar, "w") as f:
+            json.dump({"reps": reps, "pass_totals": pass_totals,
+                       "cold": cold, "sf": sf, "bench_reps": reps_n,
+                       "rep_order": "interleaved"}, f)
+    except OSError as ex:
+        print(f"bench: sidecar write failed ({ex})", file=sys.stderr)
     print(json.dumps({
         "metric": "headline_queries_wall_sec",
         "value": total,
@@ -143,10 +157,7 @@ def main() -> None:
         "n_queries": len(timings),
         "bench_reps": reps_n,
         "aggregation": "median",
-        "rep_order": "interleaved",
-        "pass_totals": pass_totals,
         "cold": cold,
-        "reps": reps,
         "correctness_only": sorted(CORRECTNESS_ONLY),
     }))
 

@@ -142,7 +142,14 @@ def main(argv: list[str] | None = None) -> int:
                   .parquet(args.stream_watch))
         out = os.path.join(args.out_dir, "stream_hits")
         ckpt = os.path.join(args.out_dir, "stream_ckpt")
-        search_query_stream(stream, subjects, cfg, out, ckpt)
+        # content-derived cache_key: without it every micro-batch would
+        # re-stage the full subject DB and rebuild subject indexes,
+        # defeating the stage-once amortization the stream exists for
+        st = os.stat(args.db)
+        db_key = (f"cli_db_v1:{os.path.abspath(args.db)}:{st.st_mtime_ns}:"
+                  f"{st.st_size}:vols={args.volumes}")
+        search_query_stream(stream, subjects, cfg, out, ckpt,
+                            cache_key=db_key)
         n = read_stream_hits(spark, out).count()
         print(f"{n} raw hits across committed batches -> {out}")
         return 0

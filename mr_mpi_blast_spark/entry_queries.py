@@ -1918,17 +1918,23 @@ def q_text_repetition(spark, sf_dir):
     agg = (docs.select("doc_id", ws.alias("ws"))
            .withColumn("n_words", F.size("ws"))
            .filter(F.col("n_words") > 0)
+           # size(ws)==1 must short-circuit: sequence(1, 0) is the
+           # DESCENDING [1, 0], and ws[1] throws INVALID_ARRAY_INDEX
+           # under Spark 4's default ANSI mode (a one-word document is
+           # trivially 1 distinct word / run length 1)
            .withColumn("n_distinct", F.expr(
+               "IF(size(ws) < 2, 1, "
                "1 + size(filter(sequence(1, size(ws) - 1), "
-               "i -> ws[i] != ws[i - 1]))"))
+               "i -> ws[i] != ws[i - 1])))"))
            .withColumn("top_c", F.expr(
+               "IF(size(ws) < 2, 1, "
                "aggregate(sequence(1, size(ws) - 1), "
                "named_struct('run', 1, 'best', 1), "
                "(acc, i) -> IF(ws[i] = ws[i - 1], "
                "  named_struct('run', acc.run + 1, "
                "               'best', greatest(acc.best, acc.run + 1)), "
                "  named_struct('run', 1, 'best', acc.best)), "
-               "acc -> acc.best)")))
+               "acc -> acc.best))")))
 
     def r4(c):
         return F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)

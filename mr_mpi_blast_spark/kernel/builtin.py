@@ -297,8 +297,14 @@ def word_low_complexity(word: str, protein: bool) -> bool:
     nucleotides, homopolymer for the k=3 protein words). Far simpler
     than NCBI's DUST/SEG scoring but catches the same seed explosions,
     and only ever *drops seeds* — extension is untouched, matching
-    soft-masking semantics."""
-    return len({c.upper() for c in word}) <= (1 if protein else 2)
+    soft-masking semantics.
+
+    Case-folds per codepoint (fold_case_str semantics — a char whose
+    str.upper() is multi-char, e.g. eszett, stays itself) so this
+    scalar form agrees with the vectorized masked-index build
+    (_low_complexity_windows_np) for EVERY input, not just biological
+    alphabets."""
+    return len(set(fold_case_str(word))) <= (1 if protein else 2)
 
 
 # vectorized forms of the two word predicates above, evaluated over a
@@ -1096,6 +1102,12 @@ def _extend_batch(qrow: np.ndarray | None, qord: np.ndarray,
     DRAM-bandwidth-bound — measured 3x slower than the same seeds in
     small calls. Tiling restores cache residency at ~zero overhead."""
     n = len(q0)
+    # The per-chunk int32 cumsum is only safe while a chunk of pure
+    # sentinels cannot wrap: chunk_max * |_B62_NEG| must stay < 2^31.
+    # A future caller widening chunk_max past ~536 would otherwise
+    # silently corrupt scores — fail loudly instead.
+    assert chunk_max * -_B62_NEG < 2 ** 31, \
+        f"chunk_max={chunk_max} overflows int32 cumsum (|_B62_NEG|={-_B62_NEG})"
     if n > _EXT_TILE:
         gains = np.empty(n, dtype=np.int64)
         exts = np.empty(n, dtype=np.int64)

@@ -77,12 +77,24 @@ def search_query_stream(query_stream: DataFrame, subjects: DataFrame,
 
 
 def read_stream_hits(spark: SparkSession, out_dir: str) -> DataFrame:
-    """All committed batches' RAW_HITS as one DataFrame (the stream's
-    cumulative answer). basePath keeps the batch=<id> partition column
-    out of the schema so rows are directly comparable to the batch
-    pipeline's."""
+    """All COMMITTED batches' RAW_HITS as one DataFrame (the stream's
+    cumulative answer). Only `batch=*` directories bearing _SUCCESS are
+    read: a hard crash mid-write leaves a torn directory without the
+    marker, and surfacing its partial rows would break the
+    exactly-once contract until the rerun overwrites it. basePath
+    keeps the batch=<id> partition column out of the schema so rows
+    are directly comparable to the batch pipeline's."""
     from mr_mpi_blast_spark.kernel.builtin import RAW_HITS
+    committed = sorted(
+        os.path.join(out_dir, d) for d in os.listdir(out_dir)
+        if d.startswith("batch=")
+        and os.path.exists(os.path.join(out_dir, d, "_SUCCESS")))
+    if not committed:
+        return spark.createDataFrame([], RAW_HITS)
+    # partition discovery appends the batch=<id> column under basePath;
+    # project back to the bare RAW_HITS columns so rows compare equal
+    # to the batch pipeline's
     return (spark.read.schema(RAW_HITS)
             .option("basePath", out_dir)
-            .option("recursiveFileLookup", "true")
-            .parquet(out_dir))
+            .parquet(*committed)
+            .select(*RAW_HITS.fieldNames()))

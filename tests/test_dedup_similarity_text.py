@@ -200,3 +200,21 @@ def test_trained_ivf_centroids_and_recall(spark):
                                nprobes=(1, 2, 4)).collect()}
     assert rec[1] <= rec[2] <= rec[4]
     assert rec[4] == 1.0          # probing all 4 buckets == brute force
+
+
+def test_text_repetition_degenerate_docs(spark, tmp_path):
+    """Single-word (and effectively-empty) documents must not crash the
+    shuffle-free run-length fold: sequence(1, size-1) on a 1-element
+    array is the DESCENDING [1, 0] and ws[1] raises INVALID_ARRAY_INDEX
+    under Spark 4 ANSI mode unless the size<2 case is guarded."""
+    import __spark_entry__ as e
+    rows = [(1, "solo"), (2, "  "), (3, "a a a b"), (4, "u v w x y z")]
+    (spark.createDataFrame(rows, "doc_id long, text string")
+     .write.parquet(str(tmp_path / "documents.parquet")))
+    out = {r.doc_id: r for r in
+           e.queries()["text_repetition"](spark, str(tmp_path)).collect()}
+    assert 2 not in out                      # all-whitespace doc filtered
+    assert out[1].n_words == 1 and out[1].distinct_ratio == 1.0 \
+        and out[1].top_word_frac == 1.0
+    assert out[3].top_word_frac == 0.75 and out[3].verdict == "repetitive"
+    assert out[4].distinct_ratio == 1.0 and out[4].verdict == "ok"

@@ -216,14 +216,10 @@ def test_vectorized_mask_predicates_match_scalar(s, k):
         got = _low_complexity_windows_np(codes, k, protein)
         want = [word_low_complexity(s[i:i + k], protein)
                 for i in range(max(len(s) - k + 1, 0))]
-        # the scalar predicate uses str.upper() per char, which maps a
-        # handful of codepoints to MULTI-char strings (ß -> SS); the
-        # vectorized form folds single codepoints only. Windows
-        # containing such chars are excluded from the comparison.
-        multi = [len(c.upper()) != 1 for c in s]
+        # both forms now fold per codepoint (fold_case_str semantics:
+        # a char whose str.upper() is multi-char, e.g. eszett, stays
+        # itself), so they must agree on EVERY window — no exclusions
         for i, (g, w) in enumerate(zip(got, want)):
-            if any(multi[i:i + k]):
-                continue
             assert bool(g) == w, (s, k, i, protein)
 
 

@@ -235,3 +235,24 @@ def test_kernel_stream_equals_batch(spark, tmp_path):
     assert {d: os.path.getmtime(os.path.join(out, d))
             for d in os.listdir(out)} == mtimes
     assert read_stream_hits(spark, out).count() == want.count()
+
+
+def test_read_stream_hits_skips_torn_batch(spark, tmp_path):
+    """A batch directory without _SUCCESS (hard crash mid-write) must
+    not surface partial rows; the cumulative read sees only committed
+    batches, and an out_dir with ONLY torn batches reads as empty."""
+    from mr_mpi_blast_spark.kernel.builtin import RAW_HITS
+    from mr_mpi_blast_spark.streaming.kernel_stream import read_stream_hits
+
+    out = str(tmp_path / "hits")
+    row = [(1, "s_1", 10, 5, 5, 0, 0, 5, 0, 5, 1, 1, 5)]
+    cols = RAW_HITS.fieldNames()
+    df = spark.createDataFrame(row, RAW_HITS)
+    df.write.parquet(os.path.join(out, "batch=0"))          # committed
+    df.write.parquet(os.path.join(out, "batch=1"))
+    os.remove(os.path.join(out, "batch=1", "_SUCCESS"))     # torn
+    got = read_stream_hits(spark, out)
+    assert got.columns == cols
+    assert got.count() == 1                                 # torn excluded
+    os.remove(os.path.join(out, "batch=0", "_SUCCESS"))
+    assert read_stream_hits(spark, out).count() == 0        # all torn
