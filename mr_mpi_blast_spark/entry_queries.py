@@ -1258,19 +1258,20 @@ def _blast_volume_key(sf_dir: str) -> str:
 _BLAST_RAW_META = "_raw_meta.json"
 
 
-def _blast_raw_key(sf_dir: str, cfg=None, qmod: int = 25) -> str:
+def _blast_raw_key(sf_dir: str, cfg=None, qmod: int = 25,
+                   variant: str = "text") -> str:
     """Full validity key for persisted raw hits: input content key +
     kernel code version + the ENTIRE config (+ the query-subset
-    modulus). Hashing every field (not a hand-picked subset) means a
-    future edit to _blast_cfg — adding threshold, changing xdrop,
-    anything — can never silently serve stale raw hits to a fresh
-    process."""
+    modulus and input variant). Hashing every field (not a hand-picked
+    subset) means a future edit to _blast_cfg — adding threshold,
+    changing xdrop, anything — can never silently serve stale raw hits
+    to a fresh process."""
     import dataclasses
     import hashlib
     from mr_mpi_blast_spark.kernel.builtin import KERNEL_SPEC
     if cfg is None:
         cfg = _blast_cfg()
-    cfg_repr = repr((qmod, sorted(dataclasses.asdict(cfg).items())))
+    cfg_repr = repr((qmod, variant, sorted(dataclasses.asdict(cfg).items())))
     cfg_hash = hashlib.md5(cfg_repr.encode()).hexdigest()
     return "|".join((_blast_volume_key(sf_dir), KERNEL_SPEC, cfg_hash))
 
@@ -1312,18 +1313,20 @@ def _point_current_at(cache_dir: str, link: str | None = None) -> None:
 
 
 def _blast_raw(spark, sf_dir, cfg=None, qmod: int = 25,
-               link: str | None = None):
-    """Run (or reuse) the kernel for (sf_dir, cfg, query subset);
-    returns (raw DataFrame re-read from the persisted parquet, dbsize,
-    n_seqs). Every config shares the same staged volumes and
-    disk-cached subject indexes (volume key is config-independent);
-    only the persisted RAW output is keyed per config."""
+               link: str | None = None, variant: str = "text"):
+    """Run (or reuse) the kernel for (sf_dir, cfg, query subset,
+    input variant); returns (raw DataFrame re-read from the persisted
+    parquet, dbsize, n_seqs). Every config of the SAME variant shares
+    staged volumes and disk-cached subject indexes (volume key is
+    config-independent); the "dna" variant stages its own volumes
+    (different subject bytes); only the persisted RAW output is keyed
+    per config."""
     import json
     from mr_mpi_blast_spark.plans.pipeline import run_kernel_raw
 
     if cfg is None:
         cfg = _blast_cfg()
-    key = _blast_raw_key(sf_dir, cfg, qmod)
+    key = _blast_raw_key(sf_dir, cfg, qmod, variant)
     cache_dir = _blast_raw_cache_dir(key)
     meta_p = os.path.join(cache_dir, _BLAST_RAW_META)
     if (os.path.exists(os.path.join(cache_dir, "_SUCCESS"))
@@ -1334,10 +1337,14 @@ def _blast_raw(spark, sf_dir, cfg=None, qmod: int = 25,
             _point_current_at(cache_dir, link)
             return (spark.read.parquet(cache_dir),
                     int(meta["dbsize"]), int(meta["n_seqs"]))
-    queries_df, subjects = _blast_inputs(spark, sf_dir, qmod)
+    inputs_fn = _blast_nucl_inputs if variant == "dna" else _blast_inputs
+    queries_df, subjects = inputs_fn(spark, sf_dir, qmod)
+    vol_key = _blast_volume_key(sf_dir)
+    if variant != "text":
+        vol_key += f"|{variant}"
     raw, dbsize, n_seqs = run_kernel_raw(
         queries_df, subjects, cfg,
-        cache_key=_blast_volume_key(sf_dir))
+        cache_key=vol_key)
     raw.write.mode("overwrite").parquet(cache_dir)
     # meta is written atomically (temp + os.replace) AFTER _SUCCESS
     # exists; reuse requires both, so neither a half-written dir nor a
@@ -1820,6 +1827,81 @@ def q_blast_gapped_tail(spark, sf_dir):
         spark, sf_dir, cfg=_blast_gapped_cfg(), qmod=100,
         link=_BLAST_RAW_GAPPED_PATH)
     return _tail_from_raw(rawdf, dbsize, n_seqs, _GLAM, _GK, _GH)
+
+
+# Gapped blastn — the reference's actual DEFAULT mode (nucleotide
+# search, gapped unless told otherwise, doc/USERGUIDE:46-50). The
+# documents corpus is text, so a deterministic LENGTH-PRESERVING
+# per-char fold maps it onto the DNA alphabet (codepoint mod 4 over
+# printable ASCII via translate — pure JVM expression, no UDF): length
+# preservation keeps dbsize == sum(length(text)), so the shared tail
+# oracle applies verbatim with the blastn (2,-3) reward/penalty +
+# (5,2) gap-cost Karlin-Altschul row — the corrected KA_GAPPED_NUCL
+# entry (blast_stat.c blastn_values_2_3, validated by kernel/ka_sim).
+# Near-duplicate documents fold to near-duplicate DNA, so both-strand
+# seeding, gapped Gotoh extension, and strand coordinate swap are all
+# genuinely exercised.
+_BLAST_RAW_NUCL_PATH = "/tmp/spark_graft_blast_raw_nucl_current.parquet"
+from mr_mpi_blast_spark.kernel.builtin import KA_GAPPED_NUCL as _KAN  # noqa: E402
+_NLAM, _NK, _NH = _KAN[(2, -3, 5, 2)]
+
+_DNA_FROM = "".join(chr(i) for i in range(32, 127))
+_DNA_TO = "".join("ACGT"[i % 4] for i in range(32, 127))
+
+
+def _blast_nucl_cfg():
+    from mr_mpi_blast_spark.config import BlastConfig
+    # word_size 16 (not blastn's 11): the mod-4 fold of English text is
+    # far from uniform over ACGT, so 11-mers collide at random much
+    # more often than on real DNA; 16 keeps seeding selective while
+    # near-duplicate documents still share long exact runs
+    return BlastConfig(task="blastn", word_size=16, reward=2, penalty=-3,
+                       gapped=True, evalue=1e-3, block_size=20000,
+                       num_hit_cutoff=10, max_kmer_hits=128)
+
+
+def _blast_nucl_inputs(spark, sf_dir, qmod: int = 100):
+    """_blast_inputs' nucleotide twin: same query subset / bucketing,
+    seq folded onto ACGT (length-preserving translate). Every SECOND
+    query is the reverse complement of its document: a deterministic
+    fold can never produce natural minus-strand homology, and without
+    it the strand-swap projection (P4) would go value-unchecked — the
+    revcomp'd queries can only hit their near-duplicates on the minus
+    strand."""
+    docs = _t(spark, sf_dir, "documents")
+    dna = F.translate(F.col("text"), _DNA_FROM, _DNA_TO)
+    qseq = F.when((F.col("doc_id") / qmod).cast("long") % 2 == 1,
+                  F.reverse(F.translate(dna, "ACGT", "TGCA"))).otherwise(dna)
+    queries_df = (docs.filter(F.col("doc_id") % qmod == 0)
+                  .select(F.col("doc_id").alias("qid"),
+                          F.concat(F.lit("doc_"), "doc_id").alias("defline"),
+                          F.concat(F.lit("doc_"), "doc_id").alias("defline_part"),
+                          qseq.alias("seq"),
+                          F.col("n_chars").cast("int").alias("length")))
+    subjects = docs.select(
+        F.concat(F.lit("s_"), "doc_id").alias("sid"),
+        F.concat(F.lit("s_"), "doc_id").alias("defline"),
+        F.concat(F.lit("db."), F.pmod(F.xxhash64("source"), F.lit(4))).alias("db_part"),
+        dna.alias("seq"),
+        F.col("n_chars").cast("int").alias("length"))
+    return queries_df, subjects
+
+
+@query("blast_gapped_nucl_tail", _tail_oracle_sql(_BLAST_RAW_NUCL_PATH,
+                                                  _NLAM, _NK, _NH))
+def q_blast_gapped_nucl_tail(spark, sf_dir):
+    """blast_tail's gapped-NUCLEOTIDE twin — the reference's default
+    operating mode (gapped blastn, mrblast.cpp:929 option contract
+    doc/USERGUIDE:46-66): both-strand seeding over the DNA-folded
+    corpus, (2,-3) scoring, gapped Gotoh stage with (5,2) costs, and
+    the KA_GAPPED_NUCL statistics row on both engines. Strand swap
+    (P4) is value-checked here in a way the blastp flagship cannot:
+    minus-strand hits flow through the qstrand != sstrand coordinate
+    exchange in the shared tail derivation."""
+    rawdf, dbsize, n_seqs = _blast_raw(
+        spark, sf_dir, cfg=_blast_nucl_cfg(), qmod=100,
+        link=_BLAST_RAW_NUCL_PATH, variant="dna")
+    return _tail_from_raw(rawdf, dbsize, n_seqs, _NLAM, _NK, _NH)
 
 
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -30,9 +30,11 @@ FACADES = [
     # verbatim with a recorded scale-path query) — registered in the
     # tail so unique-evidence queries keep the driver's prefix slots
     "dedup_ngram_jaccard", "ann_cosine_topk",
-    # gapped-kernel tail: unique evidence (nonzero gaps column, (11,1)
-    # statistics) that registers past the driver's recording window
-    "blast_gapped_tail",
+    # gapped-kernel tails: unique evidence (nonzero gaps column; blastp
+    # (11,1) statistics / blastn (2,-3)+(5,2) statistics with
+    # minus-strand coordinate swap) registering past the driver's
+    # recording window
+    "blast_gapped_tail", "blast_gapped_nucl_tail",
     # PII scrub: derived pseudo-PII machinery check (tail-registered)
     "text_pii_scrub", "text_repetition",
 ]

@@ -253,3 +253,26 @@ def test_raw_cache_keys_distinct_per_config_and_subset():
     assert len(set(distinct.values())) == len(distinct)
     dirs = {_blast_raw_cache_dir(v) for v in distinct.values()}
     assert len(dirs) == len(distinct)
+
+
+def test_gapped_nucl_tail_exercises_strand_swap_and_gaps(spark):
+    """The gapped-blastn tail must actually produce the evidence it
+    exists for: rows from the GAPPED nucleotide kernel (nonzero gaps)
+    and MINUS-strand hits flowing through the P4 coordinate swap
+    (sstart > send after the swap). Also: the dna variant may never
+    share a raw-hits cache key with the text variant."""
+    import __spark_entry__ as e
+    from mr_mpi_blast_spark.entry_queries import (_blast_nucl_cfg,
+                                                  _blast_raw_key)
+    sf = "/root/testdata/sf0.001"
+    p = e.queries()["blast_gapped_nucl_tail"](spark, sf).toPandas()
+    assert len(p) > 0
+    assert (p["gaps"] > 0).any(), "gapped DP produced no gapped rows"
+    minus = p[p["sstart"] > p["send"]]
+    plus = p[p["sstart"] <= p["send"]]
+    assert len(minus) > 0, "no minus-strand hits — P4 swap unexercised"
+    assert len(plus) > 0
+    # revcomp'd queries (odd doc_id/qmod) are where minus hits live
+    assert set((minus["qid"] // 100) % 2) == {1}
+    assert _blast_raw_key(sf, _blast_nucl_cfg(), 100, "dna") \
+        != _blast_raw_key(sf, _blast_nucl_cfg(), 100)
