@@ -412,7 +412,11 @@ def ivf_recall(queries: DataFrame, corpus: DataFrame,
                centroids: DataFrame, k: int,
                nprobes: tuple[int, ...] = (1, 2, 4),
                id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               brute: DataFrame | None = None,
+               assign: DataFrame | None = None,
+               qassign: DataFrame | None = None,
+               n_queries: int | None = None) -> DataFrame:
     """recall@k of the IVF index vs the exact brute-force answer, per
     nprobe setting — the acceptance metric of any ANN index build.
 
@@ -427,45 +431,97 @@ def ivf_recall(queries: DataFrame, corpus: DataFrame,
     already-scored candidates filtered to ``pr <= np`` — the same
     shape the replaying SQL oracle uses. The exact side runs through
     the BLAS brute-force path (identical contract to the expression
-    form; both satisfy the same oracle)."""
-    brute = brute_force_topk_numpy(queries, corpus, k, id_col, vec_col)
+    form; both satisfy the same oracle) — or, since the exact top-k
+    table is a pure function of (queries, corpus, k), the caller may
+    pass a precomputed/content-addressed ``brute`` (qid, nid) frame
+    and skip the O(Q x N) recomputation entirely."""
+    if brute is None:
+        brute = brute_force_topk_numpy(queries, corpus, k, id_col, vec_col)
     brute = brute.select("qid", "nid").persist()
-    n_queries = queries.select(id_col).distinct().count()
+    if n_queries is None:
+        n_queries = queries.select(id_col).distinct().count()
     max_np = max(nprobes)
-    assign = ivf_assign(corpus, centroids, id_col, vec_col)
-    qa = (ivf_assign(queries, centroids, id_col, vec_col,
-                     nprobe=max_np, with_rank=True)
-          .withColumnRenamed(id_col, "qid"))
-    q = _vec(queries, id_col, vec_col, "q").join(qa, "qid")
-    c = _vec(corpus, id_col, vec_col, "n").join(
-        assign.withColumnRenamed(id_col, "nid"), "nid")
-    cand = (q.join(c, "cid")
-            .filter(F.col("qid") != F.col("nid"))
-            .withColumn("cos", round6_xengine(_cosine_pre(
-                F.col("qvec"), F.col("nvec"),
-                F.col("qnorm"), F.col("nnorm"))))
-            .select("qid", "nid", "cos", "pr").persist())
-    parts = []
+    # assign/qassign are the IVF index's own artifacts (pure functions
+    # of corpus/queries x centroids) — a caller that materializes its
+    # index passes them in and this metric pays only the scoring
+    if assign is None:
+        assign = ivf_assign(corpus, centroids, id_col, vec_col)
+    qa = qassign if qassign is not None else (
+        ivf_assign(queries, centroids, id_col, vec_col,
+                   nprobe=max_np, with_rank=True)
+        .withColumnRenamed(id_col, "qid"))
+    qside = (queries.select(F.col(id_col).alias("qid"),
+                            F.col(vec_col).cast("array<double>")
+                            .alias("qvec"))
+             .join(qa, "qid"))
+    cside = corpus.select(F.col(id_col).alias("nid"),
+                          F.col(vec_col).cast("array<double>").alias("nvec")) \
+        .join(assign.withColumnRenamed(id_col, "nid"), "nid")
+
+    def score_bucket(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        # per-IVF-cell exact scoring in BLAS: the pair loop the
+        # expression join would run as an interpreted HOF over every
+        # candidate (O(cand x d) CodegenFallback ops) becomes one
+        # Q_c x N_c matmul per bucket; rounding and tie-break keys are
+        # the SAME floor-form 1e-6 / lowest-nid the window (and the
+        # replaying SQL oracle) use. Per-bucket top-k prune is exact:
+        # any nprobe union's top-k only needs each bucket's top-k.
+        empty = pd.DataFrame({"qid": pd.Series(dtype="int64"),
+                              "nid": pd.Series(dtype="int64"),
+                              "cos": pd.Series(dtype="float64"),
+                              "pr": pd.Series(dtype="int32")})
+        if qpdf.empty or cpdf.empty:
+            return empty
+        qm = np.stack(qpdf["qvec"].to_numpy()).astype(np.float64)
+        nm = np.stack(cpdf["nvec"].to_numpy()).astype(np.float64)
+        qn = np.linalg.norm(qm, axis=1, keepdims=True)
+        nn = np.linalg.norm(nm, axis=1, keepdims=True)
+        qn[qn == 0] = np.inf          # zero-norm ~ similar to nothing
+        nn[nn == 0] = np.inf          # (the expression form emits 0.0)
+        sims = (qm / qn) @ (nm / nn).T
+        r = np.floor(sims * 1e6 + 0.5) / 1e6
+        nids = cpdf["nid"].to_numpy()
+        outs = []
+        for i in range(len(qpdf)):
+            qid = int(qpdf["qid"].iat[i])
+            mask = nids != qid
+            mids, mcos = nids[mask], r[i][mask]
+            take = min(k, mids.size)
+            sel = np.lexsort((mids, -mcos))[:take]
+            outs.append(pd.DataFrame({
+                "qid": np.repeat(np.int64(qid), take),
+                "nid": mids[sel].astype(np.int64),
+                "cos": mcos[sel],
+                "pr": np.repeat(np.int32(qpdf["pr"].iat[i]), take)}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    cand = (qside.groupBy("cid").cogroup(cside.groupBy("cid"))
+            .applyInPandas(score_bucket,
+                           schema="qid long, nid long, cos double, pr int")
+            .persist())
+    # ONE window sort serves every nprobe setting: rank of a candidate
+    # within the pr<=np subset = running count of pr<=np rows in the
+    # shared (cos desc, nid asc) order — all np columns ride the same
+    # partition sort, then one join against the exact answer and one
+    # conditional-sum aggregate replace the former per-np
+    # window+join+agg triples (3x fewer jobs, identical results)
+    wkey = (Window.partitionBy("qid")
+            .orderBy(F.col("cos").desc(), F.col("nid").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = cand
     for np_ in nprobes:
-        w = Window.partitionBy("qid").orderBy(F.col("cos").desc(),
-                                              F.col("nid").asc())
-        got = (cand.filter(F.col("pr") <= np_)
-               .withColumn("rank", F.row_number().over(w))
-               .filter(F.col("rank") <= k))
-        hit = brute.join(got.select("qid", "nid"), ["qid", "nid"], "inner")
-        parts.append(hit.agg(
-            F.lit(int(np_)).cast("long").alias("nprobe"),
-            F.lit(int(n_queries)).cast("long").alias("n_queries"),
-            (F.floor(F.count(F.lit(1)) / F.lit(float(k * n_queries))
-                     * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias("recall")))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    # the result is a tiny per-nprobe aggregate: materialize it now so
-    # the two persisted intermediates (brute top-k, scored candidates)
-    # can be unpersisted instead of pinning executor memory for the
-    # session's lifetime
-    rows = out.collect()
+        ranked = ranked.withColumn(
+            f"_rn{np_}", F.sum(F.when(F.col("pr") <= np_, 1)
+                               .otherwise(0)).over(wkey))
+    hit = ranked.join(brute, ["qid", "nid"], "inner")
+    agg = hit.agg(*[
+        F.sum(F.when((F.col("pr") <= np_) & (F.col(f"_rn{np_}") <= k), 1)
+              .otherwise(0)).alias(f"_h{np_}") for np_ in nprobes]).first()
+    import math
+    rows = [(int(np_), int(n_queries),
+             math.floor((agg[f"_h{np_}"] or 0) / float(k * n_queries)
+                        * 1e4 + 0.5) / 1e4)
+            for np_ in nprobes]
     brute.unpersist()
     cand.unpersist()
     return queries.sparkSession.createDataFrame(
