@@ -721,7 +721,13 @@ def _embedding_pairs(spark, sf_dir):
         os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir()),
         "spark_graft_pairs", hashlib.md5(key.encode()).hexdigest()[:16])
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        (cosine_pairs_auto(_t(spark, sf_dir, "embeddings"), tau=0.45)
+        # row count from the parquet footer (driver-side metadata
+        # read) — no Spark job for the scale-guard probe
+        import pyarrow.dataset as pads
+        src = os.path.join(sf_dir, "embeddings.parquet")
+        n_rows = pads.dataset(src, format="parquet").count_rows()
+        (cosine_pairs_auto(_t(spark, sf_dir, "embeddings"), tau=0.45,
+                           n_rows=n_rows)
          .write.mode("overwrite").parquet(path))
     return spark.read.parquet(path)
 

@@ -295,14 +295,18 @@ EXACT_PAIRS_MAX_ROWS = int(__import__("os").environ.get(
 def cosine_pairs_auto(vectors: DataFrame, tau: float,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding",
-                      exact_max_rows: int | None = None) -> DataFrame:
+                      exact_max_rows: int | None = None,
+                      n_rows: int | None = None) -> DataFrame:
     """Near-dup pair scan with a scale guard: exact BLAS-broadcast form
     (cosine_pairs_numpy) while the corpus fits comfortably in executor
-    memory, LSH-bucketed candidates + exact verify beyond. The count()
-    is an aggregate pushdown on columnar sources (footer metadata, not
-    a data scan)."""
+    memory, LSH-bucketed candidates + exact verify beyond. Callers
+    reading a parquet source should pass ``n_rows`` from the footer
+    metadata (pyarrow ParquetDataset/File .metadata.num_rows — pure
+    driver-side file reads); the count() fallback launches a Spark job
+    per call even when the aggregate pushes down."""
     limit = EXACT_PAIRS_MAX_ROWS if exact_max_rows is None else exact_max_rows
-    if vectors.count() <= limit:
+    n = n_rows if n_rows is not None else vectors.count()
+    if n <= limit:
         return cosine_pairs_numpy(vectors, tau, id_col, vec_col)
     return cosine_pairs_rplsh(vectors, tau, id_col, vec_col)
 
