@@ -58,9 +58,19 @@ def search_query_stream(query_stream: DataFrame, subjects: DataFrame,
             return                    # crash replay: already committed
         if batch_df.isEmpty():
             return
-        raw, _, _ = run_kernel_raw(batch_df, subjects, cfg,
-                                   cache_key=cache_key)
+        raw, dbsize, n_seqs = run_kernel_raw(batch_df, subjects, cfg,
+                                             cache_key=cache_key)
         raw.write.mode("overwrite").parquet(part)
+        # the DB is static across the stream, so (dbsize, n_seqs) are
+        # batch-invariant — record them once so search_from_stream can
+        # derive the canonical tail without re-staging the subjects
+        meta = os.path.join(out_dir, "_db_meta.json")
+        if not os.path.exists(meta):
+            import json
+            tmp = f"{meta}.{os.getpid()}.tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"dbsize": dbsize, "n_seqs": n_seqs}, fh)
+            os.replace(tmp, meta)
 
     q = (query_stream.writeStream
          .foreachBatch(process)
@@ -98,3 +108,23 @@ def read_stream_hits(spark: SparkSession, out_dir: str) -> DataFrame:
             .option("basePath", out_dir)
             .parquet(*committed)
             .select(*RAW_HITS.fieldNames()))
+
+
+def search_from_stream(spark: SparkSession, out_dir: str,
+                       cfg: BlastConfig) -> DataFrame:
+    """Canonical HITS over everything the stream has committed so far:
+    projections, Karlin-Altschul statistics, e-value filter, and the
+    per-query top-k computed ACROSS accumulated batches — the one
+    semantic a per-batch derivation would get wrong, since a query
+    whose raw hits span micro-batches (re-delivered or split input)
+    must rank all of them together exactly as the batch pipeline
+    would. Statistics use the (dbsize, n_seqs) the stream recorded at
+    its first commit (the DB is static for the stream's lifetime)."""
+    import json
+
+    from mr_mpi_blast_spark.plans.pipeline import search_from_raw
+    meta_p = os.path.join(out_dir, "_db_meta.json")
+    with open(meta_p) as fh:
+        meta = json.load(fh)
+    return search_from_raw(read_stream_hits(spark, out_dir),
+                           int(meta["dbsize"]), int(meta["n_seqs"]), cfg)

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Synthesize a sf1.0 decade from sf0.1 for scale-trend evidence —
+for the queries whose semantics survive replication.
+
+The driver provides sf{0.001,0.01,0.1} only, and TESTDATA.md forbids
+regenerating testdata. Replication is semantically safe for
+relational / windowed / packing / sampling / per-document-text
+workloads when each replica is an INDEPENDENT population: every key
+domain gets a per-replica offset (next power of 10 above the domain's
+max), applied consistently to primary AND foreign keys, so join
+fan-outs, per-user event densities, and per-key group sizes are
+exactly preserved while row counts scale 10x.
+
+Deliberately NOT synthesized (semantics corrupted by replication, so
+measuring them here would be fake evidence — the round-5 verdict's
+own caveat):
+- dedup/similarity/ANN (10 exact copies of every text/vector inflate
+  the true-duplicate density the operators exist to measure);
+- the blast kernel family (replicated TEXT means each query hits all
+  10 replicas of its near-duplicates: raw hit volume grows
+  quadratically in replicas, which is a different workload, not a
+  bigger one) — embeddings.parquet is skipped entirely.
+
+Output: $SPARK_GRAFT_SF1_DIR (default /tmp/spark_graft_sf1.0) with
+the same table names; scripts/bench_scaling.py picks it up for the
+eligible query subset when the directory exists.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+OUT = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1.0")
+REPLICAS = 10
+
+# key domain -> the columns it governs across tables (PK first)
+DOMAINS = {
+    "regionkey": [("region", "r_regionkey"), ("nation", "n_regionkey")],
+    "nationkey": [("nation", "n_nationkey"), ("customer", "c_nationkey"),
+                  ("supplier", "s_nationkey")],
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "event_id": [("events", "event_id")],
+    "user_id": [("events", "user_id")],
+    "doc_id": [("documents", "doc_id")],
+}
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents"]
+
+
+def next_pow10(n: int) -> int:
+    p = 1
+    while p <= n:
+        p *= 10
+    return p
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from mr_mpi_blast_spark.session import get_spark
+    spark = get_spark("make_sf1")
+
+    # per-domain offsets from the real data's key maxima
+    offsets: dict[str, int] = {}
+    for dom, cols in DOMAINS.items():
+        mx = 0
+        for table, col in cols:
+            df = spark.read.parquet(os.path.join(SRC, f"{table}.parquet"))
+            mx = max(mx, int(df.agg(F.max(col)).first()[0]))
+        offsets[dom] = next_pow10(mx)
+
+    col_offset = {(t, c): offsets[dom]
+                  for dom, cols in DOMAINS.items() for t, c in cols}
+
+    os.makedirs(OUT, exist_ok=True)
+    for table in TABLES:
+        src = spark.read.parquet(os.path.join(SRC, f"{table}.parquet"))
+        # one read, 10 offset projections, one union write — the
+        # replica id never materializes as a column, so schemas match
+        # the originals exactly
+        parts = []
+        for i in range(REPLICAS):
+            cols = []
+            for f in src.schema.fields:
+                off = col_offset.get((table, f.name))
+                if off is not None and i > 0:
+                    cols.append((F.col(f.name) + F.lit(i * off))
+                                .cast(f.dataType).alias(f.name))
+                else:
+                    cols.append(F.col(f.name))
+            parts.append(src.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        dest = os.path.join(OUT, f"{table}.parquet")
+        out.write.mode("overwrite").parquet(dest)
+        n = spark.read.parquet(dest).count()
+        print(f"{table}: {n} rows -> {dest}")
+    print(f"done: {OUT}")
+
+
+if __name__ == "__main__":
+    main()

@@ -256,3 +256,59 @@ def test_read_stream_hits_skips_torn_batch(spark, tmp_path):
     assert got.count() == 1                                 # torn excluded
     os.remove(os.path.join(out, "batch=0", "_SUCCESS"))
     assert read_stream_hits(spark, out).count() == 0        # all torn
+
+
+def test_stream_tail_equals_batch_tail_across_batches(spark, tmp_path):
+    """End-to-end streamed RELATIONAL TAIL parity: the canonical HITS
+    derived from accumulated stream commits (projections + statistics
+    + e-value filter + per-query top-k) must equal the batch
+    pipeline's over the same inputs — including a query whose raw
+    hits SPAN micro-batches (delivered in two separate files), where
+    a per-batch top-k would rank only half its hits."""
+    from mr_mpi_blast_spark.config import BlastConfig
+    from mr_mpi_blast_spark.plans.pipeline import (run_kernel_raw,
+                                                   search_from_raw)
+    from mr_mpi_blast_spark.streaming.kernel_stream import (
+        read_stream_hits, search_from_stream, search_query_stream)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    qbase = (docs.filter(F.col("doc_id") % 7 == 0)
+             .select(F.col("doc_id").alias("qid"),
+                     F.concat(F.lit("q_"), "doc_id").alias("defline"),
+                     F.col("text").alias("seq"),
+                     F.col("n_chars").cast("int").alias("length")))
+    # the spanning query: doc 0 re-delivered in a second file
+    dup = qbase.filter(F.col("qid") == 0)
+    assert dup.count() == 1
+    subjects = (docs.filter(F.col("doc_id") % 3 == 0)
+                .select(F.concat(F.lit("s_"), "doc_id").alias("sid"),
+                        F.concat(F.lit("s_"), "doc_id").alias("defline"),
+                        F.lit("db.0").alias("db_part"),
+                        F.col("text").alias("seq"),
+                        F.col("n_chars").cast("int").alias("length")))
+    cfg = BlastConfig(task="blastp", word_size=12, block_size=5000,
+                      evalue=10.0, num_hit_cutoff=10)
+
+    src = str(tmp_path / "qsrc")
+    qbase.repartition(2).write.mode("overwrite").parquet(src)
+    dup.coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(qbase.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "hits")
+    ckpt = str(tmp_path / "ckpt")
+    search_query_stream(stream, subjects, cfg, out, ckpt)
+
+    # the duplicated query's raw hits must actually span >= 2 batches
+    per_batch = [
+        spark.read.parquet(os.path.join(out, d))
+        .filter(F.col("qid") == 0).count()
+        for d in sorted(os.listdir(out)) if d.startswith("batch=")]
+    assert sum(1 for n in per_batch if n > 0) >= 2, per_batch
+
+    got = search_from_stream(spark, out, cfg)
+    batch_queries = qbase.unionByName(dup)  # same multiset of inputs
+    raw, dbsize, n_seqs = run_kernel_raw(batch_queries, subjects, cfg)
+    want = search_from_raw(raw, dbsize, n_seqs, cfg)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.filter(F.col("qid") == 0).count() > 0
