@@ -3,23 +3,31 @@
 
 Runs every benched query at sf0.001 / sf0.01 / sf0.1 in ONE process
 (shared JIT warmup), takes the median of N reps per (query, sf), and
-reports the scaling exponent alpha from t ~ sf^alpha fitted on the
-last decade (sf0.01 -> sf0.1):
+reports the scaling exponent alpha from t ~ sf^alpha fitted per
+decade:
 
-    alpha = log10(t(0.1) / t(0.01))
+    alpha = log10(t(sf_hi) / t(sf_lo))   per adjacent decade
 
 alpha ~ 0 = fixed-overhead bound (job launch dominates), ~1 = linear
 in data (the healthy shape for scans/aggs/joins at this size), > 1 =
 superlinear — the queries to watch at 100 TB.
 
-sf1.0 context: the driver provides sf{0.001,0.01,0.1} only and
-TESTDATA.md forbids regenerating testdata; synthesizing sf1.0 by
-replicating sf0.1 would multiply every document 10x and corrupt the
-dedup/similarity workloads' semantics (10 exact copies of every text),
-so the trend is fitted on real data and the sf1.0 hole is documented
-rather than faked.
+sf1.0: the driver provides sf{0.001,0.01,0.1} only and TESTDATA.md
+forbids regenerating testdata. scripts/make_scale_decade.py
+synthesizes an sf1.0 by replicating sf0.1 with per-replica key-domain
+offsets (join fan-outs and per-key densities preserved exactly);
+when that directory exists, the REPLICATION-SAFE query subset also
+runs there and gets a real second decade (alpha_1 = 0.1 -> 1.0).
+Dedup/similarity/ANN, the blast kernel family, anything reading the
+near-dup pair tables, and md5(text)-grouping pipelines are excluded
+at sf1.0 — replication corrupts their semantics (exact copies inflate
+true-duplicate density / raw hit volume quadratically), so measuring
+them there would be fake evidence; their trend stops at the real
+data.
 
-Prints one JSON line: {"exponents": {q: alpha}, "timings": {...}}.
+Prints one JSON line:
+{"exponents": {q: a(0.01->0.1)}, "exponents_sf1": {q: a(0.1->1.0)},
+ "timings": {...}}.
 """
 
 from __future__ import annotations
@@ -35,6 +43,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
        "/root/testdata/sf0.1"]
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1.0")
+
+# replication-UNSAFE at the synthetic sf1.0 (see module docstring)
+SF1_EXCLUDE = {
+    "blast_pipeline", "blast_tail",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
+    "dedup_simhash", "dedup_simhash_pairs",
+    "embedding_near_dup", "embedding_clusters",
+    "ann_cosine_topk_numpy", "ann_ivf_topk", "ann_ivf_nprobe2",
+    "ann_ivf_recall",
+    "split_contamination",       # reads the near-dup pair table
+    "corpus_curation",           # md5(text) dedup stage inside
+    "fasta_roundtrip",           # fixture generation, single-file by design
+}
 
 
 def main() -> None:
@@ -46,10 +68,18 @@ def main() -> None:
     spark = get_spark("bench_scaling")
     qs = {k: v for k, v in e.queries().items() if k not in CORRECTNESS_ONLY}
 
+    sf_dirs = list(SFS)
+    have_sf1 = os.path.isdir(SF1_DIR)
+    if have_sf1:
+        sf_dirs.append(SF1_DIR)
+
     timings: dict[str, dict[str, float]] = {}
-    for sf_dir in SFS:
-        sf = sf_dir.rsplit("sf", 1)[1]
+    for sf_dir in sf_dirs:
+        synthetic = sf_dir == SF1_DIR
+        sf = "1.0" if synthetic else sf_dir.rsplit("sf", 1)[1]
         for name, fn in qs.items():
+            if synthetic and name in SF1_EXCLUDE:
+                continue
             if name == "blast_pipeline":
                 _clear_raw_cache(sf_dir)
             runs = []
@@ -73,11 +103,18 @@ def main() -> None:
                 statistics.median(runs), 3)
 
     exponents = {}
+    exponents_sf1 = {}
     for name, t in timings.items():
         if "0.01" in t and "0.1" in t and t["0.01"] > 0:
             exponents[name] = round(math.log10(t["0.1"] / t["0.01"]), 2)
-    print(json.dumps({"exponents": exponents, "timings": timings,
-                      "reps": reps_n}))
+        if "0.1" in t and "1.0" in t and t["0.1"] > 0:
+            exponents_sf1[name] = round(math.log10(t["1.0"] / t["0.1"]), 2)
+    out = {"exponents": exponents, "timings": timings, "reps": reps_n}
+    if have_sf1:
+        out["exponents_sf1"] = exponents_sf1
+        out["sf1_dir"] = SF1_DIR
+        out["sf1_excluded"] = sorted(SF1_EXCLUDE)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
