@@ -1753,11 +1753,22 @@ from mr_mpi_blast_spark.kernel.builtin import KA_BLOSUM62 as _KAP  # noqa: E402
 _LAM, _KAP_K, _KAP_H = _KAP
 
 def _tail_oracle_sql(raw_path: str, lam: float, kk: float,
-                     hh: float) -> str:
+                     hh: float, max_target_seqs: int | None = None) -> str:
     """The relational-tail oracle SQL, templated on the persisted raw
     path and the Karlin-Altschul constants so the flagship (ungapped
-    BLOSUM62) and gapped (BLOSUM62 11,1) pipelines share one
-    derivation verbatim."""
+    BLOSUM62) and gapped (BLOSUM62 11,1 / blastn 2,-3 5,2) pipelines
+    share one derivation verbatim. ``max_target_seqs`` inserts the F2
+    subject cap between the e-value filter and the per-query ranking:
+    subjects ranked per query by their best HSP (score desc == evalue
+    asc within a query, sid tiebreak), every HSP of a surviving
+    subject kept — the BLAST option contract (doc/USERGUIDE:48-50)."""
+    cap_sql = "" if max_target_seqs is None else f"""
+best AS (SELECT qid, sid, max(score) AS best_score FROM filt GROUP BY qid, sid),
+subj AS (SELECT qid, sid FROM (
+  SELECT qid, sid, row_number() OVER (PARTITION BY qid
+    ORDER BY best_score DESC, sid) AS sr FROM best) WHERE sr <= {max_target_seqs}),
+capped AS (SELECT f.* FROM filt f JOIN subj USING (qid, sid)),"""
+    rank_src = "filt" if max_target_seqs is None else "capped"
     return f"""
 WITH raw AS (SELECT * FROM read_parquet('{raw_path}/*.parquet')),
 db AS (SELECT CAST(sum(length(text)) AS DOUBLE) AS dbsize,
@@ -1783,11 +1794,11 @@ scored AS (
   SELECT a.*, floor((log10(m_eff) + log10(n_eff)
                      - bit * log10(2.0)) * 1e4 + 0.5) / 1e4 AS log10_evalue
   FROM adj a),
-filt AS (SELECT * FROM scored WHERE log10_evalue <= -3.0),
+filt AS (SELECT * FROM scored WHERE log10_evalue <= -3.0),{cap_sql}
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY qid
     ORDER BY score DESC, sid, qstart0, send0, sstart0, qend0, ident_count) AS rank
-  FROM filt)
+  FROM {rank_src})
 SELECT qid, sid,
        floor(identr * 1e4 + 0.5) / 1e4 AS ident,
        CAST(align_len AS BIGINT) AS align_len,
@@ -1804,10 +1815,12 @@ FROM ranked WHERE rank <= 10
 
 _BLAST_TAIL_ORACLE = _tail_oracle_sql(_BLAST_RAW_PATH, _LAM, _KAP_K, _KAP_H)
 
-def _tail_from_raw(rawdf, dbsize, n_seqs, lam, kk, hh):
-    """Shared Spark-side relational tail (P3-P9 + F1 + O2/O3) over a
-    persisted RAW_HITS frame — the exact twin of _tail_oracle_sql,
-    parameterized the same way on the Karlin-Altschul constants."""
+def _tail_from_raw(rawdf, dbsize, n_seqs, lam, kk, hh,
+                   max_target_seqs: int | None = None):
+    """Shared Spark-side relational tail (P3-P9 + F1 + O2/O3, plus the
+    F2 subject cap when ``max_target_seqs`` is set) over a persisted
+    RAW_HITS frame — the exact twin of _tail_oracle_sql, parameterized
+    the same way on the Karlin-Altschul constants."""
 
     def r4(c):
         return F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
@@ -1840,6 +1853,18 @@ def _tail_from_raw(rawdf, dbsize, n_seqs, lam, kk, hh):
         r4(bit).alias("bitscore"),
         "score", "qstart0", "send0", "sstart0", "qend0", "ident_count")
     filt = proj.filter(F.col("log10_evalue") <= -3.0)
+    if max_target_seqs is not None:
+        # F2: rank subjects per query by best HSP score (== evalue asc
+        # within a query — the length adjustment is constant per qid),
+        # keep every HSP of the top max_target_seqs subjects
+        best = filt.groupBy("qid", "sid").agg(
+            F.max("score").alias("_best"))
+        wsub = Window.partitionBy("qid").orderBy(
+            F.col("_best").desc(), F.col("sid").asc())
+        subj = (best.withColumn("_sr", F.row_number().over(wsub))
+                .filter(F.col("_sr") <= max_target_seqs)
+                .select("qid", "sid"))
+        filt = filt.join(subj, ["qid", "sid"], "left_semi")
     w = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("sid").asc(), F.col("qstart0").asc(),
         F.col("send0").asc(), F.col("sstart0").asc(), F.col("qend0").asc(),
@@ -1973,6 +1998,21 @@ def q_blast_gapped_nucl_tail(spark, sf_dir):
         spark, sf_dir, cfg=_blast_nucl_cfg(), qmod=100,
         link=_BLAST_RAW_NUCL_PATH, variant="dna")
     return _tail_from_raw(rawdf, dbsize, n_seqs, _NLAM, _NK, _NH)
+
+
+@query("blast_capped_tail", _tail_oracle_sql(_BLAST_RAW_PATH, _LAM, _KAP_K,
+                                             _KAP_H, max_target_seqs=3))
+def q_blast_capped_tail(spark, sf_dir):
+    """F2 value oracle: -max_target_seqs as both engines rank it —
+    subjects ordered per query by best-HSP score (== evalue asc
+    within a query), every HSP of the top 3 subjects kept, then the
+    usual per-query top-10 (doc/USERGUIDE:48-50,357-371). Shares the
+    flagship's persisted raw hits (zero extra kernel cost) so the cap
+    is the ONLY difference from blast_tail — a wrong cap breaks the
+    hash even though every surviving row also appears there."""
+    rawdf, dbsize, n_seqs = _blast_raw(spark, sf_dir)
+    return _tail_from_raw(rawdf, dbsize, n_seqs, _LAM, _KAP_K, _KAP_H,
+                          max_target_seqs=3)
 
 
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -35,6 +35,8 @@ FACADES = [
     # minus-strand coordinate swap) registering past the driver's
     # recording window
     "blast_gapped_tail", "blast_gapped_nucl_tail",
+    # F2 subject cap over the flagship's shared raw hits
+    "blast_capped_tail",
     # PII scrub: derived pseudo-PII machinery check (tail-registered)
     "text_pii_scrub", "text_repetition",
 ]
