@@ -130,8 +130,11 @@ def ordered_prefix_sum(df: DataFrame, value: Column | str,
     q = df.withColumn("_fine", fine)
     # the local-relation DataFrame is itself cached per session: its
     # Arrow serialization + analysis cost is per-call driver overhead
-    # (plan-sized, but paid thrice per bench rep set)
-    dfk = (ck, id(spark)) if ck is not None else None
+    # (plan-sized, but paid thrice per bench rep set). Keyed by
+    # applicationId, not id(spark) — a recycled object address could
+    # alias a DataFrame bound to a stopped session
+    dfk = ((ck, spark.sparkContext.applicationId)
+           if ck is not None else None)
     off_df = _HIST_CACHE.get(("off_df", dfk)) if dfk is not None else None
     if off_df is None:
         off_df = (spark.createDataFrame(fine_map, ["_fine", "_coarse"])

@@ -131,7 +131,12 @@ def main() -> int:
             failures.append(name)
         print(f"{status} {name}: rows={len(sdf)} {msg if not ok else ''} [{time.time()-t0:.1f}s]")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass ({len(weak)} rows-only)")
+    # count only what actually RAN: with a name filter the old
+    # len(qs)-based line printed "68/68 pass" after checking 2 queries
+    n_checked = len([n for n in qs if not only or n in only])
+    print(f"\n{n_checked - len(failures)}/{n_checked} pass "
+          f"({len(weak)} rows-only)"
+          + (f" [filtered: {n_checked} of {len(qs)}]" if only else ""))
     return 1 if failures else 0
 
 
