@@ -140,10 +140,14 @@ def main() -> None:
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_reps.json")
     try:
-        with open(sidecar, "w") as f:
+        # tmp + os.replace: a bench killed mid-dump must not leave a
+        # torn sidecar or destroy the previous run's evidence
+        tmp = f"{sidecar}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
             json.dump({"reps": reps, "pass_totals": pass_totals,
                        "cold": cold, "sf": sf, "bench_reps": reps_n,
                        "rep_order": "interleaved"}, f)
+        os.replace(tmp, sidecar)
     except OSError as ex:
         print(f"bench: sidecar write failed ({ex})", file=sys.stderr)
     print(json.dumps({

@@ -1040,11 +1040,28 @@ def q_ann_ivf_nprobe2(spark, sf_dir):
 _IVF_CENT_PATH = "/tmp/spark_graft_ivf_centroids.parquet"
 
 
-def _ivf_cent_store(sf_dir: str, spec: str = "k8i10s7") -> str:
+# trained-IVF parameters, defined ONCE: both the training call and the
+# artifact-store key derive from these, so they cannot drift apart
+_IVF_K, _IVF_ITER, _IVF_SEED = 8, 10, 7
+
+
+def _ivf_spec() -> str:
+    """Training spec string derived from the ACTUAL parameters plus
+    the training algorithm's version tag — editing k/n_iter/seed or
+    the k-means code invalidates every stored artifact automatically
+    (the _blast_raw_key discipline; a hand-written literal here once
+    risked replaying centroids that were never trained)."""
+    from mr_mpi_blast_spark.operators.similarity import IVF_TRAIN_SPEC
+    return f"k{_IVF_K}i{_IVF_ITER}s{_IVF_SEED}_{IVF_TRAIN_SPEC}"
+
+
+def _ivf_cent_store(sf_dir: str, spec: str | None = None) -> str:
     """Content-addressed store path: embeddings identity + training
-    spec (k, n_iter, seed), so a changed corpus OR changed training
-    parameters can never serve stale artifacts."""
+    spec (k, n_iter, seed, algorithm version), so a changed corpus OR
+    changed training can never serve stale artifacts."""
     import hashlib
+    if spec is None:
+        spec = _ivf_spec()
     try:
         mtime = int(os.stat(os.path.join(sf_dir, "embeddings.parquet"))
                     .st_mtime)
@@ -1120,7 +1137,8 @@ def q_ann_ivf_recall(spark, sf_dir):
         cents = spark.createDataFrame(
             pd.read_parquet(store), schema="cid long, embedding array<double>")
     else:
-        cents = train_ivf_centroids(e, k=8, n_iter=10, seed=7)
+        cents = train_ivf_centroids(e, k=_IVF_K, n_iter=_IVF_ITER,
+                                    seed=_IVF_SEED)
         tmp = f"{store}.{os.getpid()}.tmp"
         cents.toPandas().to_parquet(tmp, index=False)
         os.replace(tmp, store)
@@ -1279,23 +1297,29 @@ def _blast_cfg():
                        block_size=20000, num_hit_cutoff=10, max_kmer_hits=128)
 
 
-def _blast_inputs(spark, sf_dir, qmod: int = 25):
+def _blast_inputs(spark, sf_dir, qmod: int = 25, seq_expr=None,
+                  qseq_expr=None):
     """The shared kernel inputs: every qmod-th document is a query
     (25 for the flagship); all documents form the database, bucketed
     into 4 partitions — so every config shares the staged volumes and
-    disk-cached subject indexes."""
+    disk-cached subject indexes. ``seq_expr``/``qseq_expr`` override
+    the subject/query sequence derivation (default: the raw text) so
+    variants (the DNA fold) share THIS projection — the subset scheme
+    and xxhash64 bucketing must never be duplicated."""
     docs = _t(spark, sf_dir, "documents")
+    sseq = F.col("text") if seq_expr is None else seq_expr
+    qseq = sseq if qseq_expr is None else qseq_expr
     queries_df = (docs.filter(F.col("doc_id") % qmod == 0)
                   .select(F.col("doc_id").alias("qid"),
                           F.concat(F.lit("doc_"), "doc_id").alias("defline"),
                           F.concat(F.lit("doc_"), "doc_id").alias("defline_part"),
-                          F.col("text").alias("seq"),
+                          qseq.alias("seq"),
                           F.col("n_chars").cast("int").alias("length")))
     subjects = docs.select(
         F.concat(F.lit("s_"), "doc_id").alias("sid"),
         F.concat(F.lit("s_"), "doc_id").alias("defline"),
         F.concat(F.lit("db."), F.pmod(F.xxhash64("source"), F.lit(4))).alias("db_part"),
-        F.col("text").alias("seq"),
+        sseq.alias("seq"),
         F.col("n_chars").cast("int").alias("length"))
     return queries_df, subjects
 
@@ -1854,17 +1878,13 @@ def _tail_from_raw(rawdf, dbsize, n_seqs, lam, kk, hh,
         "score", "qstart0", "send0", "sstart0", "qend0", "ident_count")
     filt = proj.filter(F.col("log10_evalue") <= -3.0)
     if max_target_seqs is not None:
-        # F2: rank subjects per query by best HSP score (== evalue asc
-        # within a query — the length adjustment is constant per qid),
-        # keep every HSP of the top max_target_seqs subjects
-        best = filt.groupBy("qid", "sid").agg(
-            F.max("score").alias("_best"))
-        wsub = Window.partitionBy("qid").orderBy(
-            F.col("_best").desc(), F.col("sid").asc())
-        subj = (best.withColumn("_sr", F.row_number().over(wsub))
-                .filter(F.col("_sr") <= max_target_seqs)
-                .select("qid", "sid"))
-        filt = filt.join(subj, ["qid", "sid"], "left_semi")
+        # F2 through the PRODUCTION implementation (the oracle then
+        # checks the shipped cap path, not a local twin): ranking on
+        # log10_evalue asc == score desc within a query, matching the
+        # oracle SQL's best_score DESC
+        from mr_mpi_blast_spark.plans.pipeline import apply_max_target_seqs
+        filt = apply_max_target_seqs(filt, max_target_seqs,
+                                     evalue_col="log10_evalue")
     w = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("sid").asc(), F.col("qstart0").asc(),
         F.col("send0").asc(), F.col("sstart0").asc(), F.col("qend0").asc(),
@@ -1957,30 +1977,17 @@ def _blast_nucl_cfg():
 
 
 def _blast_nucl_inputs(spark, sf_dir, qmod: int = 100):
-    """_blast_inputs' nucleotide twin: same query subset / bucketing,
-    seq folded onto ACGT (length-preserving translate). Every SECOND
-    query is the reverse complement of its document: a deterministic
-    fold can never produce natural minus-strand homology, and without
-    it the strand-swap projection (P4) would go value-unchecked — the
-    revcomp'd queries can only hit their near-duplicates on the minus
-    strand."""
-    docs = _t(spark, sf_dir, "documents")
+    """_blast_inputs' nucleotide variant: same query subset and
+    bucketing (shared projection), seq folded onto ACGT
+    (length-preserving translate). Every SECOND query is the reverse
+    complement of its document: a deterministic fold can never produce
+    natural minus-strand homology, and without it the strand-swap
+    projection (P4) would go value-unchecked — the revcomp'd queries
+    can only hit their near-duplicates on the minus strand."""
     dna = F.translate(F.col("text"), _DNA_FROM, _DNA_TO)
     qseq = F.when((F.col("doc_id") / qmod).cast("long") % 2 == 1,
                   F.reverse(F.translate(dna, "ACGT", "TGCA"))).otherwise(dna)
-    queries_df = (docs.filter(F.col("doc_id") % qmod == 0)
-                  .select(F.col("doc_id").alias("qid"),
-                          F.concat(F.lit("doc_"), "doc_id").alias("defline"),
-                          F.concat(F.lit("doc_"), "doc_id").alias("defline_part"),
-                          qseq.alias("seq"),
-                          F.col("n_chars").cast("int").alias("length")))
-    subjects = docs.select(
-        F.concat(F.lit("s_"), "doc_id").alias("sid"),
-        F.concat(F.lit("s_"), "doc_id").alias("defline"),
-        F.concat(F.lit("db."), F.pmod(F.xxhash64("source"), F.lit(4))).alias("db_part"),
-        dna.alias("seq"),
-        F.col("n_chars").cast("int").alias("length"))
-    return queries_df, subjects
+    return _blast_inputs(spark, sf_dir, qmod, seq_expr=dna, qseq_expr=qseq)
 
 
 @query("blast_gapped_nucl_tail", _tail_oracle_sql(_BLAST_RAW_NUCL_PATH,

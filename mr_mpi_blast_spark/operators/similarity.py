@@ -356,6 +356,14 @@ def brute_force_topk_numpy(queries: DataFrame, corpus: DataFrame, k: int,
             .select("qid", "nid", round4_xengine(F.col("cos")).alias("cos"), "rank"))
 
 
+# Version tag for the training ALGORITHM below — bump whenever a code
+# change can alter the trained centroids (init scheme, tie-breaking,
+# update rule), so content-addressed artifact stores keyed on
+# (corpus, params, IVF_TRAIN_SPEC) can never replay centroids an older
+# algorithm produced (the KERNEL_SPEC discipline, applied here).
+IVF_TRAIN_SPEC = "t1"
+
+
 def train_ivf_centroids(vectors: DataFrame, k: int, n_iter: int = 10,
                         seed: int = 7, sample_mod: int | None = None,
                         id_col: str = "vec_id",
@@ -470,6 +478,13 @@ def ivf_recall(queries: DataFrame, corpus: DataFrame,
         # the SAME floor-form 1e-6 / lowest-nid the window (and the
         # replaying SQL oracle) use. Per-bucket top-k prune is exact:
         # any nprobe union's top-k only needs each bucket's top-k.
+        # Known cross-engine caveat (shared with brute_force_topk_numpy,
+        # accepted since r2): BLAS pairwise summation can differ from
+        # the oracle's sequential fold in the last ulp, so a cosine
+        # sitting WITHIN 1 ulp of a 0.5e-6 floor boundary could round
+        # apart and flip the k'th rank — never observed across the
+        # three SFs; the 1e-6 key keeps the exposure to exact-boundary
+        # doubles only.
         empty = pd.DataFrame({"qid": pd.Series(dtype="int64"),
                               "nid": pd.Series(dtype="int64"),
                               "cos": pd.Series(dtype="float64"),

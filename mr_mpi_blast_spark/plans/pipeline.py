@@ -226,18 +226,35 @@ def search_from_raw(raw: DataFrame, dbsize: int, n_seqs: int,
     hits = hits.filter(F.col("evalue") <= cfg.evalue)        # F1
 
     if cfg.max_target_seqs > 0:                              # F2
-        best_per_subject = topk_per_key(
-            hits, ["qid", "sid"],
-            [F.col("evalue").asc(), F.col("bitscore").desc(),
-             F.col("qstart").asc()], 1, rank_col="_sr").drop("_sr")
-        subj_rank = topk_per_key(
-            best_per_subject.select("qid", "sid", "evalue", "bitscore"),
-            ["qid"],
-            [F.col("evalue").asc(), F.col("bitscore").desc(), F.col("sid").asc()],
-            cfg.max_target_seqs, rank_col="_tr").select("qid", "sid")
-        hits = hits.join(subj_rank, ["qid", "sid"], "left_semi")
+        hits = apply_max_target_seqs(hits, cfg.max_target_seqs)
 
     return top_hits(hits, cfg.num_hit_cutoff)                # O2+O3
+
+
+def apply_max_target_seqs(hits: DataFrame, cap: int,
+                          evalue_col: str = "evalue") -> DataFrame:
+    """F2 (-max_target_seqs, doc/USERGUIDE:48-50,357-371): rank
+    subjects per query by their best HSP (evalue asc, bitscore desc,
+    sid tiebreak) and keep EVERY HSP of the top ``cap`` subjects.
+
+    THE single implementation of the cap — search_from_raw (production
+    tail) and the oracle-checked blast_capped_tail both call it, so
+    the value oracle exercises the shipped code path, not a twin that
+    could drift. ``evalue_col`` lets callers rank on any
+    monotone-equivalent column (the tail twin passes its floor-rounded
+    log10_evalue; within a query both orderings equal score desc,
+    since the length adjustment is constant per qid)."""
+    best_per_subject = topk_per_key(
+        hits, ["qid", "sid"],
+        [F.col(evalue_col).asc(), F.col("bitscore").desc(),
+         F.col("qstart").asc()], 1, rank_col="_sr").drop("_sr")
+    subj_rank = topk_per_key(
+        best_per_subject.select("qid", "sid", evalue_col, "bitscore"),
+        ["qid"],
+        [F.col(evalue_col).asc(), F.col("bitscore").desc(),
+         F.col("sid").asc()],
+        cap, rank_col="_tr").select("qid", "sid")
+    return hits.join(subj_rank, ["qid", "sid"], "left_semi")
 
 
 def run_search(queries: DataFrame, subjects: DataFrame,

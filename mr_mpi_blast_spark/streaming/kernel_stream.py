@@ -60,10 +60,12 @@ def search_query_stream(query_stream: DataFrame, subjects: DataFrame,
             return
         raw, dbsize, n_seqs = run_kernel_raw(batch_df, subjects, cfg,
                                              cache_key=cache_key)
-        raw.write.mode("overwrite").parquet(part)
         # the DB is static across the stream, so (dbsize, n_seqs) are
         # batch-invariant — record them once so search_from_stream can
-        # derive the canonical tail without re-staging the subjects
+        # derive the canonical tail without re-staging the subjects.
+        # Written BEFORE the batch parquet commit: a crash in between
+        # leaves meta-without-batch (harmless), never a committed
+        # batch the tail can't derive statistics for
         meta = os.path.join(out_dir, "_db_meta.json")
         if not os.path.exists(meta):
             import json
@@ -71,6 +73,7 @@ def search_query_stream(query_stream: DataFrame, subjects: DataFrame,
             with open(tmp, "w") as fh:
                 json.dump({"dbsize": dbsize, "n_seqs": n_seqs}, fh)
             os.replace(tmp, meta)
+        raw.write.mode("overwrite").parquet(part)
 
     q = (query_stream.writeStream
          .foreachBatch(process)
@@ -86,6 +89,26 @@ def search_query_stream(query_stream: DataFrame, subjects: DataFrame,
     return out_dir
 
 
+def _committed_batch_dirs(spark: SparkSession, out_dir: str) -> list[str]:
+    """batch=* children of out_dir bearing _SUCCESS, listed through
+    the Hadoop FileSystem API so the sink may live on ANY
+    Spark-readable filesystem (hdfs://, s3a://, ...), not only the
+    driver's local disk as a plain os.listdir would require."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        p = st.getPath()
+        if st.isDirectory() and p.getName().startswith("batch=") \
+                and fs.exists(jvm.org.apache.hadoop.fs.Path(p, "_SUCCESS")):
+            out.append(p.toString())
+    return out
+
+
 def read_stream_hits(spark: SparkSession, out_dir: str) -> DataFrame:
     """All COMMITTED batches' RAW_HITS as one DataFrame (the stream's
     cumulative answer). Only `batch=*` directories bearing _SUCCESS are
@@ -95,10 +118,7 @@ def read_stream_hits(spark: SparkSession, out_dir: str) -> DataFrame:
     keeps the batch=<id> partition column out of the schema so rows
     are directly comparable to the batch pipeline's."""
     from mr_mpi_blast_spark.kernel.builtin import RAW_HITS
-    committed = sorted(
-        os.path.join(out_dir, d) for d in os.listdir(out_dir)
-        if d.startswith("batch=")
-        and os.path.exists(os.path.join(out_dir, d, "_SUCCESS")))
+    committed = sorted(_committed_batch_dirs(spark, out_dir))
     if not committed:
         return spark.createDataFrame([], RAW_HITS)
     # partition discovery appends the batch=<id> column under basePath;
@@ -123,8 +143,19 @@ def search_from_stream(spark: SparkSession, out_dir: str,
     import json
 
     from mr_mpi_blast_spark.plans.pipeline import search_from_raw
+    hits = read_stream_hits(spark, out_dir)
     meta_p = os.path.join(out_dir, "_db_meta.json")
+    if not os.path.exists(meta_p):
+        # meta is written BEFORE any batch commits, so a missing meta
+        # means nothing committed: an all-empty stream's canonical
+        # answer is the empty HITS frame (placeholder statistics touch
+        # zero rows)
+        if not hits.isEmpty():          # defensive: pre-ordering layout
+            raise FileNotFoundError(
+                f"{meta_p} missing but committed batches exist — "
+                "out_dir written by an older layout? rerun the stream")
+        return search_from_raw(hits, 1, 0, cfg)
     with open(meta_p) as fh:
         meta = json.load(fh)
-    return search_from_raw(read_stream_hits(spark, out_dir),
-                           int(meta["dbsize"]), int(meta["n_seqs"]), cfg)
+    return search_from_raw(hits, int(meta["dbsize"]), int(meta["n_seqs"]),
+                           cfg)

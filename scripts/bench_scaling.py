@@ -45,18 +45,22 @@ SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
        "/root/testdata/sf0.1"]
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1.0")
 
-# replication-UNSAFE at the synthetic sf1.0 (see module docstring)
+# replication-UNSAFE at the synthetic sf1.0 (see module docstring).
+# PREFIX families, not an enumerated list: a newly registered
+# blast_*/dedup_*/ann_*/embedding_* query must never slip into the
+# synthetic decade by omission (a new kernel query here would run the
+# full BLAST kernel over a corpus whose replicated text inflates raw
+# hit volume quadratically — hour-scale fake evidence).
+SF1_EXCLUDE_PREFIXES = ("blast_", "dedup_", "ann_", "embedding_")
 SF1_EXCLUDE = {
-    "blast_pipeline", "blast_tail",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
-    "dedup_simhash", "dedup_simhash_pairs",
-    "embedding_near_dup", "embedding_clusters",
-    "ann_cosine_topk_numpy", "ann_ivf_topk", "ann_ivf_nprobe2",
-    "ann_ivf_recall",
     "split_contamination",       # reads the near-dup pair table
     "corpus_curation",           # md5(text) dedup stage inside
     "fasta_roundtrip",           # fixture generation, single-file by design
 }
+
+
+def sf1_excluded(name: str) -> bool:
+    return name in SF1_EXCLUDE or name.startswith(SF1_EXCLUDE_PREFIXES)
 
 
 def main() -> None:
@@ -78,7 +82,7 @@ def main() -> None:
         synthetic = sf_dir == SF1_DIR
         sf = "1.0" if synthetic else sf_dir.rsplit("sf", 1)[1]
         for name, fn in qs.items():
-            if synthetic and name in SF1_EXCLUDE:
+            if synthetic and sf1_excluded(name):
                 continue
             if name == "blast_pipeline":
                 _clear_raw_cache(sf_dir)
@@ -113,7 +117,9 @@ def main() -> None:
     if have_sf1:
         out["exponents_sf1"] = exponents_sf1
         out["sf1_dir"] = SF1_DIR
-        out["sf1_excluded"] = sorted(SF1_EXCLUDE)
+        out["sf1_excluded"] = sorted(
+            n for n in qs if sf1_excluded(n)) + [
+            f"prefix:{p}*" for p in SF1_EXCLUDE_PREFIXES]
     print(json.dumps(out))
 
 

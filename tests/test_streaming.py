@@ -312,3 +312,16 @@ def test_stream_tail_equals_batch_tail_across_batches(spark, tmp_path):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     assert got.filter(F.col("qid") == 0).count() > 0
+
+
+def test_search_from_stream_empty_stream(spark, tmp_path):
+    """An out_dir with no committed batches (all-empty stream: dir
+    exists, no meta) must yield the empty canonical HITS frame, not a
+    FileNotFoundError."""
+    from mr_mpi_blast_spark.config import BlastConfig
+    from mr_mpi_blast_spark.streaming.kernel_stream import search_from_stream
+    out = str(tmp_path / "hits")
+    os.makedirs(out)
+    got = search_from_stream(spark, out, BlastConfig(task="blastp"))
+    assert got.count() == 0
+    assert "evalue" in got.columns and "bitscore" in got.columns
