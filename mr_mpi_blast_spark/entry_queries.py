@@ -75,8 +75,8 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4)                                   AS sum_qty,
        round(sum(l_extendedprice), 4)                              AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
-       round(avg(l_quantity), 4)                                   AS avg_qty,
-       round(avg(l_discount), 4)                                   AS avg_disc,
+       floor(avg(l_quantity) * 1e4 + 0.5) / 1e4                    AS avg_qty,
+       floor(avg(l_discount) * 1e4 + 0.5) / 1e4                    AS avg_disc,
        count(*)                                                    AS count_order
 FROM lineitem
 WHERE l_shipdate < TIMESTAMP '1996-01-01'
@@ -91,8 +91,15 @@ def q_pricing_summary(spark, sf_dir):
               .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
                    F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
                    F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
-                   F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-                   F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                   # floor-form: averages land on arbitrary decimals, so
+                   # round()'s string-repr HALF_UP can disagree with the
+                   # oracle's binary rounding at a 1e-4 boundary (the
+                   # text_quality sf0.1 lesson); sums of 2-decimal prices
+                   # are near-multiples of 0.01 and keep plain round()
+                   (F.floor(F.avg("l_quantity") * F.lit(1e4) + F.lit(0.5))
+                    / F.lit(1e4)).alias("avg_qty"),
+                   (F.floor(F.avg("l_discount") * F.lit(1e4) + F.lit(0.5))
+                    / F.lit(1e4)).alias("avg_disc"),
                    F.count(F.lit(1)).alias("count_order")))
 
 
@@ -331,7 +338,7 @@ def q_events_hourly(spark, sf_dir):
 
 @query("events_json_props", """
 SELECT event_type,
-       round(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)), 4) AS avg_k,
+       floor(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) * 1e4 + 0.5) / 1e4 AS avg_k,
        count(*) AS n
 FROM events GROUP BY event_type
 """)
@@ -341,7 +348,8 @@ def q_events_json_props(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     k = F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).cast("int")
     return (ev.groupBy("event_type")
-              .agg(F.round(F.avg(k), 4).alias("avg_k"),
+              .agg((F.floor(F.avg(k) * F.lit(1e4) + F.lit(0.5))
+                    / F.lit(1e4)).alias("avg_k"),
                    F.count(F.lit(1)).alias("n")))
 
 
@@ -1224,20 +1232,23 @@ def _quality_sql():
     from mr_mpi_blast_spark.functions.text import PUNCT_CLASS, STOPWORDS
     toks = f"string_split({_NORM_SQL}, ' ')"
     en = STOPWORDS["en"]
+    # floor-form rounding on the oracle side too (see
+    # functions/text.py quality_features): round() disagreed with
+    # Spark at a 1e-4 boundary on one sf0.1 document
     return f"""
 SELECT doc_id,
   length(text) AS n_chars_m,
   len({toks}) AS n_tokens,
-  round(length(text) * 1.0 / greatest(len({toks}), 1), 4) AS mean_token_len,
-  round((length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g'))) * 1.0
-        / greatest(length(text), 1), 4) AS punct_ratio,
-  round(len(list_filter({toks}, t -> list_contains({en!r}, t))) * 1.0
-        / greatest(len({toks}), 1), 4) AS stopword_ratio,
-  round(least(len({toks}) / 100.0, 1.0) * 0.4
+  floor(length(text) * 1.0 / greatest(len({toks}), 1) * 1e4 + 0.5) / 1e4 AS mean_token_len,
+  floor((length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g'))) * 1.0
+        / greatest(length(text), 1) * 1e4 + 0.5) / 1e4 AS punct_ratio,
+  floor(len(list_filter({toks}, t -> list_contains({en!r}, t))) * 1.0
+        / greatest(len({toks}), 1) * 1e4 + 0.5) / 1e4 AS stopword_ratio,
+  floor((least(len({toks}) / 100.0, 1.0) * 0.4
         + least(len(list_filter({toks}, t -> list_contains({en!r}, t))) * 1.0
                 / greatest(len({toks}), 1) * 5.0, 1.0) * 0.3
         + (1.0 - least((length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g'))) * 1.0
-                       / greatest(length(text), 1) * 10.0, 1.0)) * 0.3, 4) AS quality
+                       / greatest(length(text), 1) * 10.0, 1.0)) * 0.3) * 1e4 + 0.5) / 1e4 AS quality
 FROM documents
 """
 

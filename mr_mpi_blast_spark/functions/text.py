@@ -90,14 +90,22 @@ def quality_features(df: DataFrame, text_col: str = "text",
     score = (F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
              + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
              + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.3)
+    # floor-form 1e-4 rounding, NOT F.round: Spark's round() on doubles
+    # goes through the shortest-decimal string repr before HALF_UP and
+    # can disagree with a binary-rounding oracle at boundary doubles —
+    # observed at sf0.1 (quality 0.8402 vs 0.8403 on one document);
+    # floor/multiply is exact and identical on both engines
+    def r4(col):
+        return F.floor(col * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars_m"),
         n_tokens.alias("n_tokens"),
-        F.round(mean_tok, 4).alias("mean_token_len"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality"))
+        r4(mean_tok).alias("mean_token_len"),
+        r4(punct_ratio).alias("punct_ratio"),
+        r4(stop_ratio).alias("stopword_ratio"),
+        r4(score).alias("quality"))
 
 
 def token_stats(df: DataFrame, text_col: str = "text",

@@ -67,7 +67,7 @@ from mr_mpi_blast_spark.config import BlastConfig
 # content must also key on this, so a kernel change (scoring, seeding,
 # extension) invalidates cached raw hits from older code. Bump on any
 # change that can alter RAW_HITS values for some config.
-KERNEL_SPEC = "k5"
+KERNEL_SPEC = "k6"
 
 # ungapped Karlin-Altschul (lambda, K, H) per scoring system
 KA_NUCL_1_2 = (1.33, 0.621, 1.12)         # blastn +1/-2
@@ -1450,35 +1450,50 @@ def _batched_core(q_ext: str, index: SubjectIndex, cfg: BlastConfig,
     r_se = r_ss + (r_qe - r_qs)
 
     if cfg.gapped:
-        # stage 2 stays per-HSP (few survivors): same loop + dedupe as
-        # the sequential branch. Block mode slices each HSP's own
-        # query string (DP must never see the sentinel-joined
-        # neighbors) and scopes the dedupe key per query.
+        # stage 2, batched across HSPs: the DP windows of EVERY
+        # triggered HSP run through one size-tiled anti-diagonal sweep
+        # (gapped_extend_batch — bit-identical to the per-HSP loop,
+        # including the pad ladder), then emission/dedupe replays the
+        # sequential visit order so first-wins semantics are
+        # unchanged. Block mode slices each HSP's own query string
+        # (DP must never see the sentinel-joined neighbors) and
+        # scopes the dedupe key per query.
         ext_seqs = index.ext_seqs
+        trig = cfg.gap_trigger_eff
+        gap_items = []
+        gap_meta = {}                 # t -> (batch position, qi_t, off)
+        for t in range(len(r_sc)):
+            if int(r_sc[t]) < trig:
+                continue
+            qs_v, qe_v = int(r_qs[t]), int(r_qe[t])
+            if qoffs is not None:
+                qi_t = int(np.searchsorted(qoffs, qs_v, "right")) - 1
+                off = int(qoffs[qi_t])
+                gap_items.append((q_strs[qi_t], ext_seqs[int(r_si[t])],
+                                  qs_v - off, qe_v - off,
+                                  int(r_ss[t]), int(r_se[t])))
+                gap_meta[t] = (len(gap_items) - 1, qi_t, off)
+            else:
+                gap_items.append((q_ext, ext_seqs[int(r_si[t])],
+                                  qs_v, qe_v, int(r_ss[t]), int(r_se[t])))
+                gap_meta[t] = (len(gap_items) - 1, None, 0)
+        gap_res = gapped_extend_batch(gap_items, cfg) if gap_items else []
+
         rows = []
         emitted: set[tuple] = set()
-        trig = cfg.gap_trigger_eff
         for t in range(len(r_sc)):
             score, qs_v, qe_v, ss_v, se_v, ident_v = (
                 int(r_sc[t]), int(r_qs[t]), int(r_qe[t]),
                 int(r_ss[t]), int(r_se[t]), int(r_id[t]))
             gaps_n, align_len = 0, qe_v - qs_v + 1
             si_t = int(r_si[t])
-            if score >= trig:
-                if qoffs is not None:
-                    qi_t = int(np.searchsorted(qoffs, qs_v, "right")) - 1
-                    off = int(qoffs[qi_t])
-                    (gscore, gqs, gqe, gss, gse, gident, gg, galn
-                     ) = gapped_extend(q_strs[qi_t], ext_seqs[si_t],
-                                       qs_v - off, qe_v - off,
-                                       ss_v, se_v, cfg)
-                    gqs, gqe = gqs + off, gqe + off
-                    key = (qi_t, si_t, gqs, gqe, gss, gse)
-                else:
-                    (gscore, gqs, gqe, gss, gse, gident, gg, galn
-                     ) = gapped_extend(q_ext, ext_seqs[si_t],
-                                       qs_v, qe_v, ss_v, se_v, cfg)
-                    key = (si_t, gqs, gqe, gss, gse)
+            if t in gap_meta:
+                pos, qi_t, off = gap_meta[t]
+                (gscore, gqs, gqe, gss, gse, gident, gg, galn
+                 ) = gap_res[pos]
+                gqs, gqe = gqs + off, gqe + off
+                key = ((qi_t, si_t, gqs, gqe, gss, gse)
+                       if qi_t is not None else (si_t, gqs, gqe, gss, gse))
                 if gscore < min_raw:
                     continue
                 score, qs_v, qe_v, ss_v, se_v = gscore, gqs, gqe, gss, gse
@@ -2081,6 +2096,215 @@ def _gotoh_traceback_diag(a, b, score, i, j, phs, pes, pfs, los):
             i -= 1
             state = "H" if opened else "F"
     return (score, i, a1, j, b1, ident, gaps, align_len)
+
+
+def gotoh_local_batch(pairs, protein: bool, reward: int, penalty: int,
+                      gap_open: int, gap_extend: int) -> list[tuple]:
+    """Batched gotoh_local: run MANY windows' anti-diagonal forward
+    sweeps simultaneously. Bit-identical to [gotoh_local(a, b, ...)
+    per pair] — same recurrences, same first-maximal-cell-in-row-major
+    tie-break, same scalar traceback — but the per-diagonal numpy
+    dispatch cost (which dominates on HSP-sized windows: ~200
+    diagonals x ~20 numpy ops each) is paid once per BATCH diagonal
+    instead of once per window diagonal.
+
+    Geometry: each window w has its own band (lo_w(d)..hi_w(d)) per
+    diagonal; the batch sweeps rows 1..max(m) with a per-window
+    validity mask, and masked-out cells read the SAME boundary values
+    (H=0, E/F=-inf) the scalar rolling buffers provide. Windows are
+    size-sorted and tiled so a short window never pays a long one's
+    diagonals (and pointer storage stays cache-friendly)."""
+    n_all = len(pairs)
+    results: list = [None] * n_all
+    order = sorted(range(n_all), key=lambda t: len(pairs[t][0]) + len(pairs[t][1]))
+    # tile cap: keep the (B, D, M) pointer tensors ~tens of MB
+    CELL_BUDGET = 8_000_000
+    t0 = 0
+    while t0 < n_all:
+        t1 = t0
+        mmax = nmax = 0
+        while t1 < n_all:
+            a, b = pairs[order[t1]]
+            m2, n2 = max(mmax, len(a)), max(nmax, len(b))
+            bsz = t1 - t0 + 1
+            if bsz > 1 and bsz * (m2 + n2 + 1) * (m2 + 1) > CELL_BUDGET:
+                break
+            mmax, nmax = m2, n2
+            t1 += 1
+        tile = [order[t] for t in range(t0, t1)]
+        for t, r in zip(tile, _gotoh_batch_tile(
+                [pairs[t] for t in tile], protein, reward, penalty,
+                gap_open, gap_extend)):
+            results[t] = r
+        t0 = t1
+    return results
+
+
+def _gotoh_batch_tile(pairs, protein, reward, penalty, gap_open,
+                      gap_extend) -> list[tuple]:
+    B = len(pairs)
+    ms = np.array([len(a) for a, _ in pairs], dtype=np.int64)
+    ns = np.array([len(b) for _, b in pairs], dtype=np.int64)
+    M, N = int(ms.max(initial=0)), int(ns.max(initial=0))
+    if M == 0 or N == 0:
+        return [(0, 0, 0, 0, 0, 0, 0, 0)] * B
+    NEG = np.int32(-(10 ** 6))
+    go = gap_open + gap_extend
+    ge = gap_extend
+    # (B, M, N) substitution tensor; out-of-range cells NEG (they are
+    # additionally masked out of every write, so the value is inert)
+    sub_t = np.full((B, M, N), NEG, dtype=np.int32)
+    for w, (a, b) in enumerate(pairs):
+        if len(a) and len(b):
+            sub_t[w, :len(a), :len(b)] = _pair_score_matrix(
+                a, b, protein, reward, penalty)
+    D = M + N
+    rows = np.arange(1, M + 1)
+    H1 = np.zeros((B, M + 1), dtype=np.int32)
+    H2 = np.zeros((B, M + 1), dtype=np.int32)
+    E1 = np.full((B, M + 1), NEG, dtype=np.int32)
+    F1 = np.full((B, M + 1), NEG, dtype=np.int32)
+    PH = np.zeros((B, D + 1, M + 1), dtype=np.int8)
+    PE = np.zeros((B, D + 1, M + 1), dtype=np.bool_)
+    PF = np.zeros((B, D + 1, M + 1), dtype=np.bool_)
+    best_score = np.zeros(B, dtype=np.int64)
+    best_i = np.full(B, M + 1, dtype=np.int64)
+    best_j = np.full(B, N + 1, dtype=np.int64)
+    for d in range(2, D + 1):
+        lo = np.maximum(1, d - ns)          # (B,)
+        hi = np.minimum(ms, d - 1)
+        valid = (rows[None, :] >= lo[:, None]) & (rows[None, :] <= hi[:, None])
+        if not valid.any():
+            continue
+        e_open = H1[:, 1:] - go             # cell (i, j-1), diagonal d-1
+        e_ext = E1[:, 1:] - ge
+        e_v = np.maximum(e_open, e_ext)
+        pe = e_open >= e_ext
+        f_open = H1[:, :-1] - go            # cell (i-1, j), diagonal d-1
+        f_ext = F1[:, :-1] - ge
+        f_v = np.maximum(f_open, f_ext)
+        pf = f_open >= f_ext
+        j_idx = np.clip(d - rows - 1, 0, N - 1)   # (M,)
+        sd = sub_t[:, rows - 1, j_idx]            # (B, M)
+        diag = H2[:, :-1] + sd
+        best = np.where(diag >= 0, diag, 0).astype(np.int32)
+        ptr = np.where(diag >= 0, np.int8(1), np.int8(0))
+        ptr = np.where(e_v > best, np.int8(2), ptr)
+        best = np.maximum(e_v, best)
+        ptr = np.where(f_v > best, np.int8(3), ptr)
+        best = np.maximum(f_v, best)
+        # masked writes: outside the band the stored pointer stays 0
+        # and the rolled buffers keep boundary values
+        PH[:, d, 1:] = np.where(valid, ptr, np.int8(0))
+        PE[:, d, 1:] = pe & valid
+        PF[:, d, 1:] = pf & valid
+        bm = np.where(valid, best, np.int32(-1))
+        rowmax = bm.max(axis=1)
+        # first row achieving the diagonal max (rows ascending == i
+        # ascending == row-major-first on a fixed diagonal)
+        cand_i = 1 + np.argmax(bm == rowmax[:, None], axis=1)
+        cand_j = d - cand_i
+        upd = (rowmax > best_score) | (
+            (rowmax == best_score) & (rowmax > 0) & (
+                (cand_i < best_i) | ((cand_i == best_i) & (cand_j < best_j))))
+        best_score = np.where(upd, rowmax, best_score)
+        best_i = np.where(upd, cand_i, best_i)
+        best_j = np.where(upd, cand_j, best_j)
+        H2 = H1
+        H1 = np.zeros((B, M + 1), dtype=np.int32)
+        H1[:, 1:] = np.where(valid, best, np.int32(0))
+        E1 = np.full((B, M + 1), NEG, dtype=np.int32)
+        E1[:, 1:] = np.where(valid, e_v, NEG)
+        F1 = np.full((B, M + 1), NEG, dtype=np.int32)
+        F1[:, 1:] = np.where(valid, f_v, NEG)
+    out = []
+    for w, (a, b) in enumerate(pairs):
+        sc = int(best_score[w])
+        if sc <= 0:
+            out.append((0, 0, 0, 0, 0, 0, 0, 0))
+            continue
+        out.append(_gotoh_traceback_full(
+            a, b, sc, int(best_i[w]), int(best_j[w]),
+            PH[w], PE[w], PF[w]))
+    return out
+
+
+def _gotoh_traceback_full(a, b, score, i, j, PHd, PEd, PFd):
+    """Scalar traceback over full-row diagonal-major pointer arrays:
+    PH[i, j] == PHd[i + j, i] (the batch tile's storage layout)."""
+    a1, b1 = i - 1, j - 1
+    ident = gaps = align_len = 0
+    state = "H"
+    while i > 0 and j > 0:
+        d = i + j
+        if state == "H":
+            p = PHd[d, i]
+            if p == 0:
+                break
+            if p == 1:
+                align_len += 1
+                if a[i - 1] == b[j - 1]:
+                    ident += 1
+                i -= 1
+                j -= 1
+            elif p == 2:
+                state = "E"
+            else:
+                state = "F"
+        elif state == "E":
+            align_len += 1
+            gaps += 1
+            opened = PEd[d, i]
+            j -= 1
+            state = "H" if opened else "E"
+        else:
+            align_len += 1
+            gaps += 1
+            opened = PFd[d, i]
+            i -= 1
+            state = "H" if opened else "F"
+    return (score, i, a1, j, b1, ident, gaps, align_len)
+
+
+def gapped_extend_batch(items, cfg: BlastConfig) -> list[tuple]:
+    """Batched gapped_extend: identical to [gapped_extend(q, s, qs,
+    qe, ss, se, cfg) per item] including the geometric pad ladder —
+    every pending window at a given pad level runs in ONE batched
+    forward sweep; windows whose optimal alignment touches a growable
+    edge re-enter the next pad level, exactly like the scalar loop."""
+    n = len(items)
+    results: list = [None] * n
+    pads = [_GAP_PAD] * n
+    pending = list(range(n))
+    protein = cfg.task == "blastp"
+    while pending:
+        metas = []
+        pairs = []
+        for t in pending:
+            q, s, qs, qe, ss, se = items[t]
+            p = pads[t]
+            q0, q1 = max(0, qs - p), min(len(q), qe + 1 + p)
+            s0, s1 = max(0, ss - p), min(len(s), se + 1 + p)
+            metas.append((t, q0, q1, s0, s1))
+            pairs.append((q[q0:q1], s[s0:s1]))
+        res = gotoh_local_batch(pairs, protein, cfg.reward, cfg.penalty,
+                                cfg.gap_open_eff, cfg.gap_extend_eff)
+        nxt = []
+        for (t, q0, q1, s0, s1), r in zip(metas, res):
+            score, a0, a1, b0, b1, ident, gaps, align_len = r
+            q, s, _qs, _qe, _ss, _se = items[t]
+            touches = ((a0 == 0 and q0 > 0)
+                       or (a1 == q1 - q0 - 1 and q1 < len(q))
+                       or (b0 == 0 and s0 > 0)
+                       or (b1 == s1 - s0 - 1 and s1 < len(s)))
+            if touches and pads[t] < _GAP_PAD_MAX:
+                pads[t] *= 2
+                nxt.append(t)
+            else:
+                results[t] = (score, q0 + a0, q0 + a1, s0 + b0, s0 + b1,
+                              ident, gaps, align_len)
+        pending = nxt
+    return results
 
 
 def _gotoh_traceback(a, b, H, PH, PE, PF, m, n):

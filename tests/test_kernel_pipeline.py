@@ -276,3 +276,43 @@ def test_gapped_nucl_tail_exercises_strand_swap_and_gaps(spark):
     assert set((minus["qid"] // 100) % 2) == {1}
     assert _blast_raw_key(sf, _blast_nucl_cfg(), 100, "dna") \
         != _blast_raw_key(sf, _blast_nucl_cfg(), 100)
+
+
+def test_apply_max_target_seqs_matches_reference(spark):
+    """Property check of the single shared F2 implementation: for a
+    randomized hit table, the kept rows equal the brute-force
+    reference (rank subjects per query by best (evalue asc, bitscore
+    desc), sid tiebreak; keep every HSP of the top cap subjects)."""
+    import random
+
+    from mr_mpi_blast_spark.plans.pipeline import apply_max_target_seqs
+    rng = random.Random(13)
+    rows = []
+    for qid in range(6):
+        for s in range(rng.randint(0, 7)):
+            sid = f"s{rng.randint(0, 9)}"
+            for _ in range(rng.randint(1, 3)):
+                ev = rng.choice([1e-30, 1e-20, 1e-10, 1e-5, 1e-3])
+                rows.append((qid, sid, ev, round(rng.uniform(20, 300), 1),
+                             rng.randint(1, 500)))
+    df = spark.createDataFrame(
+        rows, "qid long, sid string, evalue double, bitscore double, qstart int")
+    cap = 2
+    got = {(r.qid, r.sid, r.evalue, r.bitscore, r.qstart)
+           for r in apply_max_target_seqs(df, cap).collect()}
+
+    # reference: pure-python replay
+    from collections import defaultdict
+    by_q = defaultdict(dict)
+    for (qid, sid, ev, bs, qs) in rows:
+        best = by_q[qid].get(sid)
+        key = (ev, -bs, qs)
+        if best is None or key < best:
+            by_q[qid][sid] = key
+    keep = set()
+    for qid, subs in by_q.items():
+        ranked = sorted(subs, key=lambda s: (subs[s][0], subs[s][1], s))
+        keep.update((qid, s) for s in ranked[:cap])
+    want = {(qid, sid, ev, bs, qs) for (qid, sid, ev, bs, qs) in rows
+            if (qid, sid) in keep}
+    assert got == want
