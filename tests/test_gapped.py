@@ -188,3 +188,52 @@ def test_gotoh_vectorized_equals_scalar_reference():
         ge = int(rng.integers(1, 4))
         assert gotoh_local(a, b, protein, 1, -2, go, ge) == \
             _gotoh_local_scalar(a, b, protein, 1, -2, go, ge), (a, b)
+
+
+def test_gotoh_batch_equals_per_window():
+    """The cross-window batched forward sweep (gotoh_local_batch) must
+    be bit-identical to per-window gotoh_local — scores, coordinates,
+    identity/gap counts, and the row-major first-maximal tie-break —
+    for mixed-size batches, empty strings, protein and DNA alphabets,
+    and both gap-cost regimes. Also pins the tile split (batches
+    larger than one tile) and gapped_extend_batch's pad ladder."""
+    import numpy as np
+    from mr_mpi_blast_spark.kernel.builtin import (gapped_extend,
+                                                   gapped_extend_batch,
+                                                   gotoh_local,
+                                                   gotoh_local_batch)
+    rng = np.random.default_rng(23)
+    RES = "ARNDCQEGHILKMFPSTWYV"
+    for protein, (go, ge) in [(True, (11, 1)), (False, (5, 2))]:
+        alpha = list(RES if protein else "ACGT")
+        rew, pen = (1, -2) if protein else (2, -3)
+        pairs = [("", "A"), ("A", ""), ("A", "A")]
+        for _ in range(200):
+            a = "".join(rng.choice(alpha, size=int(rng.integers(0, 150))))
+            if rng.random() < 0.5 and len(a) > 20:
+                seg = a[5:5 + int(rng.integers(10, min(60, len(a))))]
+                b = ("".join(rng.choice(alpha, size=int(rng.integers(0, 30))))
+                     + seg
+                     + "".join(rng.choice(alpha, size=int(rng.integers(0, 30)))))
+            else:
+                b = "".join(rng.choice(alpha, size=int(rng.integers(0, 150))))
+            pairs.append((a, b))
+        got = gotoh_local_batch(pairs, protein, rew, pen, go, ge)
+        want = [gotoh_local(a, b, protein, rew, pen, go, ge)
+                for a, b in pairs]
+        assert got == want
+
+    from mr_mpi_blast_spark.config import BlastConfig
+    cfg = BlastConfig(task="blastp", gapped=True)
+    items = []
+    for _ in range(60):
+        q = "".join(rng.choice(list(RES), size=int(rng.integers(40, 300))))
+        s = "".join(rng.choice(list(RES), size=int(rng.integers(40, 300))))
+        if len(q) > 70 and len(s) > 70:
+            s = s[:5] + q[10:60] + s[55:]      # forces pad growth
+        qs = int(rng.integers(0, len(q) - 10))
+        ss = int(rng.integers(0, len(s) - 10))
+        items.append((q, s, qs, min(len(q) - 1, qs + 8),
+                      ss, min(len(s) - 1, ss + 8)))
+    assert gapped_extend_batch(items, cfg) == \
+        [gapped_extend(*it, cfg) for it in items]
