@@ -96,6 +96,9 @@ def main():
                                         threshold=11, window_size=40)),
         ("exact_w4_gapped", BlastConfig(task="blastp", word_size=4,
                                         gapped=True)),
+        ("blastn_w8_gapped", BlastConfig(task="blastn", word_size=8,
+                                         min_score=12, reward=2, penalty=-3,
+                                         gapped=True)),
     ]:
         if cfg.task == "blastn":
             subjects, queries = dna_subjects, dna_queries
