@@ -139,10 +139,10 @@ def main() -> None:
     # sidecar file; stdout gets ONLY the compact summary, as the LAST line.
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_reps.json")
+    tmp = f"{sidecar}.{os.getpid()}.tmp"
     try:
         # tmp + os.replace: a bench killed mid-dump must not leave a
         # torn sidecar or destroy the previous run's evidence
-        tmp = f"{sidecar}.{os.getpid()}.tmp"
         with open(tmp, "w") as f:
             json.dump({"reps": reps, "pass_totals": pass_totals,
                        "cold": cold, "sf": sf, "bench_reps": reps_n,
@@ -150,6 +150,11 @@ def main() -> None:
         os.replace(tmp, sidecar)
     except OSError as ex:
         print(f"bench: sidecar write failed ({ex})", file=sys.stderr)
+    finally:
+        try:
+            os.unlink(tmp)            # leftover only when dump failed
+        except FileNotFoundError:
+            pass
     print(json.dumps({
         "metric": "headline_queries_wall_sec",
         "value": total,

@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 
 from mr_mpi_blast_spark.operators.blocks import (assign_blocks, block_bounds,
                                                  serial_number)
+from mr_mpi_blast_spark.operators.similarity import (ROUND4_SQL,
+                                                     round4_xengine)
 from mr_mpi_blast_spark.operators.topk import topk_per_key
 from mr_mpi_blast_spark.session import load_table
 
@@ -75,13 +77,14 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4)                                   AS sum_qty,
        round(sum(l_extendedprice), 4)                              AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
-       floor(avg(l_quantity) * 1e4 + 0.5) / 1e4                    AS avg_qty,
-       floor(avg(l_discount) * 1e4 + 0.5) / 1e4                    AS avg_disc,
+       {r4_qty}                                                    AS avg_qty,
+       {r4_disc}                                                   AS avg_disc,
        count(*)                                                    AS count_order
 FROM lineitem
 WHERE l_shipdate < TIMESTAMP '1996-01-01'
 GROUP BY l_returnflag, l_linestatus
-""")
+""".format(r4_qty=ROUND4_SQL.format(expr="avg(l_quantity)"),
+           r4_disc=ROUND4_SQL.format(expr="avg(l_discount)")))
 def q_pricing_summary(spark, sf_dir):
     """A3/A5/E8: multi-aggregate groupBy with map-side partial agg
     (compress, mapreduce.cpp:743-855) + filter pushdown to parquet."""
@@ -91,15 +94,13 @@ def q_pricing_summary(spark, sf_dir):
               .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
                    F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
                    F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
-                   # floor-form: averages land on arbitrary decimals, so
-                   # round()'s string-repr HALF_UP can disagree with the
-                   # oracle's binary rounding at a 1e-4 boundary (the
+                   # round4_xengine: averages land on arbitrary decimals,
+                   # so round()'s string-repr HALF_UP can disagree with
+                   # the oracle's binary rounding at a 1e-4 boundary (the
                    # text_quality sf0.1 lesson); sums of 2-decimal prices
                    # are near-multiples of 0.01 and keep plain round()
-                   (F.floor(F.avg("l_quantity") * F.lit(1e4) + F.lit(0.5))
-                    / F.lit(1e4)).alias("avg_qty"),
-                   (F.floor(F.avg("l_discount") * F.lit(1e4) + F.lit(0.5))
-                    / F.lit(1e4)).alias("avg_disc"),
+                   round4_xengine(F.avg("l_quantity")).alias("avg_qty"),
+                   round4_xengine(F.avg("l_discount")).alias("avg_disc"),
                    F.count(F.lit(1)).alias("count_order")))
 
 
@@ -338,18 +339,18 @@ def q_events_hourly(spark, sf_dir):
 
 @query("events_json_props", """
 SELECT event_type,
-       floor(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) * 1e4 + 0.5) / 1e4 AS avg_k,
+       {r4_k} AS avg_k,
        count(*) AS n
 FROM events GROUP BY event_type
-""")
+""".format(r4_k=ROUND4_SQL.format(
+    expr="avg(CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS INT))")))
 def q_events_json_props(spark, sf_dir):
     """Semi-structured extraction over the events props column
     (beyond-reference; the reference has no nested types, SURVEY §1.1)."""
     ev = _t(spark, sf_dir, "events")
     k = F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).cast("int")
     return (ev.groupBy("event_type")
-              .agg((F.floor(F.avg(k) * F.lit(1e4) + F.lit(0.5))
-                    / F.lit(1e4)).alias("avg_k"),
+              .agg(round4_xengine(F.avg(k)).alias("avg_k"),
                    F.count(F.lit(1)).alias("n")))
 
 
@@ -1232,23 +1233,28 @@ def _quality_sql():
     from mr_mpi_blast_spark.functions.text import PUNCT_CLASS, STOPWORDS
     toks = f"string_split({_NORM_SQL}, ' ')"
     en = STOPWORDS["en"]
-    # floor-form rounding on the oracle side too (see
-    # functions/text.py quality_features): round() disagreed with
-    # Spark at a 1e-4 boundary on one sf0.1 document
+    # ROUND4_SQL on the oracle side too (see functions/text.py
+    # quality_features): round() disagreed with Spark at a 1e-4
+    # boundary on one sf0.1 document; one shared template, no drift
+    def r4(expr):
+        return ROUND4_SQL.format(expr=expr)
+
+    mean_tok = f"length(text) * 1.0 / greatest(len({toks}), 1)"
+    punct = (f"(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g'))) * 1.0"
+             f" / greatest(length(text), 1)")
+    stopr = (f"len(list_filter({toks}, t -> list_contains({en!r}, t))) * 1.0"
+             f" / greatest(len({toks}), 1)")
+    score = (f"(least(len({toks}) / 100.0, 1.0) * 0.4"
+             f" + least({stopr} * 5.0, 1.0) * 0.3"
+             f" + (1.0 - least({punct} * 10.0, 1.0)) * 0.3)")
     return f"""
 SELECT doc_id,
   length(text) AS n_chars_m,
   len({toks}) AS n_tokens,
-  floor(length(text) * 1.0 / greatest(len({toks}), 1) * 1e4 + 0.5) / 1e4 AS mean_token_len,
-  floor((length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g'))) * 1.0
-        / greatest(length(text), 1) * 1e4 + 0.5) / 1e4 AS punct_ratio,
-  floor(len(list_filter({toks}, t -> list_contains({en!r}, t))) * 1.0
-        / greatest(len({toks}), 1) * 1e4 + 0.5) / 1e4 AS stopword_ratio,
-  floor((least(len({toks}) / 100.0, 1.0) * 0.4
-        + least(len(list_filter({toks}, t -> list_contains({en!r}, t))) * 1.0
-                / greatest(len({toks}), 1) * 5.0, 1.0) * 0.3
-        + (1.0 - least((length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g'))) * 1.0
-                       / greatest(length(text), 1) * 10.0, 1.0)) * 0.3) * 1e4 + 0.5) / 1e4 AS quality
+  {r4(mean_tok)} AS mean_token_len,
+  {r4(punct)} AS punct_ratio,
+  {r4(stopr)} AS stopword_ratio,
+  {r4(score)} AS quality
 FROM documents
 """
 

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mr_mpi_blast_spark.functions.hashing import normalized_text
+from mr_mpi_blast_spark.operators.similarity import round4_xengine
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic;
 # priority order breaks ties deterministically
@@ -90,22 +91,19 @@ def quality_features(df: DataFrame, text_col: str = "text",
     score = (F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
              + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
              + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.3)
-    # floor-form 1e-4 rounding, NOT F.round: Spark's round() on doubles
-    # goes through the shortest-decimal string repr before HALF_UP and
-    # can disagree with a binary-rounding oracle at boundary doubles —
-    # observed at sf0.1 (quality 0.8402 vs 0.8403 on one document);
-    # floor/multiply is exact and identical on both engines
-    def r4(col):
-        return F.floor(col * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
-
+    # round4_xengine (floor form), NOT F.round: Spark's round() on
+    # doubles goes through the shortest-decimal string repr before
+    # HALF_UP and can disagree with a binary-rounding oracle at
+    # boundary doubles — observed at sf0.1 (quality 0.8402 vs 0.8403
+    # on one document)
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars_m"),
         n_tokens.alias("n_tokens"),
-        r4(mean_tok).alias("mean_token_len"),
-        r4(punct_ratio).alias("punct_ratio"),
-        r4(stop_ratio).alias("stopword_ratio"),
-        r4(score).alias("quality"))
+        round4_xengine(mean_tok).alias("mean_token_len"),
+        round4_xengine(punct_ratio).alias("punct_ratio"),
+        round4_xengine(stop_ratio).alias("stopword_ratio"),
+        round4_xengine(score).alias("quality"))
 
 
 def token_stats(df: DataFrame, text_col: str = "text",

@@ -45,34 +45,55 @@ def search_query_stream(query_stream: DataFrame, subjects: DataFrame,
     stopped, checkpoint preserved) if the drain exceeds timeout_s —
     a rerun resumes from the checkpoint without recomputing committed
     batches."""
+    import json
+
+    from pyspark.sql import functions as F
+
     from mr_mpi_blast_spark.plans.pipeline import run_kernel_raw
 
+    spark = query_stream.sparkSession
     # an all-empty stream commits no batch; the out_dir must still
     # exist so read_stream_hits returns the empty RAW_HITS frame
-    # instead of PATH_NOT_FOUND
-    os.makedirs(out_dir, exist_ok=True)
+    # instead of PATH_NOT_FOUND. All out_dir filesystem traffic goes
+    # through the Hadoop FS API (like _committed_batch_dirs) so the
+    # sink may live on any Spark-readable filesystem, not only the
+    # driver's local disk.
+    fs, hpath = _hadoop_fs(spark, out_dir)
+    fs.mkdirs(hpath(out_dir))
+
+    def ensure_meta() -> None:
+        # the DB is static across the stream, so (dbsize, n_seqs) are
+        # batch-invariant — recorded once so search_from_stream can
+        # derive the canonical tail without re-staging the subjects.
+        # Derived from the subjects frame directly (the same residue
+        # sum / row count run_kernel_raw reports, with the same cfg
+        # overrides) so a MISSING meta next to already-committed
+        # batches — pre-meta layout, or deleted — is repairable by a
+        # rerun even though the replay guard skips the kernel.
+        meta = hpath(f"{out_dir}/_db_meta.json")
+        if fs.exists(meta):
+            return
+        agg = subjects.agg(F.sum(F.length("seq")).alias("r"),
+                           F.count(F.lit(1)).alias("n")).first()
+        dbsize = cfg.dbsize if cfg.dbsize is not None else int(agg["r"] or 0)
+        n_seqs = cfg.n_seqs if cfg.n_seqs is not None else int(agg["n"])
+        tmp = hpath(f"{out_dir}/_db_meta.json.{os.getpid()}.tmp")
+        stream = fs.create(tmp, True)
+        stream.write(json.dumps(
+            {"dbsize": dbsize, "n_seqs": n_seqs}).encode())
+        stream.close()
+        fs.rename(tmp, meta)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        part = os.path.join(out_dir, f"batch={batch_id}")
-        if os.path.exists(os.path.join(part, "_SUCCESS")):
+        part = f"{out_dir}/batch={batch_id}"
+        ensure_meta()       # BEFORE any commit: meta-without-batch is
+        # harmless; a committed batch without meta would strand the tail
+        if fs.exists(hpath(f"{part}/_SUCCESS")):
             return                    # crash replay: already committed
         if batch_df.isEmpty():
             return
-        raw, dbsize, n_seqs = run_kernel_raw(batch_df, subjects, cfg,
-                                             cache_key=cache_key)
-        # the DB is static across the stream, so (dbsize, n_seqs) are
-        # batch-invariant — record them once so search_from_stream can
-        # derive the canonical tail without re-staging the subjects.
-        # Written BEFORE the batch parquet commit: a crash in between
-        # leaves meta-without-batch (harmless), never a committed
-        # batch the tail can't derive statistics for
-        meta = os.path.join(out_dir, "_db_meta.json")
-        if not os.path.exists(meta):
-            import json
-            tmp = f"{meta}.{os.getpid()}.tmp"
-            with open(tmp, "w") as fh:
-                json.dump({"dbsize": dbsize, "n_seqs": n_seqs}, fh)
-            os.replace(tmp, meta)
+        raw, _dbsize, _n_seqs = run_kernel_raw(batch_df, subjects, cfg,
+                                               cache_key=cache_key)
         raw.write.mode("overwrite").parquet(part)
 
     q = (query_stream.writeStream
@@ -89,22 +110,34 @@ def search_query_stream(query_stream: DataFrame, subjects: DataFrame,
     return out_dir
 
 
+def _hadoop_fs(spark: SparkSession, base: str):
+    """(FileSystem, Path-factory) for ``base`` through the JVM Hadoop
+    API — the one filesystem abstraction every out_dir touch uses, so
+    hdfs://, s3a:// and plain local paths all behave identically."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = hpath(base).getFileSystem(conf)
+    return fs, hpath
+
+
 def _committed_batch_dirs(spark: SparkSession, out_dir: str) -> list[str]:
     """batch=* children of out_dir bearing _SUCCESS, listed through
     the Hadoop FileSystem API so the sink may live on ANY
     Spark-readable filesystem (hdfs://, s3a://, ...), not only the
     driver's local disk as a plain os.listdir would require."""
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(out_dir)
-    fs = path.getFileSystem(conf)
+    fs, hpath = _hadoop_fs(spark, out_dir)
+    path = hpath(out_dir)
     if not fs.exists(path):
         return []
     out = []
     for st in fs.listStatus(path):
         p = st.getPath()
         if st.isDirectory() and p.getName().startswith("batch=") \
-                and fs.exists(jvm.org.apache.hadoop.fs.Path(p, "_SUCCESS")):
+                and fs.exists(hpath(f"{p.toString()}/_SUCCESS")):
             out.append(p.toString())
     return out
 
@@ -144,18 +177,26 @@ def search_from_stream(spark: SparkSession, out_dir: str,
 
     from mr_mpi_blast_spark.plans.pipeline import search_from_raw
     hits = read_stream_hits(spark, out_dir)
-    meta_p = os.path.join(out_dir, "_db_meta.json")
-    if not os.path.exists(meta_p):
+    fs, hpath = _hadoop_fs(spark, out_dir)
+    meta_p = hpath(f"{out_dir}/_db_meta.json")
+    if not fs.exists(meta_p):
         # meta is written BEFORE any batch commits, so a missing meta
         # means nothing committed: an all-empty stream's canonical
         # answer is the empty HITS frame (placeholder statistics touch
-        # zero rows)
-        if not hits.isEmpty():          # defensive: pre-ordering layout
+        # zero rows). A pre-meta-layout out_dir WITH committed batches
+        # is repairable: rerunning the stream writes meta before the
+        # replay guard, so the advice below actually works.
+        if not hits.isEmpty():
             raise FileNotFoundError(
-                f"{meta_p} missing but committed batches exist — "
-                "out_dir written by an older layout? rerun the stream")
+                f"{out_dir}/_db_meta.json missing but committed batches "
+                "exist (pre-meta layout?) — rerun the stream once; it "
+                "records the meta before the replay guard")
         return search_from_raw(hits, 1, 0, cfg)
-    with open(meta_p) as fh:
-        meta = json.load(fh)
+    jvm = spark.sparkContext._jvm
+    stream = fs.open(meta_p)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    # hadoop's own IOUtils is always on Spark's classpath; closes both
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+    meta = json.loads(bytes(baos.toByteArray()).decode())
     return search_from_raw(hits, int(meta["dbsize"]), int(meta["n_seqs"]),
                            cfg)
