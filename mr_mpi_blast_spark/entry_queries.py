@@ -1583,7 +1583,9 @@ def q_stratified_sample(spark, sf_dir):
     not the physical plan."""
     from mr_mpi_blast_spark.operators.sampling import stratified_sample_exact
     docs = _t(spark, sf_dir, "documents")
-    return (stratified_sample_exact(docs, "source", "doc_id", 0.1)
+    return (stratified_sample_exact(docs, "source", "doc_id", 0.1,
+                                    cache_key=_docs_hist_key(
+                                        sf_dir, "strata_source"))
             .select("doc_id", "source"))
 
 

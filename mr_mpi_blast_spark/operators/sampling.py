@@ -63,8 +63,15 @@ def deterministic_sample(df: DataFrame, id_col: str,
                      < F.lit(int(round(fraction * _BUCKETS))))
 
 
+# content-addressed (stratum, bucket) count cache — the same contract
+# as blocks._HIST_CACHE: the caller's key must pin the input rows and
+# the stratum/id derivation (see blocks.ordered_prefix_sum)
+_STRATA_CACHE: dict = {}
+
+
 def stratified_sample_exact(df: DataFrame, stratum_col: str, id_col: str,
-                            frac: float, n_buckets: int = 256) -> DataFrame:
+                            frac: float, n_buckets: int = 256,
+                            cache_key: str | None = None) -> DataFrame:
     """Exact-count stratified sample: the ceil(frac * |stratum|) rows
     with the smallest md5(id) per stratum — deterministic, exact per-
     stratum counts, and NO per-stratum global window.
@@ -86,21 +93,29 @@ def stratified_sample_exact(df: DataFrame, stratum_col: str, id_col: str,
     q = (df.withColumn("_h", h)
          .withColumn("_hb", (F.conv(F.substring("_h", 1, 4), 16, 10)
                              .cast("long") / width).cast("long")))
-    counts = (q.groupBy(stratum_col, "_hb")
-              .agg(F.count(F.lit(1)).alias("_c")))
-    rows = counts.collect()  # O(strata x buckets): plan-sized metadata
-    if not rows:             # empty input: nothing to rank or sample
-        return df.limit(0)
-    per_stratum: dict = {}
-    for r in rows:
-        per_stratum.setdefault(r[0], []).append((r[1], r[2]))
-    offsets, totals = [], {}
-    for s, bs in per_stratum.items():
-        acc = 0
-        for b, c in sorted(bs):
-            offsets.append((s, b, acc))
-            acc += c
-        totals[s] = acc
+    ck = (cache_key, n_buckets) if cache_key is not None else None
+    if ck is not None and ck in _STRATA_CACHE:
+        offsets, totals = _STRATA_CACHE[ck]
+        if not offsets:
+            return df.limit(0)
+    else:
+        counts = (q.groupBy(stratum_col, "_hb")
+                  .agg(F.count(F.lit(1)).alias("_c")))
+        rows = counts.collect()  # O(strata x buckets): plan-sized metadata
+        per_stratum: dict = {}
+        for r in rows:
+            per_stratum.setdefault(r[0], []).append((r[1], r[2]))
+        offsets, totals = [], {}
+        for s, bs in per_stratum.items():
+            acc = 0
+            for b, c in sorted(bs):
+                offsets.append((s, b, acc))
+                acc += c
+            totals[s] = acc
+        if ck is not None:
+            _STRATA_CACHE[ck] = (offsets, totals)
+        if not rows:             # empty input: nothing to rank or sample
+            return df.limit(0)
     spark = df.sparkSession
     off_df = spark.createDataFrame(offsets, [stratum_col, "_hb", "_off"])
     tot_df = spark.createDataFrame(list(totals.items()),
