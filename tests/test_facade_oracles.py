@@ -26,17 +26,16 @@ FACADES = [
     "workitem_cross", "union_slices", "filter_scan", "aggregate_shuffle",
     "gather_coalesce", "global_topn", "distinct_dims", "semi_join",
     "anti_join", "set_intersect", "set_except",
-    # correctness-only exhaustive twins (each shares its oracle SQL
-    # verbatim with a recorded scale-path query) — registered in the
-    # tail so unique-evidence queries keep the driver's prefix slots
+    # correctness-only exhaustive twins (each a twin/projection of a
+    # recorded query) — registered in the tail so unique-evidence
+    # queries keep the driver's prefix slots. r7 moved the gapped/
+    # capped blastn tails INTO the recorded prefix (the reference's
+    # default mode is unique evidence) and demoted these three twins:
+    # dedup_simhash (projection of dedup_simhash_pairs),
+    # ann_ivf_nprobe2 (parameter twin of ann_ivf_topk),
+    # multimodal_resize (meta-plumbing twin of multimodal_decode).
     "dedup_ngram_jaccard", "ann_cosine_topk",
-    # gapped-kernel tails: unique evidence (nonzero gaps column; blastp
-    # (11,1) statistics / blastn (2,-3)+(5,2) statistics with
-    # minus-strand coordinate swap) registering past the driver's
-    # recording window
-    "blast_gapped_tail", "blast_gapped_nucl_tail",
-    # F2 subject cap over the flagship's shared raw hits
-    "blast_capped_tail",
+    "dedup_simhash", "ann_ivf_nprobe2", "multimodal_resize",
     # PII scrub: derived pseudo-PII machinery check (tail-registered)
     "text_pii_scrub", "text_repetition",
 ]

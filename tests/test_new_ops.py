@@ -4,6 +4,8 @@ and quality-filter thresholds — edges the corpus oracle queries don't
 reach (near-dup components in the testdata are near-cliques; real
 chains need diameter > 2 to exercise convergence)."""
 
+import os
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -100,3 +102,19 @@ def test_stratified_sample_empty_input(spark):
     from mr_mpi_blast_spark.operators.sampling import stratified_sample_exact
     df = spark.createDataFrame([], "doc_id long, source string")
     assert stratified_sample_exact(df, "source", "doc_id", 0.5).count() == 0
+
+
+def test_ann_ivf_recall_warm_cache_rerun(spark):
+    """r6 regression pin: the second run in one session hits the warm
+    /tmp artifact store (pre-populated by the first run — the exact
+    shape the correctness driver executes) and must return the same
+    rows, not crash. The r6 bug reloaded cached parquet via pandas,
+    which resurfaced array columns as numpy.float64 and blew up
+    createDataFrame's row verifier."""
+    from mr_mpi_blast_spark.entry_queries import QUERIES
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+    cold = sorted(map(tuple, QUERIES["ann_ivf_recall"](spark, sf).collect()))
+    warm = sorted(map(tuple, QUERIES["ann_ivf_recall"](spark, sf).collect()))
+    assert cold == warm
+    assert len(warm) == 3  # nprobe 1/2/4
+    assert all(0.0 <= r[2] <= 1.0 for r in warm)
