@@ -17,7 +17,7 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def qs_subjects(spark):
     docs = load_table(spark, SF_DIR, "documents")
-    queries = (docs.filter(F.col("doc_id") % 10 == 0)
+    queries = (docs.filter(F.col("doc_id") % 20 == 0)
                .select(F.col("doc_id").alias("qid"),
                        F.concat(F.lit("doc_"), "doc_id").alias("defline"),
                        F.concat(F.lit("doc_"), "doc_id").alias("defline_part"),
@@ -57,6 +57,7 @@ def test_run_then_resume(spark, qs_subjects, tmp_path):
     assert hits3.count() == n_all
 
 
+@pytest.mark.slow
 def test_batched_matches_single_pass(spark, qs_subjects, tmp_path):
     from mr_mpi_blast_spark.plans.pipeline import run_search
     queries, subjects = qs_subjects

@@ -49,6 +49,7 @@ def test_lsh_equals_exact(spark, docs):
     assert lsh == exact
 
 
+@pytest.mark.slow
 def test_prefix_filter_equals_naive(spark, docs):
     """The AllPairs prefix-filtered exact join returns pair-identical
     (da, db, jac) to the naive Σ df² join-count form at two

@@ -102,6 +102,7 @@ def test_gapped_reproduces_published_blastn_defaults():
     assert KA_GAPPED_NUCL[(2, -3, 5, 2)] == (0.625, 0.41, 0.78)
 
 
+@pytest.mark.slow
 def test_gapped_reproduces_published_blosum62_11_1():
     """BLOSUM62 (11,1): published (0.267, 0.041, 0.14). H converges
     slowly at L=512 (long-alignment asymptote) — tolerances documented
@@ -112,6 +113,7 @@ def test_gapped_reproduces_published_blosum62_11_1():
     assert 0.10 < e.h < 0.25
 
 
+@pytest.mark.slow
 def test_plus1_minus2_with_5_2_gaps_is_statistically_ungapped():
     """The round-5 mislabel finding: under +1/-2 a single gap costs 7
     while a mismatch costs 2 — gaps essentially never participate, so
@@ -147,6 +149,7 @@ def test_estimate_triple_roundtrip():
     assert scoring_params(cfg) == e.triple
 
 
+@pytest.mark.slow
 def test_gapped_reproduces_published_blosum62_10_2():
     """Third independent published gapped row — BLOSUM62 (10,2) =
     (0.291, 0.075, 0.23): the estimator generalizes across gap-cost

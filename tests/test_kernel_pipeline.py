@@ -160,6 +160,7 @@ def test_defline_join(spark, hits):
         == {"query_one", "query_two"}
 
 
+@pytest.mark.slow
 def test_max_target_seqs_cap(spark):
     """F2: -max_target_seqs bounds distinct subjects per query."""
     # subject set where q1 matches two subjects

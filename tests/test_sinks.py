@@ -37,7 +37,11 @@ def test_legacy_record_sizes():
     assert legacy_record_size(True) == struct.calcsize("L40sdIIIIIIIdddd") == 120
 
 
-@pytest.mark.parametrize("classifier", [False, True])
+@pytest.mark.parametrize("classifier", [
+    False,
+    # classifier=True flips one writer flag; full mode still runs it
+    pytest.param(True, marks=pytest.mark.slow),
+])
 def test_legacy_bin_roundtrip(spark, hits_df, tmp_path, classifier):
     out = str(tmp_path / "bin")
     write_legacy_bin(hits_df, out, classifier=classifier)

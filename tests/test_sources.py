@@ -123,6 +123,7 @@ def test_indexer_sidecars(spark, fasta_file):
     assert idx[3][1] == 5
 
 
+@pytest.mark.slow  # driver-recorded twin: serial_index oracle row
 def test_serial_number_matches_global_row_number(spark):
     """The hierarchical serial_number must equal
     row_number() OVER (ORDER BY ...) exactly — forced through many

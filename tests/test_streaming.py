@@ -130,6 +130,7 @@ def test_dedup_content_stream(spark, tmp_path):
     assert got.count() == distinct_payloads
 
 
+@pytest.mark.slow
 def test_interval_join_stream_batch_parity(spark, event_dir):
     """Stream-stream interval join drains to exactly the batch join's
     rows: every click paired with the same user's errors in the
@@ -196,7 +197,7 @@ def test_kernel_stream_equals_batch(spark, tmp_path):
         read_stream_hits, search_query_stream)
 
     docs = load_table(spark, SF_DIR, "documents")
-    queries = (docs.filter(F.col("doc_id") % 7 == 0)
+    queries = (docs.filter(F.col("doc_id") % 14 == 0)
                .select(F.col("doc_id").alias("qid"),
                        F.concat(F.lit("q_"), "doc_id").alias("defline"),
                        F.col("text").alias("seq"),
@@ -211,7 +212,7 @@ def test_kernel_stream_equals_batch(spark, tmp_path):
 
     # deliver the queries as THREE files -> three micro-batches
     src = str(tmp_path / "qsrc")
-    queries.repartition(3).write.mode("overwrite").parquet(src)
+    queries.repartition(2).write.mode("overwrite").parquet(src)
     stream = (spark.readStream.schema(queries.schema)
               .option("maxFilesPerTrigger", 1).parquet(src))
     out = str(tmp_path / "hits")
@@ -258,6 +259,7 @@ def test_read_stream_hits_skips_torn_batch(spark, tmp_path):
     assert read_stream_hits(spark, out).count() == 0        # all torn
 
 
+@pytest.mark.slow
 def test_stream_tail_equals_batch_tail_across_batches(spark, tmp_path):
     """End-to-end streamed RELATIONAL TAIL parity: the canonical HITS
     derived from accumulated stream commits (projections + statistics
