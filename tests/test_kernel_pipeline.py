@@ -317,3 +317,25 @@ def test_apply_max_target_seqs_matches_reference(spark):
     want = {(qid, sid, ev, bs, qs) for (qid, sid, ev, bs, qs) in rows
             if (qid, sid) in keep}
     assert got == want
+
+
+def test_flagship_golden_hash(spark):
+    """e2e value pin for the flagship (the driver checks it rows-only:
+    no SQL oracle can replay the kernel). The golden hash covers every
+    alignment-bearing column in deterministic order, produced by
+    KERNEL_SPEC k6 at sf0.001 — a kernel change that alters ANY hit
+    coordinate, score, e-value, gap count, or identity fails here.
+    Bump the hash together with KERNEL_SPEC, never alone."""
+    import hashlib
+
+    from mr_mpi_blast_spark.entry_queries import QUERIES
+    from mr_mpi_blast_spark.kernel.builtin import KERNEL_SPEC
+
+    assert KERNEL_SPEC == "k6", "kernel changed: re-golden this test"
+    df = QUERIES["blast_pipeline"](spark, "/root/testdata/sf0.001")
+    rows = sorted((r.qid, r.sid, r.qstart, r.qend, r.sstart, r.send,
+                   round(r.bitscore, 6), "%.6g" % r.evalue, r.gaps,
+                   round(r.ident, 6)) for r in df.collect())
+    assert len(rows) == 177
+    got = hashlib.md5(repr(rows).encode()).hexdigest()
+    assert got == "43d94bb1ecea459b670aaa8632eaafd0"
