@@ -6,7 +6,7 @@ consistency, strand involution, and Karlin-Altschul monotonicity."""
 import math
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from mr_mpi_blast_spark.config import BlastConfig
@@ -197,15 +197,19 @@ def test_blastn_batched_equals_sequential(subject_seqs, query_seqs, k,
 
 
 @given(st.text(alphabet=st.characters(min_codepoint=32,
-                                      max_codepoint=0x2FF),
+                                      exclude_categories=("Cs",)),
                min_size=0, max_size=60),
        st.integers(2, 8))
 @settings(max_examples=60, deadline=None)
+@example("\u00dfABab\u0149\ufb00\u03c2\u03c3\u0131\u0130", 3)
+@example("\u1e9e\u00df\ufb03\ufb06\U0001d41a\U00010428", 2)
 def test_vectorized_mask_predicates_match_scalar(s, k):
     """_islower_np / _low_complexity_windows_np (the masked index
     build's vectorized predicates) must agree with the per-char
-    scalar predicates for ANY text, including non-Latin-1 codepoints
-    that take the exact fallback path."""
+    scalar predicates for ANY text — the full Unicode range (minus
+    surrogates, unencodable in utf-32), including multi-char-uppercase
+    codepoints (eszett, ŉ, ligatures) and astral-plane chars that take
+    the exact fallback path. No excluded codepoint class."""
     from mr_mpi_blast_spark.kernel.builtin import (
         _islower_np, _low_complexity_windows_np, word_low_complexity)
     codes = np.frombuffer(s.encode("utf-32-le"),
