@@ -1105,9 +1105,12 @@ def _extend_batch(qrow: np.ndarray | None, qord: np.ndarray,
     # The per-chunk int32 cumsum is only safe while a chunk of pure
     # sentinels cannot wrap: chunk_max * |_B62_NEG| must stay < 2^31.
     # A future caller widening chunk_max past ~536 would otherwise
-    # silently corrupt scores — fail loudly instead.
-    assert chunk_max * -_B62_NEG < 2 ** 31, \
-        f"chunk_max={chunk_max} overflows int32 cumsum (|_B62_NEG|={-_B62_NEG})"
+    # silently corrupt scores — fail loudly instead (a real raise,
+    # not an assert: the guard must survive `python -O`).
+    if chunk_max * -_B62_NEG >= 2 ** 31:
+        raise ValueError(
+            f"chunk_max={chunk_max} overflows int32 cumsum "
+            f"(|_B62_NEG|={-_B62_NEG})")
     if n > _EXT_TILE:
         gains = np.empty(n, dtype=np.int64)
         exts = np.empty(n, dtype=np.int64)

@@ -142,6 +142,15 @@ def ordered_prefix_sum(df: DataFrame, value: Column | str,
                                               ["_coarse", "_offset"]),
                         "_coarse"))
         if dfk is not None:
+            # evict off_df entries pinned to stopped sessions: their
+            # DataFrames hold dead JVM plan state and can never be hit
+            # again (the appId is part of the key), so a long-lived
+            # process cycling sessions would otherwise leak them
+            app = spark.sparkContext.applicationId
+            for k in [k for k in _HIST_CACHE
+                      if isinstance(k, tuple) and k[0] == "off_df"
+                      and k[1] is not None and k[1][1] != app]:
+                del _HIST_CACHE[k]
             _HIST_CACHE[("off_df", dfk)] = off_df
 
     w = (Window.partitionBy("_coarse").orderBy(*order_cols)

@@ -82,7 +82,13 @@ def search_query_stream(query_stream: DataFrame, subjects: DataFrame,
         stream.write(json.dumps(
             {"dbsize": dbsize, "n_seqs": n_seqs}).encode())
         stream.close()
-        fs.rename(tmp, meta)
+        if not fs.rename(tmp, meta):
+            # rename-to-existing fails on some filesystems; fine iff a
+            # concurrent writer already produced the meta (contents are
+            # deterministic) — otherwise the failure must surface
+            fs.delete(tmp, False)
+            if not fs.exists(meta):
+                raise IOError(f"could not publish {meta}")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         part = f"{out_dir}/batch={batch_id}"

@@ -80,6 +80,25 @@ def main() -> None:
     col_offset = {(t, c): offsets[dom]
                   for dom, cols in DOMAINS.items() for t, c in cols}
 
+    # replica-key overflow guard: the projection casts back to the
+    # column's ORIGINAL type, which under non-ANSI settings silently
+    # wraps instead of failing — validate the largest synthesized key
+    # (max original + (REPLICAS-1)*offset) fits every keyed column's
+    # type before writing anything
+    int_max = {"byte": 2 ** 7 - 1, "short": 2 ** 15 - 1,
+               "integer": 2 ** 31 - 1, "long": 2 ** 63 - 1}
+    for dom, cols in DOMAINS.items():
+        top = offsets[dom] - 1 + (REPLICAS - 1) * offsets[dom]
+        for table, col in cols:
+            df = spark.read.parquet(os.path.join(SRC, f"{table}.parquet"))
+            tn = df.schema[col].dataType.typeName()
+            cap = int_max.get(tn)
+            if cap is not None and top > cap:
+                raise ValueError(
+                    f"{table}.{col} ({tn}): synthesized key {top} "
+                    f"exceeds the column type's max {cap}; widen the "
+                    f"column or reduce REPLICAS")
+
     os.makedirs(OUT, exist_ok=True)
     for table in TABLES:
         src = spark.read.parquet(os.path.join(SRC, f"{table}.parquet"))
