@@ -131,6 +131,24 @@ def main() -> None:
         else:
             timings[name] = round(statistics.median(runs), 3)
 
+    # Correctness-only twins get one timed rep AFTER the headline
+    # passes — never in the headline total (they are deliberately
+    # exhaustive baselines), but recorded in the sidecar so a timing
+    # regression in an untimed query is still visible round over round.
+    co_timings: dict[str, float] = {}
+    for name, fn in e.queries().items():
+        if name not in CORRECTNESS_ONLY:
+            continue
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            co_timings[name] = round(time.time() - t0, 3)
+        except Exception as ex:
+            co_timings[name] = -1.0
+            print(f"bench: correctness-only {name} failed: {ex}",
+                  file=sys.stderr)
+        spark.catalog.clearCache()
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Round-5 lesson: the driver keeps only a bounded TAIL of stdout, and
     # embedding the per-rep arrays in the one JSON line pushed the leading
@@ -146,7 +164,8 @@ def main() -> None:
         with open(tmp, "w") as f:
             json.dump({"reps": reps, "pass_totals": pass_totals,
                        "cold": cold, "sf": sf, "bench_reps": reps_n,
-                       "rep_order": "interleaved"}, f)
+                       "rep_order": "interleaved",
+                       "correctness_only_s": co_timings}, f)
         os.replace(tmp, sidecar)
     except OSError as ex:
         print(f"bench: sidecar write failed ({ex})", file=sys.stderr)

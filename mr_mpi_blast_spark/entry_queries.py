@@ -8,6 +8,7 @@ file:line it re-expresses.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 from collections.abc import Callable
 
@@ -1130,7 +1131,12 @@ def q_ann_ivf_recall(spark, sf_dir):
     # reloads via spark.read.parquet keep the on-disk schema exactly.
     queries = e.filter(F.col("vec_id") % 20 == 0)
 
-    def artifact(tag, build):
+    def artifact(tag, build, local_schema=None):
+        """local_schema (scalar columns ONLY — never arrays: pyarrow
+        resurfaces list columns as numpy.float64 arrays that
+        createDataFrame rejects, the r6 warm-cache crash) reloads the
+        artifact as a driver-local relation, skipping a scan job in
+        the final DAG — reserved for query-sized tables."""
         p = _ivf_cent_store(sf_dir).replace("ivf_centroids", tag)
         if os.path.isfile(p):     # pre-r7 single-file pandas layout
             os.unlink(p)
@@ -1142,28 +1148,49 @@ def q_ann_ivf_recall(spark, sf_dir):
             except OSError:       # concurrent identical build won
                 import shutil
                 shutil.rmtree(tmpd, ignore_errors=True)
-        return spark.read.parquet(p)
+        if local_schema is not None:
+            import pandas as pd
+            return p, spark.createDataFrame(pd.read_parquet(p),
+                                            schema=local_schema)
+        return p, spark.read.parquet(p)
 
     from mr_mpi_blast_spark.operators.similarity import ivf_assign
-    brute = artifact(
+    # query-sized artifacts coalesce to one file (Q*k rows — listing
+    # 32 shuffle-partition files per warm read cost ~0.2s/run); the
+    # CORPUS-sized assignment keeps its executor partitioning
+    brute_p, brute = artifact(
         "ann_brute_q20_k5",
-        lambda: brute_force_topk_numpy(queries, e, k=5).select("qid", "nid"))
-    assign = artifact(
+        lambda: brute_force_topk_numpy(queries, e, k=5)
+        .select("qid", "nid").coalesce(1),
+        local_schema="qid long, nid long")
+    _, assign = artifact(
         "ivf_assign_c",
         lambda: ivf_assign(e, cents).withColumnRenamed("vec_id", "nid"))
-    qassign = artifact(
+    _, qassign = artifact(
         "ivf_assign_q4",
         lambda: ivf_assign(queries, cents, nprobe=4, with_rank=True)
-        .withColumnRenamed("vec_id", "qid"))
+        .withColumnRenamed("vec_id", "qid").coalesce(1),
+        local_schema="qid long, cid long, pr int")
     # recall's denominator assumes the exact table carries each query
     # EXACTLY k times (k or more corpus neighbors per query) — verify
-    # rather than trust the cached artifact (one tiny agg job)
-    stats = brute.agg(F.countDistinct("qid").alias("nq"),
-                      F.count(F.lit(1)).alias("n")).first()
-    n_queries = int(stats["nq"])
-    if int(stats["n"]) != 5 * n_queries:
+    # once per artifact generation (the content key pins the data the
+    # check covered; a meta file next to the artifact replays it free)
+    meta_p = os.path.join(brute_p, "_recall_meta.json")
+    if os.path.exists(meta_p):
+        with open(meta_p) as fh:
+            meta = json.load(fh)
+    else:
+        stats = brute.agg(F.countDistinct("qid").alias("nq"),
+                          F.count(F.lit(1)).alias("n")).first()
+        meta = {"n_queries": int(stats["nq"]), "rows": int(stats["n"])}
+        mtmp = f"{meta_p}.{os.getpid()}.tmp"
+        with open(mtmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(mtmp, meta_p)
+    n_queries = meta["n_queries"]
+    if meta["rows"] != 5 * n_queries:
         raise ValueError(
-            f"brute-force table carries {stats['n']} rows for "
+            f"brute-force table carries {meta['rows']} rows for "
             f"{n_queries} queries; expected exactly k=5 per query — "
             "corpus too small or stale artifact")
     return ivf_recall(queries, e, cents, k=5, nprobes=(1, 2, 4),

@@ -12,7 +12,7 @@ the scale path (dedup_minhash_lsh is).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -217,7 +217,7 @@ def connected_components(edges: DataFrame, src: str = "da",
                  .groupBy("a").agg(F.min("nlab").alias("minn")))
         new = (labels.join(neigh.select(F.col("a").alias("node"), "minn"),
                            "node", "left")
-               .select("node",
+               .select("node", F.col("lab").alias("_old"),
                        F.least(F.col("lab"),
                                F.coalesce(F.col("minn"), F.col("lab")))
                        .alias("lab")))
@@ -225,14 +225,22 @@ def connected_components(edges: DataFrame, src: str = "da",
         # decrease, so lab[lab] <= lab; missing lookup = already a root)
         jump = new.select(F.col("node").alias("_jn"),
                           F.col("lab").alias("_jlab"))
+        # convergence count rides the SAME job as the checkpoint: the
+        # old label is carried through the round and the changed-count
+        # observed while the eager localCheckpoint materializes —
+        # no per-iteration extra join-and-count job
+        obs = Observation()
         new = (new.join(jump, new["lab"] == jump["_jn"], "left")
                .select("node",
-                       F.coalesce("_jlab", "lab").alias("lab"))
+                       F.coalesce("_jlab", "lab").alias("lab"),
+                       (F.coalesce("_jlab", "lab") != F.col("_old"))
+                       .alias("_chg"))
+               .observe(obs, F.sum(F.col("_chg").cast("long"))
+                        .alias("changed"))
+               .drop("_chg")
                .localCheckpoint(eager=True))
-        changed = (new.alias("n").join(labels.alias("o"), "node")
-                   .filter(F.col("n.lab") != F.col("o.lab")).count())
-        labels = new
-        if changed == 0:
+        labels = new.select("node", "lab")
+        if int(obs.get["changed"] or 0) == 0:
             break
     return labels.select("node", F.col("lab").alias("cluster"))
 
