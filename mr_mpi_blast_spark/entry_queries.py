@@ -1137,17 +1137,29 @@ def q_ann_ivf_recall(spark, sf_dir):
         createDataFrame rejects, the r6 warm-cache crash) reloads the
         artifact as a driver-local relation, skipping a scan job in
         the final DAG — reserved for query-sized tables."""
+        import shutil
         p = _ivf_cent_store(sf_dir).replace("ivf_centroids", tag)
-        if os.path.isfile(p):     # pre-r7 single-file pandas layout
-            os.unlink(p)
+        try:
+            if os.path.isfile(p):  # pre-r7 single-file pandas layout
+                os.unlink(p)
+        except FileNotFoundError:  # concurrent migration won the race
+            pass
         if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            # a directory WITHOUT _SUCCESS is a torn artifact — remove
+            # it so the rename below can land the rebuilt one (serving
+            # it would silently deflate recall; leaving it would make
+            # every rebuild fail the rename forever)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
             tmpd = f"{p}.{os.getpid()}.tmp"
             build().write.mode("overwrite").parquet(tmpd)
             try:
                 os.rename(tmpd, p)
-            except OSError:       # concurrent identical build won
-                import shutil
+            except OSError:
                 shutil.rmtree(tmpd, ignore_errors=True)
+                # only a COMPLETE concurrent build excuses the failure
+                if not os.path.exists(os.path.join(p, "_SUCCESS")):
+                    raise
         if local_schema is not None:
             import pandas as pd
             return p, spark.createDataFrame(pd.read_parquet(p),

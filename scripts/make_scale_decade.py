@@ -68,13 +68,21 @@ def main() -> None:
     from mr_mpi_blast_spark.session import get_spark
     spark = get_spark("make_sf1")
 
-    # per-domain offsets from the real data's key maxima
+    # per-domain offsets from the real data's key maxima (one reader
+    # per table, shared with the overflow guard below)
+    readers: dict[str, object] = {}
+
+    def tbl(table: str):
+        if table not in readers:
+            readers[table] = spark.read.parquet(
+                os.path.join(SRC, f"{table}.parquet"))
+        return readers[table]
+
     offsets: dict[str, int] = {}
     for dom, cols in DOMAINS.items():
         mx = 0
         for table, col in cols:
-            df = spark.read.parquet(os.path.join(SRC, f"{table}.parquet"))
-            mx = max(mx, int(df.agg(F.max(col)).first()[0]))
+            mx = max(mx, int(tbl(table).agg(F.max(col)).first()[0]))
         offsets[dom] = next_pow10(mx)
 
     col_offset = {(t, c): offsets[dom]
@@ -90,8 +98,7 @@ def main() -> None:
     for dom, cols in DOMAINS.items():
         top = offsets[dom] - 1 + (REPLICAS - 1) * offsets[dom]
         for table, col in cols:
-            df = spark.read.parquet(os.path.join(SRC, f"{table}.parquet"))
-            tn = df.schema[col].dataType.typeName()
+            tn = tbl(table).schema[col].dataType.typeName()
             cap = int_max.get(tn)
             if cap is not None and top > cap:
                 raise ValueError(

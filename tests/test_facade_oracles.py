@@ -75,7 +75,15 @@ def _veq(a, b):
     return a == b
 
 
-@pytest.mark.parametrize("name", FACADES)
+# Belt-and-braces: the gapped/capped blastn tails are driver-recorded
+# (prefix slots 48-50) but ALSO oracle-checked here, so their value
+# evidence survives even if a future registration pushes one past the
+# driver's window (the ordering test below fails loudly first).
+PREFIX_TAILS = ["blast_gapped_tail", "blast_gapped_nucl_tail",
+                "blast_capped_tail"]
+
+
+@pytest.mark.parametrize("name", FACADES + PREFIX_TAILS)
 def test_facade_matches_oracle(spark, oracle_con, name):
     qs, oracles = entry.queries(), entry.oracle_sql()
     assert name in qs and name in oracles
@@ -103,10 +111,17 @@ def test_facades_registered_after_substantive_queries():
     driver's bounded prefix records the unique-evidence operators.
     This is plain source order, asserted here so a future edit can't
     silently regress it (and so no post-hoc registry mutation is ever
-    needed again). The prefix budget is 50: blast_tail must sit at or
-    inside it."""
+    needed again). The prefix budget is 50: every unique-evidence
+    kernel tail must sit inside it — blast_capped_tail is on the
+    boundary (index 49), so the NEXT substantive registration anywhere
+    before the tail section fails here, loudly, instead of silently
+    pushing a recorded query past the driver's window."""
     names = list(entry.queries())
     first_facade = min(names.index(n) for n in FACADES)
     last_substantive = max(i for i, n in enumerate(names) if n not in FACADES)
     assert last_substantive < first_facade
-    assert names.index("blast_tail") < 50
+    for name in ["blast_tail"] + PREFIX_TAILS:
+        assert names.index(name) < 50, (
+            f"{name} at registry index {names.index(name)} — outside "
+            "the driver's 50-slot recording window; demote a twin "
+            "to the tail section")

@@ -210,7 +210,7 @@ def test_kernel_stream_equals_batch(spark, tmp_path):
                         F.col("n_chars").cast("int").alias("length")))
     cfg = BlastConfig(task="blastp", word_size=12, block_size=5000)
 
-    # deliver the queries as THREE files -> three micro-batches
+    # deliver the queries as TWO files -> two micro-batches
     src = str(tmp_path / "qsrc")
     queries.repartition(2).write.mode("overwrite").parquet(src)
     stream = (spark.readStream.schema(queries.schema)
