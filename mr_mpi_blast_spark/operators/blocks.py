@@ -137,10 +137,15 @@ def ordered_prefix_sum(df: DataFrame, value: Column | str,
            if ck is not None else None)
     off_df = _HIST_CACHE.get(("off_df", dfk)) if dfk is not None else None
     if off_df is None:
-        off_df = (spark.createDataFrame(fine_map, ["_fine", "_coarse"])
-                  .join(spark.createDataFrame(coarse_offs,
-                                              ["_coarse", "_offset"]),
-                        "_coarse"))
+        # join fine->coarse with coarse->offset HERE, in plain Python
+        # (both plan-sized): one local relation broadcast per query,
+        # instead of a two-sided shuffle join of two local relations
+        # re-executing inside every run (measured: 3 exchanges and 4
+        # extra jobs per warm call at sf0.1)
+        off_of = dict(coarse_offs)
+        off_df = spark.createDataFrame(
+            [(f, c, off_of[c]) for f, c in fine_map],
+            ["_fine", "_coarse", "_offset"])
         if dfk is not None:
             # evict off_df entries pinned to stopped sessions: their
             # DataFrames hold dead JVM plan state and can never be hit
