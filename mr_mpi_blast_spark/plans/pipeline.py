@@ -244,12 +244,20 @@ def apply_max_target_seqs(hits: DataFrame, cap: int,
     monotone-equivalent column (the tail twin passes its floor-rounded
     log10_evalue; within a query both orderings equal score desc,
     since the length adjustment is constant per qid)."""
-    best_per_subject = topk_per_key(
-        hits, ["qid", "sid"],
-        [F.col(evalue_col).asc(), F.col("bitscore").desc(),
-         F.col("qstart").asc()], 1, rank_col="_sr").drop("_sr")
+    # best HSP per subject by HASH AGGREGATE, not a rank window: only
+    # (evalue, bitscore) of the best HSP matter for the subject
+    # ranking, and min(struct(evalue, -bitscore)) == ORDER BY evalue
+    # ASC, bitscore DESC — partial aggregation combines map-side, so
+    # the full hit table is never sort-shuffled (bitscore is floor-
+    # rounded and never -0.0, so its negation stays order-exact)
+    best_per_subject = (
+        hits.groupBy("qid", "sid")
+        .agg(F.min(F.struct(F.col(evalue_col).alias("be"),
+                            (-F.col("bitscore")).alias("nb"))).alias("b"))
+        .select("qid", "sid", F.col("b.be").alias(evalue_col),
+                (-F.col("b.nb")).alias("bitscore")))
     subj_rank = topk_per_key(
-        best_per_subject.select("qid", "sid", evalue_col, "bitscore"),
+        best_per_subject,
         ["qid"],
         [F.col(evalue_col).asc(), F.col("bitscore").desc(),
          F.col("sid").asc()],
