@@ -77,7 +77,11 @@ def _clear_raw_cache(sf_dir: str) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    reps_n = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # 5 interleaved reps (was 3): this box's noise arrives in multi-
+    # second bursts wider than a 3-pass window — observed pass totals
+    # of [57, 34, 49] s for identical work in one run. The median of 5
+    # spans ~3-4 min of wall clock and absorbs a full burst.
+    reps_n = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
