@@ -97,7 +97,85 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
             .select("qid", "nid", round4_xengine(F.col("cos")).alias("cos"), "rank"))
 
 
-def ivf_assign(vectors: DataFrame, centroids: DataFrame,
+def centroid_triples(pairs) -> list[tuple[int, list, float]]:
+    """(cid, vector) pairs -> sorted (cid, vector, norm) triples.
+
+    The norm is a SEQUENTIAL square fold + sqrt — the exact operation
+    _norm() expresses in Spark (both are IEEE-double sequential adds
+    and a correctly-rounded sqrt), so literal-expression assignment is
+    bit-identical to scoring against the centroid column itself."""
+    import math
+    out = []
+    for cid, vec in pairs:
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        out.append((int(cid), [float(x) for x in vec], math.sqrt(acc)))
+    out.sort(key=lambda t: t[0])
+    if not out:
+        raise ValueError("ivf_assign: empty centroid table")
+    return out
+
+
+def _collect_centroids(centroids, cent_id: str,
+                       vec_col: str) -> list[tuple[int, list, float]]:
+    """Centroid values to the driver: (cid, vector, norm) triples.
+
+    Accepts either a centroid DataFrame or an already-collected triple
+    list (callers that evaluate the same index repeatedly — bench
+    loops, the recall artifact store — memoize the list content-keyed
+    and skip the per-call collect job). Centroid tables are
+    metadata-sized by contract (k vectors — the IVF index parameter,
+    not data-sized), so the collect is bounded like the block
+    histogram in operators/blocks.py."""
+    if isinstance(centroids, list):
+        return centroids
+    rows = (centroids.select(F.col(cent_id).cast("long").alias("cid"),
+                             F.col(vec_col).cast("array<double>")
+                             .alias("cvec"))
+            .collect())
+    return centroid_triples((r[0], r[1]) for r in rows)
+
+
+def _sql_double(x: float) -> str:
+    """Exact double literal for Spark SQL text: Python repr() is the
+    shortest decimal that round-trips the IEEE double, and Spark
+    parses double literals with Double.parseDouble (correctly
+    rounded), so the parsed value is bit-identical to the collected
+    one."""
+    return repr(float(x)) + "D"
+
+
+def _assign_candidates(vcol_name: str, vnorm_name: str, cents):
+    """array<struct<cos,ncid>> of a vector's cosine against every
+    centroid, centroids inlined as LITERALS: assignment becomes a
+    map-only projection — no broadcast exchange, no argmax shuffle,
+    and (for callers that previously joined the assignment back onto
+    the vector table) no corpus self-join. Total HOF work is unchanged
+    (|C| dot-folds per vector, same as |C| crossJoin rows); what
+    disappears is every exchange. Tie semantics preserved:
+    max/sort on struct(cos, -cid) == ORDER BY cos DESC, cid ASC; cos
+    is never negated, so no -0.0 is manufactured into the compare.
+
+    Built as ONE SQL string per side: a Column-API loop here costs
+    ~|C| x d py4j round-trips per call (~2 s of pure driver latency at
+    C=8, d=64 — measured; it doubled the warm query wall), while one
+    F.expr is a single round-trip and parses JVM-side. The SQL forms
+    mirror _dot/_cosine_pre/round6_xengine exactly: sequential
+    zip_with/aggregate fold, try_divide+coalesce, floor-form 1e-6."""
+    parts = []
+    for cid, vec, cn in cents:
+        arr = "array(" + ",".join(_sql_double(x) for x in vec) + ")"
+        dot = (f"aggregate(zip_with({vcol_name}, {arr}, (x, y) -> x * y), "
+               f"0.0D, (acc, v) -> acc + v)")
+        cos = (f"coalesce(try_divide({dot}, {vnorm_name} * "
+               f"{_sql_double(cn)}), 0.0D)")
+        cos6 = f"floor({cos} * 1e6 + 0.5) / 1e6"
+        parts.append(f"named_struct('cos', {cos6}, 'ncid', {-cid}L)")
+    return F.expr("array(" + ",".join(parts) + ")")
+
+
+def ivf_assign(vectors: DataFrame, centroids,
                id_col: str = "vec_id", vec_col: str = "embedding",
                cent_id: str = "cid", nprobe: int = 1,
                with_rank: bool = False) -> DataFrame:
@@ -106,46 +184,34 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     plus the probe rank ``pr`` (1 = nearest centroid) when
     ``with_rank``, so a caller evaluating several nprobe settings can
     assign ONCE at the largest and filter ``pr <= np`` per setting.
-    The centroid table is tiny -> broadcast. Corpus vectors index with
-    nprobe=1 (each lives in ONE bucket); query-side callers pass
-    nprobe>1 to widen the search fan-out without touching the index."""
+
+    Centroids are collected once (metadata-sized) and inlined as
+    literal expressions, so assignment is a shuffle-free projection of
+    the vector table — the earlier broadcast-crossJoin + hash-agg
+    argmax shuffled |vectors| rows per call (and callers then joined
+    the result back onto the vector table: a second corpus shuffle).
+    The expression tree is |C| x d literals — fine for the hundreds-of-
+    centroids regime this engine targets; a million-centroid index
+    would switch to the pandas-UDF scorer (same contract).
+    Corpus vectors index with nprobe=1 (each lives in ONE bucket);
+    query-side callers pass nprobe>1 to widen the search fan-out
+    without touching the index."""
+    cents = _collect_centroids(centroids, cent_id, vec_col)
     v = _vec(vectors, id_col, vec_col, "v")
-    cv = F.col(vec_col).cast("array<double>")
-    c = centroids.select(F.col(cent_id).alias("cid"), cv.alias("cvec"),
-                         _norm(cv).alias("cnorm"))
-    scored = (v.crossJoin(F.broadcast(c))
-              .withColumn("cos", round6_xengine(_cosine_pre(
-                  F.col("vvec"), F.col("cvec"),
-                  F.col("vnorm"), F.col("cnorm")))))
-    # argmax by HASH AGGREGATE, not a rank window: the broadcast cross
-    # join leaves rows partitioned by input, so partial aggregation
-    # combines the per-vector candidates map-side and only |vectors|
-    # rows shuffle — a window would sort-shuffle |vectors| x |C| rows
-    # per call (measured 1.2s -> 0.75s on the warm IVF queries at
-    # sf0.1). Tie semantics preserved: max(struct(cos, -cid)) ==
-    # ORDER BY cos DESC, cid ASC; cos is never negated, so no -0.0 is
-    # manufactured into the comparison.
+    arr = _assign_candidates("vvec", "vnorm", cents)
     if nprobe == 1 and not with_rank:
-        best = (scored.groupBy("vid")
-                .agg(F.max(F.struct(F.col("cos"),
-                                    (-F.col("cid")).alias("ncid")))
-                     .alias("b")))
-        return best.select(F.col("vid").alias(id_col),
-                           (-F.col("b.ncid")).alias("cid"))
-    # top-nprobe: collect the (tiny, |C|-sized) candidate list per key
-    # inside the same hash agg and slice — still no per-key sort pass
-    top = F.slice(F.sort_array(F.collect_list(
-        F.struct(F.col("cos"), (-F.col("cid")).alias("ncid"))),
-        asc=False), 1, nprobe)
-    ex = (scored.groupBy("vid").agg(top.alias("top"))
-          .select("vid", F.posexplode("top").alias("pos", "t")))
+        best = F.array_max(arr)
+        return v.select(F.col("vid").alias(id_col),
+                        (-best["ncid"]).alias("cid"))
+    top = F.slice(F.sort_array(arr, asc=False), 1, nprobe)
+    ex = v.select("vid", F.posexplode(top).alias("pos", "t"))
     cols = [F.col("vid").alias(id_col),
             (-F.col("t.ncid")).alias("cid")] + (
         [(F.col("pos") + 1).cast("int").alias("pr")] if with_rank else [])
     return ex.select(*cols)
 
 
-def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids,
              k: int, id_col: str = "vec_id",
              vec_col: str = "embedding", nprobe: int = 1) -> DataFrame:
     """IVF ANN: search the query's ``nprobe`` nearest centroid buckets.
@@ -157,14 +223,25 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
     rises with nprobe (the classic IVF recall/latency dial); a
     neighbor can never appear twice, because corpus vectors live in
     exactly one bucket regardless of nprobe.
-    Output: (qid, nid, cos, rank)."""
-    assign = ivf_assign(corpus, centroids, id_col, vec_col)
-    q_assign = ivf_assign(queries, centroids, id_col, vec_col,
-                          nprobe=nprobe) if nprobe > 1 else assign
-    q = _vec(queries, id_col, vec_col, "q").join(
-        q_assign.withColumnRenamed(id_col, "qid"), "qid")
-    c = _vec(corpus, id_col, vec_col, "n").join(
-        assign.withColumnRenamed(id_col, "nid"), "nid")
+    Output: (qid, nid, cos, rank).
+
+    Bucket ids are attached INLINE (literal-expression argmax, see
+    ivf_assign): each side is a single scan + projection, so the only
+    shuffles left are the cid equi-join and the per-query rank window
+    — the former assign-then-self-join shape shuffled the corpus twice
+    more for the same result."""
+    cents = _collect_centroids(centroids, "cid", vec_col)
+    q = _vec(queries, id_col, vec_col, "q")
+    if nprobe > 1:
+        qtop = F.slice(F.sort_array(_assign_candidates("qvec", "qnorm", cents), asc=False), 1, nprobe)
+        q = (q.select("qid", "qvec", "qnorm",
+                      F.explode(qtop).alias("t"))
+             .select("qid", "qvec", "qnorm",
+                     (-F.col("t.ncid")).alias("cid")))
+    else:
+        q = q.withColumn("cid", (-F.array_max(_assign_candidates("qvec", "qnorm", cents))["ncid"]))
+    c = _vec(corpus, id_col, vec_col, "n")
+    c = c.withColumn("cid", (-F.array_max(_assign_candidates("nvec", "nnorm", cents))["ncid"]))
     pairs = (q.join(c, "cid")
              .filter(F.col("qid") != F.col("nid"))
              .withColumn("cos", round6_xengine(_cosine_pre(
@@ -441,7 +518,7 @@ def train_ivf_centroids(vectors: DataFrame, k: int, n_iter: int = 10,
 
 
 def ivf_recall(queries: DataFrame, corpus: DataFrame,
-               centroids: DataFrame, k: int,
+               centroids, k: int,
                nprobes: tuple[int, ...] = (1, 2, 4),
                id_col: str = "vec_id",
                vec_col: str = "embedding",
