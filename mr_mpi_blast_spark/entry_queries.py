@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import math
 import os
 from collections.abc import Callable
 
@@ -1518,19 +1519,140 @@ def _blast_raw(spark, sf_dir, cfg=None, qmod: int = 25,
     return spark.read.parquet(cache_dir), dbsize, n_seqs
 
 
-@query("blast_pipeline")  # kernel = non-SQL-expressible; rows-only check
-def q_blast_pipeline(spark, sf_dir):
-    """K1 + full lifecycle (SURVEY §3.1): documents-as-sequences run
+# The raw kernel output is persisted under this fixed link (repointed
+# atomically per scale factor by _blast_raw) so the DuckDB oracles —
+# the flagship's production-tail replay below and blast_tail's
+# log-space twin — can re-derive the relational tail from the SAME
+# rows. RAW_HITS is all integers/strings — the persist is lossless,
+# and every float is derived from identical integers on both engines
+# (libm ulp differences are absorbed by floor-form 1e-4 rounding).
+_BLAST_RAW_PATH = "/tmp/spark_graft_blast_raw_current.parquet"
+
+# blastp scoring constants shared verbatim with the Spark side
+# (kernel/builtin.py KA_BLOSUM62) so both engines derive identical
+# statistics from the persisted integer scores.
+from mr_mpi_blast_spark.kernel.builtin import KA_BLOSUM62 as _KAP  # noqa: E402
+
+_LAM, _KAP_K, _KAP_H = _KAP
+
+
+def _blast_pipeline_full(spark, sf_dir):
+    """The production flagship, full schema: documents-as-sequences run
     through blocks -> per-DB-partition kernel -> projections -> e-value
     filter -> per-query top-k. Every 25th document is a query; all
     documents form the database, bucketed into 4 partitions. The
     kernel's raw output is persisted and shared with blast_tail (one
     kernel run per scale factor per process — the reference's
-    hit-files-then-convert architecture)."""
+    hit-files-then-convert architecture). Raw-float columns (evalue,
+    bitscore, ident) — downstream sinks and the golden-hash test
+    consume this form; the registered blast_pipeline query projects it
+    into the rounded cross-engine basis for the value oracle."""
     from mr_mpi_blast_spark.plans.pipeline import search_from_raw
 
     raw, dbsize, n_seqs = _blast_raw(spark, sf_dir)
     return search_from_raw(raw, dbsize, n_seqs, _blast_cfg())
+
+
+def _pipe_oracle_sql() -> str:
+    """DuckDB replay of the PRODUCTION tail (plans.pipeline.search_from_raw
+    over the persisted raw hits): functions/projections.py project_hits'
+    exact expression shapes — ident as (i/a)*100, bitscore with the
+    DRIVER-computed ln(K)/ln(2) literals project_hits folds in, evalue
+    as m_eff*n_eff*2^-bit — then the raw-double F1 filter (evalue <=
+    1e-3, mrblast.cpp:1043) and operators/topk.hit_order's six-key
+    ranking. Distinct from _tail_oracle_sql (blast_tail), which checks
+    a log-space twin; THIS one replays the shipped code path. All
+    tiebreak doubles (identr) are pure IEEE mul/div of integers —
+    bit-identical across engines; libm ulp noise lives only in
+    ln/pow/log10, absorbed by the floor-1e-4 output rounding and
+    impotent for ordering (evalue/bit are strictly monotone in the
+    integer score within a qid). log10_evalue clamps at -280.0 (well
+    above double underflow) so a subnormal-vs-zero pow divergence at
+    extreme scores can never split the engines; the clamp is continuous
+    (log10 -> -280.0 exactly at the boundary after rounding)."""
+    # DuckDB parses short numeric literals as DECIMAL; CAST every
+    # constant to DOUBLE so the arithmetic is IEEE binary64 end to end
+    # (matching Spark's literal doubles exactly)
+    lam = f"CAST({_LAM!r} AS DOUBLE)"
+    kk = f"CAST({_KAP_K!r} AS DOUBLE)"
+    hh = f"CAST({_KAP_H!r} AS DOUBLE)"
+    lnk = f"CAST({math.log(_KAP_K)!r} AS DOUBLE)"
+    ln2 = f"CAST({math.log(2.0)!r} AS DOUBLE)"
+    return f"""
+WITH raw AS (SELECT * FROM read_parquet('{_BLAST_RAW_PATH}/*.parquet')),
+db AS (SELECT CAST(sum(length(text)) AS DOUBLE) AS dbsize,
+              CAST(count(*) AS DOUBLE) AS nseqs FROM documents),
+proj AS (
+  SELECT qid, sid, align_len, gaps, ident_count,
+         CASE WHEN align_len > 0
+              THEN CAST(ident_count AS DOUBLE) / CAST(align_len AS DOUBLE) * 100.0
+              ELSE 0.0 END AS identr,
+         qstart0 + 1 AS qstart, qend0 + 1 AS qend,
+         CASE WHEN qstrand != sstrand THEN send0 + 1 ELSE sstart0 + 1 END AS sstart,
+         CASE WHEN qstrand != sstrand THEN sstart0 + 1 ELSE send0 + 1 END AS send,
+         ({lam} * score - {lnk}) / {ln2} AS bit,
+         CAST(qlen AS DOUBLE) AS qlen_d
+  FROM raw),
+adj AS (
+  SELECT p.*,
+         greatest(qlen_d - floor(ln({kk} * qlen_d * db.dbsize) / {hh}), 1.0) AS m_eff,
+         greatest(db.dbsize
+                  - db.nseqs * floor(ln({kk} * qlen_d * db.dbsize) / {hh}), 1.0) AS n_eff
+  FROM proj p, db),
+scored AS (SELECT a.*, m_eff * n_eff * pow(2.0, -bit) AS evalue FROM adj a),
+filt AS (SELECT * FROM scored WHERE evalue <= 1e-3),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+    ORDER BY evalue ASC, bit DESC, identr DESC, sid ASC, qstart ASC, sstart ASC) AS r
+  FROM filt)
+SELECT qid, sid,
+       floor(identr * 1e4 + 0.5) / 1e4 AS ident,
+       CAST(align_len AS BIGINT) AS align_len,
+       CAST(align_len - ident_count - gaps AS BIGINT) AS mismatches,
+       CAST(gaps AS BIGINT) AS gaps,
+       CAST(qstart AS BIGINT) AS qstart, CAST(qend AS BIGINT) AS qend,
+       CAST(sstart AS BIGINT) AS sstart, CAST(send AS BIGINT) AS send,
+       CASE WHEN evalue > 1e-280
+            THEN floor(log10(evalue) * 1e4 + 0.5) / 1e4
+            ELSE -280.0 END AS log10_evalue,
+       floor(bit * 1e4 + 0.5) / 1e4 AS bitscore
+FROM ranked WHERE r <= 10
+"""
+
+
+@query("blast_pipeline", _pipe_oracle_sql())
+def q_blast_pipeline(spark, sf_dir):
+    """The flagship, value-oracled end-to-end from the persisted raw
+    hits: the PRODUCTION composition (plans.pipeline.search_from_raw =
+    project_hits -> F1 raw-evalue filter -> top_hits/hit_order), with
+    the float outputs projected into the rounded basis the driver can
+    hash across engines (ident/bitscore/log10-evalue at 1e-4, counts
+    as longs). The oracle replays the same derivation in DuckDB —
+    unlike blast_tail's log-space twin, this checks the shipped tail
+    path itself, so a regression in project_hits, the F1 threshold
+    direction, the F2/O3 ordering keys, or top_hits' cutoff fails the
+    driver row, not just in-repo tests. The unrounded production frame
+    stays available as _blast_pipeline_full (golden-hash pinned in
+    tests/test_kernel_pipeline.py)."""
+    full = _blast_pipeline_full(spark, sf_dir)
+
+    def r4(c):
+        return F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+
+    return full.select(
+        "qid", "sid",
+        r4(F.col("ident")).alias("ident"),
+        F.col("align_len").cast("long").alias("align_len"),
+        F.col("mismatches").cast("long").alias("mismatches"),
+        F.col("gaps").cast("long").alias("gaps"),
+        F.col("qstart").cast("long").alias("qstart"),
+        F.col("qend").cast("long").alias("qend"),
+        F.col("sstart").cast("long").alias("sstart"),
+        F.col("send").cast("long").alias("send"),
+        F.when(F.col("evalue") > F.lit(1e-280),
+               r4(F.log10(F.col("evalue"))))
+         .otherwise(F.lit(-280.0)).alias("log10_evalue"),
+        r4(F.col("bitscore")).alias("bitscore"))
 
 
 @query("salted_part_revenue", """
@@ -1833,20 +1955,8 @@ def q_multivalue_sort(spark, sf_dir):
                  F.count(F.lit(1)).alias("n")))
 
 
-# The raw kernel output is persisted here by q_blast_tail so the DuckDB
-# oracle can re-derive the relational tail from the SAME rows. RAW_HITS
-# is all integers/strings — the persist is lossless, and every float
-# below is derived from identical integers on both engines (libm ulp
-# differences are absorbed by floor-form 1e-4 rounding). Overwritten on
-# every call, so the oracle always sees the just-run scale factor.
-_BLAST_RAW_PATH = "/tmp/spark_graft_blast_raw_current.parquet"
-
-# blastp scoring constants shared verbatim with the Spark side
-# (kernel/builtin.py KA_BLOSUM62) so both engines derive identical
-# statistics from the persisted integer scores.
-from mr_mpi_blast_spark.kernel.builtin import KA_BLOSUM62 as _KAP  # noqa: E402
-
-_LAM, _KAP_K, _KAP_H = _KAP
+# (_BLAST_RAW_PATH and the KA_BLOSUM62 constants are defined above
+# q_blast_pipeline, which shares them.)
 
 def _tail_oracle_sql(raw_path: str, lam: float, kk: float,
                      hh: float, max_target_seqs: int | None = None) -> str:

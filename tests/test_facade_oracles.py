@@ -79,8 +79,10 @@ def _veq(a, b):
 # (prefix slots 48-50) but ALSO oracle-checked here, so their value
 # evidence survives even if a future registration pushes one past the
 # driver's window (the ordering test below fails loudly first).
+# blast_pipeline: the flagship's production-tail oracle (r7 — the
+# driver previously saw it rows-only) is checked here at sf0.001 too.
 PREFIX_TAILS = ["blast_gapped_tail", "blast_gapped_nucl_tail",
-                "blast_capped_tail"]
+                "blast_capped_tail", "blast_pipeline"]
 
 
 @pytest.mark.parametrize("name", FACADES + PREFIX_TAILS)

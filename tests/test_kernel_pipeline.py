@@ -320,19 +320,21 @@ def test_apply_max_target_seqs_matches_reference(spark):
 
 
 def test_flagship_golden_hash(spark):
-    """e2e value pin for the flagship (the driver checks it rows-only:
-    no SQL oracle can replay the kernel). The golden hash covers every
-    alignment-bearing column in deterministic order, produced by
-    KERNEL_SPEC k6 at sf0.001 — a kernel change that alters ANY hit
-    coordinate, score, e-value, gap count, or identity fails here.
-    Bump the hash together with KERNEL_SPEC, never alone."""
+    """e2e value pin for the flagship's UNROUNDED production frame
+    (the registered blast_pipeline query projects this into the
+    rounded oracle basis; the raw floats live here). The golden hash
+    covers every alignment-bearing column in deterministic order,
+    produced by KERNEL_SPEC k6 at sf0.001 — a kernel change that
+    alters ANY hit coordinate, score, e-value, gap count, or identity
+    fails here. Bump the hash together with KERNEL_SPEC, never
+    alone."""
     import hashlib
 
-    from mr_mpi_blast_spark.entry_queries import QUERIES
+    from mr_mpi_blast_spark.entry_queries import _blast_pipeline_full
     from mr_mpi_blast_spark.kernel.builtin import KERNEL_SPEC
 
     assert KERNEL_SPEC == "k6", "kernel changed: re-golden this test"
-    df = QUERIES["blast_pipeline"](spark, "/root/testdata/sf0.001")
+    df = _blast_pipeline_full(spark, "/root/testdata/sf0.001")
     rows = sorted((r.qid, r.sid, r.qstart, r.qend, r.sstart, r.send,
                    round(r.bitscore, 6), "%.6g" % r.evalue, r.gaps,
                    round(r.ident, 6)) for r in df.collect())
