@@ -341,3 +341,25 @@ def test_flagship_golden_hash(spark):
     assert len(rows) == 177
     got = hashlib.md5(repr(rows).encode()).hexdigest()
     assert got == "43d94bb1ecea459b670aaa8632eaafd0"
+
+
+def test_flagship_tail_plan_single_exchange(spark):
+    """Pin the flagship's scale shape: the warm relational tail
+    (persisted raw -> projections -> F1 -> F2-off -> top-k) must plan
+    as ONE qid exchange with a map-side WindowGroupLimit below it (the
+    partial top-k that neutralized the 6.9x hot-qid straggler in the
+    r7 skew probe), and the oracle-basis rounding projection must ride
+    the final Project — not add an exchange. Two WindowGroupLimits
+    (partial + final), exactly one Exchange."""
+    from mr_mpi_blast_spark.entry_queries import QUERIES
+
+    df = QUERIES["blast_pipeline"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") == 2, plan
+    assert plan.count("Exchange") == 1, (
+        "flagship tail should shuffle exactly once (on qid)")
+    # the map-side limit must sit below the exchange: partial prune
+    # before any rows ship
+    assert plan.index("WindowGroupLimit",
+                      plan.index("Exchange")) > plan.index("Exchange")
+    assert plan.index("WindowGroupLimit") < plan.index("Exchange")
