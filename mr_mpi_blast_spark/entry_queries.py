@@ -2438,6 +2438,42 @@ def q_multimodal_resize(spark, sf_dir):
         F.lower(F.md5("payload")).alias("payload_md5"))
 
 
+@query("decontam_ngram", f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN {_SPLIT_BUCKET_SQL} < 8000 THEN 'train'
+              WHEN {_SPLIT_BUCKET_SQL} < 9000 THEN 'val'
+              ELSE 'test' END AS split,
+         string_split({_NORM_SQL}, ' ') AS ws
+  FROM documents),
+g AS (
+  SELECT doc_id, split,
+         unnest(list_distinct(list_transform(range(1, len(ws) - 13 + 2),
+                i -> list_aggregate(ws[i:i+12], 'string_agg', ' ')))) AS gram
+  FROM s WHERE len(ws) >= 13)
+SELECT t.doc_id AS test_doc, r.doc_id AS train_doc,
+       count(DISTINCT t.gram) AS n_collisions
+FROM g t JOIN g r ON t.gram = r.gram
+WHERE t.split = 'test' AND r.split = 'train'
+GROUP BY 1, 2
+""")
+def q_decontam_ngram(spark, sf_dir):
+    """Exact 13-gram collision decontamination (the GPT-3/PaLM
+    discipline): test docs sharing ANY verbatim word-13-gram with a
+    train doc, with the count of distinct colliding grams — the
+    complement of split_contamination's near-dup check (exact
+    substring leakage vs fuzzy similarity leakage). Join runs on
+    xxhash64(gram) 8-byte keys; the oracle replays on the gram text
+    (identical absent 64-bit collisions). Registered in the tail: the
+    driver's 50-slot window is full, so its value evidence lives in
+    tests/test_facade_oracles.py."""
+    from mr_mpi_blast_spark.operators.dedup import ngram_collisions
+    from mr_mpi_blast_spark.operators.sampling import deterministic_split
+    docs = deterministic_split(_t(spark, sf_dir, "documents"), "doc_id")
+    return ngram_collisions(docs.filter(F.col("split") == "test"),
+                            docs.filter(F.col("split") == "train"))
+
+
 # ---------------------------------------------------------------------------
 # Thin relational facades (SURVEY §2.8 engine surface). Registered last
 # on purpose: the external correctness driver records a bounded prefix

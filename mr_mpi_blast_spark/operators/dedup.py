@@ -322,3 +322,42 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
                     ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
             .distinct())
+
+
+def ngram_collisions(test: DataFrame, train: DataFrame,
+                     w: int = 13,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact word-w-gram collision decontamination (the GPT-3/PaLM
+    discipline: a test document is contaminated if ANY of its w-grams
+    appears verbatim in any train document — the leakage that survives
+    both exact-hash dedup and near-dup thresholds).
+
+    Output: (test_doc, train_doc, n_collisions) — one row per
+    contaminated pair, n_collisions = distinct test w-grams shared.
+
+    100 TB shape: per-doc grams are a pure column expression
+    (array_distinct bounds per-doc multiplicity), the join is an
+    equi-join on xxhash64(gram) — an 8-byte shuffle key, never the
+    gram text. Skew note: a boilerplate gram with train-df f and
+    test-df g contributes f*g join rows; AQE's skew-join splits the
+    hot hash partitions, and a production decontamination run would
+    additionally cap train-side gram document-frequency (high-df
+    grams are boilerplate, not leakage) — semantics kept exact here
+    because the oracle replays the uncapped definition."""
+    def grams(df, side):
+        ws = F.split(normalized_text(F.col(text_col)), " ")
+        d = df.select(F.col(id_col).alias(f"{side}_doc"), ws.alias("ws"))
+        # sequence(1, n) with n < 1 would count DOWNWARD — guard first
+        d = d.filter(F.size("ws") >= w)
+        g = F.expr(
+            f"array_distinct(transform(sequence(1, size(ws) - {w} + 1), "
+            f"i -> array_join(slice(ws, i, {w}), ' ')))")
+        return d.select(f"{side}_doc",
+                        F.explode(g).alias("gram")) \
+                .select(f"{side}_doc", F.xxhash64("gram").alias("gh"))
+
+    t, r = grams(test, "test"), grams(train, "train")
+    return (t.join(r, "gh")
+            .groupBy("test_doc", "train_doc")
+            .agg(F.countDistinct("gh").alias("n_collisions")))

@@ -38,6 +38,9 @@ FACADES = [
     "dedup_simhash", "ann_ivf_nprobe2", "multimodal_resize",
     # PII scrub: derived pseudo-PII machinery check (tail-registered)
     "text_pii_scrub", "text_repetition",
+    # exact 13-gram decontamination (r7 addition; the driver's 50-slot
+    # window was already full, so its value evidence lives here)
+    "decontam_ngram",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
