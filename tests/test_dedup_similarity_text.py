@@ -260,3 +260,28 @@ def test_fingerprint_sketch_values(spark, tmp_path):
         hashes = sorted(hl.md5(s.encode()).hexdigest() for s in sh)
         assert got[i].fp_exact == hl.md5(norm.encode()).hexdigest()
         assert got[i].fp_sketch == "|".join(hashes[:4]), f"doc {i}"
+
+
+def test_ngram_collisions_boundaries(spark):
+    """Exact w-gram collision edges: a doc with exactly w words forms
+    ONE gram; docs shorter than w form none (and must not trip
+    sequence(1, n<1), which would count DOWNWARD); collision counts
+    are distinct-gram counts, not occurrence counts."""
+    from mr_mpi_blast_spark.operators.dedup import ngram_collisions
+
+    w9 = " ".join(f"t{i}" for i in range(9))          # 9 words
+    test = spark.createDataFrame(
+        [(1, w9),                                      # exactly w
+         (2, "too short"),                             # < w: no grams
+         (3, f"{w9} {w9}")],                           # repeats the gram
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(10, f"prefix words {w9} suffix words"),      # contains the gram
+         (11, "unrelated text entirely different")],
+        "doc_id long, text string")
+    out = {(r.test_doc, r.train_doc): r.n_collisions
+           for r in ngram_collisions(test, train, w=9).collect()}
+    # doc 1 and doc 3 each share exactly ONE distinct 9-gram with doc
+    # 10; doc 3's internal repeat must not inflate the count; doc 2
+    # and doc 11 appear nowhere
+    assert out == {(1, 10): 1, (3, 10): 1}
