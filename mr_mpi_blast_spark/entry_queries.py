@@ -497,14 +497,21 @@ def q_events_interval_join(spark, sf_dir):
         F.date_format("e_ts", _TS_FMT_SPARK).alias("e_ts"))
 
 
+# The deterministic split bucket, shared by every oracle that replays
+# the 80/10/10 splitter (doc_train_split, split_contamination, the
+# decontam_ngram family).
+_SPLIT_BUCKET_SQL = ("(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+                     "::BIGINT % 10000)")
+
+
 @query("doc_train_split", f"""
 SELECT doc_id,
-       {{bucket}} AS bucket,
-       CASE WHEN {{bucket}} < 8000 THEN 'train'
-            WHEN {{bucket}} < 9000 THEN 'val'
+       {_SPLIT_BUCKET_SQL} AS bucket,
+       CASE WHEN {_SPLIT_BUCKET_SQL} < 8000 THEN 'train'
+            WHEN {_SPLIT_BUCKET_SQL} < 9000 THEN 'val'
             ELSE 'test' END AS split
 FROM documents
-""".format(bucket="(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)"))
+""")
 def q_doc_train_split(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test split: the bucket is a
     pure function of the doc id (md5 arithmetic, identical in any
@@ -948,14 +955,61 @@ SELECT qid, nid, floor(cos6 * 1e4 + 0.5) / 1e4 AS cos, rank FROM ranked WHERE ra
 """
 
 
-@query("ann_cosine_topk_numpy", _ANN_ORACLE)
-def q_ann_cosine_topk_numpy(spark, sf_dir):
-    """Same contract through the Arrow/numpy mapInPandas path (the
-    100 TB hot path: broadcast query matrix, BLAS matmul per batch,
-    partial top-k before the final window)."""
-    from mr_mpi_blast_spark.operators.similarity import brute_force_topk_numpy
-    e = _t(spark, sf_dir, "embeddings")
-    return brute_force_topk_numpy(e.filter(F.col("vec_id") % 20 == 0), e, k=5)
+def _decontam_sql(max_train_df: int | None = None) -> str:
+    """DuckDB replay of the exact 13-gram decontamination — on the
+    gram TEXT (the engine joins the 64-bit hash; identical absent
+    collisions, see ngram_collisions' bound note). With a cap, the
+    train-side df filter replays the engine's pre-join semi-join."""
+    df_cte = ""
+    df_join = ""
+    if max_train_df is not None:
+        df_cte = (f""",
+keep AS (
+  SELECT gram FROM g WHERE split = 'train'
+  GROUP BY gram HAVING count(*) <= {max_train_df})""")
+        df_join = " JOIN keep k ON k.gram = t.gram"
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN {_SPLIT_BUCKET_SQL} < 8000 THEN 'train'
+              WHEN {_SPLIT_BUCKET_SQL} < 9000 THEN 'val'
+              ELSE 'test' END AS split,
+         string_split({_NORM_SQL}, ' ') AS ws
+  FROM documents),
+g AS (
+  SELECT doc_id, split,
+         unnest(list_distinct(list_transform(range(1, len(ws) - 13 + 2),
+                i -> list_aggregate(ws[i:i+12], 'string_agg', ' ')))) AS gram
+  FROM s WHERE len(ws) >= 13){df_cte}
+SELECT t.doc_id AS test_doc, r.doc_id AS train_doc,
+       count(DISTINCT t.gram) AS n_collisions
+FROM g t JOIN g r ON t.gram = r.gram{df_join}
+WHERE t.split = 'test' AND r.split = 'train'
+GROUP BY 1, 2
+"""
+
+
+# Train-side gram document-frequency cap for the capped decontam twin:
+# small enough to have bite on the synthetic corpus (at sf0.001 it
+# drops a df-3 boilerplate gram and with it one contaminated pair).
+_DECONTAM_MAX_DF = 2
+
+
+@query("decontam_ngram", _decontam_sql())
+def q_decontam_ngram(spark, sf_dir):
+    """Exact 13-gram collision decontamination (the GPT-3/PaLM
+    discipline): test docs sharing ANY verbatim word-13-gram with a
+    train doc, with the count of distinct colliding grams — the
+    complement of split_contamination's near-dup check (exact
+    substring leakage vs fuzzy similarity leakage). Join runs on
+    xxhash64(gram) 8-byte keys; the oracle replays on the gram text.
+    The boilerplate-capped production variant is the tail twin
+    decontam_ngram_capped."""
+    from mr_mpi_blast_spark.operators.dedup import ngram_collisions
+    from mr_mpi_blast_spark.operators.sampling import deterministic_split
+    docs = deterministic_split(_t(spark, sf_dir, "documents"), "doc_id")
+    return ngram_collisions(docs.filter(F.col("split") == "test"),
+                            docs.filter(F.col("split") == "train"))
 
 
 @query("ann_ivf_topk", """
@@ -1833,9 +1887,6 @@ def q_corpus_curation(spark, sf_dir):
                  F.sum("n_chars").alias("total_chars")))
 
 
-_SPLIT_BUCKET_SQL = ("(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
-                     "::BIGINT % 10000)")
-
 @query("split_contamination", f"""
 WITH pairs AS ({_NGRAM_JACCARD_SQL}),
 s AS (
@@ -2336,13 +2387,15 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Correctness-only exhaustive twins. Registered in the tail section on
 # purpose: the external driver records a bounded prefix of the
-# registry, and each of these is a twin/projection of a recorded
-# query (dedup_ngram_jaccard <-> dedup_minhash_lsh, ann_cosine_topk
-# <-> ann_cosine_topk_numpy, dedup_simhash <-> dedup_simhash_pairs,
+# registry, and each of these is a twin/projection/parameter-variant
+# of a recorded query (dedup_ngram_jaccard <-> dedup_minhash_lsh,
+# ann_cosine_topk + ann_cosine_topk_numpy <-> same _ANN_ORACLE
+# semantics (the numpy path was demoted in r8 to free its prefix slot
+# for decontam_ngram — unique semantics beat a second implementation
+# of recorded semantics), dedup_simhash <-> dedup_simhash_pairs,
 # ann_ivf_nprobe2 <-> ann_ivf_topk, multimodal_resize <->
-# multimodal_decode), so the prefix slots go to queries with unique
-# evidence (the gapped/capped blastn tails — the reference's DEFAULT
-# mode per doc/USERGUIDE:47-50 — displaced three twins here in r7).
+# multimodal_decode, decontam_ngram_capped <-> decontam_ngram), so
+# the prefix slots go to queries with unique evidence.
 # tests/test_facade_oracles.py oracle-checks everything in this tail
 # so the value-level evidence stays self-contained in-repo.
 # ---------------------------------------------------------------------------
@@ -2438,40 +2491,35 @@ def q_multimodal_resize(spark, sf_dir):
         F.lower(F.md5("payload")).alias("payload_md5"))
 
 
-@query("decontam_ngram", f"""
-WITH s AS (
-  SELECT doc_id,
-         CASE WHEN {_SPLIT_BUCKET_SQL} < 8000 THEN 'train'
-              WHEN {_SPLIT_BUCKET_SQL} < 9000 THEN 'val'
-              ELSE 'test' END AS split,
-         string_split({_NORM_SQL}, ' ') AS ws
-  FROM documents),
-g AS (
-  SELECT doc_id, split,
-         unnest(list_distinct(list_transform(range(1, len(ws) - 13 + 2),
-                i -> list_aggregate(ws[i:i+12], 'string_agg', ' ')))) AS gram
-  FROM s WHERE len(ws) >= 13)
-SELECT t.doc_id AS test_doc, r.doc_id AS train_doc,
-       count(DISTINCT t.gram) AS n_collisions
-FROM g t JOIN g r ON t.gram = r.gram
-WHERE t.split = 'test' AND r.split = 'train'
-GROUP BY 1, 2
-""")
-def q_decontam_ngram(spark, sf_dir):
-    """Exact 13-gram collision decontamination (the GPT-3/PaLM
-    discipline): test docs sharing ANY verbatim word-13-gram with a
-    train doc, with the count of distinct colliding grams — the
-    complement of split_contamination's near-dup check (exact
-    substring leakage vs fuzzy similarity leakage). Join runs on
-    xxhash64(gram) 8-byte keys; the oracle replays on the gram text
-    (identical absent 64-bit collisions). Registered in the tail: the
-    driver's 50-slot window is full, so its value evidence lives in
-    tests/test_facade_oracles.py."""
+@query("ann_cosine_topk_numpy", _ANN_ORACLE)
+def q_ann_cosine_topk_numpy(spark, sf_dir):
+    """Same contract through the Arrow/numpy mapInPandas path (the
+    100 TB hot path: broadcast query matrix, BLAS matmul per batch,
+    partial top-k before the final window). Tail twin (demoted in r8
+    to free a prefix slot for decontam_ngram): identical semantics to
+    the recorded ann_cosine_topk oracle; its BLAS-path value evidence
+    lives in tests/test_facade_oracles.py and tests/test_similarity.py."""
+    from mr_mpi_blast_spark.operators.similarity import brute_force_topk_numpy
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk_numpy(e.filter(F.col("vec_id") % 20 == 0), e, k=5)
+
+
+@query("decontam_ngram_capped", _decontam_sql(_DECONTAM_MAX_DF))
+def q_decontam_ngram_capped(spark, sf_dir):
+    """Production variant of decontam_ngram with the train-side gram
+    document-frequency cap (max_train_df=2): grams carried by more
+    train docs than the cap are boilerplate, not leakage, and are
+    dropped BEFORE the collision join (groupBy-count + left-semi on
+    the 8-byte gram hash) — the guard that keeps the join linear in
+    corpus size when one ubiquitous 13-gram would otherwise make it
+    quadratic in document frequency. The oracle replays the capped
+    definition on gram text."""
     from mr_mpi_blast_spark.operators.dedup import ngram_collisions
     from mr_mpi_blast_spark.operators.sampling import deterministic_split
     docs = deterministic_split(_t(spark, sf_dir, "documents"), "doc_id")
     return ngram_collisions(docs.filter(F.col("split") == "test"),
-                            docs.filter(F.col("split") == "train"))
+                            docs.filter(F.col("split") == "train"),
+                            max_train_df=_DECONTAM_MAX_DF)
 
 
 # ---------------------------------------------------------------------------

@@ -12,6 +12,8 @@ the scale path (dedup_minhash_lsh is).
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -21,6 +23,53 @@ from mr_mpi_blast_spark.functions.hashing import (char_shingles,
 
 
 from mr_mpi_blast_spark.session import spread_for_compute as _spread
+
+
+# Persisted signature tables created by the pair generators below, so a
+# long-lived session can release them: the returned pair DataFrames are
+# LAZY, which makes an in-function unpersist impossible without losing
+# the multi-consumer reuse the persist exists for (two candidate-join
+# sides + two verify sides read each signature table). Every persist in
+# this module is bounded (one short row per document), but bounded is
+# not zero — a session calling these repeatedly over many corpora
+# accumulates cached plans/storage unless it releases them.
+_SIG_CACHES: list[DataFrame] = []
+
+
+def _cache_sigs(df: DataFrame) -> DataFrame:
+    """persist() + register for release_signature_caches()."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _SIG_CACHES.append(df)
+    return df
+
+
+def release_signature_caches() -> int:
+    """Unpersist every signature table persisted by this module's pair
+    generators since the last release. Call after the pair DataFrame
+    (and anything derived from it) has been materialized — e.g. once
+    per corpus in a multi-corpus loop. Returns the number released."""
+    n = len(_SIG_CACHES)
+    while _SIG_CACHES:
+        _SIG_CACHES.pop().unpersist()
+    return n
+
+
+@contextlib.contextmanager
+def signature_cache_scope():
+    """Scope the signature caches to a block::
+
+        with signature_cache_scope():
+            minhash_lsh_pairs(df, ...).write.parquet(out)
+
+    On exit (success or error) every signature table persisted inside
+    the block is unpersisted. Derived DataFrames remain valid — Spark
+    recomputes from lineage — they just lose the cache."""
+    mark = len(_SIG_CACHES)
+    try:
+        yield
+    finally:
+        while len(_SIG_CACHES) > mark:
+            _SIG_CACHES.pop().unpersist()
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -102,8 +151,8 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, n: int, threshold: float,
            .withColumn("sz", F.size("hs"))
            .withColumn("plen", (F.col("sz")
                                 - F.ceil(F.lit(threshold) * F.col("sz"))
-                                + 1).cast("int"))
-           .persist(StorageLevel.MEMORY_AND_DISK))
+                                + 1).cast("int")))
+    agg = _cache_sigs(agg)
     pref = agg.select(
         "doc_id", F.explode(F.slice("hs", F.lit(1), F.col("plen"))).alias("h"))
     a, b = pref.alias("a"), pref.alias("b")
@@ -151,7 +200,8 @@ def minhash_lsh_pairs(df: DataFrame, n: int, threshold: float,
     # Four consumers (two key sides, two verify sides) would otherwise
     # recompute the explode+aggregate each; one row per doc (~2 KB) so
     # MEMORY_AND_DISK stays bounded and spills rather than OOMs.
-    agg = agg.persist(StorageLevel.MEMORY_AND_DISK)
+    # Released via release_signature_caches()/signature_cache_scope().
+    agg = _cache_sigs(agg)
 
     band_keys = F.array(*[
         F.xxhash64(F.array(*[F.col(f"m{b * rows_per_band + r}")
@@ -303,8 +353,8 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
            # pure codegen arithmetic instead of an interpreted zip_with
            # over 64-char arrays per candidate pair
            .withColumn("h1", F.conv(F.substring("simhash", 1, 32), 2, 10).cast("long"))
-           .withColumn("h2", F.conv(F.substring("simhash", 33, 32), 2, 10).cast("long"))
-           .persist(StorageLevel.MEMORY_AND_DISK))
+           .withColumn("h2", F.conv(F.substring("simhash", 33, 32), 2, 10).cast("long")))
+    sig = _cache_sigs(sig)
     pieces = sig.select(
         "doc_id", "h1", "h2",
         F.posexplode(F.array(*[
@@ -327,7 +377,8 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
 def ngram_collisions(test: DataFrame, train: DataFrame,
                      w: int = 13,
                      id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     max_train_df: int | None = None) -> DataFrame:
     """Exact word-w-gram collision decontamination (the GPT-3/PaLM
     discipline: a test document is contaminated if ANY of its w-grams
     appears verbatim in any train document — the leakage that survives
@@ -339,12 +390,30 @@ def ngram_collisions(test: DataFrame, train: DataFrame,
     100 TB shape: per-doc grams are a pure column expression
     (array_distinct bounds per-doc multiplicity), the join is an
     equi-join on xxhash64(gram) — an 8-byte shuffle key, never the
-    gram text. Skew note: a boilerplate gram with train-df f and
-    test-df g contributes f*g join rows; AQE's skew-join splits the
-    hot hash partitions, and a production decontamination run would
-    additionally cap train-side gram document-frequency (high-df
-    grams are boilerplate, not leakage) — semantics kept exact here
-    because the oracle replays the uncapped definition."""
+    gram text.
+
+    ``max_train_df`` is the skew/scale guard: a gram with train-side
+    document frequency f and test-side frequency g contributes f*g
+    join rows, so at web scale one ubiquitous boilerplate 13-gram
+    (license header, nav chrome) makes the join quadratic in its df —
+    AQE's skew-join splits the hot partitions across tasks but cannot
+    shrink the row count. High-df grams are boilerplate, not leakage:
+    the cap drops grams whose train df exceeds it BEFORE the join,
+    via a groupBy-count (map-side combinable — per-doc grams are
+    already distinct, so rows per hash = df) and a left-semi join on
+    the 8-byte gram hash. The join input shrinks from Σ f·g to
+    Σ_{f<=cap} f·g. None (the default) keeps the exact uncapped
+    definition for oracle replay.
+
+    Hash-vs-text asymmetry: this engine joins (and, under the cap,
+    counts df) on the 64-bit gram hash while a text oracle joins on
+    the gram itself. Expected colliding gram pairs at N distinct
+    grams is ~N^2/2^65: ~3 at N=1e10 and ~2.7e4 at N=1e12 (a 100 TB
+    corpus) — and a collision only surfaces if the two grams' docs
+    cross splits, so spurious pairs stay negligible for a screening
+    operator whose flagged pairs get inspected anyway. An audit mode
+    that carries gram text through the join costs text-width shuffle
+    and exists in the DuckDB oracle replay."""
     def grams(df, side):
         ws = F.split(normalized_text(F.col(text_col)), " ")
         d = df.select(F.col(id_col).alias(f"{side}_doc"), ws.alias("ws"))
@@ -358,6 +427,11 @@ def ngram_collisions(test: DataFrame, train: DataFrame,
                 .select(f"{side}_doc", F.xxhash64("gram").alias("gh"))
 
     t, r = grams(test, "test"), grams(train, "train")
+    if max_train_df is not None:
+        keep = (r.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+                 .filter(F.col("df") <= max_train_df)
+                 .select("gh"))
+        r = r.join(keep, "gh", "left_semi")
     return (t.join(r, "gh")
             .groupBy("test_doc", "train_doc")
             .agg(F.countDistinct("gh").alias("n_collisions")))

@@ -38,9 +38,11 @@ FACADES = [
     "dedup_simhash", "ann_ivf_nprobe2", "multimodal_resize",
     # PII scrub: derived pseudo-PII machinery check (tail-registered)
     "text_pii_scrub", "text_repetition",
-    # exact 13-gram decontamination (r7 addition; the driver's 50-slot
-    # window was already full, so its value evidence lives here)
-    "decontam_ngram",
+    # r8: decontam_ngram moved INTO the driver prefix (unique
+    # semantics); ann_cosine_topk_numpy demoted here in its place
+    # (same _ANN_ORACLE as ann_cosine_topk — BLAS-path twin), and the
+    # boilerplate-capped decontam variant registers as a tail twin
+    "ann_cosine_topk_numpy", "decontam_ngram_capped",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
