@@ -1096,8 +1096,25 @@ def _ivf_cent_store(sf_dir: str, spec: str | None = None) -> str:
 # mtime via the same recipe as _ivf_cent_store / the content-addressed
 # store path itself), so a changed corpus or retrained index can never
 # serve stale centroids — while a bench loop re-calling the same query
-# pays the collect job exactly once per process.
+# pays the collect job exactly once per process. Bounded: a long-lived
+# process cycling corpora (every regenerated embeddings file mints a
+# new mtime-keyed entry) evicts the least-recently-used entry past the
+# cap instead of growing without bound.
 _CENT_MEMO: dict = {}
+_CENT_MEMO_MAX = 8
+
+
+def _cent_memo_get(key, build):
+    """LRU get-or-build: a hit re-registers the key as most recent;
+    an insert past the cap evicts the oldest entry (dict order)."""
+    if key in _CENT_MEMO:
+        _CENT_MEMO[key] = _CENT_MEMO.pop(key)
+        return _CENT_MEMO[key]
+    val = build()
+    while len(_CENT_MEMO) >= _CENT_MEMO_MAX:
+        _CENT_MEMO.pop(next(iter(_CENT_MEMO)))
+    _CENT_MEMO[key] = val
+    return val
 
 
 def _first8_centroids(spark, sf_dir):
@@ -1105,13 +1122,15 @@ def _first8_centroids(spark, sf_dir):
     index of ann_ivf_topk / ann_ivf_nprobe2."""
     from mr_mpi_blast_spark.operators.similarity import _collect_centroids
     key = ("first8", _ivf_cent_store(sf_dir, spec="first8"))
-    if key not in _CENT_MEMO:
+
+    def build():
         e = _t(spark, sf_dir, "embeddings")
-        _CENT_MEMO[key] = _collect_centroids(
+        return _collect_centroids(
             e.filter(F.col("vec_id") < 8).select(
                 F.col("vec_id").alias("cid"), "embedding"),
             "cid", "embedding")
-    return _CENT_MEMO[key]
+
+    return _cent_memo_get(key, build)
 
 
 def _centroids_from_store(store: str):
@@ -1120,12 +1139,14 @@ def _centroids_from_store(store: str):
     come back as plain Python floats (to_pylist), the exact doubles
     the trainer wrote."""
     from mr_mpi_blast_spark.operators.similarity import centroid_triples
-    if store not in _CENT_MEMO:
+
+    def build():
         import pyarrow.parquet as pq
         t = pq.read_table(store, columns=["cid", "embedding"])
-        _CENT_MEMO[store] = centroid_triples(
+        return centroid_triples(
             (r["cid"], r["embedding"]) for r in t.to_pylist())
-    return _CENT_MEMO[store]
+
+    return _cent_memo_get(store, build)
 
 _IVF_RECALL_SQL = f"""
 WITH cent AS (SELECT cid, CAST(embedding AS DOUBLE[]) AS cemb
@@ -1240,11 +1261,16 @@ def q_ann_ivf_recall(spark, sf_dir):
             pass
         if not os.path.exists(os.path.join(p, "_SUCCESS")):
             # a directory WITHOUT _SUCCESS is a torn artifact — remove
-            # it so the rename below can land the rebuilt one (serving
-            # it would silently deflate recall; leaving it would make
-            # every rebuild fail the rename forever)
+            # it (and any meta sidecar beside it) so the rename below
+            # can land the rebuilt one (serving it would silently
+            # deflate recall; leaving it would make every rebuild fail
+            # the rename forever)
             if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
+                try:
+                    os.unlink(f"{p}.meta.json")
+                except FileNotFoundError:
+                    pass
             tmpd = f"{p}.{os.getpid()}.tmp"
             build().write.mode("overwrite").parquet(tmpd)
             try:
@@ -1283,8 +1309,16 @@ def q_ann_ivf_recall(spark, sf_dir):
     # recall's denominator assumes the exact table carries each query
     # EXACTLY k times (k or more corpus neighbors per query) — verify
     # once per artifact generation (the content key pins the data the
-    # check covered; a meta file next to the artifact replays it free)
-    meta_p = os.path.join(brute_p, "_recall_meta.json")
+    # check covered; a meta sidecar BESIDE the artifact dir replays it
+    # free — not inside it, where only the underscore-prefix reader
+    # convention kept pyarrow/Spark from tripping on it)
+    meta_p = f"{brute_p}.meta.json"
+    legacy_meta = os.path.join(brute_p, "_recall_meta.json")
+    if os.path.exists(legacy_meta):
+        try:
+            os.replace(legacy_meta, meta_p)     # migrate old layout
+        except OSError:
+            pass
     if os.path.exists(meta_p):
         with open(meta_p) as fh:
             meta = json.load(fh)

@@ -69,6 +69,12 @@ from mr_mpi_blast_spark.config import BlastConfig
 # change that can alter RAW_HITS values for some config.
 KERNEL_SPEC = "k6"
 
+# On-disk subject-index pickle format version: salted into the disk
+# cache path ALONGSIDE KERNEL_SPEC, so a storage-layout change (e.g.
+# r8's list->numpy window arrays) invalidates published index pickles
+# WITHOUT pretending RAW_HITS values changed (KERNEL_SPEC's contract).
+INDEX_FORMAT_SPEC = "i2"
+
 # ungapped Karlin-Altschul (lambda, K, H) per scoring system
 KA_NUCL_1_2 = (1.33, 0.621, 1.12)         # blastn +1/-2
 KA_BLOSUM62 = (0.3176, 0.134, 0.4012)     # blastp BLOSUM62
@@ -562,12 +568,21 @@ class SubjectIndex:
         keep = (ends - starts) <= self.max_kmer_hits
         # sorted-key + bucket-bounds arrays: query words resolve via ONE
         # vectorized searchsorted per query (no dict, no per-bucket
-        # Python fill — that loop was most of the build cost)
+        # Python fill — that loop was most of the build cost).
+        # Stored as NUMPY arrays, not lists: a 10x volume carries ~7M
+        # windows, and materializing them as Python ints made every
+        # index unpickle/evict cycle churn ~600 MB of small objects per
+        # worker — 32 concurrent workers degraded cold-start unpickles
+        # from <1 s to 80+ s (kernel-mode CPU storm) at the synthesized
+        # sf1.0. Flat int64 buffers pickle/unpickle as raw bytes and
+        # double as the batched path's views with zero copies.
         self._ukeys = hs[starts[keep]] if len(hs) else hs
-        self._bstart = starts[keep].tolist() if len(hs) else []
-        self._bend = ends[keep].tolist() if len(hs) else []
-        self._sis = sis.tolist()
-        self._poss = poss.tolist()
+        self._bstart = (starts[keep].astype(np.int64) if len(hs)
+                        else np.empty(0, dtype=np.int64))
+        self._bend = (ends[keep].astype(np.int64) if len(hs)
+                      else np.empty(0, dtype=np.int64))
+        self._sis = sis.astype(np.int64)
+        self._poss = poss.astype(np.int64)
 
     def query_buckets(self, q: str) -> list[int]:
         """Bucket id (-1 = no seed) for every word position of a
@@ -821,6 +836,89 @@ def get_subject_index(cache_key: str, subjects, word_size: int,
                                   fold_case=fold_case)
 
 
+def index_cache_key(cache_key: str, word_size: int, max_kmer_hits: int,
+                    soft_mask: bool = False, complexity: bool = False,
+                    protein: bool = False, fold_case: bool = False) -> tuple:
+    """The full identity of a built index: volume content key + every
+    config field that shapes the build. One definition, shared by the
+    resident cache, the disk cache, and the format pass — so they can
+    never disagree about what 'the same index' means."""
+    return (cache_key, word_size, max_kmer_hits, soft_mask, complexity,
+            protein, fold_case)
+
+
+def index_cache_path(key: tuple) -> str | None:
+    """Content-keyed pickle path for a built subject index, or None
+    when no trustworthy cache dir is available (uid-scoped, 0700:
+    loading a pickle from a world-writable shared path would let any
+    local user plant code — refuse the cache entirely if the dir
+    exists but is not ours). The key is salted with KERNEL_SPEC (value
+    changes) and INDEX_FORMAT_SPEC (storage-layout changes) so a
+    kernel upgrade OR an index-format change invalidates pickles from
+    older code."""
+    import hashlib
+    import tempfile
+    h = hashlib.md5(
+        repr((KERNEL_SPEC, INDEX_FORMAT_SPEC, key)).encode()).hexdigest()
+    cache_root = os.path.join(
+        os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir()),
+        f"spark_graft_idx_cache_{os.getuid()}")
+    try:
+        st = os.stat(cache_root)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+            return None
+    except FileNotFoundError:
+        pass    # created (0700) at publish time
+    return os.path.join(cache_root, h + ".pkl")
+
+
+def _publish_index(idx: SubjectIndex, path: str) -> None:
+    """Atomically publish a built index pickle (last writer wins;
+    corrupt/stale files rebuild silently on the read side)."""
+    import pickle
+    try:
+        os.makedirs(os.path.dirname(path), mode=0o700, exist_ok=True)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as fh:
+            pickle.dump(idx, fh, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, path)
+    except Exception:
+        pass        # cache is an optimization, never a failure
+
+
+def ensure_index_on_disk(cache_key: str, loader, word_size: int,
+                         max_kmer_hits: int, soft_mask: bool = False,
+                         complexity: bool = False, protein: bool = False,
+                         fold_case: bool = False) -> bool:
+    """The makeblastdb analog, explicit: build ONE volume's index and
+    publish the content-keyed pickle — called by the format pass (one
+    task per missing volume) BEFORE the kernel stage, so search tasks
+    only ever unpickle. Without this, a cold run had every worker that
+    first touched a volume build it concurrently (the publish race is
+    harmless for correctness but quadratic in wall: workers x O(volume)
+    builds — measured 277 s vs ~30 s at the synthesized sf1.0). Lazy
+    derived arrays (protein concat encoding, bucket-bound views) are
+    materialized before publishing so loaders skip those rebuilds too.
+    Does NOT touch the capacity-1 resident cache. Returns True if it
+    built, False if the pickle already existed (or no usable cache
+    dir)."""
+    key = index_cache_key(cache_key, word_size, max_kmer_hits,
+                          soft_mask, complexity, protein, fold_case)
+    path = index_cache_path(key)
+    if path is None or os.path.exists(path):
+        return False
+    idx = SubjectIndex(loader(), word_size, max_kmer_hits,
+                       soft_mask=soft_mask, complexity=complexity,
+                       protein=protein, fold_case=fold_case)
+    if protein:
+        idx.cat_protein
+    else:
+        idx.cat_nucl
+    idx.bucket_bounds_np, idx.sis_np, idx.poss_np
+    _publish_index(idx, path)
+    return True
+
+
 def get_subject_index_lazy(cache_key: str, loader, word_size: int,
                            max_kmer_hits: int, soft_mask: bool = False,
                            complexity: bool = False, protein: bool = False,
@@ -843,30 +941,14 @@ def get_subject_index_lazy(cache_key: str, loader, word_size: int,
     again, so persisting it would only leak scratch space); the key is
     salted with KERNEL_SPEC so a kernel upgrade invalidates pickles
     from older code."""
-    key = (cache_key, word_size, max_kmer_hits, soft_mask, complexity,
-           protein, fold_case)
+    key = index_cache_key(cache_key, word_size, max_kmer_hits,
+                          soft_mask, complexity, protein, fold_case)
     idx = _DB_CACHE.get(key)
     if idx is None:
         path = None
         if disk_cache:
-            import hashlib
             import pickle
-            import tempfile
-            h = hashlib.md5(repr((KERNEL_SPEC, key)).encode()).hexdigest()
-            # uid-scoped, 0700 directory: loading a pickle from a
-            # world-writable shared path would let any local user
-            # plant code; refuse the cache entirely if the dir exists
-            # but is not ours
-            cache_root = os.path.join(
-                os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir()),
-                f"spark_graft_idx_cache_{os.getuid()}")
-            path = os.path.join(cache_root, h + ".pkl")
-            try:
-                st = os.stat(cache_root)
-                if st.st_uid != os.getuid() or (st.st_mode & 0o077):
-                    path = None
-            except FileNotFoundError:
-                pass
+            path = index_cache_path(key)
             if path is not None:
                 try:
                     with open(path, "rb") as fh:
@@ -878,16 +960,7 @@ def get_subject_index_lazy(cache_key: str, loader, word_size: int,
                                soft_mask=soft_mask, complexity=complexity,
                                protein=protein, fold_case=fold_case)
             if path is not None:
-                try:
-                    import pickle
-                    os.makedirs(cache_root, mode=0o700, exist_ok=True)
-                    tmp = f"{path}.{os.getpid()}.tmp"
-                    with open(tmp, "wb") as fh:
-                        pickle.dump(idx, fh,
-                                    protocol=pickle.HIGHEST_PROTOCOL)
-                    os.replace(tmp, path)
-                except Exception:
-                    pass  # cache is an optimization, never a failure
+                _publish_index(idx, path)
         _DB_CACHE.clear()      # one partition resident at a time, like the ref
         _DB_CACHE[key] = idx
     return idx

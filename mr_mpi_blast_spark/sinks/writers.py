@@ -111,7 +111,16 @@ def write_sqlite(hits: DataFrame, db_path: str, *, table: str = "hits",
                  classifier: bool = False, batch_rows: int = 50_000) -> int:
     """W3: SQLite sink (load_sql.py DDL). Single-file DB = single
     writer; rows stream through the driver in Arrow batches. Returns
-    inserted row count."""
+    inserted row count.
+
+    Scale boundary (by design): SQLite is a single-writer file
+    format, so this sink funnels rows through the driver — faithful
+    to the reference's single-process converter and bounded in MEMORY
+    (one batch held at a time) but not in TIME; it is a compat/export
+    sink for result-sized tables (filtered hits, summaries), not a
+    data-path sink. At scale, write parquet (write_hits_parquet —
+    distributed, the engine's native sink) or write_duckdb (parquet
+    stage + single bulk CTAS, no per-row driver traffic)."""
     cols = ["qid", "qdef", "sid", "ident", "align_len", "mismatches",
             "gaps", "qstart", "qend", "sstart", "send", "evalue", "bitscore"]
     if classifier:
@@ -198,7 +207,12 @@ def write_hdf5(hits: DataFrame, path: str, *, table: str = "blhitstab",
     stream to the driver in batches (toLocalIterator), so driver
     memory holds one batch, not the table. The count() for the
     contiguous dataspace re-executes the plan — hits must be
-    deterministic (every pipeline output here is)."""
+    deterministic (every pipeline output here is).
+
+    Scale boundary (by design): HDF5 here is a single-writer export
+    format — the same driver-funnel shape as write_sqlite, bounded in
+    memory but serial in throughput. Use it for result-sized exports
+    consumed by reference-era tooling; parquet is the scale sink."""
     import numpy as np
 
     fields = _HD5_CLASSIFIER if classifier else _HD5_FIELDS

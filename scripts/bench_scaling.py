@@ -15,15 +15,25 @@ superlinear — the queries to watch at 100 TB.
 sf1.0: the driver provides sf{0.001,0.01,0.1} only and TESTDATA.md
 forbids regenerating testdata. scripts/make_scale_decade.py
 synthesizes an sf1.0 by replicating sf0.1 with per-replica key-domain
-offsets (join fan-outs and per-key densities preserved exactly);
-when that directory exists, the REPLICATION-SAFE query subset also
-runs there and gets a real second decade (alpha_1 = 0.1 -> 1.0).
-Dedup/similarity/ANN, the blast kernel family, anything reading the
-near-dup pair tables, and md5(text)-grouping pipelines are excluded
-at sf1.0 — replication corrupts their semantics (exact copies inflate
-true-duplicate density / raw hit volume quadratically), so measuring
-them there would be fake evidence; their trend stops at the real
-data.
+offsets (join fan-outs and per-key densities preserved exactly) AND —
+since r8 — a per-replica alphabet rotation on documents.text, which
+makes replicas independent populations in text space too: duplicate /
+collision / kernel-hit volume scales exactly 10x instead of
+quadratically. That makes the blast kernel family, the text-hash
+dedup operators, decontamination, and the curation pipeline
+decade-eligible. Still excluded at sf1.0: ann_*/embedding_* (no
+embeddings table is synthesized — vector replication would inflate
+near-dup density) and fasta_roundtrip (single-file fixture by
+design); their trend stops at the real data.
+
+blast family at sf1.0: blast_pipeline's rep 1 is the deliberately
+cold kernel execution and is recorded as its own series
+(blast_pipeline_cold) — the kernel is 97.5% of the reference's wall,
+so its decade exponent is the headline scaling datapoint; the warm
+median stays the read-path series. The other blast_* queries get one
+untimed warmup per sf so a first-ever kernel run at a fresh sf (their
+configs persist raw hits per config) never contaminates the tail
+median.
 
 Prints one JSON line:
 {"exponents": {q: a(0.01->0.1)}, "exponents_sf1": {q: a(0.1->1.0)},
@@ -47,14 +57,13 @@ SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1.0")
 
 # replication-UNSAFE at the synthetic sf1.0 (see module docstring).
 # PREFIX families, not an enumerated list: a newly registered
-# blast_*/dedup_*/ann_*/embedding_* query must never slip into the
-# synthetic decade by omission (a new kernel query here would run the
-# full BLAST kernel over a corpus whose replicated text inflates raw
-# hit volume quadratically — hour-scale fake evidence).
-SF1_EXCLUDE_PREFIXES = ("blast_", "dedup_", "ann_", "embedding_")
+# ann_*/embedding_* query must never slip into the synthetic decade by
+# omission (no embeddings table exists there). The r8 per-replica text
+# rotation made the blast_/dedup_/decontam/curation families eligible:
+# text replicas are independent populations, so their duplicate/hit
+# volume scales linearly.
+SF1_EXCLUDE_PREFIXES = ("ann_", "embedding_")
 SF1_EXCLUDE = {
-    "split_contamination",       # reads the near-dup pair table
-    "corpus_curation",           # md5(text) dedup stage inside
     "fasta_roundtrip",           # fixture generation, single-file by design
 }
 
@@ -88,6 +97,13 @@ def main() -> None:
                 _clear_raw_cache(sf_dir)
             runs = []
             try:
+                if name.startswith("blast_") and name != "blast_pipeline":
+                    # untimed warmup: a variant config's first-ever run
+                    # at this sf executes its own kernel (per-config
+                    # raw-hit persist); the timed reps measure the tail
+                    (fn(spark, sf_dir).write.format("noop")
+                     .mode("overwrite").save())
+                    spark.catalog.clearCache()
                 for _ in range(reps_n):
                     t0 = time.time()
                     (fn(spark, sf_dir).write.format("noop")
@@ -98,10 +114,13 @@ def main() -> None:
                 print(f"scaling: {name}@{sf} failed: {ex}", file=sys.stderr)
                 continue
             if name == "blast_pipeline" and len(runs) > 1:
-                # rep 1 is the deliberately-cold kernel run; mixing it
-                # into the median would blend kernel-execution scaling
-                # with the warm read path's (bench.py separates these
-                # for the same reason)
+                # rep 1 is the deliberately-cold kernel EXECUTION —
+                # recorded as its own series (the kernel is 97.5% of
+                # the reference's wall; its decade exponent is the
+                # headline scaling datapoint); the warm median stays
+                # the read-path series, as in bench.py
+                timings.setdefault("blast_pipeline_cold", {})[sf] = round(
+                    runs[0], 3)
                 runs = runs[1:]
             timings.setdefault(name, {})[sf] = round(
                 statistics.median(runs), 3)

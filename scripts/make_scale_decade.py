@@ -11,15 +11,26 @@ max), applied consistently to primary AND foreign keys, so join
 fan-outs, per-user event densities, and per-key group sizes are
 exactly preserved while row counts scale 10x.
 
-Deliberately NOT synthesized (semantics corrupted by replication, so
-measuring them here would be fake evidence — the round-5 verdict's
-own caveat):
-- dedup/similarity/ANN (10 exact copies of every text/vector inflate
-  the true-duplicate density the operators exist to measure);
-- the blast kernel family (replicated TEXT means each query hits all
-  10 replicas of its near-duplicates: raw hit volume grows
-  quadratically in replicas, which is a different workload, not a
-  bigger one) — embeddings.parquet is skipped entirely.
+Text independence (r8): documents.text gets a PER-REPLICA alphabet
+rotation (a bijection on the a-z character space; replica 0 keeps the
+original text). A bijection preserves every within-replica structure
+the text operators measure — string lengths and n_chars, token
+boundaries, shingle/k-mer EQUALITY (so per-replica Jaccard, exact-dup
+groups, 13-gram collisions, and kernel seed sets are exactly the
+replica-0 structure), and k-mer frequency profiles — while making the
+k-mer spaces of different replicas disjoint, so replicas are
+independent populations in TEXT space too. That makes the text-content
+operators (blast kernel family, dedup/minhash/simhash, decontam,
+curation) decade-eligible: duplicate/collision/hit volume scales
+exactly 10x (linear), not quadratically as verbatim replication would.
+(Alignment SCORES within a rotated replica differ from replica 0 —
+BLOSUM entries are residue-specific — so replicas are statistically
+equivalent workloads, not score-identical copies; that is what an
+independent population means.)
+
+Still NOT synthesized: embeddings.parquet (no text to rotate; vector
+replication would inflate near-dup density), so ann_*/embedding_*
+stay excluded at sf1.0.
 
 Output: $SPARK_GRAFT_SF1_DIR (default /tmp/spark_graft_sf1.0) with
 the same table names; scripts/bench_scaling.py picks it up for the
@@ -113,6 +124,7 @@ def main() -> None:
         # replica id never materializes as a column, so schemas match
         # the originals exactly
         parts = []
+        alpha = "abcdefghijklmnopqrstuvwxyz"
         for i in range(REPLICAS):
             cols = []
             for f in src.schema.fields:
@@ -120,6 +132,15 @@ def main() -> None:
                 if off is not None and i > 0:
                     cols.append((F.col(f.name) + F.lit(i * off))
                                 .cast(f.dataType).alias(f.name))
+                elif table == "documents" and f.name == "text" and i > 0:
+                    # per-replica alphabet rotation: a bijection on the
+                    # character space, so within-replica shingle/k-mer
+                    # equality, token boundaries, and lengths are
+                    # exactly preserved while cross-replica k-mer
+                    # spaces are disjoint (see module docstring)
+                    rot = alpha[i:] + alpha[:i]
+                    cols.append(F.translate(F.col(f.name), alpha, rot)
+                                .alias(f.name))
                 else:
                     cols.append(F.col(f.name))
             parts.append(src.select(*cols))

@@ -176,6 +176,56 @@ def test_cosine_pairs_auto_routes_by_size(spark, emb):
     assert b <= s and len(b) >= 0.5 * len(s)
 
 
+def test_ivf_assign_pandas_parity(spark, emb):
+    """The million-centroid assignment path (broadcast centroid matrix
+    + BLAS argmax per Arrow batch) must agree row-for-row with the
+    literal-expression path on every contract variant — nprobe=1,
+    nprobe>1, with_rank — including tie handling (cos floor-rounded to
+    1e-6 before ranking, lowest cid wins) and zero-norm vectors."""
+    from mr_mpi_blast_spark.operators.similarity import (
+        _collect_centroids, _ivf_assign_pandas, ivf_assign)
+
+    cents = _collect_centroids(
+        emb.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("cid"), "embedding"),
+        "cid", "embedding")
+    # a zero-norm row exercises the try_divide/coalesce twin
+    zero = spark.createDataFrame(
+        [(99999, [0.0] * len(cents[0][1]))],
+        "vec_id long, embedding array<double>")
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>")
+                      .alias("embedding")).unionByName(zero)
+
+    for kwargs in ({"nprobe": 1, "with_rank": False},
+                   {"nprobe": 1, "with_rank": True},
+                   {"nprobe": 3, "with_rank": True},
+                   {"nprobe": 2, "with_rank": False}):
+        lit = {tuple(r) for r in ivf_assign(vecs, cents, **kwargs).collect()}
+        pnd = {tuple(r) for r in _ivf_assign_pandas(
+            vecs, cents, "vec_id", "embedding",
+            kwargs["nprobe"], kwargs["with_rank"]).collect()}
+        assert lit == pnd, f"parity break at {kwargs}"
+
+
+def test_ivf_assign_auto_switch(spark, emb, monkeypatch):
+    """Above IVF_LITERAL_MAX_CENTROIDS, ivf_assign routes to the
+    pandas path (plan shows MapInPandas, no generated literal tree)
+    and still matches the literal path's assignment."""
+    from mr_mpi_blast_spark.operators import similarity as sim
+
+    cents = sim._collect_centroids(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cid"), "embedding"),
+        "cid", "embedding")
+    vecs = emb.filter(F.col("vec_id") < 200).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    lit_rows = {tuple(r) for r in sim.ivf_assign(vecs, cents).collect()}
+    monkeypatch.setattr(sim, "IVF_LITERAL_MAX_CENTROIDS", 4)
+    routed = sim.ivf_assign(vecs, cents)
+    assert "MapInPandas" in routed._jdf.queryExecution().executedPlan().toString()
+    assert {tuple(r) for r in routed.collect()} == lit_rows
+
+
 def test_trained_ivf_centroids_and_recall(spark):
     """Seeded k-means is deterministic (same seed -> identical
     centroids, different seed -> different), centroids are unit-norm,
