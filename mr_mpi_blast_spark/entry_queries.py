@@ -2556,6 +2556,61 @@ def q_decontam_ngram_capped(spark, sf_dir):
                             max_train_df=_DECONTAM_MAX_DF)
 
 
+# ExactSubstr span length: 20 tokens. The synthetic docs run 10-99
+# tokens (Lee et al.'s 50-token production default would leave most
+# docs shorter than one gram); 20 exercises both the len>=L filter and
+# real span merging at every SF.
+_SUBSTR_SPAN_LEN = 20
+
+_SUBSTR_SPAN_SQL = f"""
+WITH s AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM s),
+occ AS (
+  SELECT doc_id, u.pos AS pos, u.gram AS gram
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - {_SUBSTR_SPAN_LEN} + 2),
+                      i -> {{'pos': i,
+                             'gram': list_aggregate(ws[i:i+{_SUBSTR_SPAN_LEN}-1],
+                                                    'string_agg', ' ')}})) AS u
+        FROM s WHERE len(ws) >= {_SUBSTR_SPAN_LEN})),
+dup AS (SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2),
+hits AS (SELECT o.doc_id, o.pos, o.pos + {_SUBSTR_SPAN_LEN} - 1 AS e
+         FROM occ o JOIN dup d USING (gram)),
+marked AS (SELECT doc_id, pos, e,
+  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       THEN 1 ELSE 0 END AS new_span FROM hits),
+spans AS (SELECT doc_id, span_id, min(pos) AS s, max(e) AS e FROM (
+  SELECT doc_id, pos, e,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM marked) GROUP BY 1, 2),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY 1)
+SELECT t.doc_id, t.n_tokens,
+       coalesce(a.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans,
+       coalesce(a.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+       floor(CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / t.n_tokens * 1e4 + 0.5) / 1e4
+         AS dup_frac
+FROM tok t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("dedup_substr_spans", _SUBSTR_SPAN_SQL)
+def q_dedup_substr_spans(spark, sf_dir):
+    """ExactSubstr duplicate-span profile (Lee et al. 2021): per-doc
+    count/coverage of maximal >= 20-token substrings that occur at
+    least twice in the corpus — the leakage exact-hash dedup and
+    near-dup thresholds both miss. Gram hashing + gaps-and-islands
+    interval union replaces the suffix array (no global sort, no pair
+    join; see operators/dedup.py:duplicate_span_profile). The engine
+    runs on xxhash64(gram); the oracle replays on gram text.
+    Tail-registered: the driver's 50-slot window is full."""
+    from mr_mpi_blast_spark.operators.dedup import duplicate_span_profile
+    return duplicate_span_profile(_t(spark, sf_dir, "documents"),
+                                  min_len=_SUBSTR_SPAN_LEN)
+
+
 # ---------------------------------------------------------------------------
 # Thin relational facades (SURVEY §2.8 engine surface). Registered last
 # on purpose: the external correctness driver records a bounded prefix

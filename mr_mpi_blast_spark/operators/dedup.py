@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import contextlib
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -435,3 +435,78 @@ def ngram_collisions(test: DataFrame, train: DataFrame,
     return (t.join(r, "gh")
             .groupBy("test_doc", "train_doc")
             .agg(F.countDistinct("gh").alias("n_collisions")))
+
+
+def duplicate_span_profile(df: DataFrame, min_len: int = 20,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Exact duplicate-substring span profile (the ExactSubstr
+    discipline of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better"): a token is *duplicated* iff it lies
+    inside some >= min_len-token substring that occurs at least twice
+    in the corpus (any second occurrence counts — another document OR
+    a repeat within the same one). Exact-hash dedup misses these
+    (the surrounding documents differ); near-dup thresholds miss them
+    (a 30-token boilerplate block inside a 5k-token page moves Jaccard
+    by ~1%). This is the operator that catches them.
+
+    Identity: the duplicated-token set equals the union of duplicated
+    min_len-grams — a duplicated substring of length M >= min_len
+    contains only duplicated grams, and every duplicated gram IS a
+    duplicated substring — so gram hashing + interval union replaces
+    the reference implementation's suffix array over the concatenated
+    corpus. Per doc, occurrence positions of duplicated grams merge
+    into maximal spans by gaps-and-islands (a new span starts when
+    pos > running max(end) + 1).
+
+    Output, one row per document (clean docs included):
+    (doc_id, n_tokens, n_dup_spans, dup_tokens, dup_frac) with
+    dup_frac floor-rounded at 1e-4 (cross-engine discipline).
+
+    100 TB shape — this is where it beats the suffix array: no global
+    sort and no pair join anywhere. The occurrence table is
+    corpus-token-sized but streams: one hash aggregate on the 8-byte
+    gram hash (map-side combinable) for the >= 2 count, one semi-join
+    back (AQE splits any boilerplate hot key; the per-key row count is
+    df, never df^2 — contrast ngram_collisions' f*g join), then a
+    window partitioned by doc_id over only the *duplicated*
+    occurrences (output-sized, bounded per doc by token count). A
+    suffix array needs a corpus-wide sort of every suffix; this needs
+    two linear shuffles. 64-bit gram-hash collisions mark ~N^2/2^65
+    spurious tokens as duplicated (see ngram_collisions' bound) —
+    screening-grade."""
+    ws = F.split(normalized_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+    tok = base.select("doc_id", F.size("ws").cast("long").alias("n_tokens"))
+    d = base.filter(F.size("ws") >= min_len)
+    grams = F.expr(
+        f"transform(sequence(1, size(ws) - {min_len} + 1), "
+        f"i -> array_join(slice(ws, i, {min_len}), ' '))")
+    occ = (d.select("doc_id", F.posexplode(grams).alias("p0", "gram"))
+            .select("doc_id", (F.col("p0") + 1).alias("pos"),
+                    F.xxhash64("gram").alias("gh")))
+    dup = (occ.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
+              .filter(F.col("c") >= 2).select("gh"))
+    hits = (occ.join(dup, "gh", "left_semi")
+               .select("doc_id", "pos",
+                       (F.col("pos") + min_len - 1).alias("e")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = hits.withColumn(
+        "new_span",
+        F.when(F.col("pos") > F.coalesce(prev_e, F.lit(-1)) + 1,
+               F.lit(1)).otherwise(F.lit(0)))
+    spans = (marked.withColumn("span_id", F.sum("new_span").over(w))
+             .groupBy("doc_id", "span_id")
+             .agg(F.min("pos").alias("s"), F.max("e").alias("e")))
+    agg = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"))
+    out = (tok.join(agg, "doc_id", "left")
+           .select("doc_id", "n_tokens",
+                   F.coalesce("n_dup_spans", F.lit(0).cast("long"))
+                    .alias("n_dup_spans"),
+                   F.coalesce("dup_tokens", F.lit(0).cast("long"))
+                    .alias("dup_tokens")))
+    frac = F.col("dup_tokens").cast("double") / F.col("n_tokens")
+    return out.withColumn("dup_frac", F.floor(frac * 1e4 + 0.5) / 1e4)

@@ -404,3 +404,48 @@ def test_signature_cache_release(spark):
         minhash_lsh_pairs(df, n=10, threshold=0.5).count()
         assert jsc.getPersistentRDDs().size() == base + 1
     assert jsc.getPersistentRDDs().size() == base
+
+
+def test_duplicate_span_profile_semantics(spark):
+    """ExactSubstr span edges: a 7-token cross-doc duplicate block
+    merges its 3 overlapping dup 5-grams into ONE maximal span;
+    non-contiguous dup positions whose gram intervals still overlap
+    merge (interval union, not position adjacency); a within-doc
+    repeat counts as duplication (any second occurrence); docs
+    shorter than min_len appear with zeroed counts; clean docs
+    appear with zeroed counts."""
+    from mr_mpi_blast_spark.operators.dedup import duplicate_span_profile
+
+    B = " ".join(f"b{i}" for i in range(7))     # shared 7-token block
+    W = [f"w{i}" for i in range(7)]
+    docs = spark.createDataFrame([
+        (1, f"a0 a1 {B} a2 a3"),                 # B at pos 3..9 of 11
+        (2, f"c0 {B} c1 c2 c3"),                 # B at pos 2..8 of 11
+        # doc 3: pos-1 gram dup'd via doc 4, pos-3 gram dup'd via doc
+        # 5, pos-2 gram unique -> islands 1 and 3 overlap through the
+        # gram length and must merge into one 7-token span
+        (3, " ".join(W)),
+        (4, f"u0 {' '.join(W[:5])} u1"),         # w0..w4 at pos 2..6
+        (5, f"{' '.join(W[2:])} v0 v1"),         # w2..w6 at pos 1..5
+        # doc 6: the same 5-gram twice WITHIN one doc (13 tokens)
+        (6, "d0 d1 d2 d3 d4 z0 z1 z2 d0 d1 d2 d3 d4"),
+        (7, "short doc"),                        # < min_len: no grams
+        (8, "e0 e1 e2 e3 e4 e5"),                # clean, >= min_len
+    ], "doc_id long, text string")
+
+    out = {r.doc_id: r for r in
+           duplicate_span_profile(docs, min_len=5).collect()}
+    assert len(out) == 8                        # every doc has a row
+    exp = {
+        1: (11, 1, 7), 2: (11, 1, 7),           # one merged 7-token span
+        3: (7, 1, 7),                            # overlap-merge: 1..7
+        4: (7, 1, 5), 5: (7, 1, 5),
+        6: (13, 2, 10),                          # within-doc repeat
+        7: (2, 0, 0), 8: (6, 0, 0),
+    }
+    got = {k: (v.n_tokens, v.n_dup_spans, v.dup_tokens)
+           for k, v in out.items()}
+    assert got == exp
+    assert out[6].dup_frac == pytest.approx(0.7692)   # floor 1e-4
+    assert out[1].dup_frac == pytest.approx(0.6364)   # 7/11
+    assert out[7].dup_frac == 0.0

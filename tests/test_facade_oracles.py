@@ -43,6 +43,8 @@ FACADES = [
     # (same _ANN_ORACLE as ann_cosine_topk — BLAS-path twin), and the
     # boilerplate-capped decontam variant registers as a tail twin
     "ann_cosine_topk_numpy", "decontam_ngram_capped",
+    # r8: ExactSubstr duplicate-span profile (new operator; window full)
+    "dedup_substr_spans",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
