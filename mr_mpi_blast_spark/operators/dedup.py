@@ -374,11 +374,32 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
             .distinct())
 
 
+def word_gram_hashes(df: DataFrame, w: int, out_id: str,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(out_id, gh): xxhash64 of each distinct word-w-gram per doc —
+    the shared shape of decontamination's join sides. Exposed so a
+    production run can stage the train-side table once (e.g. to
+    parquet) and reuse it across the df-count pass, the collision
+    join, and multiple test sets, instead of re-deriving grams from
+    text per pass (see ngram_collisions' train_grams parameter)."""
+    ws = F.split(normalized_text(F.col(text_col)), " ")
+    d = df.select(F.col(id_col).alias(out_id), ws.alias("ws"))
+    # sequence(1, n) with n < 1 would count DOWNWARD — guard first
+    d = d.filter(F.size("ws") >= w)
+    g = F.expr(
+        f"array_distinct(transform(sequence(1, size(ws) - {w} + 1), "
+        f"i -> array_join(slice(ws, i, {w}), ' ')))")
+    return (d.select(out_id, F.explode(g).alias("gram"))
+             .select(out_id, F.xxhash64("gram").alias("gh")))
+
+
 def ngram_collisions(test: DataFrame, train: DataFrame,
                      w: int = 13,
                      id_col: str = "doc_id",
                      text_col: str = "text",
-                     max_train_df: int | None = None) -> DataFrame:
+                     max_train_df: int | None = None,
+                     train_grams: DataFrame | None = None) -> DataFrame:
     """Exact word-w-gram collision decontamination (the GPT-3/PaLM
     discipline: a test document is contaminated if ANY of its w-grams
     appears verbatim in any train document — the leakage that survives
@@ -413,20 +434,17 @@ def ngram_collisions(test: DataFrame, train: DataFrame,
     cross splits, so spurious pairs stay negligible for a screening
     operator whose flagged pairs get inspected anyway. An audit mode
     that carries gram text through the join costs text-width shuffle
-    and exists in the DuckDB oracle replay."""
-    def grams(df, side):
-        ws = F.split(normalized_text(F.col(text_col)), " ")
-        d = df.select(F.col(id_col).alias(f"{side}_doc"), ws.alias("ws"))
-        # sequence(1, n) with n < 1 would count DOWNWARD — guard first
-        d = d.filter(F.size("ws") >= w)
-        g = F.expr(
-            f"array_distinct(transform(sequence(1, size(ws) - {w} + 1), "
-            f"i -> array_join(slice(ws, i, {w}), ' ')))")
-        return d.select(f"{side}_doc",
-                        F.explode(g).alias("gram")) \
-                .select(f"{side}_doc", F.xxhash64("gram").alias("gh"))
+    and exists in the DuckDB oracle replay.
 
-    t, r = grams(test, "test"), grams(train, "train")
+    ``train_grams``: optionally reuse a precomputed (train_doc, gh)
+    table (the word_gram_hashes shape — e.g. staged once to parquet
+    per corpus). With a cap, the train grams are otherwise derived
+    from text TWICE (df-count pass + join probe); staging turns the
+    dominant 100 TB cost — the corpus scan + gram expansion — into a
+    one-time build shared across passes and test sets."""
+    t = word_gram_hashes(test, w, "test_doc", id_col, text_col)
+    r = (train_grams if train_grams is not None
+         else word_gram_hashes(train, w, "train_doc", id_col, text_col))
     if max_train_df is not None:
         keep = (r.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
                  .filter(F.col("df") <= max_train_df)

@@ -340,6 +340,15 @@ def test_ngram_collisions_boundaries(spark):
                  for r in ngram_collisions(test, train, w=9,
                                            max_train_df=5).collect()}
     assert capped_hi == out
+    # a staged (train_doc, gh) table is a drop-in for deriving train
+    # grams from text (the one-time-build path for production reuse)
+    from mr_mpi_blast_spark.operators.dedup import word_gram_hashes
+    staged = word_gram_hashes(train, 9, "train_doc")
+    via_staged = {(r.test_doc, r.train_doc): r.n_collisions
+                  for r in ngram_collisions(test, train, w=9,
+                                            max_train_df=5,
+                                            train_grams=staged).collect()}
+    assert via_staged == out
 
 
 def test_ngram_collisions_boilerplate_cap(spark):
