@@ -2780,3 +2780,91 @@ def q_set_except(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
             .subtract(o.filter(F.col("o_totalprice") > 150000).select("o_custkey")))
+
+
+# ---------------------------------------------------------------------------
+# Text retrieval + LM scoring (beyond-reference; r8, tail-registered —
+# the driver's 50-slot prefix is full, so value evidence lives in
+# tests/test_facade_oracles.py)
+# ---------------------------------------------------------------------------
+
+from mr_mpi_blast_spark.operators.search import (  # noqa: E402
+    BM25_QUERIES, LM_MICRO_SQL, bigram_lm_score, bm25_micro_sql, bm25_topk)
+
+
+def _bm25_oracle_sql() -> str:
+    terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    qvals = ", ".join(f"({qid}, '{t}')"
+                      for qid, ts in sorted(BM25_QUERIES.items())
+                      for t in sorted(set(ts)))
+    micro = bm25_micro_sql(n_docs="stats.n_docs", df="dft.df",
+                           tf="tf.tf", dl="tf.dl",
+                           sum_dl="stats.sum_dl")
+    return f"""
+WITH w AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+dl AS (SELECT doc_id, len(ws) AS dl FROM w),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM tok
+       WHERE term IN ({in_list}) GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {qvals}),
+contrib AS (SELECT CAST(q.query_id AS BIGINT) AS query_id, tf.doc_id,
+                   {micro} AS c
+            FROM tf JOIN dft USING (term) JOIN q ON q.term = tf.term
+            CROSS JOIN stats),
+s AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS micro
+      FROM contrib GROUP BY query_id, doc_id),
+rk AS (SELECT query_id, doc_id, micro,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY micro DESC, doc_id) AS rank
+       FROM s)
+SELECT query_id, doc_id, rank, micro / 1e6 AS score
+FROM rk WHERE rank <= 10
+"""
+
+
+@query("text_bm25_search", _bm25_oracle_sql())
+def q_text_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-10 retrieval for 3 fixed term queries — the text
+    analog of the reference's search spine (query -> candidate ->
+    score -> per-query ranked cutoff, mrblast.cpp:1100-1241), shaped
+    as an inverted index: map-side `term IN (...)` prune, hash-agg
+    postings, broadcast term stats, WindowGroupLimit top-k. Scores
+    are summed in integer micro-units so the distributed sum is exact
+    and engine-independent (operators/search.py docstring)."""
+    return bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERIES, k=10)
+
+
+_LM_SCORE_SQL = f"""
+WITH w AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                     i -> ws[i] || ' ' || ws[i + 1])) AS bigram FROM w),
+tf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY doc_id, bigram),
+cb AS (SELECT bigram, count(*) AS c_b FROM bg GROUP BY bigram),
+cw AS (SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c_w
+       FROM bg GROUP BY 1),
+contrib AS (SELECT tf.doc_id, tf.tf * {LM_MICRO_SQL} AS c, tf.tf AS tf
+            FROM tf JOIN cb ON tf.bigram = cb.bigram
+            JOIN cw ON split_part(tf.bigram, ' ', 1) = cw.w1),
+s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS micro,
+             CAST(sum(tf) AS BIGINT) AS nbg FROM contrib GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(s.nbg, 0) AS n_bigrams,
+       CASE WHEN s.nbg > 0
+            THEN (s.micro * CAST(1.0 AS DOUBLE) / s.nbg) / 1e6
+       END AS avg_logp
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
+
+@query("text_lm_score", _LM_SCORE_SQL)
+def q_text_lm_score(spark, sf_dir):
+    """Mean bigram log-likelihood of every document under the
+    corpus's own MLE bigram model — the CCNet/Gopher perplexity
+    filter (Wenzek et al. 2020) for training-data curation:
+    unusually low = gibberish candidate, unusually high = templated
+    boilerplate. Linear join shapes only (per-bigram fan-out = df,
+    never df^2); contributions quantized to integer micro-units
+    before the distributed sum (operators/search.py docstring)."""
+    return bigram_lm_score(_t(spark, sf_dir, "documents"))

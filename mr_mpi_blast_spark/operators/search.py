@@ -1,0 +1,212 @@
+"""Text retrieval and language-model scoring (beyond-reference
+training-data surface).
+
+``bm25_topk`` re-expresses the reference's whole search discipline —
+query -> candidate match -> score -> per-query ranked top-k (the
+map(kernel) -> collate -> reduce(top-k) spine of mrblast.cpp:1100-1241)
+— for word tokens instead of nucleotides: Okapi BM25 over an
+inverted-index-shaped plan. ``bigram_lm_score`` is the CCNet/Gopher
+perplexity-filter primitive: mean bigram log-likelihood of every
+document under the corpus's own MLE bigram model, the standard signal
+for flagging gibberish (unusually low) and templated boilerplate
+(unusually high) when curating LLM training data.
+
+100 TB shape (both operators):
+- One corpus scan feeds a map-side-combinable hash aggregate on the
+  token/bigram key; per-key join fan-out is the key's document
+  frequency — LINEAR in corpus size, never df^2 (no pair join
+  anywhere, so unlike ngram decontamination neither operator needs a
+  df cap).
+- BM25's term-statistics tables (df per query term, the 2-value
+  corpus stats row) are metadata-sized by construction and broadcast;
+  the only corpus-sized exchanges are the tf aggregate and the
+  per-query top-k rank window (WindowGroupLimit prunes map-side, the
+  same plan as topk_per_group).
+- The LM count tables scale with DISTINCT bigrams (linear, heavy-tail
+  keys are fine: per-key rows = df) and join back on the bigram key.
+
+Cross-engine determinism: every per-term/per-bigram contribution is
+quantized to integer MICRO-UNITS — CAST(floor(x * 1e6 + 0.5) AS
+BIGINT) — before the distributed sum, so the sum is an exact integer
+sum, independent of partitioning, accumulation order, and engine
+(float sums are order-sensitive in the last ulp; integer sums are
+not). Ranking compares the integer, and the reported score is a
+single exact division at the end. All other inputs (tf, df, dl, N,
+sum(dl)) are integers, so the only transcendental is ln() on
+identical doubles in both engines; floor-form rounding is the
+round4_xengine discipline (see operators/similarity.py:29).
+
+The BM25 scoring expression is rendered ONCE as a SQL template and
+parsed by both Spark (F.expr) and DuckDB, so the operator tree —
+hence IEEE evaluation order — is identical by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from mr_mpi_blast_spark.functions.hashing import normalized_text
+from mr_mpi_blast_spark.operators.topk import topk_per_key
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# fixed literal query set for the registered query/oracle pair; terms
+# chosen to span the synthetic corpus's df range (`dup` is rare —
+# df ~5% — so idf actually differentiates; the rest are common)
+BM25_QUERIES: dict[int, tuple[str, ...]] = {
+    0: ("dup", "hash"),
+    1: ("spark", "window", "stream"),
+    2: ("vector", "customer"),
+}
+
+# shared Spark/DuckDB rendering of one term's BM25 contribution in
+# micro-units. Placeholders are column references; every numeric
+# constant is wrapped in CAST(... AS DOUBLE) because Spark SQL parses
+# bare literals like `2.2` as DECIMAL and would run the whole chain
+# in rounded decimal arithmetic (measured: 0.9828345... truncated to
+# 0.982835), while DuckDB promotes to double — CAST is the portable
+# way to force identical IEEE-double evaluation in both engines
+# (Spark's `2.2D` suffix is not DuckDB syntax). Scientific notation
+# (1e6) already parses as double in both.
+_BM25_MICRO_TMPL = (
+    "CAST(floor(ln((({N}) - ({df}) + {h}) / (({df}) + {h}) + 1) * "
+    "(({tf}) * {k1p1} / (({tf}) + {k1} * ({omb} + {b} * ({dl}) / "
+    "(({sumdl}) * {one} / ({N}))))) * 1e6 + {h}) AS BIGINT)"
+)
+
+
+def _dlit(x: float) -> str:
+    """repr() is the shortest decimal that round-trips to the exact
+    double, and both engines parse decimal text to the nearest
+    double — so CAST(repr(x) AS DOUBLE) yields bit-identical
+    constants everywhere."""
+    return f"CAST({x!r} AS DOUBLE)"
+
+
+def bm25_micro_sql(*, n_docs: str, df: str, tf: str, dl: str,
+                   sum_dl: str, k1: float = BM25_K1,
+                   b: float = BM25_B) -> str:
+    """Render the micro-unit contribution for the given column refs."""
+    return _BM25_MICRO_TMPL.format(
+        N=n_docs, df=df, tf=tf, dl=dl, sumdl=sum_dl,
+        k1=_dlit(k1), k1p1=_dlit(k1 + 1.0), b=_dlit(b),
+        omb=_dlit(1.0 - b), h=_dlit(0.5), one=_dlit(1.0))
+
+
+# one bigram's log-likelihood in micro-units — shared verbatim by the
+# Spark plan (F.expr) and the DuckDB oracle; same CAST-to-DOUBLE
+# rationale as _BM25_MICRO_TMPL
+LM_MICRO_SQL = (
+    "CAST(floor(ln(c_b * CAST(1.0 AS DOUBLE) / c_w) * 1e6 "
+    "+ CAST(0.5 AS DOUBLE)) AS BIGINT)")
+
+
+def bm25_topk(docs: DataFrame, queries: dict[int, tuple[str, ...]],
+              k: int = 10, *, k1: float = BM25_K1, b: float = BM25_B,
+              text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Okapi BM25 top-k document retrieval for a set of term queries.
+
+    Lucene's BM25 variant: idf = ln((N - df + 0.5)/(df + 0.5) + 1)
+    (always positive), tf-norm = tf*(k1+1)/(tf + k1*(1-b + b*dl/avgdl)).
+    A document scores iff it contains >= 1 query term (inverted-index
+    semantics — the map-side `term IN (...)` filter makes the tf
+    aggregate's input proportional to the posting lists, not the
+    corpus).
+
+    Returns (query_id, doc_id, rank, score): top-k per query under
+    (micro-unit score DESC, doc_id ASC) — a total order on integers,
+    deterministic across engines.
+    """
+    spark = docs.sparkSession
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+
+    dls = docs.select(F.col(id_col).alias("doc_id"),
+                      F.size(toks).alias("dl"))
+    # exact-integer corpus stats: sum(dl) is an integer sum, so avgdl
+    # = sum_dl/n_docs is the same double on every engine/partitioning
+    stats = dls.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("sum_dl"))
+
+    tf = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.size(toks).alias("dl"),
+                      F.explode(toks).alias("term"))
+          .filter(F.col("term").isin(all_terms))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")))
+
+    # df per query term: aggregates the (already tiny) posting heads
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    qrows = [(int(qid), t) for qid, ts in sorted(queries.items())
+             for t in sorted(set(ts))]
+    qdf = spark.createDataFrame(qrows, "query_id BIGINT, term STRING")
+
+    micro = bm25_micro_sql(n_docs="n_docs", df="df", tf="tf", dl="dl",
+                           sum_dl="sum_dl", k1=k1, b=b)
+    contrib = (tf.join(F.broadcast(dft), "term")
+               .join(F.broadcast(qdf), "term")
+               .crossJoin(F.broadcast(stats))
+               .select("query_id", "doc_id",
+                       F.expr(micro).alias("c")))
+    scores = (contrib.groupBy("query_id", "doc_id")
+              .agg(F.sum("c").alias("micro")))
+    ranked = topk_per_key(scores, ["query_id"],
+                          [F.col("micro").desc(), F.col("doc_id").asc()],
+                          k)
+    return ranked.select(
+        "query_id", "doc_id", "rank",
+        (F.col("micro") / F.lit(1e6)).alias("score"))
+
+
+def bigram_lm_score(docs: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Mean bigram log-likelihood under the corpus's own MLE model.
+
+    p(w2|w1) = c(w1 w2) / c(w1 *), counted over the whole corpus with
+    c(w1 *) = occurrences of bigrams starting with w1 (a proper
+    conditional over observed bigrams; every scored bigram has c >= 1
+    so no smoothing is needed for self-scoring). Per-document score =
+    sum over bigram OCCURRENCES of ln p / n_bigrams — the
+    log-perplexity filter of CCNet (Wenzek et al. 2020) with the
+    corpus itself as the reference model.
+
+    Returns one row per document: (doc_id, n_bigrams, avg_logp);
+    avg_logp is NULL for docs with < 2 tokens.
+    """
+    toks = normalized_text(F.col(text_col))
+    # guard the empty case explicitly: Spark's sequence(1, 0) yields a
+    # DESCENDING [1, 0] rather than an empty array
+    bigrams = F.expr(
+        "CASE WHEN size(ws) >= 2 THEN "
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) "
+        "ELSE array() END")
+    bg = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.split(toks, " ").alias("ws"))
+          .select("doc_id", F.explode(bigrams).alias("bigram"))
+          .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0)))
+
+    tf = bg.groupBy("doc_id", "bigram", "w1").agg(
+        F.count(F.lit(1)).alias("tf"))
+    cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_b"))
+    cw = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w"))
+
+    # per-(doc, bigram) contribution: tf * micro(ln p) — integer
+    # multiply of an already-quantized value, so the doc-level sum is
+    # exact; |sum| <= tokens_per_doc * ~2e7 << 2^53
+    contrib = (tf.join(cb, "bigram").join(cw, "w1")
+               .select("doc_id", "tf",
+                       (F.col("tf") * F.expr(LM_MICRO_SQL)).alias("c")))
+    s = contrib.groupBy("doc_id").agg(F.sum("c").alias("micro"),
+                                      F.sum("tf").alias("nbg"))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(s, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("nbg"), F.lit(0)).alias("n_bigrams"),
+                F.when(F.col("nbg") > 0,
+                       (F.col("micro") * F.lit(1.0) / F.col("nbg"))
+                       / F.lit(1e6)).alias("avg_logp")))

@@ -45,6 +45,10 @@ FACADES = [
     "ann_cosine_topk_numpy", "decontam_ngram_capped",
     # r8: ExactSubstr duplicate-span profile (new operator; window full)
     "dedup_substr_spans",
+    # r8: BM25 retrieval + corpus-LM perplexity filter (new operators;
+    # window full — micro-unit integer-sum determinism, see
+    # operators/search.py)
+    "text_bm25_search", "text_lm_score",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

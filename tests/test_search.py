@@ -1,0 +1,147 @@
+"""Semantics + plan-shape tests for operators/search.py (BM25
+retrieval and corpus-LM bigram scoring).
+
+The oracle tests in test_facade_oracles.py pin cross-engine value
+equality on the real tables; these tests pin the SEMANTICS on
+hand-computable fixtures (a Python reference implementation of the
+same formulas) and the plan shape (WindowGroupLimit top-k, broadcast
+term stats, no cartesian product on the corpus side).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_mpi_blast_spark.operators.search import (BM25_B, BM25_K1,
+                                                 bigram_lm_score,
+                                                 bm25_topk)
+
+
+def _bm25_ref(docs: dict[int, str], queries: dict[int, tuple[str, ...]],
+              k1: float = BM25_K1, b: float = BM25_B):
+    """Pure-Python BM25 reference with the same micro-unit
+    quantization (floor(x*1e6 + 0.5) per term, integer sum)."""
+    toks = {d: t.lower().split() for d, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) * 1.0 / n
+    out = {}
+    for qid, terms in queries.items():
+        scores = {}
+        for d, t in toks.items():
+            micro = 0
+            matched = False
+            for term in set(terms):
+                tf = t.count(term)
+                if tf == 0:
+                    continue
+                matched = True
+                df = sum(1 for tt in toks.values() if term in tt)
+                idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+                tfn = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b
+                                                    + b * len(t) / avgdl))
+                micro += math.floor(idf * tfn * 1e6 + 0.5)
+            if matched:
+                scores[d] = micro
+        out[qid] = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return out
+
+
+DOCS = {
+    1: "apple banana cherry apple",          # tf(apple)=2, dl=4
+    2: "apple kiwi kiwi melon plum fig",     # tf(apple)=1, dl=6
+    3: "banana cherry melon plum",           # no apple
+    4: "apple",                              # tf=1, dl=1 (short doc)
+}
+QUERIES = {0: ("apple",), 1: ("apple", "melon")}
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        [(d, t) for d, t in DOCS.items()], "doc_id BIGINT, text STRING")
+
+
+def test_bm25_matches_python_reference(docs_df):
+    got = bm25_topk(docs_df, QUERIES, k=10).collect()
+    ref = _bm25_ref(DOCS, QUERIES)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, expect in ref.items():
+        rows = sorted(by_q[qid], key=lambda r: r.rank)
+        assert [r.doc_id for r in rows] == [d for d, _ in expect]
+        for r, (_, micro) in zip(rows, expect):
+            assert r.score == micro / 1e6
+    # only matching docs appear (inverted-index semantics)
+    assert all(r.doc_id != 3 for r in by_q[0])
+
+
+def test_bm25_ranking_properties(docs_df):
+    rows = {r.doc_id: r for r in
+            bm25_topk(docs_df, {0: ("apple",)}, k=10).collect()}
+    # higher tf wins over same-ish dl; the short doc's length
+    # normalization (dl=1 vs avgdl) beats tf=2 at dl=4 for b=0.75
+    assert rows[4].score > rows[1].score > rows[2].score
+
+
+def test_bm25_k_cutoff_and_plan(docs_df):
+    df = bm25_topk(docs_df, QUERIES, k=1)
+    rows = df.collect()
+    assert sorted({r.query_id for r in rows}) == [0, 1]
+    assert all(r.rank == 1 for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan        # map-side top-k prune
+    assert "CartesianProduct" not in plan    # stats row is broadcast
+
+
+def _lm_ref(docs: dict[int, str]):
+    toks = {d: t.lower().split() for d, t in docs.items()}
+    bgs = {d: [f"{t[i]} {t[i+1]}" for i in range(len(t) - 1)]
+           for d, t in toks.items()}
+    allb = [b for bs in bgs.values() for b in bs]
+    cb = {b: allb.count(b) for b in set(allb)}
+    cw = {}
+    for b in allb:
+        cw[b.split(" ")[0]] = cw.get(b.split(" ")[0], 0) + 1
+    out = {}
+    for d, bs in bgs.items():
+        if not bs:
+            out[d] = (0, None)
+            continue
+        micro = sum(math.floor(
+            math.log(cb[b] * 1.0 / cw[b.split(" ")[0]]) * 1e6 + 0.5)
+            for b in bs)
+        out[d] = (len(bs), (micro * 1.0 / len(bs)) / 1e6)
+    return out
+
+
+def test_lm_score_matches_python_reference(spark):
+    docs = {
+        1: "a b a b c",        # repeated bigram "a b"
+        2: "a b",              # single bigram
+        3: "x",                # no bigram -> NULL score
+        4: "c a b",
+    }
+    df = spark.createDataFrame([(d, t) for d, t in docs.items()],
+                               "doc_id BIGINT, text STRING")
+    got = {r.doc_id: (r.n_bigrams, r.avg_logp)
+           for r in bigram_lm_score(df).collect()}
+    ref = _lm_ref(docs)
+    assert set(got) == set(ref)              # every doc emits a row
+    for d in ref:
+        assert got[d][0] == ref[d][0], d
+        assert got[d][1] == ref[d][1], d
+    assert got[3] == (0, None)
+    # p("a b" | "a") = 3/3 -> ln 1 = 0 contribution; doc 2 is pure
+    # "a b" so its avg_logp is exactly 0
+    assert got[2][1] == 0.0
+
+
+def test_lm_score_empty_and_single_token(spark):
+    # guards the Spark sequence(1, 0) descending-array pitfall
+    df = spark.createDataFrame([(1, ""), (2, "word"), (3, "  ")],
+                               "doc_id BIGINT, text STRING")
+    got = {r.doc_id: (r.n_bigrams, r.avg_logp)
+           for r in bigram_lm_score(df).collect()}
+    assert got == {1: (0, None), 2: (0, None), 3: (0, None)}
