@@ -1194,6 +1194,41 @@ GROUP BY p.np
 """
 
 
+def _trained_ivf_centroids(spark, sf_dir):
+    """Train-if-missing, persist, repoint the oracle symlink, return
+    the centroid triples.
+
+    Training is seeded and iteration-count-fixed, so the persisted
+    artifact IS the training result — replay it. Loaded as plain
+    Python triples (pyarrow to_pylist, memoized per store path):
+    assignment inlines centroid literals, so no Spark-side centroid
+    relation is needed at all. (An earlier pandas reload handed
+    numpy.float64 arrays to createDataFrame's verifier — the r6
+    warm-cache crash; tests/test_new_ops.py pins the warm rerun.)
+    Shared by every query whose oracle reads the trained-centroid
+    symlink (ann_ivf_recall, embedding_semdedup)."""
+    from mr_mpi_blast_spark.operators.similarity import train_ivf_centroids
+    e = _t(spark, sf_dir, "embeddings")
+    store = _ivf_cent_store(sf_dir)
+    if not os.path.exists(store):
+        cdf = train_ivf_centroids(e, k=_IVF_K, n_iter=_IVF_ITER,
+                                  seed=_IVF_SEED)
+        tmp = f"{store}.{os.getpid()}.tmp"
+        cdf.toPandas().to_parquet(tmp, index=False)
+        os.replace(tmp, store)
+    cents = _centroids_from_store(store)
+    lnk = f"{_IVF_CENT_PATH}.lnk.{os.getpid()}.tmp"
+    if os.path.exists(_IVF_CENT_PATH) and not os.path.islink(_IVF_CENT_PATH):
+        os.unlink(_IVF_CENT_PATH)     # pre-symlink layout from older code
+    try:
+        os.unlink(lnk)
+    except FileNotFoundError:
+        pass
+    os.symlink(store, lnk)
+    os.replace(lnk, _IVF_CENT_PATH)
+    return cents
+
+
 @query("ann_ivf_recall", _IVF_RECALL_SQL)
 def q_ann_ivf_recall(spark, sf_dir):
     """Trained IVF acceptance metric: seeded spherical k-means (k=8,
@@ -1205,32 +1240,9 @@ def q_ann_ivf_recall(spark, sf_dir):
     assignment, bucket top-k, and the recall aggregation from that
     artifact."""
     from mr_mpi_blast_spark.operators.similarity import (
-        brute_force_topk_numpy, ivf_recall, train_ivf_centroids)
+        brute_force_topk_numpy, ivf_recall)
     e = _t(spark, sf_dir, "embeddings")
-    store = _ivf_cent_store(sf_dir)
-    if not os.path.exists(store):
-        cdf = train_ivf_centroids(e, k=_IVF_K, n_iter=_IVF_ITER,
-                                  seed=_IVF_SEED)
-        tmp = f"{store}.{os.getpid()}.tmp"
-        cdf.toPandas().to_parquet(tmp, index=False)
-        os.replace(tmp, store)
-    # training is seeded and iteration-count-fixed, so the persisted
-    # artifact IS the training result — replay it. Loaded as plain
-    # Python triples (pyarrow to_pylist, memoized per store path):
-    # assignment inlines centroid literals, so no Spark-side centroid
-    # relation is needed at all. (An earlier pandas reload handed
-    # numpy.float64 arrays to createDataFrame's verifier — the r6
-    # warm-cache crash; tests/test_new_ops.py pins the warm rerun.)
-    cents = _centroids_from_store(store)
-    lnk = f"{_IVF_CENT_PATH}.lnk.{os.getpid()}.tmp"
-    if os.path.exists(_IVF_CENT_PATH) and not os.path.islink(_IVF_CENT_PATH):
-        os.unlink(_IVF_CENT_PATH)     # pre-symlink layout from older code
-    try:
-        os.unlink(lnk)
-    except FileNotFoundError:
-        pass
-    os.symlink(store, lnk)
-    os.replace(lnk, _IVF_CENT_PATH)
+    cents = _trained_ivf_centroids(spark, sf_dir)
     # Content-addressed index artifacts: the exact brute-force top-k,
     # the corpus/query bucket assignments, and the query count are all
     # pure functions of (embeddings content, centroids, subset spec) —
@@ -2868,3 +2880,57 @@ def q_text_lm_score(spark, sf_dir):
     never df^2); contributions quantized to integer micro-units
     before the distributed sum (operators/search.py docstring)."""
     return bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (beyond-reference; r8, tail-registered — the driver's
+# 50-slot prefix is full, so value evidence lives in
+# tests/test_facade_oracles.py). The oracle replays the k-means
+# partition from the trained-centroid symlink (the ann_ivf_recall
+# artifact discipline) and the within-cluster keep rule on gram text.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.45    # the repo's established near-dup demo threshold
+
+_SEMDEDUP_SQL = f"""
+WITH cent AS (SELECT cid, CAST(embedding AS DOUBLE[]) AS cemb
+              FROM read_parquet('{_IVF_CENT_PATH}')),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+ranks AS (
+  SELECT v.vec_id, c.cid,
+         floor(list_cosine_similarity(v.emb, c.cemb) * 1e6 + 0.5) / 1e6 AS cs,
+         row_number() OVER (PARTITION BY v.vec_id
+           ORDER BY floor(list_cosine_similarity(v.emb, c.cemb) * 1e6 + 0.5) / 1e6 DESC,
+                    c.cid) AS r
+  FROM v CROSS JOIN cent c),
+a AS (SELECT vec_id, cid, cs FROM ranks WHERE r = 1),
+dropped AS (
+  SELECT DISTINCT x.vec_id
+  FROM a x JOIN a y ON x.cid = y.cid
+  JOIN v vx ON vx.vec_id = x.vec_id
+  JOIN v vy ON vy.vec_id = y.vec_id
+  WHERE (y.cs < x.cs OR (y.cs = x.cs AND y.vec_id < x.vec_id))
+    AND floor(list_cosine_similarity(vx.emb, vy.emb) * 1e6 + 0.5) / 1e6
+        >= {_SEMDEDUP_TAU})
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid, a.cs AS cent_cos,
+       d.vec_id IS NULL AS kept
+FROM a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+"""
+
+
+@query("embedding_semdedup", _SEMDEDUP_SQL)
+def q_embedding_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means partition (the trained
+    k=8 centroid artifact shared with ann_ivf_recall) + within-cluster
+    cosine prune, keeping the member FARTHEST from its centroid among
+    each tau-duplicate set (the paper's keep-low-centroid-similarity
+    rule, made deterministic: keep order = cent_cos ASC, vec_id ASC).
+    The pair join is an equi-join on cluster id — fan-out bounded by
+    cluster size, never corpus size; that bounded join is the whole
+    point of SemDeDup at 100 TB (operators/similarity.py::semdedup).
+    Complements embedding_clusters (global CC canonicalization) and
+    embedding_near_dup (exact global pairs)."""
+    from mr_mpi_blast_spark.operators.similarity import semdedup
+    cents = _trained_ivf_centroids(spark, sf_dir)
+    return semdedup(_t(spark, sf_dir, "embeddings"), cents,
+                    tau=_SEMDEDUP_TAU, keep="farthest")

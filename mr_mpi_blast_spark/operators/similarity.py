@@ -719,3 +719,97 @@ def ivf_recall(queries: DataFrame, corpus: DataFrame,
     cand.unpersist()
     return queries.sparkSession.createDataFrame(
         rows, schema="nprobe long, n_queries long, recall double")
+
+
+def semdedup(vectors: DataFrame, centroids, tau: float,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             keep: str = "farthest") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means partition + within-cluster cosine prune.
+
+    Every vector is assigned to its nearest centroid (the k-means
+    partition), and a vector is DROPPED iff some other vector in the
+    SAME cluster has cosine >= ``tau`` with it and precedes it in the
+    keep order — the paper's upper-triangular pairwise-max rule, with
+    the triangular order made explicit and deterministic:
+
+      keep='farthest' (paper default: keep examples with LOW cosine
+        to the centroid): precedes = (cent_cos ASC, vec_id ASC)
+      keep='closest': precedes = (cent_cos DESC, vec_id ASC)
+
+    Cross-cluster near-duplicates are NOT examined — that is the
+    SemDeDup approximation (and its scale story): the pair join is an
+    equi-join on cluster id, so per-key fan-out is bounded by cluster
+    size, never corpus size. Contrast cosine_pairs_auto (exact global
+    pairs) and embedding_clusters (global CC canonicalization): this
+    operator trades cross-cluster recall for a join whose input at
+    100 TB is sum_c |cluster_c|^2 with |c| ~ N/k — the knob is k.
+
+    Plan shape: centroid assignment is the map-only ivf_assign
+    projection (literal expressions up to IVF_LITERAL_MAX_CENTROIDS,
+    broadcast+BLAS mapInPandas beyond — same contract, parity-pinned);
+    the only shuffles are the cid self-join and the final kept-flag
+    join. The assignment projection is recomputed per consumer (3
+    scans) rather than persisted — it is scan-bound and stateless, and
+    at scale a caller dedup-ing repeatedly should materialize the
+    assignment once (the _embedding_pairs store discipline).
+
+    Determinism: cent_cos is floor-rounded to 1e-6 BEFORE the keep
+    order compares it (round6_xengine — identical in Spark and
+    DuckDB); pair cosine is floor-rounded to 1e-6 before the tau
+    compare; ties in the keep order break on vec_id. Zero-norm
+    vectors cos to 0.0 everywhere (try_divide+coalesce / np.where).
+
+    Output: one row per input vector —
+    (``id_col``, cid, cent_cos, kept boolean).
+    """
+    if keep not in ("farthest", "closest"):
+        raise ValueError(f"semdedup: keep must be 'farthest' or "
+                         f"'closest', got {keep!r}")
+    cents = _collect_centroids(centroids, "cid", vec_col)
+    v = _vec(vectors, id_col, vec_col, "v")
+    if len(cents) > IVF_LITERAL_MAX_CENTROIDS:
+        # million-centroid regime: BLAS assignment, then one broadcast
+        # join against the metadata-sized centroid table for cent_cos
+        spark = vectors.sparkSession
+        asg = (_ivf_assign_pandas(vectors, cents, id_col, vec_col,
+                                  nprobe=1, with_rank=False)
+               .withColumnRenamed(id_col, "vid"))
+        cdf = spark.createDataFrame(
+            [(cid, vec, cn) for cid, vec, cn in cents],
+            schema="cid long, cvec array<double>, cnorm double")
+        a = (v.join(asg, "vid")
+             .join(F.broadcast(cdf), "cid")
+             .select("vid", "vvec", "vnorm", "cid",
+                     round6_xengine(_cosine_pre(
+                         F.col("vvec"), F.col("cvec"),
+                         F.col("vnorm"), F.col("cnorm"))).alias("cs")))
+    else:
+        best = F.array_max(_assign_candidates("vvec", "vnorm", cents))
+        a = v.select("vid", "vvec", "vnorm",
+                     (-best["ncid"]).alias("cid"),
+                     best["cos"].alias("cs"))
+
+    x = a.select(F.col("vid").alias("xid"), F.col("vvec").alias("xvec"),
+                 F.col("vnorm").alias("xnorm"), "cid",
+                 F.col("cs").alias("xcs"))
+    y = a.select(F.col("vid").alias("yid"), F.col("vvec").alias("yvec"),
+                 F.col("vnorm").alias("ynorm"), "cid",
+                 F.col("cs").alias("ycs"))
+    if keep == "farthest":
+        prec = (F.col("ycs") < F.col("xcs")) | (
+            (F.col("ycs") == F.col("xcs")) & (F.col("yid") < F.col("xid")))
+    else:
+        prec = (F.col("ycs") > F.col("xcs")) | (
+            (F.col("ycs") == F.col("xcs")) & (F.col("yid") < F.col("xid")))
+    pair_cos = round6_xengine(_cosine_pre(
+        F.col("xvec"), F.col("yvec"), F.col("xnorm"), F.col("ynorm")))
+    dropped = (x.join(y, "cid")
+               .filter(prec)
+               .filter(pair_cos >= F.lit(float(tau)))
+               .select(F.col("xid").alias("vid"))
+               .distinct())
+    return (a.join(dropped.withColumn("_drp", F.lit(True)), "vid", "left")
+            .select(F.col("vid").alias(id_col), "cid",
+                    F.col("cs").alias("cent_cos"),
+                    F.col("_drp").isNull().alias("kept")))

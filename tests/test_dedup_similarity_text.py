@@ -458,3 +458,88 @@ def test_duplicate_span_profile_semantics(spark):
     assert out[6].dup_frac == pytest.approx(0.7692)   # floor 1e-4
     assert out[1].dup_frac == pytest.approx(0.6364)   # 7/11
     assert out[7].dup_frac == 0.0
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (r8): k-means partition + within-cluster cosine prune
+# ---------------------------------------------------------------------------
+
+def _semdedup_fixture(spark):
+    """2-D hand fixture: two planted duplicate pairs (one per
+    cluster), a tie-assigned diagonal vector, an anti-aligned vector,
+    and a zero-norm vector."""
+    from mr_mpi_blast_spark.operators.similarity import centroid_triples
+    cents = centroid_triples([(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]),        # cluster 0, cent_cos = 1.0
+         (2, [0.999, 0.02]),     # cluster 0, near-dup of 1
+         (3, [0.7, 0.7]),        # equidistant tie -> cluster 0 (low cid)
+         (4, [0.0, 1.0]),        # cluster 1, cent_cos = 1.0
+         (5, [0.02, 0.999]),     # cluster 1, near-dup of 4
+         (6, [-1.0, 0.0]),       # cluster 1 (cos 0 beats cos -1)
+         (7, [0.0, 0.0])],       # zero norm: cos 0 everywhere -> c0
+        "vec_id long, embedding array<double>")
+    return vecs, cents
+
+
+def test_semdedup_keep_farthest(spark):
+    """Paper-default rule: within each tau-duplicate set the member
+    with the LOWEST centroid similarity survives — so the planted
+    duplicates drop the centroid-aligned member (1 and 4), and
+    below-tau / cross-cluster members are untouched."""
+    from mr_mpi_blast_spark.operators.similarity import semdedup
+    vecs, cents = _semdedup_fixture(spark)
+    rows = {r.vec_id: r for r in
+            semdedup(vecs, cents, tau=0.95).collect()}
+    assert len(rows) == 7                       # one row per input
+    assert {i: r.cid for i, r in rows.items()} == {
+        1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1, 7: 0}
+    assert {i for i, r in rows.items() if not r.kept} == {1, 4}
+    assert rows[1].cent_cos == 1.0
+    assert rows[7].cent_cos == 0.0              # zero norm -> cos 0.0
+    assert rows[3].cent_cos == pytest.approx(0.707107, abs=1e-6)
+
+
+def test_semdedup_keep_closest(spark):
+    """keep='closest' flips the keep order: the centroid-aligned
+    member survives and the off-axis duplicate drops."""
+    from mr_mpi_blast_spark.operators.similarity import semdedup
+    vecs, cents = _semdedup_fixture(spark)
+    rows = semdedup(vecs, cents, tau=0.95, keep="closest").collect()
+    assert {r.vec_id for r in rows if not r.kept} == {2, 5}
+    with pytest.raises(ValueError, match="keep"):
+        semdedup(vecs, cents, tau=0.95, keep="best")
+
+
+def test_semdedup_cross_cluster_blindness(spark):
+    """The SemDeDup approximation, pinned: a near-duplicate pair
+    SPLIT across two clusters is not examined, so both survive."""
+    from mr_mpi_blast_spark.operators.similarity import (centroid_triples,
+                                                         semdedup)
+    cents = centroid_triples([(0, [1.0, 0.0]), (1, [0.92, 0.4])])
+    # cos(a, b) ~ 0.9998, but a sits nearer c0 and b nearer c1
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.195]), (2, [1.0, 0.215])],
+        "vec_id long, embedding array<double>")
+    rows = semdedup(vecs, cents, tau=0.95).collect()
+    assert {r.cid for r in rows} == {0, 1}
+    assert all(r.kept for r in rows)
+
+
+def test_semdedup_pandas_path_parity(spark, emb, monkeypatch):
+    """Above IVF_LITERAL_MAX_CENTROIDS the assignment runs on the
+    broadcast+BLAS pandas path; the full semdedup output (assignment,
+    cent_cos, kept flags) must match the literal path row-for-row."""
+    from mr_mpi_blast_spark.operators import similarity as sim
+    cents = sim._collect_centroids(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cid"), "embedding"),
+        "cid", "embedding")
+    vecs = emb.filter(F.col("vec_id") < 150).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    lit = {tuple(r) for r in sim.semdedup(vecs, cents, tau=0.45).collect()}
+    monkeypatch.setattr(sim, "IVF_LITERAL_MAX_CENTROIDS", 4)
+    routed = sim.semdedup(vecs, cents, tau=0.45)
+    assert "MapInPandas" in (routed._jdf.queryExecution()
+                             .executedPlan().toString())
+    assert {tuple(r) for r in routed.collect()} == lit

@@ -49,6 +49,8 @@ FACADES = [
     # window full — micro-unit integer-sum determinism, see
     # operators/search.py)
     "text_bm25_search", "text_lm_score",
+    # r8: SemDeDup cluster-then-prune (new operator; window full)
+    "embedding_semdedup",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
