@@ -2934,3 +2934,52 @@ def q_embedding_semdedup(spark, sf_dir):
     cents = _trained_ivf_centroids(spark, sf_dir)
     return semdedup(_t(spark, sf_dir, "embeddings"), cents,
                     tau=_SEMDEDUP_TAU, keep="farthest")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (beyond-reference; r8, tail-registered —
+# driver window full; value evidence in tests/test_facade_oracles.py)
+# ---------------------------------------------------------------------------
+
+from mr_mpi_blast_spark.operators.search import (  # noqa: E402
+    DSIR_BUCKETS, DSIR_MICRO_TMPL, dsir_bucket_duckdb, dsir_log_weights)
+
+_DSIR_MICRO = DSIR_MICRO_TMPL.format(ct="ct", cs="cs", nt="nt", ns="ns",
+                                     b=DSIR_BUCKETS)
+
+_DSIR_SQL = f"""
+WITH w AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS tgt,
+                  string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+bg AS (SELECT doc_id, tgt,
+              {dsir_bucket_duckdb('bigram')} AS b
+       FROM (SELECT doc_id, tgt,
+                    unnest(list_transform(range(1, len(ws)),
+                           i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+             FROM w)),
+tf AS (SELECT doc_id, b, count(*) AS tf FROM bg GROUP BY doc_id, b),
+cb AS (SELECT b, count(*) AS cs, CAST(sum(tgt) AS BIGINT) AS ct
+       FROM bg GROUP BY b),
+tot AS (SELECT count(*) AS ns, CAST(sum(tgt) AS BIGINT) AS nt FROM bg),
+contrib AS (SELECT tf.doc_id, tf.tf, tf.tf * {_DSIR_MICRO} AS c
+            FROM tf JOIN cb USING (b) CROSS JOIN tot),
+s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS micro,
+             CAST(sum(tf) AS BIGINT) AS nf FROM contrib GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(s.nf, 0) AS n_features,
+       CASE WHEN s.nf > 0 THEN s.micro / 1e6 END AS log_weight
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
+
+@query("dsir_weights", _DSIR_SQL)
+def q_dsir_weights(spark, sf_dir):
+    """DSIR (Xie et al. 2023) importance weights: per-document
+    log-likelihood ratio of a hashed-bigram model of the target
+    subset (lang='en' here) vs the whole corpus, Laplace-smoothed —
+    the importance-resampling signal for matching a pretraining
+    corpus to a target distribution. Bucket tables are B-bounded by
+    construction (broadcast); per-bucket log-ratios are quantized to
+    integer micro-units before the per-doc sum; the md5-prefix
+    bucketing is computed identically by both engines
+    (operators/search.py docstrings)."""
+    return dsir_log_weights(_t(spark, sf_dir, "documents"),
+                            F.col("lang") == "en")

@@ -210,3 +210,107 @@ def bigram_lm_score(docs: DataFrame, *, text_col: str = "text",
                 F.when(F.col("nbg") > 0,
                        (F.col("micro") * F.lit(1.0) / F.col("nbg"))
                        / F.lit(1e6)).alias("avg_logp")))
+
+
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169) — hashed-n-gram importance weights
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096
+
+# Cross-engine-portable hash bucket: the first 8 hex chars of md5
+# parsed as an integer, mod B. Production DSIR uses a cheaper hash
+# (xxhash-class); md5 is chosen HERE because both Spark and DuckDB
+# compute the identical standard function on the identical string, so
+# the oracle can replay the bucketing exactly — unlike xxhash64, which
+# only Spark has (the decontam operator's engine/oracle asymmetry).
+# At B=4096 hash quality is irrelevant; 8 hex chars < 2^32 keeps the
+# parse non-negative, so % and pmod agree. The two renderings below
+# compute the same function; tests/test_search.py pins their equality
+# on fixture strings.
+def dsir_bucket_spark(col: str, n_buckets: int = DSIR_BUCKETS) -> str:
+    return (f"pmod(CAST(conv(substring(md5({col}), 1, 8), 16, 10) "
+            f"AS BIGINT), {n_buckets})")
+
+
+def dsir_bucket_duckdb(col: str, n_buckets: int = DSIR_BUCKETS) -> str:
+    return (f"(CAST(('0x' || substring(md5({col}), 1, 8)) AS BIGINT) "
+            f"% {n_buckets})")
+
+
+# one bucket's smoothed log importance ratio in micro-units, shared
+# verbatim by both engines (placeholders are column refs / literals;
+# every input is an exact integer, the products stay < 2^53, and the
+# single ln() runs on an identical correctly-rounded double — the
+# BM25/LM micro-unit discipline):
+#   lr(b) = ln( (ct+1)/(Nt+B) / ((cs+1)/(Ns+B)) )
+#         = ln( (ct+1)*(Ns+B) / ((cs+1)*(Nt+B)) )
+DSIR_MICRO_TMPL = (
+    "CAST(floor(ln((({ct}) + 1) * (({ns}) + {b}) * CAST(1.0 AS DOUBLE) / "
+    "((({cs}) + 1) * (({nt}) + {b}))) * 1e6 + CAST(0.5 AS DOUBLE)) "
+    "AS BIGINT)")
+
+
+def dsir_log_weights(docs: DataFrame, target_pred,
+                     n_buckets: int = DSIR_BUCKETS, *,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """DSIR importance weights: per-document log-likelihood ratio of a
+    hashed-bigram unigram model of the TARGET subset vs the SOURCE
+    (whole corpus), Laplace-smoothed — the Xie et al. 2023 data
+    selection signal (resampling = a downstream deterministic top-k /
+    Gumbel draw over these weights; this operator produces the
+    weights).
+
+    ``target_pred`` is a Column predicate over ``docs`` rows defining
+    the target distribution (e.g. lang == 'en', source == 'wiki').
+
+    100 TB shape: one corpus scan feeds the bigram explode; bucket
+    count tables are B-bounded BY CONSTRUCTION (not by data), so the
+    per-bucket log-ratio table broadcasts; the per-doc aggregate is
+    map-side-combinable. No pair join, no df^2 term anywhere — the
+    whole reason DSIR hashes features instead of keeping raw n-grams.
+
+    Determinism: per-bucket log-ratios are quantized to integer
+    micro-units before the per-doc sum (exact integer arithmetic,
+    engine- and partitioning-independent); counts and totals are
+    exact integers; the only transcendental is one ln() on an
+    identical double in both engines.
+
+    Output: (doc_id, n_features, log_weight) — log_weight is the
+    summed log ratio / 1e6, NULL for docs with no bigrams.
+    """
+    bg = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.when(target_pred, 1).otherwise(0).alias("tgt"),
+                      F.split(normalized_text(F.col(text_col)), " ")
+                      .alias("ws"))
+          .select("doc_id", "tgt", F.explode(F.expr(
+              "CASE WHEN size(ws) >= 2 THEN "
+              "transform(sequence(1, size(ws) - 1), "
+              "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) "
+              "ELSE array() END")).alias("bigram"))
+          .withColumn("b", F.expr(dsir_bucket_spark("bigram", n_buckets)))
+          .drop("bigram"))
+
+    tf = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
+    cb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cs"),
+                             F.sum("tgt").alias("ct"))
+    tot = bg.agg(F.count(F.lit(1)).alias("ns"),
+                 F.sum("tgt").alias("nt"))
+
+    micro = DSIR_MICRO_TMPL.format(ct="ct", cs="cs", nt="nt", ns="ns",
+                                   b=n_buckets)
+    contrib = (tf.join(F.broadcast(cb), "b")
+               .crossJoin(F.broadcast(tot))
+               .select("doc_id", "tf",
+                       (F.col("tf") * F.expr(micro)).alias("c")))
+    s = contrib.groupBy("doc_id").agg(F.sum("c").alias("micro"),
+                                      F.sum("tf").alias("nf"))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(s, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("nf"), F.lit(0)).alias("n_features"),
+                F.when(F.col("nf") > 0,
+                       F.col("micro") / F.lit(1e6)).alias("log_weight")))

@@ -51,6 +51,9 @@ FACADES = [
     "text_bm25_search", "text_lm_score",
     # r8: SemDeDup cluster-then-prune (new operator; window full)
     "embedding_semdedup",
+    # r8: DSIR hashed-bigram importance weights (new operator; window
+    # full — md5-prefix bucketing computed identically in both engines)
+    "dsir_weights",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -145,3 +145,82 @@ def test_lm_score_empty_and_single_token(spark):
     got = {r.doc_id: (r.n_bigrams, r.avg_logp)
            for r in bigram_lm_score(df).collect()}
     assert got == {1: (0, None), 2: (0, None), 3: (0, None)}
+
+
+# ---------------------------------------------------------------------------
+# DSIR hashed-bigram importance weights (r8)
+# ---------------------------------------------------------------------------
+
+def _dsir_ref(docs: dict[int, tuple[str, bool]], n_buckets: int):
+    """Pure-Python DSIR reference: md5-prefix bucketing, Laplace
+    smoothing, micro-unit quantization of the per-bucket log ratio."""
+    import hashlib
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % n_buckets
+
+    per_doc, cs, ct = {}, {}, {}
+    ns = nt = 0
+    for d, (t, tgt) in docs.items():
+        ws = t.lower().split()
+        bs = [bucket(f"{ws[i]} {ws[i+1]}") for i in range(len(ws) - 1)]
+        per_doc[d] = bs
+        for b in bs:
+            cs[b] = cs.get(b, 0) + 1
+            ns += 1
+            if tgt:
+                ct[b] = ct.get(b, 0) + 1
+                nt += 1
+    out = {}
+    for d, bs in per_doc.items():
+        if not bs:
+            out[d] = (0, None)
+            continue
+        micro = sum(math.floor(math.log(
+            (ct.get(b, 0) + 1) * (ns + n_buckets) * 1.0
+            / ((cs[b] + 1) * (nt + n_buckets))) * 1e6 + 0.5) for b in bs)
+        out[d] = (len(bs), micro / 1e6)
+    return out
+
+
+def test_dsir_matches_python_reference(spark):
+    from mr_mpi_blast_spark.operators.search import dsir_log_weights
+    docs = {
+        1: ("the quick brown fox", True),     # target
+        2: ("the quick brown dog", True),     # target, shares bigrams
+        3: ("lorem ipsum dolor sit", False),  # pure source
+        4: ("the quick ipsum", False),        # mixed
+        5: ("x", False),                      # no bigrams -> NULL
+    }
+    df = spark.createDataFrame(
+        [(d, t, tgt) for d, (t, tgt) in docs.items()],
+        "doc_id BIGINT, text STRING, is_tgt BOOLEAN")
+    got = {r.doc_id: (r.n_features, r.log_weight)
+           for r in dsir_log_weights(df, F.col("is_tgt"),
+                                     n_buckets=64).collect()}
+    ref = _dsir_ref(docs, 64)
+    assert got == ref
+    # directionality: target-bigram docs score above pure-source docs
+    assert got[1][1] > got[3][1]
+    assert got[5] == (0, None)
+
+
+def test_dsir_bucket_cross_engine_equality():
+    """The Spark and DuckDB renderings of the md5-prefix bucket must
+    compute the identical function — this is the whole reason md5 was
+    chosen over xxhash64 (which only Spark has)."""
+    import duckdb
+    from mr_mpi_blast_spark.operators.search import (dsir_bucket_duckdb,
+                                                     dsir_bucket_spark)
+    from mr_mpi_blast_spark.session import get_spark
+    spark = get_spark("test")
+    strs = ["hello world", "a b", "", "ünïcode tëxt", "the quick",
+            "0", "fffffff f"]
+    con = duckdb.connect()
+    for s in strs:
+        lit = "'" + s.replace("'", "''") + "'"
+        a = spark.sql(
+            f"SELECT {dsir_bucket_spark(lit)}").first()[0]
+        b = con.execute(
+            f"SELECT {dsir_bucket_duckdb(lit)}").fetchone()[0]
+        assert a == b, s
