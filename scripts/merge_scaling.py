@@ -1,41 +1,44 @@
 #!/usr/bin/env python
-"""Merge two bench_scaling.py runs into SCALING.json.
+"""Merge N bench_scaling.py runs into SCALING.json.
 
-Two independent runs of the same code+data give an honest per-query
-exponent SPREAD (this box's burst noise moves single-decade exponents
-by up to ~1.0 for sub-second queries); the robust signals are the
-median exponents and which queries are data-bound in BOTH runs.
+Independent runs of the same code+data give an honest per-query
+exponent SPREAD: this box's burst noise is strictly additive and can
+inflate a single run's timing by 2-10x for tens of seconds at a time
+(r8 observed a whole sf1.0 sweep phase degraded in one run while a
+fresh-JVM standalone reproduction of the same query ran clean), so
+the robust signals are the per-query MINIMUM timings (noise never
+makes a query faster), the median exponents, and which queries are
+data-bound in EVERY run.
 
-Usage: python scripts/merge_scaling.py runA.json runB.json > SCALING.json
+Usage: python scripts/merge_scaling.py runA.json runB.json [runC.json ...] > SCALING.json
 """
 
 from __future__ import annotations
 
 import json
+import math
 import statistics
 import sys
 
 
 def main() -> None:
-    a = json.load(open(sys.argv[1]))
-    b = json.load(open(sys.argv[2]))
-    runs = [a, b]
+    runs = [json.load(open(p)) for p in sys.argv[1:]]
+    if len(runs) < 2:
+        raise SystemExit("need >= 2 run files")
 
     spread: dict[str, dict[str, float]] = {}
-    names = sorted(set(a["exponents"]) | set(b["exponents"]))
+    names = sorted(set().union(*(r["exponents"] for r in runs)))
     for q in names:
         vals = [r["exponents"][q] for r in runs if q in r["exponents"]]
         spread[q] = {"min": min(vals), "max": max(vals)}
     medians = [round(statistics.median(r["exponents"].values()), 2)
                for r in runs]
 
-    sf1 = sorted(set(a.get("exponents_sf1", {}))
-                 & set(b.get("exponents_sf1", {})))
-    spread_sf1 = {q: {"min": min(a["exponents_sf1"][q],
-                                 b["exponents_sf1"][q]),
-                      "max": max(a["exponents_sf1"][q],
-                                 b["exponents_sf1"][q])}
-                  for q in sf1}
+    sf1_names = sorted(set.intersection(
+        *(set(r.get("exponents_sf1", {})) for r in runs)))
+    spread_sf1 = {q: {"min": min(r["exponents_sf1"][q] for r in runs),
+                      "max": max(r["exponents_sf1"][q] for r in runs)}
+                  for q in sf1_names}
     medians_sf1 = [round(statistics.median(r["exponents_sf1"].values()), 2)
                    for r in runs if r.get("exponents_sf1")]
 
@@ -43,25 +46,41 @@ def main() -> None:
                   if all(q in r["exponents"] and r["exponents"][q] >= 0.7
                          for r in runs)]
 
+    # noise-floor timings: per-query per-sf MIN across runs (additive
+    # noise can only inflate), plus the exponents those minima imply
+    min_timings: dict[str, dict[str, float]] = {}
+    for q in sorted(set().union(*(r["timings"] for r in runs))):
+        sfs = sorted(set().union(*(r["timings"].get(q, {}) for r in runs)))
+        min_timings[q] = {
+            sf: min(r["timings"][q][sf] for r in runs
+                    if sf in r["timings"].get(q, {}))
+            for sf in sfs}
+    min_exponents_sf1 = {
+        q: round(math.log10(t["1.0"] / t["0.1"]), 2)
+        for q, t in min_timings.items()
+        if t.get("0.1", 0) > 0 and "1.0" in t}
+
     out = {
-        "note": ("Two independent runs of scripts/bench_scaling.py on the "
-                 "same code+data. Per-query single-decade exponents carry "
-                 "the box's burst noise (run-to-run spread up to ~1.0 in "
-                 "alpha for sub-second queries); the robust signals are "
-                 "the medians (suite is fixed-overhead bound at these "
-                 "sizes) and the absolute timings. Queries whose BOTH "
-                 "runs show alpha >= 0.7 are the genuinely data-bound "
-                 "ones."),
+        "note": (f"{len(runs)} independent runs of scripts/bench_scaling.py "
+                 "on the same code+data. Per-query single-decade exponents "
+                 "carry the box's burst noise (additive, up to 2-10x for "
+                 "tens of seconds at a time); the robust signals are the "
+                 "per-query minimum timings across runs (timings_min / "
+                 "exponents_sf1_min), the median exponents, and the "
+                 "queries whose EVERY run shows alpha >= 0.7 (the "
+                 "genuinely data-bound ones)."),
         "median_alpha": medians,
         "median_alpha_sf1": medians_sf1,
-        "both_runs_data_bound": data_bound,
+        "all_runs_data_bound": data_bound,
         "exponent_spread": spread,
         "exponent_spread_sf1": spread_sf1,
-        "timings_run_a": a["timings"],
-        "timings_run_b": b["timings"],
-        "reps_per_run": a.get("reps"),
-        "sf1_dir": a.get("sf1_dir"),
-        "sf1_excluded": a.get("sf1_excluded"),
+        "timings_min": min_timings,
+        "exponents_sf1_min": min_exponents_sf1,
+        "timings_per_run": {f"run_{chr(97 + i)}": r["timings"]
+                            for i, r in enumerate(runs)},
+        "reps_per_run": runs[0].get("reps"),
+        "sf1_dir": runs[0].get("sf1_dir"),
+        "sf1_excluded": runs[0].get("sf1_excluded"),
     }
     print(json.dumps(out, indent=1))
 
