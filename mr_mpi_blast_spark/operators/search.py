@@ -189,6 +189,16 @@ def bigram_lm_score(docs: DataFrame, *, text_col: str = "text",
           .select("doc_id", F.explode(bigrams).alias("bigram"))
           .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0)))
 
+    # Each count table re-scans the gram stream rather than deriving
+    # from the tf aggregate. Deliberate: lambda-bearing subtrees (the
+    # bigram transform) defeat Spark's exchange-reuse canonicalization,
+    # so a tf-derived cb/cw would re-shuffle the corpus-sized
+    # (doc, bigram) stream once PER CONSUMER (measured: 0 ReusedExchange,
+    # 3 corpus exchanges); re-scanning keeps cb/cw map-side-combined —
+    # their exchanges carry only distinct grams per partition — and the
+    # one corpus-sized exchange is tf's. A deployment scoring the same
+    # corpus repeatedly should stage tf to parquet once (the
+    # entry-layer _embedding_pairs store discipline).
     tf = bg.groupBy("doc_id", "bigram", "w1").agg(
         F.count(F.lit(1)).alias("tf"))
     cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_b"))
@@ -293,6 +303,12 @@ def dsir_log_weights(docs: DataFrame, target_pred,
           .withColumn("b", F.expr(dsir_bucket_spark("bigram", n_buckets)))
           .drop("bigram"))
 
+    # cb/tot re-scan the gram stream rather than deriving from tf —
+    # same rationale as bigram_lm_score: exchange reuse does not fire
+    # across lambda-bearing subtrees, so tf-derived stats would shuffle
+    # the corpus-sized (doc, bucket) stream once per consumer, while
+    # direct aggregation is map-side-combined down to <= B rows per
+    # partition (cb) and 1 row per partition (tot) before exchanging.
     tf = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
     cb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cs"),
                              F.sum("tgt").alias("ct"))
