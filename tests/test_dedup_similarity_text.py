@@ -72,6 +72,7 @@ def test_dedup_detects_planted_duplicate(spark):
     assert len(groups) == 1 and groups[0].keeper == 1 and groups[0].n == 2
 
 
+@pytest.mark.slow
 def test_simhash_properties(spark, docs):
     sig = simhash_signatures(docs.limit(50))
     rows = sig.collect()
@@ -176,6 +177,7 @@ def test_cosine_pairs_auto_routes_by_size(spark, emb):
     assert b <= s and len(b) >= 0.5 * len(s)
 
 
+@pytest.mark.slow
 def test_ivf_assign_pandas_parity(spark, emb):
     """The million-centroid assignment path (broadcast centroid matrix
     + BLAS argmax per Arrow batch) must agree row-for-row with the
@@ -526,6 +528,7 @@ def test_semdedup_cross_cluster_blindness(spark):
     assert all(r.kept for r in rows)
 
 
+@pytest.mark.slow
 def test_semdedup_pandas_path_parity(spark, emb, monkeypatch):
     """Above IVF_LITERAL_MAX_CENTROIDS the assignment runs on the
     broadcast+BLAS pandas path; the full semdedup output (assignment,

@@ -2,6 +2,7 @@
 and the stage-2 hookup in align_query. No Spark session needed."""
 import dataclasses
 
+import pytest
 
 from mr_mpi_blast_spark.config import BlastConfig
 from mr_mpi_blast_spark.kernel.builtin import (SubjectIndex, _B62, _B62_IDX,
@@ -190,6 +191,7 @@ def test_gotoh_vectorized_equals_scalar_reference():
             _gotoh_local_scalar(a, b, protein, 1, -2, go, ge), (a, b)
 
 
+@pytest.mark.slow
 def test_gotoh_batch_equals_per_window():
     """The cross-window batched forward sweep (gotoh_local_batch) must
     be bit-identical to per-window gotoh_local — scores, coordinates,

@@ -3,6 +3,7 @@ codec layers — the invariants that must hold for EVERY input, not just
 the corpus fixtures: seeding-index equivalence, hash-scheme
 consistency, strand involution, and Karlin-Altschul monotonicity."""
 
+import pytest
 import math
 
 import numpy as np
@@ -261,6 +262,7 @@ def test_blastp_block_equals_sequential(subject_seqs, query_seqs, k,
     assert got == ref
 
 
+@pytest.mark.slow
 def test_ordered_prefix_sum_cache_consistency(spark):
     """The content-addressed histogram/pack cache must be a pure
     optimization: cached and uncached invocations produce identical

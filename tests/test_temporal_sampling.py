@@ -81,6 +81,7 @@ def test_epoch_us_ntz_session_tz_independent(spark):
         spark.conf.set("spark.sql.session.timeZone", prev)
 
 
+@pytest.mark.slow
 def test_sessionize_ntz_dst_straddle_tz_independent(spark):
     """Sessionize over NTZ events whose gaps straddle a session-zone DST
     jump: session_seq must be identical under UTC and LA timezones (the
