@@ -2929,11 +2929,14 @@ def q_embedding_semdedup(spark, sf_dir):
     cluster size, never corpus size; that bounded join is the whole
     point of SemDeDup at 100 TB (operators/similarity.py::semdedup).
     Complements embedding_clusters (global CC canonicalization) and
-    embedding_near_dup (exact global pairs)."""
+    embedding_near_dup (exact global pairs). Runs the BLAS per-cluster
+    prune (the paper's implementation shape; 3.9x the relational join
+    method at sf0.1, full-output parity pinned by test — the join
+    method remains the spill-safe path for skewed giant clusters)."""
     from mr_mpi_blast_spark.operators.similarity import semdedup
     cents = _trained_ivf_centroids(spark, sf_dir)
     return semdedup(_t(spark, sf_dir, "embeddings"), cents,
-                    tau=_SEMDEDUP_TAU, keep="farthest")
+                    tau=_SEMDEDUP_TAU, keep="farthest", method="blas")
 
 
 # ---------------------------------------------------------------------------

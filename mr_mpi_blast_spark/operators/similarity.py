@@ -723,7 +723,7 @@ def ivf_recall(queries: DataFrame, corpus: DataFrame,
 
 def semdedup(vectors: DataFrame, centroids, tau: float,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             keep: str = "farthest") -> DataFrame:
+             keep: str = "farthest", method: str = "join") -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by k-means partition + within-cluster cosine prune.
 
@@ -738,21 +738,35 @@ def semdedup(vectors: DataFrame, centroids, tau: float,
       keep='closest': precedes = (cent_cos DESC, vec_id ASC)
 
     Cross-cluster near-duplicates are NOT examined — that is the
-    SemDeDup approximation (and its scale story): the pair join is an
-    equi-join on cluster id, so per-key fan-out is bounded by cluster
+    SemDeDup approximation (and its scale story): the pair work is
+    keyed on cluster id, so per-key fan-out is bounded by cluster
     size, never corpus size. Contrast cosine_pairs_auto (exact global
     pairs) and embedding_clusters (global CC canonicalization): this
-    operator trades cross-cluster recall for a join whose input at
-    100 TB is sum_c |cluster_c|^2 with |c| ~ N/k — the knob is k.
+    operator trades cross-cluster recall for per-cluster work of
+    sum_c |cluster_c|^2 with |c| ~ N/k — the knob is k.
+
+    Two prune methods, identical results (parity-pinned by test):
+
+      method='join' (default): relational within-cluster pair join +
+        anti-join. Spill-safe — no worker ever materializes a
+        cluster, so a skewed giant cluster degrades to shuffle spill,
+        not OOM. Pair cosines run as interpreted HOF expressions.
+      method='blas': per-cluster pairwise matrix via applyInPandas —
+        the paper's own implementation shape. One shuffle on cid,
+        one BLAS matmul + triangular scan per cluster. Requires the
+        LARGEST cluster's |c| x |c| double matrix to fit in one
+        worker (64k rows ~ 32 GB — size k accordingly); within that
+        regime it is the fast path (no per-pair HOF evaluation).
 
     Plan shape: centroid assignment is the map-only ivf_assign
     projection (literal expressions up to IVF_LITERAL_MAX_CENTROIDS,
     broadcast+BLAS mapInPandas beyond — same contract, parity-pinned);
-    the only shuffles are the cid self-join and the final kept-flag
-    join. The assignment projection is recomputed per consumer (3
-    scans) rather than persisted — it is scan-bound and stateless, and
-    at scale a caller dedup-ing repeatedly should materialize the
-    assignment once (the _embedding_pairs store discipline).
+    the only shuffles are the cid self-join/grouping and (join method)
+    the final kept-flag join. The assignment projection is recomputed
+    per consumer rather than persisted — it is scan-bound and
+    stateless, and at scale a caller dedup-ing repeatedly should
+    materialize the assignment once (the _embedding_pairs store
+    discipline).
 
     Determinism: cent_cos is floor-rounded to 1e-6 BEFORE the keep
     order compares it (round6_xengine — identical in Spark and
@@ -766,6 +780,9 @@ def semdedup(vectors: DataFrame, centroids, tau: float,
     if keep not in ("farthest", "closest"):
         raise ValueError(f"semdedup: keep must be 'farthest' or "
                          f"'closest', got {keep!r}")
+    if method not in ("join", "blas"):
+        raise ValueError(f"semdedup: method must be 'join' or "
+                         f"'blas', got {method!r}")
     cents = _collect_centroids(centroids, "cid", vec_col)
     v = _vec(vectors, id_col, vec_col, "v")
     if len(cents) > IVF_LITERAL_MAX_CENTROIDS:
@@ -790,6 +807,9 @@ def semdedup(vectors: DataFrame, centroids, tau: float,
                      (-best["ncid"]).alias("cid"),
                      best["cos"].alias("cs"))
 
+    if method == "blas":
+        return _semdedup_blas(a, float(tau), keep, id_col)
+
     x = a.select(F.col("vid").alias("xid"), F.col("vvec").alias("xvec"),
                  F.col("vnorm").alias("xnorm"), "cid",
                  F.col("cs").alias("xcs"))
@@ -813,3 +833,44 @@ def semdedup(vectors: DataFrame, centroids, tau: float,
             .select(F.col("vid").alias(id_col), "cid",
                     F.col("cs").alias("cent_cos"),
                     F.col("_drp").isNull().alias("kept")))
+
+
+def _semdedup_blas(a: DataFrame, tau: float, keep: str,
+                   id_col: str) -> DataFrame:
+    """Per-cluster BLAS prune for semdedup: sort the cluster by the
+    keep order, one matmul for the pairwise cosine matrix, drop row j
+    iff any earlier row i has cos6(i, j) >= tau (the paper's
+    upper-triangular max). Floor-form 1e-6 rounding of both cent_cos
+    (already applied upstream) and the pair cosine keeps the verdicts
+    identical to the relational method and the DuckDB oracle."""
+    farthest = keep == "farthest"
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        cs = pdf["cs"].to_numpy(dtype=np.float64)
+        out = pdf[["vid", "cid"]].copy()
+        out["cent_cos"] = cs
+        if len(ids) < 2:
+            out["kept"] = True
+            return out.rename(columns={"vid": id_col})
+        # keep order: (cs ASC|DESC, id ASC); lexsort's LAST key is
+        # primary. -cs flips to DESC; cs values are already 1e-6
+        # floor-rounded, so sign negation is exact.
+        order = np.lexsort((ids, cs if farthest else -cs))
+        m = np.stack(pdf["vvec"].to_numpy())[order].astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        denom = norms[:, None] * norms[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, (m @ m.T) / denom, 0.0)
+        cos6 = np.floor(cos * 1e6 + 0.5) / 1e6
+        dup = np.triu(cos6 >= tau, k=1)      # [i, j]: i precedes j
+        dropped_sorted = dup.any(axis=0)
+        kept = np.empty(len(ids), dtype=bool)
+        kept[order] = ~dropped_sorted
+        out["kept"] = kept
+        return out.rename(columns={"vid": id_col})
+
+    return (a.select("vid", "vvec", "cid", "cs")
+            .groupBy("cid")
+            .applyInPandas(prune, schema=f"{id_col} long, cid long, "
+                                         "cent_cos double, kept boolean"))

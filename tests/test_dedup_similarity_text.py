@@ -511,6 +511,23 @@ def test_semdedup_keep_closest(spark):
     assert {r.vec_id for r in rows if not r.kept} == {2, 5}
     with pytest.raises(ValueError, match="keep"):
         semdedup(vecs, cents, tau=0.95, keep="best")
+    with pytest.raises(ValueError, match="method"):
+        semdedup(vecs, cents, tau=0.95, method="auto")
+
+
+def test_semdedup_blas_method_parity(spark):
+    """The per-cluster BLAS prune (the registered query's method) must
+    match the relational join method row-for-row on the hand fixture —
+    both keep orders, including the tie-assigned and zero-norm rows."""
+    from mr_mpi_blast_spark.operators.similarity import semdedup
+    vecs, cents = _semdedup_fixture(spark)
+    for keep in ("farthest", "closest"):
+        j = {tuple(r) for r in
+             semdedup(vecs, cents, tau=0.95, keep=keep).collect()}
+        b = {tuple(r) for r in
+             semdedup(vecs, cents, tau=0.95, keep=keep,
+                      method="blas").collect()}
+        assert j == b, keep
 
 
 def test_semdedup_cross_cluster_blindness(spark):
