@@ -291,6 +291,9 @@ def dsir_log_weights(docs: DataFrame, target_pred,
     Output: (doc_id, n_features, log_weight) — log_weight is the
     summed log ratio / 1e6, NULL for docs with no bigrams.
     """
+    if n_buckets < 1:
+        raise ValueError(f"dsir_log_weights: n_buckets must be >= 1, "
+                         f"got {n_buckets}")
     bg = (docs.select(F.col(id_col).alias("doc_id"),
                       F.when(target_pred, 1).otherwise(0).alias("tgt"),
                       F.split(normalized_text(F.col(text_col)), " ")
