@@ -1778,11 +1778,13 @@ def q_salted_part_revenue(spark, sf_dir):
                  F.round(F.sum("l_extendedprice"), 4).alias("revenue")))
 
 
+from mr_mpi_blast_spark.operators.search import \
+    BIGRAMS_DUCKDB_SQL  # noqa: E402
+
 _BIGRAMS_SQL = f"""
 WITH w AS (SELECT source, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
 bg AS (
-  SELECT source, unnest(list_transform(range(1, len(ws)),
-                                       i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+  SELECT source, unnest({BIGRAMS_DUCKDB_SQL}) AS bigram
   FROM w),
 cnt AS (SELECT source, bigram, count(*) AS n FROM bg GROUP BY source, bigram),
 rk AS (SELECT source, bigram, n,
@@ -2851,8 +2853,7 @@ def q_text_bm25_search(spark, sf_dir):
 
 _LM_SCORE_SQL = f"""
 WITH w AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
-bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
-                     i -> ws[i] || ' ' || ws[i + 1])) AS bigram FROM w),
+bg AS (SELECT doc_id, unnest({BIGRAMS_DUCKDB_SQL}) AS bigram FROM w),
 tf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY doc_id, bigram),
 cb AS (SELECT bigram, count(*) AS c_b FROM bg GROUP BY bigram),
 cw AS (SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c_w
@@ -2892,15 +2893,30 @@ def q_text_lm_score(spark, sf_dir):
 
 _SEMDEDUP_TAU = 0.45    # the repo's established near-dup demo threshold
 
+# Zero-norm guard: DuckDB's list_cosine_similarity returns -1.0 when
+# a side is the zero vector, while the engine contract (try_divide +
+# coalesce / np.where) defines it as 0.0 — the n2 = 0 CASE replays the
+# engine definition (squares are non-negative, so n2 = 0 iff the
+# vector is exactly zero; the comparison is exact, no rounding).
 _SEMDEDUP_SQL = f"""
-WITH cent AS (SELECT cid, CAST(embedding AS DOUBLE[]) AS cemb
+WITH cent AS (SELECT cid, CAST(embedding AS DOUBLE[]) AS cemb,
+                     list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> x * x)) AS cn2
               FROM read_parquet('{_IVF_CENT_PATH}')),
-v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> x * x)) AS n2
+      FROM embeddings),
 ranks AS (
   SELECT v.vec_id, c.cid,
-         floor(list_cosine_similarity(v.emb, c.cemb) * 1e6 + 0.5) / 1e6 AS cs,
+         floor(CASE WHEN v.n2 = 0 OR c.cn2 = 0 THEN CAST(0.0 AS DOUBLE)
+               ELSE list_cosine_similarity(v.emb, c.cemb) END
+               * 1e6 + 0.5) / 1e6 AS cs,
          row_number() OVER (PARTITION BY v.vec_id
-           ORDER BY floor(list_cosine_similarity(v.emb, c.cemb) * 1e6 + 0.5) / 1e6 DESC,
+           ORDER BY floor(CASE WHEN v.n2 = 0 OR c.cn2 = 0
+                          THEN CAST(0.0 AS DOUBLE)
+                          ELSE list_cosine_similarity(v.emb, c.cemb) END
+                          * 1e6 + 0.5) / 1e6 DESC,
                     c.cid) AS r
   FROM v CROSS JOIN cent c),
 a AS (SELECT vec_id, cid, cs FROM ranks WHERE r = 1),
@@ -2910,7 +2926,9 @@ dropped AS (
   JOIN v vx ON vx.vec_id = x.vec_id
   JOIN v vy ON vy.vec_id = y.vec_id
   WHERE (y.cs < x.cs OR (y.cs = x.cs AND y.vec_id < x.vec_id))
-    AND floor(list_cosine_similarity(vx.emb, vy.emb) * 1e6 + 0.5) / 1e6
+    AND floor(CASE WHEN vx.n2 = 0 OR vy.n2 = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE list_cosine_similarity(vx.emb, vy.emb) END
+              * 1e6 + 0.5) / 1e6
         >= {_SEMDEDUP_TAU})
 SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid, a.cs AS cent_cos,
        d.vec_id IS NULL AS kept
@@ -2951,13 +2969,12 @@ _DSIR_MICRO = DSIR_MICRO_TMPL.format(ct="ct", cs="cs", nt="nt", ns="ns",
                                      b=DSIR_BUCKETS)
 
 _DSIR_SQL = f"""
-WITH w AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS tgt,
+WITH w AS (SELECT doc_id, COALESCE(CAST(lang = 'en' AS INT), 0) AS tgt,
                   string_split({_NORM_SQL}, ' ') AS ws FROM documents),
 bg AS (SELECT doc_id, tgt,
               {dsir_bucket_duckdb('bigram')} AS b
        FROM (SELECT doc_id, tgt,
-                    unnest(list_transform(range(1, len(ws)),
-                           i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+                    unnest({BIGRAMS_DUCKDB_SQL}) AS bigram
              FROM w)),
 tf AS (SELECT doc_id, b, count(*) AS tf FROM bg GROUP BY doc_id, b),
 cb AS (SELECT b, count(*) AS cs, CAST(sum(tgt) AS BIGINT) AS ct

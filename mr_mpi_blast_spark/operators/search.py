@@ -36,6 +36,15 @@ sum(dl)) are integers, so the only transcendental is ln() on
 identical doubles in both engines; floor-form rounding is the
 round4_xengine discipline (see operators/similarity.py:29).
 
+One residual assumption, stated rather than guaranteed: ln() is not
+correctly rounded in either the JVM or libm, so a 1-ulp divergence on
+the same input double is possible and floor(x*1e6 + 0.5) can amplify
+it into a +/-1 micro-unit difference (which could flip a top-k
+membership exactly at the rank-k boundary). Observed behavior on this
+corpus: bitwise-equal Spark/DuckDB scores at sf0.001 through the
+synthesized sf1.0; if a future platform's libm breaks this, the fix
+is a +/-1-micro tolerance in the comparison, not a code change.
+
 The BM25 scoring expression is rendered ONCE as a SQL template and
 parsed by both Spark (F.expr) and DuckDB, so the operator tree —
 hence IEEE evaluation order — is identical by construction.
@@ -50,6 +59,20 @@ from mr_mpi_blast_spark.operators.topk import topk_per_key
 
 BM25_K1 = 1.2
 BM25_B = 0.75
+
+# Per-doc bigram list over a tokenized column `ws`, shared renderings
+# (one definition — five call sites across the LM/DSIR operators and
+# their DuckDB oracles must tokenize identically or parity breaks).
+# Spark: the CASE guards the sequence(1, 0) pitfall (a DESCENDING
+# [1, 0] instead of an empty array for docs under 2 tokens).
+# DuckDB: range(1, n) is already empty for n <= 1.
+BIGRAMS_CASE_SQL = (
+    "CASE WHEN size(ws) >= 2 THEN "
+    "transform(sequence(1, size(ws) - 1), "
+    "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) "
+    "ELSE array() END")
+BIGRAMS_DUCKDB_SQL = ("list_transform(range(1, len(ws)), "
+                      "i -> ws[i] || ' ' || ws[i + 1])")
 
 # fixed literal query set for the registered query/oracle pair; terms
 # chosen to span the synthetic corpus's df range (`dup` is rare —
@@ -179,11 +202,7 @@ def bigram_lm_score(docs: DataFrame, *, text_col: str = "text",
     toks = normalized_text(F.col(text_col))
     # guard the empty case explicitly: Spark's sequence(1, 0) yields a
     # DESCENDING [1, 0] rather than an empty array
-    bigrams = F.expr(
-        "CASE WHEN size(ws) >= 2 THEN "
-        "transform(sequence(1, size(ws) - 1), "
-        "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) "
-        "ELSE array() END")
+    bigrams = F.expr(BIGRAMS_CASE_SQL)
     bg = (docs.select(F.col(id_col).alias("doc_id"),
                       F.split(toks, " ").alias("ws"))
           .select("doc_id", F.explode(bigrams).alias("bigram"))
@@ -250,16 +269,22 @@ def dsir_bucket_duckdb(col: str, n_buckets: int = DSIR_BUCKETS) -> str:
 
 
 # one bucket's smoothed log importance ratio in micro-units, shared
-# verbatim by both engines (placeholders are column refs / literals;
-# every input is an exact integer, the products stay < 2^53, and the
-# single ln() runs on an identical correctly-rounded double — the
-# BM25/LM micro-unit discipline):
+# verbatim by both engines (placeholders are column refs / literals):
 #   lr(b) = ln( (ct+1)/(Nt+B) / ((cs+1)/(Ns+B)) )
 #         = ln( (ct+1)*(Ns+B) / ((cs+1)*(Nt+B)) )
+# Each factor is promoted to DOUBLE BEFORE the multiply: an int64
+# product (ct+1)*(Ns+B) overflows at web scale (Ns ~ 1e13 bigrams x
+# ct ~ 1e9 > 2^63) — Spark would wrap silently (ANSI off) while DuckDB
+# raises, diverging engine from oracle. Double multiplication is
+# correctly rounded and identical in both engines (each int64 factor
+# converts exactly below 2^53, and above it both engines perform the
+# same nearest-double conversion), so determinism is preserved at
+# every scale; the single ln() then runs on an identical double — the
+# BM25/LM micro-unit discipline.
 DSIR_MICRO_TMPL = (
-    "CAST(floor(ln((({ct}) + 1) * (({ns}) + {b}) * CAST(1.0 AS DOUBLE) / "
-    "((({cs}) + 1) * (({nt}) + {b}))) * 1e6 + CAST(0.5 AS DOUBLE)) "
-    "AS BIGINT)")
+    "CAST(floor(ln(((({ct}) + 1) * CAST(1.0 AS DOUBLE) * (({ns}) + {b})) / "
+    "((({cs}) + 1) * CAST(1.0 AS DOUBLE) * (({nt}) + {b}))) * 1e6 "
+    "+ CAST(0.5 AS DOUBLE)) AS BIGINT)")
 
 
 def dsir_log_weights(docs: DataFrame, target_pred,
@@ -298,11 +323,7 @@ def dsir_log_weights(docs: DataFrame, target_pred,
                       F.when(target_pred, 1).otherwise(0).alias("tgt"),
                       F.split(normalized_text(F.col(text_col)), " ")
                       .alias("ws"))
-          .select("doc_id", "tgt", F.explode(F.expr(
-              "CASE WHEN size(ws) >= 2 THEN "
-              "transform(sequence(1, size(ws) - 1), "
-              "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) "
-              "ELSE array() END")).alias("bigram"))
+          .select("doc_id", "tgt", F.explode(F.expr(BIGRAMS_CASE_SQL)).alias("bigram"))
           .withColumn("b", F.expr(dsir_bucket_spark("bigram", n_buckets)))
           .drop("bigram"))
 

@@ -76,7 +76,7 @@ def main() -> None:
         "exponent_spread_sf1": spread_sf1,
         "timings_min": min_timings,
         "exponents_sf1_min": min_exponents_sf1,
-        "timings_per_run": {f"run_{chr(97 + i)}": r["timings"]
+        "timings_per_run": {f"run_{i}": r["timings"]
                             for i, r in enumerate(runs)},
         "reps_per_run": runs[0].get("reps"),
         "sf1_dir": runs[0].get("sf1_dir"),
