@@ -727,10 +727,15 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 
 @query("embedding_near_dup", """
+-- The CASE around every cosine replays the engine's zero-norm
+-- contract (0.0): DuckDB's list_cosine_similarity returns -1.0 for a
+-- zero side. Squares are non-negative, so list_sum(x*x) = 0 iff the
+-- vector is exactly zero — an exact, rounding-free test. The same
+-- guard appears in every embedding oracle below.
 SELECT a.vec_id AS va, b.vec_id AS vb,
-       floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1e4 + 0.5) / 1e4 AS cos
+       floor((CASE WHEN list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)) = 0 OR list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x)) = 0 THEN CAST(0.0 AS DOUBLE) ELSE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) END) * 1e4 + 0.5) / 1e4 AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1e4 + 0.5) / 1e4 >= 0.45
+WHERE floor((CASE WHEN list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)) = 0 OR list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x)) = 0 THEN CAST(0.0 AS DOUBLE) ELSE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) END) * 1e4 + 0.5) / 1e4 >= 0.45
 """)
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (threshold 0.45 demo value;
@@ -771,7 +776,7 @@ def _embedding_pairs(spark, sf_dir):
 WITH RECURSIVE pairs AS (
   SELECT a.vec_id AS va, b.vec_id AS vb
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-  WHERE floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1e4 + 0.5) / 1e4 >= 0.45
+  WHERE floor((CASE WHEN list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)) = 0 OR list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x)) = 0 THEN CAST(0.0 AS DOUBLE) ELSE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) END) * 1e4 + 0.5) / 1e4 >= 0.45
 ),
 sym AS (SELECT va AS a, vb AS b FROM pairs UNION ALL SELECT vb, va FROM pairs),
 reach(node, lab) AS (
@@ -944,7 +949,7 @@ _ANN_ORACLE = """
 WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 20 = 0),
 scored AS (
   SELECT q.qid, c.vec_id AS nid,
-         floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) * 1e6 + 0.5) / 1e6 AS cos6
+         floor((CASE WHEN list_sum(list_transform(CAST(q.embedding AS DOUBLE[]), x -> x * x)) = 0 OR list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)) = 0 THEN CAST(0.0 AS DOUBLE) ELSE list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) END) * 1e6 + 0.5) / 1e6 AS cos6
   FROM q JOIN embeddings c ON c.vec_id != q.qid
 ), ranked AS (
   SELECT qid, nid, cos6,
@@ -1018,7 +1023,7 @@ assign AS (
   SELECT vec_id, cid FROM (
     SELECT v.vec_id, c.cid,
            row_number() OVER (PARTITION BY v.vec_id
-             ORDER BY floor(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) * 1e6 + 0.5) / 1e6 DESC, c.cid) AS r
+             ORDER BY floor((CASE WHEN list_sum(list_transform(CAST(v.embedding AS DOUBLE[]), x -> x * x)) = 0 OR list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)) = 0 THEN CAST(0.0 AS DOUBLE) ELSE list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) END) * 1e6 + 0.5) / 1e6 DESC, c.cid) AS r
     FROM embeddings v CROSS JOIN cent c)
   WHERE r = 1
 ), q AS (SELECT e.vec_id AS qid, e.embedding, a.cid
@@ -1028,7 +1033,7 @@ c AS (SELECT e.vec_id AS nid, e.embedding, a.cid
       FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
 scored AS (
   SELECT q.qid, c.nid,
-         floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) * 1e6 + 0.5) / 1e6 AS cos6
+         floor((CASE WHEN list_sum(list_transform(CAST(q.embedding AS DOUBLE[]), x -> x * x)) = 0 OR list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)) = 0 THEN CAST(0.0 AS DOUBLE) ELSE list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) END) * 1e6 + 0.5) / 1e6 AS cos6
   FROM q JOIN c ON q.cid = c.cid AND q.qid != c.nid
 ), ranked AS (
   SELECT qid, nid, cos6,
@@ -1158,14 +1163,14 @@ brute AS (
   SELECT qid, nid FROM (
     SELECT q.qid, v.vec_id AS nid,
            row_number() OVER (PARTITION BY q.qid
-             ORDER BY floor(list_cosine_similarity(q.emb, v.emb) * 1e6 + 0.5) / 1e6 DESC,
+             ORDER BY floor((CASE WHEN list_sum(list_transform(q.emb, x -> x * x)) = 0 OR list_sum(list_transform(v.emb, x -> x * x)) = 0 THEN CAST(0.0 AS DOUBLE) ELSE list_cosine_similarity(q.emb, v.emb) END) * 1e6 + 0.5) / 1e6 DESC,
                       v.vec_id) AS rank
     FROM q JOIN v ON v.vec_id != q.qid)
   WHERE rank <= 5),
 ranks AS (
   SELECT v.vec_id, c.cid,
          row_number() OVER (PARTITION BY v.vec_id
-           ORDER BY floor(list_cosine_similarity(v.emb, c.cemb) * 1e6 + 0.5) / 1e6 DESC,
+           ORDER BY floor((CASE WHEN list_sum(list_transform(v.emb, x -> x * x)) = 0 OR list_sum(list_transform(c.cemb, x -> x * x)) = 0 THEN CAST(0.0 AS DOUBLE) ELSE list_cosine_similarity(v.emb, c.cemb) END) * 1e6 + 0.5) / 1e6 DESC,
                     c.cid) AS r
   FROM v CROSS JOIN cent c),
 assign AS (SELECT vec_id, cid FROM ranks WHERE r = 1),
@@ -1175,7 +1180,7 @@ ivf AS (
   SELECT np, qid, nid FROM (
     SELECT qa.np, q.qid, cv.vec_id AS nid,
            row_number() OVER (PARTITION BY qa.np, q.qid
-             ORDER BY floor(list_cosine_similarity(q.emb, cv.emb) * 1e6 + 0.5) / 1e6 DESC,
+             ORDER BY floor((CASE WHEN list_sum(list_transform(q.emb, x -> x * x)) = 0 OR list_sum(list_transform(cv.emb, x -> x * x)) = 0 THEN CAST(0.0 AS DOUBLE) ELSE list_cosine_similarity(q.emb, cv.emb) END) * 1e6 + 0.5) / 1e6 DESC,
                       cv.vec_id) AS rank
     FROM q
     JOIN qa ON qa.vec_id = q.qid
@@ -2482,7 +2487,7 @@ WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
 ranks AS (
   SELECT v.vec_id, c.cid,
          row_number() OVER (PARTITION BY v.vec_id
-           ORDER BY floor(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) * 1e6 + 0.5) / 1e6 DESC, c.cid) AS r
+           ORDER BY floor((CASE WHEN list_sum(list_transform(CAST(v.embedding AS DOUBLE[]), x -> x * x)) = 0 OR list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)) = 0 THEN CAST(0.0 AS DOUBLE) ELSE list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) END) * 1e6 + 0.5) / 1e6 DESC, c.cid) AS r
   FROM embeddings v CROSS JOIN cent c),
 assign AS (SELECT vec_id, cid FROM ranks WHERE r = 1),
 qassign AS (SELECT vec_id, cid FROM ranks WHERE r <= 2),
@@ -2493,7 +2498,7 @@ c AS (SELECT e.vec_id AS nid, e.embedding, a.cid
       FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
 scored AS (
   SELECT q.qid, c.nid,
-         floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) * 1e6 + 0.5) / 1e6 AS cos6
+         floor((CASE WHEN list_sum(list_transform(CAST(q.embedding AS DOUBLE[]), x -> x * x)) = 0 OR list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)) = 0 THEN CAST(0.0 AS DOUBLE) ELSE list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) END) * 1e6 + 0.5) / 1e6 AS cos6
   FROM q JOIN c ON q.cid = c.cid AND q.qid != c.nid
 ), ranked AS (
   SELECT qid, nid, cos6,
@@ -2910,12 +2915,12 @@ v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
 ranks AS (
   SELECT v.vec_id, c.cid,
          floor(CASE WHEN v.n2 = 0 OR c.cn2 = 0 THEN CAST(0.0 AS DOUBLE)
-               ELSE list_cosine_similarity(v.emb, c.cemb) END
+               ELSE (CASE WHEN list_sum(list_transform(v.emb, x -> x * x)) = 0 OR list_sum(list_transform(c.cemb, x -> x * x)) = 0 THEN CAST(0.0 AS DOUBLE) ELSE list_cosine_similarity(v.emb, c.cemb) END) END
                * 1e6 + 0.5) / 1e6 AS cs,
          row_number() OVER (PARTITION BY v.vec_id
            ORDER BY floor(CASE WHEN v.n2 = 0 OR c.cn2 = 0
                           THEN CAST(0.0 AS DOUBLE)
-                          ELSE list_cosine_similarity(v.emb, c.cemb) END
+                          ELSE (CASE WHEN list_sum(list_transform(v.emb, x -> x * x)) = 0 OR list_sum(list_transform(c.cemb, x -> x * x)) = 0 THEN CAST(0.0 AS DOUBLE) ELSE list_cosine_similarity(v.emb, c.cemb) END) END
                           * 1e6 + 0.5) / 1e6 DESC,
                     c.cid) AS r
   FROM v CROSS JOIN cent c),
