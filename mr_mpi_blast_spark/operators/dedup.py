@@ -13,6 +13,7 @@ the scale path (dedup_minhash_lsh is).
 from __future__ import annotations
 
 import contextlib
+import threading
 
 from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
@@ -35,19 +36,34 @@ from mr_mpi_blast_spark.session import spread_for_compute as _spread
 # accumulates cached plans/storage unless it releases them.
 _SIG_CACHES: list[DataFrame] = []
 
+# Active signature_cache_scope blocks are tracked PER THREAD: a scope
+# must only release tables registered by its own thread's block, never
+# tables a concurrent thread persisted while the block was open (a
+# len()-mark over the shared list would pop those too, silently
+# stripping the other thread's cache mid-use).
+_SIG_SCOPES = threading.local()
+
 
 def _cache_sigs(df: DataFrame) -> DataFrame:
-    """persist() + register for release_signature_caches()."""
+    """persist() + register for release_signature_caches() (and, when
+    the calling thread is inside signature_cache_scope, for that
+    scope's exit release)."""
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _SIG_CACHES.append(df)
+    stack = getattr(_SIG_SCOPES, "stack", None)
+    if stack:
+        stack[-1].append(df)
+    else:
+        _SIG_CACHES.append(df)
     return df
 
 
 def release_signature_caches() -> int:
     """Unpersist every signature table persisted by this module's pair
-    generators since the last release. Call after the pair DataFrame
-    (and anything derived from it) has been materialized — e.g. once
-    per corpus in a multi-corpus loop. Returns the number released."""
+    generators OUTSIDE any active scope since the last release. Call
+    after the pair DataFrame (and anything derived from it) has been
+    materialized — e.g. once per corpus in a multi-corpus loop.
+    Returns the number released. (Tables registered inside an open
+    signature_cache_scope belong to that scope and are not touched.)"""
     n = len(_SIG_CACHES)
     while _SIG_CACHES:
         _SIG_CACHES.pop().unpersist()
@@ -62,14 +78,20 @@ def signature_cache_scope():
             minhash_lsh_pairs(df, ...).write.parquet(out)
 
     On exit (success or error) every signature table persisted inside
-    the block is unpersisted. Derived DataFrames remain valid — Spark
-    recomputes from lineage — they just lose the cache."""
-    mark = len(_SIG_CACHES)
+    the block BY THIS THREAD is unpersisted (concurrent threads'
+    registrations are untouched). Derived DataFrames remain valid —
+    Spark recomputes from lineage — they just lose the cache."""
+    mine: list[DataFrame] = []
+    stack = getattr(_SIG_SCOPES, "stack", None)
+    if stack is None:
+        stack = _SIG_SCOPES.stack = []
+    stack.append(mine)
     try:
         yield
     finally:
-        while len(_SIG_CACHES) > mark:
-            _SIG_CACHES.pop().unpersist()
+        stack.pop()
+        while mine:
+            mine.pop().unpersist()
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",

@@ -107,9 +107,9 @@ def centroid_triples(pairs) -> list[tuple[int, list, float]]:
     import math
     out = []
     for cid, vec in pairs:
+        fv = [float(x) for x in vec]
         acc = 0.0
-        for x in vec:
-            x = float(x)
+        for x in fv:
             # a non-finite component (NaN/Inf from a degenerate
             # cluster or bad input) would otherwise surface as an
             # unparseable 'nanD'/'infD' literal deep inside an F.expr
@@ -118,7 +118,7 @@ def centroid_triples(pairs) -> list[tuple[int, list, float]]:
                 raise ValueError(
                     f"centroid {cid} has non-finite component {x!r}")
             acc += x * x
-        out.append((int(cid), [float(x) for x in vec], math.sqrt(acc)))
+        out.append((int(cid), fv, math.sqrt(acc)))
     out.sort(key=lambda t: t[0])
     if not out:
         raise ValueError("ivf_assign: empty centroid table")
@@ -193,6 +193,40 @@ IVF_LITERAL_MAX_CENTROIDS = int(__import__("os").environ.get(
     "SPARK_GRAFT_IVF_LITERAL_MAX_C", "256"))
 
 
+# Broadcast memo for the BLAS assignment paths: keyed on the identity
+# of the (memoized) triples list, holding a strong reference to it so
+# the id() can never be recycled while the entry lives. Bounded: past
+# the cap the oldest entry's broadcast is explicitly unpersisted —
+# without this, a bench/recall loop at the million-centroid scale this
+# path exists for would ship a fresh multi-GB broadcast per call and
+# leave reclamation to GC + ContextCleaner lag.
+_BC_CACHE: dict[tuple, tuple[list, object]] = {}
+_BC_CACHE_MAX = 4
+
+
+def _centroid_broadcast(spark, cents):
+    # applicationId in the key: a broadcast from a stopped/restarted
+    # context must never be served (the r6 warm-rerun lesson); stale
+    # entries miss naturally and age out through the LRU eviction.
+    key = (id(cents), spark.sparkContext.applicationId)
+    hit = _BC_CACHE.get(key)
+    if hit is not None and hit[0] is cents:
+        _BC_CACHE[key] = _BC_CACHE.pop(key)      # LRU move-to-end
+        return hit[1]
+    cids = np.array([c[0] for c in cents], dtype=np.int64)
+    cmat = np.array([c[1] for c in cents], dtype=np.float64)
+    cnorm = np.array([c[2] for c in cents], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((cids, cmat, cnorm))
+    while len(_BC_CACHE) >= _BC_CACHE_MAX:
+        _, old_bc = _BC_CACHE.pop(next(iter(_BC_CACHE)))
+        try:
+            old_bc.unpersist()
+        except Exception:
+            pass                    # stopped context: nothing to free
+    _BC_CACHE[key] = (cents, bc)
+    return bc
+
+
 def _ivf_assign_pandas(vectors: DataFrame, cents,
                        id_col: str, vec_col: str,
                        nprobe: int, with_rank: bool) -> DataFrame:
@@ -202,16 +236,21 @@ def _ivf_assign_pandas(vectors: DataFrame, cents,
     the literal path (cos floor-rounded to 1e-6 BEFORE ranking; ties
     broken by lowest cid via a stable sort over the cid-ascending
     centroid order; zero-norm vectors cos to 0.0 exactly like
-    try_divide+coalesce) — parity is pinned by test against the
-    literal path on the same fixtures. Still map-only: no exchange,
-    no corpus shuffle; the broadcast caps C at executor memory
-    (10^6 x 256d doubles ~ 2 GB), which IS the regime this path
-    exists for — beyond that, shard the centroid matrix."""
+    try_divide+coalesce; the input id column's type is preserved) —
+    parity is pinned by test against the literal path on the same
+    fixtures. NON-finite vector components are caller error and
+    undefined on both paths (they diverge: Spark orders NaN above
+    every double, the BLAS path's denom>0 test coalesces to 0.0) —
+    centroids are validated at centroid_triples; vectors are the
+    caller's hygiene. Still map-only: no exchange, no corpus shuffle;
+    the broadcast caps C at executor memory (10^6 x 256d doubles ~
+    2 GB), which IS the regime this path exists for — beyond that,
+    shard the centroid matrix. The broadcast is memoized per triples
+    list, so a loop re-calling over the same memoized centroids (the
+    entry-layer _CENT_MEMO pattern) ships the matrix once, not per
+    call."""
     spark = vectors.sparkSession
-    cids = np.array([c[0] for c in cents], dtype=np.int64)
-    cmat = np.array([c[1] for c in cents], dtype=np.float64)
-    cnorm = np.array([c[2] for c in cents], dtype=np.float64)
-    bc = spark.sparkContext.broadcast((cids, cmat, cnorm))
+    bc = _centroid_broadcast(spark, cents)
     want_pr = with_rank
     np_ = nprobe
 
@@ -243,7 +282,9 @@ def _ivf_assign_pandas(vectors: DataFrame, cents,
                     np.arange(1, np_ + 1, dtype=np.int32), ids.size)
             yield pd.DataFrame(out)
 
-    schema = f"{id_col} long, cid long" + (", pr int" if with_rank else "")
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    schema = (f"{id_col} {id_type}, cid long"
+              + (", pr int" if with_rank else ""))
     return vectors.select(id_col, vec_col).mapInPandas(assign, schema=schema)
 
 
@@ -808,7 +849,9 @@ def semdedup(vectors: DataFrame, centroids, tau: float,
                      best["cos"].alias("cs"))
 
     if method == "blas":
-        return _semdedup_blas(a, float(tau), keep, id_col)
+        return _semdedup_blas(a, float(tau), keep, id_col,
+                              vectors.schema[id_col].dataType
+                              .simpleString())
 
     x = a.select(F.col("vid").alias("xid"), F.col("vvec").alias("xvec"),
                  F.col("vnorm").alias("xnorm"), "cid",
@@ -836,27 +879,32 @@ def semdedup(vectors: DataFrame, centroids, tau: float,
 
 
 def _semdedup_blas(a: DataFrame, tau: float, keep: str,
-                   id_col: str) -> DataFrame:
+                   id_col: str, id_type: str) -> DataFrame:
     """Per-cluster BLAS prune for semdedup: sort the cluster by the
     keep order, one matmul for the pairwise cosine matrix, drop row j
     iff any earlier row i has cos6(i, j) >= tau (the paper's
     upper-triangular max). Floor-form 1e-6 rounding of both cent_cos
     (already applied upstream) and the pair cosine keeps the verdicts
-    identical to the relational method and the DuckDB oracle."""
+    identical to the relational method and the DuckDB oracle. The
+    input id column's type is preserved (``id_type``)."""
     farthest = keep == "farthest"
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        ids = pdf["vid"].to_numpy()
         cs = pdf["cs"].to_numpy(dtype=np.float64)
         out = pdf[["vid", "cid"]].copy()
         out["cent_cos"] = cs
         if len(ids) < 2:
             out["kept"] = True
             return out.rename(columns={"vid": id_col})
-        # keep order: (cs ASC|DESC, id ASC); lexsort's LAST key is
-        # primary. -cs flips to DESC; cs values are already 1e-6
-        # floor-rounded, so sign negation is exact.
-        order = np.lexsort((ids, cs if farthest else -cs))
+        # keep order: (cs ASC|DESC, id ASC) as two stable passes —
+        # secondary key first, then a stable sort on the primary
+        # (equivalent to lexsort, but argsort tolerates any sortable
+        # id dtype including strings). -cs flips to DESC; cs values
+        # are already 1e-6 floor-rounded, so sign negation is exact.
+        order = np.argsort(ids, kind="stable")
+        csk = cs[order] if farthest else -cs[order]
+        order = order[np.argsort(csk, kind="stable")]
         m = np.stack(pdf["vvec"].to_numpy())[order].astype(np.float64)
         norms = np.linalg.norm(m, axis=1)
         denom = norms[:, None] * norms[None, :]
@@ -872,5 +920,5 @@ def _semdedup_blas(a: DataFrame, tau: float, keep: str,
 
     return (a.select("vid", "vvec", "cid", "cs")
             .groupBy("cid")
-            .applyInPandas(prune, schema=f"{id_col} long, cid long, "
+            .applyInPandas(prune, schema=f"{id_col} {id_type}, cid long, "
                                          "cent_cos double, kept boolean"))

@@ -118,6 +118,21 @@ def main() -> None:
                     f"column or reduce REPLICAS")
 
     os.makedirs(OUT, exist_ok=True)
+    # Precondition for the rotation's disjointness claim: the rotation
+    # is a bijection on [a-z] only, so any character OUTSIDE [a-z ] in
+    # documents.text would be a fixed point — 13-grams of
+    # rotation-invariant tokens would collide ACROSS replicas, making
+    # duplicate/collision volume superlinear and the sf1.0 decade
+    # exponents for the dedup/decontam/kernel families fake. Assert it
+    # instead of assuming it survives a corpus regeneration.
+    bad = (spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+           .filter(~F.col("text").rlike("^[a-z ]*$")).count())
+    if bad:
+        raise SystemExit(
+            f"make_scale_decade: {bad} documents contain characters "
+            f"outside [a-z ]; the per-replica rotation would leave "
+            f"them as cross-replica fixed points — widen the rotation "
+            f"alphabet before synthesizing (see module docstring)")
     for table in TABLES:
         src = spark.read.parquet(os.path.join(SRC, f"{table}.parquet"))
         # one read, 10 offset projections, one union write — the

@@ -563,3 +563,54 @@ def test_semdedup_pandas_path_parity(spark, emb, monkeypatch):
     assert "MapInPandas" in (routed._jdf.queryExecution()
                              .executedPlan().toString())
     assert {tuple(r) for r in routed.collect()} == lit
+
+
+def test_signature_cache_scope_thread_isolation(spark):
+    """A scope releases only its own thread's registrations: a
+    concurrent thread's signature table (registered outside any scope
+    on that thread) survives the scope exit and is released by the
+    global release_signature_caches()."""
+    import threading
+    from mr_mpi_blast_spark.operators import dedup as dd
+
+    dd.release_signature_caches()                   # clean slate
+    outer = []
+
+    def other_thread():
+        sig = dd._cache_sigs(spark.range(5))
+        sig.count()
+        outer.append(sig)
+
+    with dd.signature_cache_scope():
+        mine = dd._cache_sigs(spark.range(3))
+        mine.count()
+        t = threading.Thread(target=other_thread)
+        t.start()
+        t.join()
+        assert mine.storageLevel.useMemory
+    assert not mine.storageLevel.useMemory          # scope released it
+    assert outer[0].storageLevel.useMemory          # survived the scope
+    assert dd.release_signature_caches() == 1
+    assert not outer[0].storageLevel.useMemory
+
+
+def test_pandas_paths_preserve_id_type(spark, monkeypatch):
+    """The BLAS assignment and semdedup prune paths must keep the
+    input id column's type (a string id used to crash the Arrow
+    conversion; an int id silently widened to long)."""
+    from mr_mpi_blast_spark.operators import similarity as sim
+    cents = sim.centroid_triples([(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    vecs = spark.createDataFrame(
+        [("a1", [1.0, 0.0]), ("b2", [0.9, 0.1]), ("c3", [0.0, 1.0])],
+        "vec_id string, embedding array<double>")
+    lit = sim.ivf_assign(vecs, cents)
+    assert dict(lit.dtypes)["vec_id"] == "string"
+    monkeypatch.setattr(sim, "IVF_LITERAL_MAX_CENTROIDS", 1)
+    routed = sim.ivf_assign(vecs, cents)
+    assert dict(routed.dtypes)["vec_id"] == "string"
+    assert ({tuple(r) for r in routed.collect()}
+            == {tuple(r) for r in lit.collect()})
+    for method in ("join", "blas"):
+        sd = sim.semdedup(vecs, cents, tau=0.95, method=method)
+        assert dict(sd.dtypes)["vec_id"] == "string"
+        assert {r.vec_id for r in sd.collect() if not r.kept} == {"a1"}
