@@ -3008,3 +3008,43 @@ def q_dsir_weights(spark, sf_dir):
     (operators/search.py docstrings)."""
     return dsir_log_weights(_t(spark, sf_dir, "documents"),
                             F.col("lang") == "en")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer learning (beyond-reference; r8, tail-registered —
+# driver window full; value evidence in tests/test_facade_oracles.py)
+# ---------------------------------------------------------------------------
+
+from mr_mpi_blast_spark.operators.bpe import (  # noqa: E402
+    bpe_learn, bpe_oracle_sql, merges_df, word_counts)
+
+_BPE_N_MERGES = 6
+
+
+def _bpe_word_counts(spark, sf_dir):
+    """Content-addressed parquet stage of the (word, wf) table — the
+    one corpus-sized aggregate; the merge iterations then run against
+    the staged table instead of re-aggregating the corpus per
+    iteration (the _embedding_pairs store discipline)."""
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    path = _pairs_store_path(
+        f"bpewc:{sf_dir}:{st.st_mtime_ns}:{st.st_size}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (word_counts(_t(spark, sf_dir, "documents"))
+         .write.mode("overwrite").parquet(path))
+    return spark.read.parquet(path)
+
+
+@query("bpe_merges", bpe_oracle_sql(_BPE_N_MERGES, _NORM_SQL))
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer learning (Sennrich et al. 2016): the
+    first 6 merges fitted on the corpus's distinct-word frequency
+    table — the tokenizer-training step of an LLM data pipeline.
+    Driver-side iterate / executor-side aggregate (the reference's
+    NUMITER control-loop split): each iteration is one job over the
+    staged word table and returns exactly ONE row (the argmax pair).
+    All values are strings and exact integer counts, so the DuckDB
+    oracle replays the entire iteration chain value-identically
+    (operators/bpe.py)."""
+    merges = bpe_learn(_bpe_word_counts(spark, sf_dir), _BPE_N_MERGES)
+    return merges_df(spark, merges)

@@ -1,0 +1,191 @@
+"""Distributed BPE tokenizer learning (beyond-reference training-data
+surface).
+
+``bpe_learn`` fits byte-pair-encoding merges on a corpus — the
+tokenizer-training step of an LLM data pipeline (Sennrich et al. 2016;
+the GPT-2/Llama tokenizers are BPE fits over exactly this loop):
+
+  1. Aggregate the corpus ONCE into the distinct-word frequency table
+     (word, wf) — the classical BPE working set (fastBPE /
+     HuggingFace train from word counts, not raw text).
+  2. Represent each word as its character tokens joined by an
+     out-of-alphabet delimiter (chr(31)).
+  3. Iterate n_merges times: count adjacent token pairs weighted by
+     wf (map-side-combinable hash aggregate), take the max-count pair
+     (ties: lexicographic on the pair — deterministic across engines),
+     and apply the merge to every word with a greedy left fold over
+     the token list: append x, or — when the accumulated string's
+     LAST token equals lft and x equals rgt — merge them (appending
+     rgt works because removing lft then appending lft||rgt is just
+     appending rgt). The fold is the canonical BPE merge-apply: a
+     plain string replace() over the delimited form would falsely
+     match across token boundaries (a token with rgt as a strict
+     prefix, e.g. merging (w, e) against tokens [w, es], or lft as a
+     strict suffix), and anchoring the search with delimiters breaks
+     greedy adjacency (consecutive pairs share the boundary char the
+     first match consumes). Both engines evaluate the identical fold
+     (Spark aggregate() / DuckDB list_reduce(), probed equivalent
+     including the single-token identity case).
+
+100 TB shape: the corpus is scanned once for the word-count table
+(hash agg on the word — map-side-combinable; the caller should stage
+it to parquet, the _embedding_pairs store discipline, which the
+registered query does); each of the n_merges iterations is one job
+over that table — per-word work is O(word length), the pair aggregate
+carries at most |distinct pairs| rows per partition after partial
+aggregation, and only ONE row (the argmax) returns to the driver per
+iteration. Nothing corpus-sized ever reaches the driver.
+
+Cross-engine exactness: every value in the loop is a string or an
+exact integer count (no floats anywhere), so the DuckDB oracle replays
+the full iteration chain value-identically; the only ordering used is
+binary string comparison, identical in both engines for the [a-z]
+token alphabet.
+
+Reference analogy: the reference's one iterative control loop is
+NUMITER query batching (mrblast.cpp USERGUIDE NUMITER); this operator
+is the same driver-side iterate / executor-side aggregate split,
+applied to tokenizer fitting.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from mr_mpi_blast_spark.functions.hashing import normalized_text
+
+#: out-of-alphabet token delimiter (unit separator); normalized_text
+#: yields [a-z0-9 punctuation] words, never control characters
+BPE_DELIM = "\x1f"
+
+
+@dataclass(frozen=True)
+class BpeMerge:
+    rank: int          # 1-based merge order
+    lft: str           # left token of the merged pair
+    rgt: str           # right token
+    n: int             # weighted pair count at merge time
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The BPE working set: (word, wf) over the normalized corpus —
+    the ONE corpus-sized aggregate; everything else runs on it."""
+    return (docs.select(F.explode(
+                F.split(normalized_text(F.col(text_col)), " "))
+                .alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("wf")))
+
+
+def _apply_merge(tcol, lft: str, rgt: str):
+    """Greedy left fold applying ONE merge to a delimited token
+    string: walk the tokens; when the accumulator's last token is
+    ``lft`` and the incoming token is ``rgt``, append ``rgt`` without
+    a delimiter (= replace the pair by the merged token), else append
+    the token behind a delimiter. Column-API literals, so token text
+    never needs SQL quoting."""
+    arr = F.split(tcol, BPE_DELIM)
+    return F.aggregate(
+        F.slice(arr, F.lit(2), F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1),
+        lambda acc, x: F.when(
+            (x == F.lit(rgt)) & ((acc == F.lit(lft)) |
+                                 acc.endswith(F.lit(BPE_DELIM + lft))),
+            F.concat(acc, F.lit(rgt)),
+        ).otherwise(F.concat(acc, F.lit(BPE_DELIM), x)))
+
+
+def bpe_learn(wc: DataFrame, n_merges: int) -> list[BpeMerge]:
+    """Learn ``n_merges`` BPE merges from a (word, wf) table.
+
+    Driver-side loop, executor-side aggregates: each iteration runs
+    one Spark job over ``wc`` (re-applying the merges learned so far
+    as a stack of fold expressions — O(n_merges) passes per word, no
+    persisted intermediate state) and collects exactly one row. Stops
+    early if no pair remains (every word fully merged). Ties break on
+    (lft ASC, rgt ASC) after count DESC.
+    """
+    if n_merges < 1:
+        raise ValueError(f"bpe_learn: n_merges must be >= 1, "
+                         f"got {n_merges}")
+    base = wc.select(
+        F.expr("array_join(transform(sequence(1, length(word)), "
+               "i -> substring(word, i, 1)), chr(31))").alias("t"),
+        "wf")
+    merges: list[BpeMerge] = []
+    for rank in range(1, n_merges + 1):
+        tcol = reduce(lambda c, m: _apply_merge(c, m.lft, m.rgt),
+                      merges, F.col("t"))
+        arr = F.split(tcol, BPE_DELIM)
+        # CASE guard: Spark's sequence(1, 0) is a DESCENDING [1, 0],
+        # not empty — single-token words must contribute no pairs
+        pairs = (base.select(arr.alias("arr"), "wf")
+                 .select(F.explode(F.expr(
+                     "CASE WHEN size(arr) >= 2 THEN "
+                     "sequence(1, size(arr) - 1) ELSE array() END"))
+                     .alias("i"), "arr", "wf")
+                 .select(F.element_at("arr", F.col("i")).alias("lft"),
+                         F.element_at("arr", F.col("i") + 1).alias("rgt"),
+                         "wf")
+                 .groupBy("lft", "rgt")
+                 .agg(F.sum("wf").alias("n")))
+        best = (pairs.orderBy(F.col("n").desc(), F.col("lft").asc(),
+                              F.col("rgt").asc())
+                .first())
+        if best is None:
+            break
+        merges.append(BpeMerge(rank, best.lft, best.rgt, int(best.n)))
+    return merges
+
+
+def merges_df(spark, merges: list[BpeMerge]) -> DataFrame:
+    """Merge table as a DataFrame: (merge_rank, lft, rgt, merged,
+    pair_n) — metadata-sized (n_merges rows) by construction."""
+    rows = [(m.rank, m.lft, m.rgt, m.lft + m.rgt, m.n) for m in merges]
+    return spark.createDataFrame(
+        rows, schema="merge_rank long, lft string, rgt string, "
+                     "merged string, pair_n long")
+
+
+def bpe_oracle_sql(n_merges: int, norm_sql: str) -> str:
+    """DuckDB replay of the full iteration chain (static SQL,
+    generated from the same n_merges): stage k applies the previous
+    best merges via the same greedy replace(), recounts pairs, and
+    takes the same (n DESC, lft, rgt) argmax. Strings + BIGINTs only,
+    so the comparison is exact."""
+    ctes = [
+        f"w AS (SELECT word, CAST(count(*) AS BIGINT) AS wf FROM "
+        f"(SELECT unnest(string_split({norm_sql}, ' ')) AS word "
+        f"FROM documents) WHERE word != '' GROUP BY word)",
+        "t0 AS (SELECT array_to_string(list_transform("
+        "range(1, length(word) + 1), i -> substr(word, i, 1)), "
+        "chr(31)) AS t, wf FROM w)",
+    ]
+    sel = []
+    for k in range(n_merges):
+        ctes.append(
+            f"a{k} AS (SELECT string_split(t, chr(31)) AS arr, wf "
+            f"FROM t{k})")
+        ctes.append(
+            f"p{k} AS (SELECT arr[i] AS lft, arr[i + 1] AS rgt, "
+            f"CAST(sum(wf) AS BIGINT) AS n "
+            f"FROM a{k}, UNNEST(range(1, len(arr))) AS u(i) "
+            f"GROUP BY 1, 2)")
+        ctes.append(
+            f"b{k} AS (SELECT lft, rgt, n FROM p{k} "
+            f"ORDER BY n DESC, lft, rgt LIMIT 1)")
+        ctes.append(
+            f"t{k + 1} AS (SELECT list_reduce(string_split(t, chr(31)), "
+            f"(acc, x) -> CASE WHEN x = b.rgt AND (acc = b.lft OR "
+            f"ends_with(acc, chr(31) || b.lft)) THEN acc || b.rgt "
+            f"ELSE acc || chr(31) || x END) AS t, wf "
+            f"FROM t{k}, b{k} AS b)")
+        sel.append(f"SELECT CAST({k + 1} AS BIGINT) AS merge_rank, "
+                   f"lft, rgt, lft || rgt AS merged, n AS pair_n "
+                   f"FROM b{k}")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(sel))

@@ -1,0 +1,103 @@
+"""BPE tokenizer learning: canonical semantics vs a pure-Python
+token-list reference, merge-apply boundary behavior (the cases a
+string-replace implementation gets wrong), determinism, and edges.
+The DuckDB oracle parity lives in test_facade_oracles.py."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_mpi_blast_spark.operators.bpe import (BPE_DELIM, _apply_merge,
+                                              bpe_learn, word_counts)
+
+
+def _bpe_ref(word_freqs: dict[str, int], n_merges: int):
+    """Canonical BPE over token lists (greedy left-to-right apply)."""
+    words = [(list(w), f) for w, f in sorted(word_freqs.items())]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for toks, f in words:
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (lft, rgt), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, lft, rgt, lft + rgt, n))
+        for toks, _ in words:
+            out, i = [], 0
+            while i < len(toks):
+                if (i + 1 < len(toks) and toks[i] == lft
+                        and toks[i + 1] == rgt):
+                    out.append(lft + rgt)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks[:] = out
+    return merges
+
+
+def _wc_df(spark, word_freqs):
+    return spark.createDataFrame(sorted(word_freqs.items()),
+                                 "word string, wf long")
+
+
+def _learned(spark, word_freqs, n):
+    return [(m.rank, m.lft, m.rgt, m.lft + m.rgt, m.n)
+            for m in bpe_learn(_wc_df(spark, word_freqs), n)]
+
+
+def test_bpe_classic_corpus(spark):
+    """The Sennrich toy corpus: merges match the canonical reference
+    rank for rank, counts included."""
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    assert _learned(spark, wf, 6) == _bpe_ref(wf, 6)
+
+
+def test_bpe_boundary_hazard_canonical(spark):
+    """After merge 1 fuses (e, s) into 'es', merge 2 = (w, e) must NOT
+    touch the [w, es] token sequence ('es' merely STARTS with 'e') —
+    the exact case a string-replace merge-apply over the delimited
+    form corrupts, changing merge 3."""
+    wf = {"es": 10, "wes": 6, "wet": 5, "weq": 4}
+    ref = _bpe_ref(wf, 3)
+    assert [(m[1], m[2]) for m in ref] == [("e", "s"), ("w", "e"),
+                                           ("w", "es")]
+    assert _learned(spark, wf, 3) == ref
+
+
+def test_apply_merge_fold_semantics(spark):
+    """Direct fold checks: greedy non-overlap, consecutive pairs, and
+    both boundary-hazard directions (rgt-prefix, lft-suffix)."""
+    d = BPE_DELIM
+    cases = [
+        (("a", "a"), ["a", "a", "a"], f"aa{d}a"),      # greedy leftmost
+        (("a", "b"), ["a", "b", "a", "b"], f"ab{d}ab"),  # both pairs
+        (("w", "e"), ["w", "es"], f"w{d}es"),          # rgt-prefix: no
+        (("a", "b"), ["xa", "b"], f"xa{d}b"),          # lft-suffix: no
+        (("a", "b"), ["w"], "w"),                      # single token
+    ]
+    rows = [(i, d.join(toks)) for i, ((_, _), toks, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i long, t string")
+    for i, ((lft, rgt), _, want) in enumerate(cases):
+        got = (df.filter(F.col("i") == i)
+               .select(_apply_merge(F.col("t"), lft, rgt).alias("t"))
+               .first().t)
+        assert got == want, (lft, rgt)
+
+
+def test_bpe_early_stop_and_validation(spark):
+    """Single-character words have no pairs: zero merges regardless of
+    the requested count; n_merges < 1 raises."""
+    assert _learned(spark, {"a": 5, "b": 3}, 4) == []
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_learn(_wc_df(spark, {"ab": 1}), 0)
+
+
+def test_word_counts_normalizes(spark):
+    docs = spark.createDataFrame(
+        [(1, "The  Quick   quick"), (2, ""), (3, "quick")],
+        "doc_id long, text string")
+    got = {r.word: r.wf for r in word_counts(docs).collect()}
+    assert got == {"the": 1, "quick": 3}

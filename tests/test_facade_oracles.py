@@ -54,6 +54,9 @@ FACADES = [
     # r8: DSIR hashed-bigram importance weights (new operator; window
     # full — md5-prefix bucketing computed identically in both engines)
     "dsir_weights",
+    # r8: BPE tokenizer learning (new operator; window full — strings
+    # + exact integer counts, oracle replays the iteration chain)
+    "bpe_merges",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
