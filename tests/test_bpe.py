@@ -48,9 +48,13 @@ def _learned(spark, word_freqs, n):
             for m in bpe_learn(_wc_df(spark, word_freqs), n)]
 
 
+@pytest.mark.slow
 def test_bpe_classic_corpus(spark):
     """The Sennrich toy corpus: merges match the canonical reference
-    rank for rank, counts included."""
+    rank for rank, counts included. (Slow suite: 6 iterations of
+    growing fold-stack plan compiles; the default-run canonical pin
+    is the 3-merge boundary-hazard test below plus the facade
+    oracle.)"""
     wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
     assert _learned(spark, wf, 6) == _bpe_ref(wf, 6)
 
