@@ -112,9 +112,17 @@ def bpe_learn(wc: DataFrame, n_merges: int) -> list[BpeMerge]:
     if n_merges < 1:
         raise ValueError(f"bpe_learn: n_merges must be >= 1, "
                          f"got {n_merges}")
+    # normalized_text does NOT strip control characters, so a word
+    # containing the chr(31) delimiter would silently re-split into
+    # phantom empty tokens and corrupt every count (identically in
+    # both engines — the oracle could never flag it). Fail loudly in
+    # the job instead.
     base = wc.select(
-        F.expr("array_join(transform(sequence(1, length(word)), "
-               "i -> substring(word, i, 1)), chr(31))").alias("t"),
+        F.expr("CASE WHEN contains(word, chr(31)) THEN "
+               "raise_error('bpe_learn: a word contains the chr(31) "
+               "token delimiter') "
+               "ELSE array_join(transform(sequence(1, length(word)), "
+               "i -> substring(word, i, 1)), chr(31)) END").alias("t"),
         "wf")
     merges: list[BpeMerge] = []
     for rank in range(1, n_merges + 1):

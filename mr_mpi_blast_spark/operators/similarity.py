@@ -194,42 +194,57 @@ IVF_LITERAL_MAX_CENTROIDS = int(__import__("os").environ.get(
 
 
 # Broadcast memo for the BLAS assignment paths: keyed on the identity
-# of the (memoized) triples list, holding a strong reference to it so
-# the id() can never be recycled while the entry lives. Bounded: past
-# the cap the oldest entry's broadcast is explicitly unpersisted —
-# without this, a bench/recall loop at the million-centroid scale this
-# path exists for would ship a fresh multi-GB broadcast per call and
-# leave reclamation to GC + ContextCleaner lag.
+# of a CALLER-MEMOIZED triples list (the entry-layer _CENT_MEMO
+# pattern), holding a strong reference to it so the id() can never be
+# recycled while the entry lives. Only caller-memoized lists are
+# cached — a list freshly collected from a DataFrame has a
+# never-repeating id(), so caching it would pin multi-GB triples in
+# driver memory for zero hits. Bounded: past the cap the oldest
+# entry's broadcast is explicitly unpersisted — without this, a
+# bench/recall loop at the million-centroid scale this path exists
+# for would ship a fresh multi-GB broadcast per call and leave
+# reclamation to GC + ContextCleaner lag. Lock-guarded: concurrent
+# driver threads share the dict (the signature_cache_scope concurrency
+# mode), and an unguarded pop/move-to-end races to KeyError.
 _BC_CACHE: dict[tuple, tuple[list, object]] = {}
 _BC_CACHE_MAX = 4
+_BC_LOCK = __import__("threading").Lock()
 
 
-def _centroid_broadcast(spark, cents):
+def _centroid_broadcast(spark, cents, cacheable: bool):
+    def build():
+        cids = np.array([c[0] for c in cents], dtype=np.int64)
+        cmat = np.array([c[1] for c in cents], dtype=np.float64)
+        cnorm = np.array([c[2] for c in cents], dtype=np.float64)
+        return spark.sparkContext.broadcast((cids, cmat, cnorm))
+
+    if not cacheable:
+        return build()
     # applicationId in the key: a broadcast from a stopped/restarted
     # context must never be served (the r6 warm-rerun lesson); stale
     # entries miss naturally and age out through the LRU eviction.
     key = (id(cents), spark.sparkContext.applicationId)
-    hit = _BC_CACHE.get(key)
-    if hit is not None and hit[0] is cents:
-        _BC_CACHE[key] = _BC_CACHE.pop(key)      # LRU move-to-end
-        return hit[1]
-    cids = np.array([c[0] for c in cents], dtype=np.int64)
-    cmat = np.array([c[1] for c in cents], dtype=np.float64)
-    cnorm = np.array([c[2] for c in cents], dtype=np.float64)
-    bc = spark.sparkContext.broadcast((cids, cmat, cnorm))
-    while len(_BC_CACHE) >= _BC_CACHE_MAX:
-        _, old_bc = _BC_CACHE.pop(next(iter(_BC_CACHE)))
-        try:
-            old_bc.unpersist()
-        except Exception:
-            pass                    # stopped context: nothing to free
-    _BC_CACHE[key] = (cents, bc)
+    with _BC_LOCK:
+        hit = _BC_CACHE.get(key)
+        if hit is not None and hit[0] is cents:
+            _BC_CACHE[key] = _BC_CACHE.pop(key)  # LRU move-to-end
+            return hit[1]
+    bc = build()
+    with _BC_LOCK:
+        while len(_BC_CACHE) >= _BC_CACHE_MAX:
+            _, old_bc = _BC_CACHE.pop(next(iter(_BC_CACHE)))
+            try:
+                old_bc.unpersist()
+            except Exception:
+                pass                # stopped context: nothing to free
+        _BC_CACHE[key] = (cents, bc)
     return bc
 
 
 def _ivf_assign_pandas(vectors: DataFrame, cents,
                        id_col: str, vec_col: str,
-                       nprobe: int, with_rank: bool) -> DataFrame:
+                       nprobe: int, with_rank: bool,
+                       cacheable: bool = False) -> DataFrame:
     """The million-centroid assignment path: broadcast the (C x d)
     centroid matrix once, score each Arrow batch with one BLAS matmul,
     take the per-row top-nprobe. Same contract and tie semantics as
@@ -250,9 +265,12 @@ def _ivf_assign_pandas(vectors: DataFrame, cents,
     entry-layer _CENT_MEMO pattern) ships the matrix once, not per
     call."""
     spark = vectors.sparkSession
-    bc = _centroid_broadcast(spark, cents)
+    bc = _centroid_broadcast(spark, cents, cacheable)
     want_pr = with_rank
-    np_ = nprobe
+    # the literal path's slice() truncates when nprobe exceeds the
+    # centroid count; clamp so the numpy repeat/tile shapes match that
+    # contract instead of raising a ragged-array error per batch
+    np_ = min(nprobe, len(cents))
 
     def assign(batches):
         acids, acmat, acnorm = bc.value
@@ -314,7 +332,8 @@ def ivf_assign(vectors: DataFrame, centroids,
     cents = _collect_centroids(centroids, cent_id, vec_col)
     if len(cents) > IVF_LITERAL_MAX_CENTROIDS:
         return _ivf_assign_pandas(vectors, cents, id_col, vec_col,
-                                  nprobe, with_rank)
+                                  nprobe, with_rank,
+                                  cacheable=isinstance(centroids, list))
     v = _vec(vectors, id_col, vec_col, "v")
     arr = _assign_candidates("vvec", "vnorm", cents)
     if nprobe == 1 and not with_rank:
@@ -831,7 +850,8 @@ def semdedup(vectors: DataFrame, centroids, tau: float,
         # join against the metadata-sized centroid table for cent_cos
         spark = vectors.sparkSession
         asg = (_ivf_assign_pandas(vectors, cents, id_col, vec_col,
-                                  nprobe=1, with_rank=False)
+                                  nprobe=1, with_rank=False,
+                                  cacheable=isinstance(centroids, list))
                .withColumnRenamed(id_col, "vid"))
         cdf = spark.createDataFrame(
             [(cid, vec, cn) for cid, vec, cn in cents],

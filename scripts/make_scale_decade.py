@@ -124,15 +124,22 @@ def main() -> None:
     # rotation-invariant tokens would collide ACROSS replicas, making
     # duplicate/collision volume superlinear and the sf1.0 decade
     # exponents for the dedup/decontam/kernel families fake. Assert it
-    # instead of assuming it survives a corpus regeneration.
-    bad = (spark.read.parquet(os.path.join(SRC, "documents.parquet"))
-           .filter(~F.col("text").rlike("^[a-z ]*$")).count())
+    # instead of assuming it survives a corpus regeneration. NULL,
+    # empty, and letterless texts are flagged too: rlike() is NULL on
+    # NULL input (a bare ~rlike filter would silently pass them), and
+    # an all-space/empty text is a complete fixed point whose 10
+    # identical replicas would inflate every pairwise dedup family.
+    bad = (tbl("documents")
+           .filter(F.col("text").isNull()
+                   | ~F.col("text").rlike("^[a-z ]*$")
+                   | ~F.col("text").rlike("[a-z]")).count())
     if bad:
         raise SystemExit(
-            f"make_scale_decade: {bad} documents contain characters "
-            f"outside [a-z ]; the per-replica rotation would leave "
-            f"them as cross-replica fixed points — widen the rotation "
-            f"alphabet before synthesizing (see module docstring)")
+            f"make_scale_decade: {bad} documents are NULL/letterless "
+            f"or contain characters outside [a-z ]; the per-replica "
+            f"rotation would leave them as cross-replica fixed "
+            f"points — widen the rotation alphabet before "
+            f"synthesizing (see module docstring)")
     for table in TABLES:
         src = spark.read.parquet(os.path.join(SRC, f"{table}.parquet"))
         # one read, 10 offset projections, one union write — the
