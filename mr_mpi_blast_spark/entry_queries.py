@@ -3041,8 +3041,10 @@ def q_bpe_merges(spark, sf_dir):
     first 6 merges fitted on the corpus's distinct-word frequency
     table — the tokenizer-training step of an LLM data pipeline.
     Driver-side iterate / executor-side aggregate (the reference's
-    NUMITER control-loop split): each iteration is one job over the
-    staged word table and returns exactly ONE row (the argmax pair).
+    NUMITER control-loop split): each iteration re-materializes the
+    working (tokens, wf) frame (localCheckpoint — O(1) expression
+    depth and per-iteration work in the merge count, r9) then runs one
+    pair-count job returning exactly ONE row (the argmax pair).
     All values are strings and exact integer counts, so the DuckDB
     oracle replays the entire iteration chain value-identically
     (operators/bpe.py)."""

@@ -30,11 +30,24 @@ the GPT-2/Llama tokenizers are BPE fits over exactly this loop):
 100 TB shape: the corpus is scanned once for the word-count table
 (hash agg on the word — map-side-combinable; the caller should stage
 it to parquet, the _embedding_pairs store discipline, which the
-registered query does); each of the n_merges iterations is one job
-over that table — per-word work is O(word length), the pair aggregate
-carries at most |distinct pairs| rows per partition after partial
-aggregation, and only ONE row (the argmax) returns to the driver per
-iteration. Nothing corpus-sized ever reaches the driver.
+registered query does); each of the n_merges iterations then runs
+against a MATERIALIZED re-tokenization of that table (localCheckpoint
+by default — one merge applied per materialization), so per-iteration
+work, Catalyst expression depth, and plan-analysis cost are all O(1)
+in the merge count: a 32k-vocabulary fit is 32k × (one map-side-
+combinable pair aggregate + one single-fold re-tokenize job), total
+O(n_merges), not the O(n_merges²) a stacked-fold re-derivation would
+cost. Per-word work is O(word length), the pair aggregate carries at
+most |distinct pairs| rows per partition after partial aggregation,
+and only ONE row (the argmax) returns to the driver per iteration.
+Nothing corpus-sized ever reaches the driver. The word table itself
+is vocabulary-sized (≈10⁸ distinct words for a web corpus — a few GB
+across the cluster), so holding two generations of it in
+MEMORY_AND_DISK block storage is cheap; superseded checkpoints are
+freed by the ContextCleaner as the driver drops its references. On a
+cluster with executor churn, pass ``materialize=`` a parquet-staging
+function (or a reliable ``.checkpoint()``) instead of the default
+localCheckpoint, whose blocks do not survive executor loss.
 
 Cross-engine exactness: every value in the loop is a string or an
 exact integer count (no floats anywhere), so the DuckDB oracle replays
@@ -51,7 +64,7 @@ applied to tokenizer fitting.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import reduce
+from typing import Callable, Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -99,55 +112,104 @@ def _apply_merge(tcol, lft: str, rgt: str):
         ).otherwise(F.concat(acc, F.lit(BPE_DELIM), x)))
 
 
-def bpe_learn(wc: DataFrame, n_merges: int) -> list[BpeMerge]:
-    """Learn ``n_merges`` BPE merges from a (word, wf) table.
-
-    Driver-side loop, executor-side aggregates: each iteration runs
-    one Spark job over ``wc`` (re-applying the merges learned so far
-    as a stack of fold expressions — O(n_merges) passes per word, no
-    persisted intermediate state) and collects exactly one row. Stops
-    early if no pair remains (every word fully merged). Ties break on
-    (lft ASC, rgt ASC) after count DESC.
-    """
-    if n_merges < 1:
-        raise ValueError(f"bpe_learn: n_merges must be >= 1, "
-                         f"got {n_merges}")
-    # normalized_text does NOT strip control characters, so a word
-    # containing the chr(31) delimiter would silently re-split into
-    # phantom empty tokens and corrupt every count (identically in
-    # both engines — the oracle could never flag it). Fail loudly in
-    # the job instead.
-    base = wc.select(
+def char_tokens(wc: DataFrame) -> DataFrame:
+    """The delimited character tokenization (t, wf) of a (word, wf)
+    table — iteration 0's working frame. normalized_text does NOT
+    strip control characters, so a word containing the chr(31)
+    delimiter would silently re-split into phantom empty tokens and
+    corrupt every count (identically in both engines — the oracle
+    could never flag it). Fail loudly in the job instead."""
+    return wc.select(
         F.expr("CASE WHEN contains(word, chr(31)) THEN "
                "raise_error('bpe_learn: a word contains the chr(31) "
                "token delimiter') "
                "ELSE array_join(transform(sequence(1, length(word)), "
                "i -> substring(word, i, 1)), chr(31)) END").alias("t"),
         "wf")
-    merges: list[BpeMerge] = []
+
+
+def _pair_counts(cur: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts of a (t, wf) frame — one
+    map-side-combinable hash aggregate."""
+    arr = F.split(F.col("t"), BPE_DELIM)
+    # CASE guard: Spark's sequence(1, 0) is a DESCENDING [1, 0],
+    # not empty — single-token words must contribute no pairs
+    return (cur.select(arr.alias("arr"), "wf")
+            .select(F.explode(F.expr(
+                "CASE WHEN size(arr) >= 2 THEN "
+                "sequence(1, size(arr) - 1) ELSE array() END"))
+                .alias("i"), "arr", "wf")
+            .select(F.element_at("arr", F.col("i")).alias("lft"),
+                    F.element_at("arr", F.col("i") + 1).alias("rgt"),
+                    "wf")
+            .groupBy("lft", "rgt")
+            .agg(F.sum("wf").alias("n")))
+
+
+def bpe_learn_iter(
+    wc: DataFrame,
+    n_merges: int,
+    materialize_every: int = 1,
+    materialize: Callable[[DataFrame], DataFrame] | None = None,
+) -> Iterator[BpeMerge]:
+    """Learn up to ``n_merges`` BPE merges, yielding each as soon as
+    its argmax row lands on the driver.
+
+    Driver-side loop, executor-side aggregates — with the working
+    (tokens, wf) frame MATERIALIZED every ``materialize_every`` merges
+    (``DataFrame.localCheckpoint`` unless a ``materialize`` callable —
+    e.g. a parquet stage or reliable ``.checkpoint()`` for clusters
+    with executor churn — is supplied). Iteration k therefore applies
+    at most ``materialize_every`` single-merge folds on top of the
+    previous materialization: per-iteration work and Catalyst
+    expression depth are O(1) in the merge count, O(n_merges) total —
+    a stacked-fold re-derivation from the raw word table would be
+    O(n_merges²) with an expression tree that deepens every iteration
+    (tens-of-thousands-deep lambda chains at a production 32k-64k
+    vocabulary). Each iteration runs one pair-count job and collects
+    exactly ONE row (the argmax); the merge apply itself rides the
+    next materialization. Stops early if no pair remains (every word
+    fully merged). Ties break on (lft ASC, rgt ASC) after count DESC.
+    Values are unchanged from the unstaged form by construction, so
+    the DuckDB oracle replay (``bpe_oracle_sql``) is unaffected.
+    """
+    if n_merges < 1:
+        raise ValueError(f"bpe_learn: n_merges must be >= 1, "
+                         f"got {n_merges}")
+    if materialize_every < 1:
+        raise ValueError(f"bpe_learn: materialize_every must be >= 1, "
+                         f"got {materialize_every}")
+    mat = materialize or (lambda df: df.localCheckpoint())
+    # The eager materialization also runs the chr(31) validation once,
+    # up front, instead of on every iteration's re-scan.
+    cur = mat(char_tokens(wc))
+    pending = 0  # merges applied since the last materialization
     for rank in range(1, n_merges + 1):
-        tcol = reduce(lambda c, m: _apply_merge(c, m.lft, m.rgt),
-                      merges, F.col("t"))
-        arr = F.split(tcol, BPE_DELIM)
-        # CASE guard: Spark's sequence(1, 0) is a DESCENDING [1, 0],
-        # not empty — single-token words must contribute no pairs
-        pairs = (base.select(arr.alias("arr"), "wf")
-                 .select(F.explode(F.expr(
-                     "CASE WHEN size(arr) >= 2 THEN "
-                     "sequence(1, size(arr) - 1) ELSE array() END"))
-                     .alias("i"), "arr", "wf")
-                 .select(F.element_at("arr", F.col("i")).alias("lft"),
-                         F.element_at("arr", F.col("i") + 1).alias("rgt"),
-                         "wf")
-                 .groupBy("lft", "rgt")
-                 .agg(F.sum("wf").alias("n")))
-        best = (pairs.orderBy(F.col("n").desc(), F.col("lft").asc(),
-                              F.col("rgt").asc())
+        if pending >= materialize_every:
+            cur = mat(cur)
+            pending = 0
+        best = (_pair_counts(cur)
+                .orderBy(F.col("n").desc(), F.col("lft").asc(),
+                         F.col("rgt").asc())
                 .first())
         if best is None:
             break
-        merges.append(BpeMerge(rank, best.lft, best.rgt, int(best.n)))
-    return merges
+        m = BpeMerge(rank, best.lft, best.rgt, int(best.n))
+        yield m
+        cur = cur.select(_apply_merge(F.col("t"), m.lft, m.rgt).alias("t"),
+                         "wf")
+        pending += 1
+
+
+def bpe_learn(wc: DataFrame, n_merges: int,
+              materialize_every: int = 1,
+              materialize: Callable[[DataFrame], DataFrame] | None = None,
+              ) -> list[BpeMerge]:
+    """Learn ``n_merges`` BPE merges from a (word, wf) table — see
+    ``bpe_learn_iter`` for the staged-materialization execution model
+    that keeps per-iteration cost O(1) in the merge count."""
+    return list(bpe_learn_iter(wc, n_merges, materialize_every,
+                               materialize))
 
 
 def merges_df(spark, merges: list[BpeMerge]) -> DataFrame:

@@ -3,11 +3,16 @@ token-list reference, merge-apply boundary behavior (the cases a
 string-replace implementation gets wrong), determinism, and edges.
 The DuckDB oracle parity lives in test_facade_oracles.py."""
 
+import random
+import statistics
+import time
+
 import pytest
 from pyspark.sql import functions as F
 
 from mr_mpi_blast_spark.operators.bpe import (BPE_DELIM, _apply_merge,
-                                              bpe_learn, word_counts)
+                                              bpe_learn, bpe_learn_iter,
+                                              word_counts)
 
 
 def _bpe_ref(word_freqs: dict[str, int], n_merges: int):
@@ -89,6 +94,59 @@ def test_apply_merge_fold_semantics(spark):
                .select(_apply_merge(F.col("t"), lft, rgt).alias("t"))
                .first().t)
         assert got == want, (lft, rgt)
+
+
+@pytest.mark.slow
+def test_bpe_256_merges_values_and_flat_cost(spark):
+    """The merge-count scale regime (r9): 256 merges on a seeded
+    synthetic vocabulary, value-exact against the canonical Python
+    reference for the FULL chain, with per-iteration wall time staying
+    flat — the staged-materialization loop applies exactly one fold to
+    the previous localCheckpoint, so iteration 250 must cost what
+    iteration 5 cost (the pre-r9 stacked-fold form was O(n_merges²)
+    with a 256-deep lambda chain by the end). Synthetic vocabulary
+    because the sf0.01 testdata corpus has only 31 distinct words —
+    BPE exhausts its pairs far before 256 merges there."""
+    rng = random.Random(42)
+    wf = {"".join(rng.choice("abcdefghijklmnopqrst")
+                  for _ in range(rng.randint(8, 14))): rng.randint(1, 50)
+          for _ in range(400)}
+    n = 256
+    ref = _bpe_ref(dict(wf), n)
+    assert len(ref) == n, "vocabulary too small to sustain 256 merges"
+    got, times = [], []
+    t0 = time.monotonic()
+    for m in bpe_learn_iter(_wc_df(spark, wf), n):
+        t1 = time.monotonic()
+        times.append(t1 - t0)
+        t0 = t1
+        got.append((m.rank, m.lft, m.rgt, m.lft + m.rgt, m.n))
+    assert got == ref
+    # Flatness: generous 4x bound (box noise comes in multi-second
+    # bursts; compare quartile medians, not extremes). The pre-r9
+    # form's last-quartile median would be ~40x the first's here.
+    first_q = statistics.median(times[:64])
+    last_q = statistics.median(times[-64:])
+    assert last_q < 4 * first_q + 0.5, (first_q, last_q)
+
+
+def test_bpe_materialize_every_equivalence(spark):
+    """materialize_every > 1 (bounded fold stacking between
+    checkpoints) and a caller-supplied materializer change execution
+    shape only, never values."""
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    want = _bpe_ref(wf, 4)
+    assert _learned(spark, wf, 4) == want
+    got_k3 = [(m.rank, m.lft, m.rgt, m.lft + m.rgt, m.n)
+              for m in bpe_learn(_wc_df(spark, wf), 4,
+                                 materialize_every=3)]
+    assert got_k3 == want
+    staged = [(m.rank, m.lft, m.rgt, m.lft + m.rgt, m.n)
+              for m in bpe_learn(_wc_df(spark, wf), 4,
+                                 materialize=lambda df: df)]
+    assert staged == want
+    with pytest.raises(ValueError, match="materialize_every"):
+        bpe_learn(_wc_df(spark, wf), 2, materialize_every=0)
 
 
 def test_bpe_early_stop_and_validation(spark):
