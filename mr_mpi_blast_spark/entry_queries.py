@@ -903,42 +903,61 @@ def q_fasta_roundtrip(spark, sf_dir):
     return read_fasta(spark, os.path.join(path, "part-*.txt"))
 
 
-@query("run_summary")  # timing values are wall-clock: rows-only check
-def q_run_summary(spark, sf_dir):
-    """W7/A6 end-to-end: a small kernel run with the reference's
-    TIMING=1 facility enabled (per-rank worker-local log files,
-    runlog.py) read back and reduced to the run epilogue — ONE row of
-    deterministic call totals (blast calls = blocks x volumes) plus
-    wall-time aggregates, which are measurements and therefore
-    rows-only (no value oracle can exist for timings)."""
-    import tempfile
-    from mr_mpi_blast_spark.plans.pipeline import run_search
-    from mr_mpi_blast_spark.runlog import read_run_logs, run_summary
+# ExactSubstr span length: 20 tokens. The synthetic docs run 10-99
+# tokens (Lee et al.'s 50-token production default would leave most
+# docs shorter than one gram); 20 exercises both the len>=L filter and
+# real span merging at every SF. Promoted into the driver's recorded
+# prefix in r9 (unique ExactSubstr semantics, sf0.001->sf1.0 oracle
+# evidence), taking the slot of the rows-only-by-nature run_summary,
+# which moved to the tail.
+_SUBSTR_SPAN_LEN = 20
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
-    queries_df = (docs.select(F.col("doc_id").alias("qid"),
-                              F.concat(F.lit("d"), "doc_id").alias("defline"),
-                              F.concat(F.lit("d"), "doc_id").alias("defline_part"),
-                              F.col("text").alias("seq"),
-                              F.col("n_chars").cast("int").alias("length")))
-    subjects = docs.select(
-        F.concat(F.lit("s"), "doc_id").alias("sid"),
-        F.concat(F.lit("s"), "doc_id").alias("defline"),
-        F.concat(F.lit("p"), F.pmod("doc_id", F.lit(2))).alias("db_part"),
-        F.col("text").alias("seq"))
-    log_dir = os.path.join(tempfile.gettempdir(), "spark_graft_runlog",
-                           hashlib.md5(sf_dir.encode()).hexdigest()[:12])
-    import shutil
-    shutil.rmtree(log_dir, ignore_errors=True)
-    os.makedirs(log_dir, exist_ok=True)
-    cfg = _blast_cfg()
-    run_search(queries_df, subjects, cfg, log_dir=log_dir) \
-        .write.format("noop").mode("overwrite").save()
-    per_rank = run_summary(read_run_logs(spark, log_dir))
-    return per_rank.agg(
-        F.sum("n_calls").alias("n_calls_total"),
-        (F.count(F.lit(1)) >= 1).alias("has_ranks"),
-        (F.sum("busy_s") > 0).alias("busy_positive"))
+_SUBSTR_SPAN_SQL = f"""
+WITH s AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM s),
+occ AS (
+  SELECT doc_id, u.pos AS pos, u.gram AS gram
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - {_SUBSTR_SPAN_LEN} + 2),
+                      i -> {{'pos': i,
+                             'gram': list_aggregate(ws[i:i+{_SUBSTR_SPAN_LEN}-1],
+                                                    'string_agg', ' ')}})) AS u
+        FROM s WHERE len(ws) >= {_SUBSTR_SPAN_LEN})),
+dup AS (SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2),
+hits AS (SELECT o.doc_id, o.pos, o.pos + {_SUBSTR_SPAN_LEN} - 1 AS e
+         FROM occ o JOIN dup d USING (gram)),
+marked AS (SELECT doc_id, pos, e,
+  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       THEN 1 ELSE 0 END AS new_span FROM hits),
+spans AS (SELECT doc_id, span_id, min(pos) AS s, max(e) AS e FROM (
+  SELECT doc_id, pos, e,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM marked) GROUP BY 1, 2),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY 1)
+SELECT t.doc_id, t.n_tokens,
+       coalesce(a.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans,
+       coalesce(a.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+       floor(CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / t.n_tokens * 1e4 + 0.5) / 1e4
+         AS dup_frac
+FROM tok t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("dedup_substr_spans", _SUBSTR_SPAN_SQL)
+def q_dedup_substr_spans(spark, sf_dir):
+    """ExactSubstr duplicate-span profile (Lee et al. 2021): per-doc
+    count/coverage of maximal >= 20-token substrings that occur at
+    least twice in the corpus — the leakage exact-hash dedup and
+    near-dup thresholds both miss. Gram hashing + gaps-and-islands
+    interval union replaces the suffix array (no global sort, no pair
+    join; see operators/dedup.py:duplicate_span_profile). The engine
+    runs on xxhash64(gram); the oracle replays on gram text."""
+    from mr_mpi_blast_spark.operators.dedup import duplicate_span_profile
+    return duplicate_span_profile(_t(spark, sf_dir, "documents"),
+                                  min_len=_SUBSTR_SPAN_LEN)
 
 
 # ---------------------------------------------------------------------------
@@ -2575,61 +2594,6 @@ def q_decontam_ngram_capped(spark, sf_dir):
                             max_train_df=_DECONTAM_MAX_DF)
 
 
-# ExactSubstr span length: 20 tokens. The synthetic docs run 10-99
-# tokens (Lee et al.'s 50-token production default would leave most
-# docs shorter than one gram); 20 exercises both the len>=L filter and
-# real span merging at every SF.
-_SUBSTR_SPAN_LEN = 20
-
-_SUBSTR_SPAN_SQL = f"""
-WITH s AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
-tok AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM s),
-occ AS (
-  SELECT doc_id, u.pos AS pos, u.gram AS gram
-  FROM (SELECT doc_id,
-               unnest(list_transform(range(1, len(ws) - {_SUBSTR_SPAN_LEN} + 2),
-                      i -> {{'pos': i,
-                             'gram': list_aggregate(ws[i:i+{_SUBSTR_SPAN_LEN}-1],
-                                                    'string_agg', ' ')}})) AS u
-        FROM s WHERE len(ws) >= {_SUBSTR_SPAN_LEN})),
-dup AS (SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2),
-hits AS (SELECT o.doc_id, o.pos, o.pos + {_SUBSTR_SPAN_LEN} - 1 AS e
-         FROM occ o JOIN dup d USING (gram)),
-marked AS (SELECT doc_id, pos, e,
-  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
-       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-       THEN 1 ELSE 0 END AS new_span FROM hits),
-spans AS (SELECT doc_id, span_id, min(pos) AS s, max(e) AS e FROM (
-  SELECT doc_id, pos, e,
-         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
-  FROM marked) GROUP BY 1, 2),
-agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
-               CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
-        FROM spans GROUP BY 1)
-SELECT t.doc_id, t.n_tokens,
-       coalesce(a.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans,
-       coalesce(a.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
-       floor(CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / t.n_tokens * 1e4 + 0.5) / 1e4
-         AS dup_frac
-FROM tok t LEFT JOIN agg a USING (doc_id)
-"""
-
-
-@query("dedup_substr_spans", _SUBSTR_SPAN_SQL)
-def q_dedup_substr_spans(spark, sf_dir):
-    """ExactSubstr duplicate-span profile (Lee et al. 2021): per-doc
-    count/coverage of maximal >= 20-token substrings that occur at
-    least twice in the corpus — the leakage exact-hash dedup and
-    near-dup thresholds both miss. Gram hashing + gaps-and-islands
-    interval union replaces the suffix array (no global sort, no pair
-    join; see operators/dedup.py:duplicate_span_profile). The engine
-    runs on xxhash64(gram); the oracle replays on gram text.
-    Tail-registered: the driver's 50-slot window is full."""
-    from mr_mpi_blast_spark.operators.dedup import duplicate_span_profile
-    return duplicate_span_profile(_t(spark, sf_dir, "documents"),
-                                  min_len=_SUBSTR_SPAN_LEN)
-
-
 # ---------------------------------------------------------------------------
 # Thin relational facades (SURVEY §2.8 engine surface). Registered last
 # on purpose: the external correctness driver records a bounded prefix
@@ -3050,3 +3014,50 @@ def q_bpe_merges(spark, sf_dir):
     (operators/bpe.py)."""
     merges = bpe_learn(_bpe_word_counts(spark, sf_dir), _BPE_N_MERGES)
     return merges_df(spark, merges)
+
+
+# ---------------------------------------------------------------------------
+# Run-epilogue summary (W7/A6). Tail-registered since r9: its timing
+# values are wall-clock measurements, so the driver's check is
+# rows-only BY NATURE (no value oracle can exist) — a recorded prefix
+# slot is better spent on a value-oracled operator
+# (dedup_substr_spans took its place). The deterministic call-total
+# and log-shape evidence lives in tests/test_runlog.py.
+# ---------------------------------------------------------------------------
+
+@query("run_summary")  # timing values are wall-clock: rows-only check
+def q_run_summary(spark, sf_dir):
+    """W7/A6 end-to-end: a small kernel run with the reference's
+    TIMING=1 facility enabled (per-rank worker-local log files,
+    runlog.py) read back and reduced to the run epilogue — ONE row of
+    deterministic call totals (blast calls = blocks x volumes) plus
+    wall-time aggregates, which are measurements and therefore
+    rows-only (no value oracle can exist for timings)."""
+    import tempfile
+    from mr_mpi_blast_spark.plans.pipeline import run_search
+    from mr_mpi_blast_spark.runlog import read_run_logs, run_summary
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    queries_df = (docs.select(F.col("doc_id").alias("qid"),
+                              F.concat(F.lit("d"), "doc_id").alias("defline"),
+                              F.concat(F.lit("d"), "doc_id").alias("defline_part"),
+                              F.col("text").alias("seq"),
+                              F.col("n_chars").cast("int").alias("length")))
+    subjects = docs.select(
+        F.concat(F.lit("s"), "doc_id").alias("sid"),
+        F.concat(F.lit("s"), "doc_id").alias("defline"),
+        F.concat(F.lit("p"), F.pmod("doc_id", F.lit(2))).alias("db_part"),
+        F.col("text").alias("seq"))
+    log_dir = os.path.join(tempfile.gettempdir(), "spark_graft_runlog",
+                           hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    import shutil
+    shutil.rmtree(log_dir, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
+    cfg = _blast_cfg()
+    run_search(queries_df, subjects, cfg, log_dir=log_dir) \
+        .write.format("noop").mode("overwrite").save()
+    per_rank = run_summary(read_run_logs(spark, log_dir))
+    return per_rank.agg(
+        F.sum("n_calls").alias("n_calls_total"),
+        (F.count(F.lit(1)) >= 1).alias("has_ranks"),
+        (F.sum("busy_s") > 0).alias("busy_positive"))
