@@ -2980,7 +2980,8 @@ def q_dsir_weights(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 from mr_mpi_blast_spark.operators.bpe import (  # noqa: E402
-    bpe_learn, bpe_oracle_sql, merges_df, word_counts)
+    bpe_encode, bpe_encode_oracle_sql, bpe_learn, bpe_oracle_sql,
+    merges_df, word_counts)
 
 _BPE_N_MERGES = 6
 
@@ -3014,6 +3015,20 @@ def q_bpe_merges(spark, sf_dir):
     (operators/bpe.py)."""
     merges = bpe_learn(_bpe_word_counts(spark, sf_dir), _BPE_N_MERGES)
     return merges_df(spark, merges)
+
+
+@query("bpe_encode", bpe_encode_oracle_sql(_BPE_N_MERGES, _NORM_SQL))
+def q_bpe_encode(spark, sf_dir):
+    """BPE corpus encode (the apply step of Sennrich et al. 2016,
+    r9): learn the 6-merge table on the staged word counts, then
+    tokenize every document under it — distinct-vocabulary merge
+    application + one occurrence join + per-doc positional
+    reassembly (operators/bpe.py:bpe_encode for the 100 TB shape).
+    All values are strings and exact integer counts; the DuckDB
+    oracle replays learn-then-encode end to end. Tail-registered:
+    the driver's 50-slot window is full."""
+    merges = bpe_learn(_bpe_word_counts(spark, sf_dir), _BPE_N_MERGES)
+    return bpe_encode(_t(spark, sf_dir, "documents"), merges)
 
 
 # ---------------------------------------------------------------------------

@@ -112,20 +112,23 @@ def _apply_merge(tcol, lft: str, rgt: str):
         ).otherwise(F.concat(acc, F.lit(BPE_DELIM), x)))
 
 
+#: the delimited character split of the ``word`` column — iteration
+#: 0's tokenization. normalized_text does NOT strip control
+#: characters, so a word containing the chr(31) delimiter would
+#: silently re-split into phantom empty tokens and corrupt every
+#: count (identically in both engines — the oracle could never flag
+#: it). Fail loudly in the job instead.
+_CHAR_SPLIT_SQL = (
+    "CASE WHEN contains(word, chr(31)) THEN "
+    "raise_error('bpe: a word contains the chr(31) token delimiter') "
+    "ELSE array_join(transform(sequence(1, length(word)), "
+    "i -> substring(word, i, 1)), chr(31)) END")
+
+
 def char_tokens(wc: DataFrame) -> DataFrame:
     """The delimited character tokenization (t, wf) of a (word, wf)
-    table — iteration 0's working frame. normalized_text does NOT
-    strip control characters, so a word containing the chr(31)
-    delimiter would silently re-split into phantom empty tokens and
-    corrupt every count (identically in both engines — the oracle
-    could never flag it). Fail loudly in the job instead."""
-    return wc.select(
-        F.expr("CASE WHEN contains(word, chr(31)) THEN "
-               "raise_error('bpe_learn: a word contains the chr(31) "
-               "token delimiter') "
-               "ELSE array_join(transform(sequence(1, length(word)), "
-               "i -> substring(word, i, 1)), chr(31)) END").alias("t"),
-        "wf")
+    table — the learning loop's iteration-0 working frame."""
+    return wc.select(F.expr(_CHAR_SPLIT_SQL).alias("t"), "wf")
 
 
 def _pair_counts(cur: DataFrame) -> DataFrame:
@@ -221,12 +224,11 @@ def merges_df(spark, merges: list[BpeMerge]) -> DataFrame:
                      "merged string, pair_n long")
 
 
-def bpe_oracle_sql(n_merges: int, norm_sql: str) -> str:
-    """DuckDB replay of the full iteration chain (static SQL,
-    generated from the same n_merges): stage k applies the previous
-    best merges via the same greedy replace(), recounts pairs, and
-    takes the same (n DESC, lft, rgt) argmax. Strings + BIGINTs only,
-    so the comparison is exact."""
+def _learn_ctes(n_merges: int, norm_sql: str) -> tuple[list[str], list[str]]:
+    """The shared DuckDB learn chain: returns (ctes, per-merge selects).
+    Stage k applies the previous best merges via the same greedy
+    fold, recounts pairs, and takes the same (n DESC, lft, rgt)
+    argmax. Strings + BIGINTs only, so the comparison is exact."""
     ctes = [
         f"w AS (SELECT word, CAST(count(*) AS BIGINT) AS wf FROM "
         f"(SELECT unnest(string_split({norm_sql}, ' ')) AS word "
@@ -257,5 +259,135 @@ def bpe_oracle_sql(n_merges: int, norm_sql: str) -> str:
         sel.append(f"SELECT CAST({k + 1} AS BIGINT) AS merge_rank, "
                    f"lft, rgt, lft || rgt AS merged, n AS pair_n "
                    f"FROM b{k}")
+    return ctes, sel
+
+
+def bpe_oracle_sql(n_merges: int, norm_sql: str) -> str:
+    """DuckDB replay of the full learning iteration chain (static SQL,
+    generated from the same n_merges)."""
+    ctes, sel = _learn_ctes(n_merges, norm_sql)
     return ("WITH " + ",\n".join(ctes) + "\n"
             + "\nUNION ALL\n".join(sel))
+
+
+# ---------------------------------------------------------------------------
+# Corpus encode (the apply step of Sennrich et al. 2016): text ->
+# token stream under a learned merge table.
+# ---------------------------------------------------------------------------
+
+
+def bpe_encode_words(words: DataFrame, merges: list[BpeMerge],
+                     materialize_every: int = 16,
+                     materialize: Callable[[DataFrame], DataFrame] | None
+                     = None) -> DataFrame:
+    """Tokenize a vocabulary: (word, ...) -> (word, ..., tokens
+    array<string>), applying ``merges`` in rank order with the same
+    greedy left fold the learner used. Decode is concatenation by
+    construction (every merge only fuses adjacent tokens of the same
+    word), so ``concat_ws('', tokens) == word`` always — pinned by the
+    round-trip property test.
+
+    Execution: the merge chain is applied as single-fold column
+    expressions, re-materialized (localCheckpoint by default) every
+    ``materialize_every`` merges — bounded expression depth exactly as
+    in ``bpe_learn_iter``, so a 32k-merge production table costs 2k
+    cheap vocabulary-sized stages, not one 32k-deep Catalyst tree.
+    """
+    if materialize_every < 1:
+        raise ValueError("bpe_encode: materialize_every must be >= 1, "
+                         f"got {materialize_every}")
+    mat = materialize or (lambda df: df.localCheckpoint())
+    cur = words.withColumn("_t", F.expr(_CHAR_SPLIT_SQL))
+    pending = 0
+    for m in sorted(merges, key=lambda m: m.rank):
+        cur = cur.withColumn("_t", _apply_merge(F.col("_t"), m.lft, m.rgt))
+        pending += 1
+        if pending >= materialize_every:
+            cur = mat(cur)
+            pending = 0
+    return (cur.withColumn("tokens", F.split("_t", BPE_DELIM))
+            .drop("_t"))
+
+
+def bpe_encode(docs: DataFrame, merges: list[BpeMerge],
+               text_col: str = "text", id_col: str = "doc_id",
+               materialize_every: int = 16,
+               materialize: Callable[[DataFrame], DataFrame] | None = None,
+               ) -> DataFrame:
+    """Encode a corpus under a learned merge table: (id, text) ->
+    (id, n_tokens, token_str) — the tokenizer apply step that turns a
+    cleaned corpus into the token stream a training run consumes.
+
+    100 TB shape: word boundaries cap every merge (BPE never fuses
+    across words), so the corpus is first exploded to (id, pos, word)
+    occurrences, the merge chain runs ONCE over the DISTINCT
+    vocabulary (``bpe_encode_words`` — vocabulary-sized work,
+    ~1e8 rows for a web corpus, independent of corpus size), and a
+    single equi-join on ``word`` carries each word's token array back
+    to its occurrences — linear fan-out (one output row per
+    occurrence), AQE free to broadcast the vocabulary side when it
+    fits and to split the stopword-skewed join keys when it does not.
+    Per-doc reassembly is one hash aggregate
+    (array_sort(collect_list(struct(pos, tokens))) -> flatten), its
+    state bounded by document length, never corpus size. Documents
+    whose normalized text is empty survive with n_tokens = 0 (left
+    join on the id).
+
+    Output token_str joins tokens with spaces — safe because words
+    are split ON spaces, so no token can contain one; scalar columns
+    keep the result driver-hash-comparable.
+    """
+    norm = normalized_text(F.col(text_col))
+    occ = (docs.select(F.col(id_col),
+                       F.posexplode(F.split(norm, " "))
+                       .alias("pos", "word"))
+           .filter(F.col("word") != ""))
+    vocab = occ.select("word").distinct()
+    enc = bpe_encode_words(vocab, merges, materialize_every, materialize)
+    per_doc = (occ.join(enc, "word")
+               .groupBy(id_col)
+               .agg(F.flatten(F.transform(
+                   F.array_sort(F.collect_list(F.struct("pos", "tokens"))),
+                   lambda s: s.tokens)).alias("tokens")))
+    return (docs.select(id_col).join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.size("tokens"), F.lit(0))
+                    .cast("long").alias("n_tokens"),
+                    F.coalesce(F.array_join("tokens", " "), F.lit(""))
+                    .alias("token_str")))
+
+
+def bpe_encode_oracle_sql(n_merges: int, norm_sql: str) -> str:
+    """DuckDB replay of learn-then-encode: the shared learn chain
+    fits the merge table, then the vocabulary (the learn chain's own
+    word table ``w``) is re-tokenized through the same per-merge
+    greedy folds and joined back to per-document word occurrences in
+    position order."""
+    ctes, _ = _learn_ctes(n_merges, norm_sql)
+    ctes.append(
+        "v0 AS (SELECT word, array_to_string(list_transform("
+        "range(1, length(word) + 1), i -> substr(word, i, 1)), "
+        "chr(31)) AS t FROM w)")
+    for k in range(n_merges):
+        ctes.append(
+            f"v{k + 1} AS (SELECT word, "
+            f"list_reduce(string_split(t, chr(31)), "
+            f"(acc, x) -> CASE WHEN x = b.rgt AND (acc = b.lft OR "
+            f"ends_with(acc, chr(31) || b.lft)) THEN acc || b.rgt "
+            f"ELSE acc || chr(31) || x END) AS t "
+            f"FROM v{k}, b{k} AS b)")
+    ctes.append(
+        f"docw AS (SELECT doc_id, i AS pos, ws[i] AS word "
+        f"FROM (SELECT doc_id, string_split({norm_sql}, ' ') AS ws "
+        f"FROM documents), UNNEST(range(1, len(ws) + 1)) AS r(i) "
+        f"WHERE ws[i] != '')")
+    ctes.append(
+        f"perdoc AS (SELECT doc_id, "
+        f"flatten(list(string_split(v.t, chr(31)) ORDER BY pos)) "
+        f"AS tokens FROM docw JOIN v{n_merges} v USING (word) "
+        f"GROUP BY doc_id)")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            "SELECT d.doc_id, "
+            "CAST(coalesce(len(p.tokens), 0) AS BIGINT) AS n_tokens, "
+            "coalesce(array_to_string(p.tokens, ' '), '') AS token_str "
+            "FROM documents d LEFT JOIN perdoc p USING (doc_id)")

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from mr_mpi_blast_spark.operators.bpe import (BPE_DELIM, _apply_merge,
+                                              bpe_encode, bpe_encode_words,
                                               bpe_learn, bpe_learn_iter,
                                               word_counts)
 
@@ -155,6 +156,81 @@ def test_bpe_early_stop_and_validation(spark):
     assert _learned(spark, {"a": 5, "b": 3}, 4) == []
     with pytest.raises(ValueError, match="n_merges"):
         bpe_learn(_wc_df(spark, {"ab": 1}), 0)
+
+
+def _ref_encode(word: str, merges) -> list[str]:
+    """Greedy left-to-right apply of each merge in rank order — the
+    canonical BPE encode for one word."""
+    toks = list(word)
+    for _, lft, rgt, _, _ in merges:
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == lft and toks[i + 1] == rgt:
+                out.append(lft + rgt)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def test_bpe_encode_words_canonical(spark):
+    """Vocabulary encode matches the canonical per-word greedy apply
+    of the learned merge chain, and decode-by-concatenation recovers
+    every word exactly (merges only ever fuse adjacent tokens)."""
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = bpe_learn(_wc_df(spark, wf), 5)
+    ref = _bpe_ref(dict(wf), 5)
+    assert [(m.rank, m.lft, m.rgt) for m in merges] == \
+        [(r, l, g) for r, l, g, _, _ in ref]
+    enc = {r.word: r.tokens
+           for r in bpe_encode_words(
+               _wc_df(spark, wf).select("word"), merges,
+               materialize_every=2).collect()}
+    for w in wf:
+        assert enc[w] == _ref_encode(w, ref), w
+        assert "".join(enc[w]) == w
+
+
+def test_bpe_encode_roundtrip_random(spark):
+    """Round-trip property on a seeded random vocabulary: for every
+    word, concatenating its BPE tokens recovers the word."""
+    rng = random.Random(7)
+    wf = {"".join(rng.choice("abcdef") for _ in range(rng.randint(1, 12))):
+          rng.randint(1, 9) for _ in range(120)}
+    merges = bpe_learn(_wc_df(spark, wf), 12)
+    assert len(merges) == 12
+    rows = bpe_encode_words(_wc_df(spark, wf).select("word"),
+                            merges, materialize_every=4).collect()
+    assert len(rows) == len(wf)
+    for r in rows:
+        assert "".join(r.tokens) == r.word
+        assert all(t != "" for t in r.tokens)
+
+
+def test_bpe_encode_docs(spark):
+    """Doc-level encode: positional reassembly across words, token
+    counts, normalization, and the empty-document left-join edge."""
+    docs = spark.createDataFrame(
+        [(1, "low lower low"), (2, "  Newest   WIDEST "), (3, ""),
+         (4, None)],
+        "doc_id long, text string")
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = bpe_learn(_wc_df(spark, wf), 4)
+    ref = _bpe_ref(dict(wf), 4)
+    got = {r.doc_id: (r.n_tokens, r.token_str)
+           for r in bpe_encode(docs, merges).collect()}
+    exp1 = (_ref_encode("low", ref) + _ref_encode("lower", ref)
+            + _ref_encode("low", ref))
+    exp2 = _ref_encode("newest", ref) + _ref_encode("widest", ref)
+    assert got[1] == (len(exp1), " ".join(exp1))
+    assert got[2] == (len(exp2), " ".join(exp2))
+    assert got[3] == (0, "")
+    assert got[4] == (0, "")
+    # zero merges: pure character tokenization
+    got0 = {r.doc_id: r.token_str for r in bpe_encode(docs, []).collect()}
+    assert got0[1] == " ".join("low lower low".replace(" ", ""))
 
 
 def test_word_counts_normalizes(spark):

@@ -55,6 +55,9 @@ FACADES = [
     # r8: BPE tokenizer learning (new operator; window full — strings
     # + exact integer counts, oracle replays the iteration chain)
     "bpe_merges",
+    # r9: BPE corpus encode (apply step; window full — the oracle
+    # replays learn-then-encode end to end)
+    "bpe_encode",
 ]
 
 # Tail-registered entries with NO value oracle by nature (the driver
