@@ -18,13 +18,25 @@ synthesizes an sf1.0 by replicating sf0.1 with per-replica key-domain
 offsets (join fan-outs and per-key densities preserved exactly) AND —
 since r8 — a per-replica alphabet rotation on documents.text, which
 makes replicas independent populations in text space too: duplicate /
-collision / kernel-hit volume scales exactly 10x instead of
-quadratically. That makes the blast kernel family, the text-hash
-dedup operators, decontamination, and the curation pipeline
-decade-eligible. Still excluded at sf1.0: ann_*/embedding_* (no
-embeddings table is synthesized — vector replication would inflate
-near-dup density) and fasta_roundtrip (single-file fixture by
-design); their trend stops at the real data.
+collision / kernel-hit volume scales 10x (linear; the synthesizer
+measures the Caesar-coincidence rate at build time — 0 at k=10/k=13
+on this corpus) instead of quadratically. That makes the blast kernel
+family, the text-hash dedup operators, decontamination, and the
+curation pipeline decade-eligible. Since r9 the embeddings table is
+synthesized too (independent per-replica Haar rotations — replicas
+are fresh draws from the same isotropic empirical distribution), so
+ann_*/embedding_* join the decade, with one expectation flip the
+synthesizer quantifies: the driver's embeddings have NO planted
+near-dup population, so pair-output volume above the 0.45 demo
+threshold is the isotropic random tail and grows ~quadratically at
+sf1.0 EXACTLY as a true 10x corpus's would (measured cross-replica
+rate 8.5e-5 vs base 7.2e-5) — a superlinear exponent for
+embedding_near_dup/semdedup at sf1.0 reflects true output volume at
+a demo threshold, not an engine plan defect; the 100 TB response is
+threshold/k sizing (see the operators' docstrings), and the ann_*
+family (fixed query set, top-k output) stays the linear-evidence
+series. Still excluded: fasta_roundtrip (single-file fixture by
+design).
 
 blast family at sf1.0: blast_pipeline's rep 1 is the deliberately
 cold kernel execution and is recorded as its own series
@@ -56,20 +68,16 @@ SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1.0")
 
 # replication-UNSAFE at the synthetic sf1.0 (see module docstring).
-# PREFIX families, not an enumerated list: a newly registered
-# ann_*/embedding_* query must never slip into the synthetic decade by
-# omission (no embeddings table exists there). The r8 per-replica text
-# rotation made the blast_/dedup_/decontam/curation families eligible:
-# text replicas are independent populations, so their duplicate/hit
-# volume scales linearly.
-SF1_EXCLUDE_PREFIXES = ("ann_", "embedding_")
+# r9: the Haar-rotation embeddings decade made ann_*/embedding_*
+# eligible (independent populations in vector space), so only the
+# single-file fixture remains excluded.
 SF1_EXCLUDE = {
     "fasta_roundtrip",           # fixture generation, single-file by design
 }
 
 
 def sf1_excluded(name: str) -> bool:
-    return name in SF1_EXCLUDE or name.startswith(SF1_EXCLUDE_PREFIXES)
+    return name in SF1_EXCLUDE
 
 
 def main() -> None:
@@ -137,8 +145,7 @@ def main() -> None:
         out["exponents_sf1"] = exponents_sf1
         out["sf1_dir"] = SF1_DIR
         out["sf1_excluded"] = sorted(
-            n for n in qs if sf1_excluded(n)) + [
-            f"prefix:{p}*" for p in SF1_EXCLUDE_PREFIXES]
+            n for n in qs if sf1_excluded(n))
     print(json.dumps(out))
 
 
