@@ -2772,7 +2772,23 @@ def q_set_except(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 from mr_mpi_blast_spark.operators.search import (  # noqa: E402
-    BM25_QUERIES, LM_MICRO_SQL, bigram_lm_score, bm25_micro_sql, bm25_topk)
+    BM25_QUERIES, LM_MICRO_SQL, bigram_lm_score, bm25_micro_sql, bm25_topk,
+    lm_tf_table)
+
+
+def _lm_tf_staged(spark, sf_dir):
+    """Content-addressed parquet stage of the LM (doc, bigram, w1, tf)
+    table — the one corpus-sized aggregate of text_lm_score; repeat
+    scorings (and the model count tables) then run from the staged
+    table instead of re-exploding the corpus (the _embedding_pairs
+    store discipline; operators/search.py::lm_tf_table)."""
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    path = _pairs_store_path(
+        f"lmtf:{sf_dir}:{st.st_mtime_ns}:{st.st_size}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (lm_tf_table(_t(spark, sf_dir, "documents"))
+         .write.mode("overwrite").parquet(path))
+    return spark.read.parquet(path)
 
 
 def _bm25_oracle_sql() -> str:
@@ -2848,8 +2864,12 @@ def q_text_lm_score(spark, sf_dir):
     unusually low = gibberish candidate, unusually high = templated
     boilerplate. Linear join shapes only (per-bigram fan-out = df,
     never df^2); contributions quantized to integer micro-units
-    before the distributed sum (operators/search.py docstring)."""
-    return bigram_lm_score(_t(spark, sf_dir, "documents"))
+    before the distributed sum (operators/search.py docstring). Runs
+    from the content-addressed tf stage (r9): the corpus-sized bigram
+    explode happens once per corpus generation; repeat scorings — and
+    the model count tables — are summations over the staged table."""
+    return bigram_lm_score(_t(spark, sf_dir, "documents"),
+                           tf_table=_lm_tf_staged(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -2922,6 +2942,12 @@ def q_embedding_semdedup(spark, sf_dir):
     method remains the spill-safe path for skewed giant clusters)."""
     from mr_mpi_blast_spark.operators.similarity import semdedup
     cents = _trained_ivf_centroids(spark, sf_dir)
+    # k-sizing rule before copying this call at scale: method='blas'
+    # holds one cluster's |c|^2 cosine matrix per worker (~64k rows
+    # = 32 GB doubles), so size k to keep max cluster <~64k rows —
+    # k=8 is right for this 2k-row table but crosses the boundary at
+    # ~500k vectors; past it, raise k (SemDeDup's paper setting is
+    # ~0.1% of corpus) or drop method= to the spill-safe join default.
     return semdedup(_t(spark, sf_dir, "embeddings"), cents,
                     tau=_SEMDEDUP_TAU, keep="farthest", method="blas")
 
@@ -2932,7 +2958,24 @@ def q_embedding_semdedup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 from mr_mpi_blast_spark.operators.search import (  # noqa: E402
-    DSIR_BUCKETS, DSIR_MICRO_TMPL, dsir_bucket_duckdb, dsir_log_weights)
+    DSIR_BUCKETS, DSIR_MICRO_TMPL, dsir_bucket_duckdb, dsir_log_weights,
+    dsir_tf_table)
+
+
+def _dsir_tf_staged(spark, sf_dir):
+    """Content-addressed parquet stage of the DSIR (doc, tgt, b, tf)
+    table for the lang='en' target — the one corpus-sized aggregate;
+    the key carries the target predicate and bucket count, so a
+    different selection stages its own table (_lm_tf_staged twin)."""
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    path = _pairs_store_path(
+        f"dsirtf:{sf_dir}:{st.st_mtime_ns}:{st.st_size}:"
+        f"lang=en:{DSIR_BUCKETS}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (dsir_tf_table(_t(spark, sf_dir, "documents"),
+                       F.col("lang") == "en")
+         .write.mode("overwrite").parquet(path))
+    return spark.read.parquet(path)
 
 _DSIR_MICRO = DSIR_MICRO_TMPL.format(ct="ct", cs="cs", nt="nt", ns="ns",
                                      b=DSIR_BUCKETS)
@@ -2969,9 +3012,13 @@ def q_dsir_weights(spark, sf_dir):
     construction (broadcast); per-bucket log-ratios are quantized to
     integer micro-units before the per-doc sum; the md5-prefix
     bucketing is computed identically by both engines
-    (operators/search.py docstrings)."""
+    (operators/search.py docstrings). Runs from the content-addressed
+    tf stage (r9): the corpus-sized bigram explode happens once per
+    corpus generation; repeat scorings — and the bucket stats — are
+    summations over the staged table."""
     return dsir_log_weights(_t(spark, sf_dir, "documents"),
-                            F.col("lang") == "en")
+                            F.col("lang") == "en",
+                            tf_table=_dsir_tf_staged(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -231,13 +231,30 @@ def _centroid_broadcast(spark, cents, cacheable: bool):
             return hit[1]
     bc = build()
     with _BC_LOCK:
-        while len(_BC_CACHE) >= _BC_CACHE_MAX:
-            _, old_bc = _BC_CACHE.pop(next(iter(_BC_CACHE)))
-            try:
-                old_bc.unpersist()
-            except Exception:
-                pass                # stopped context: nothing to free
-        _BC_CACHE[key] = (cents, bc)
+        # two threads can miss on the same key and both build; without
+        # this re-check the second insert would silently replace the
+        # first entry, leaving the loser's broadcast to ContextCleaner
+        # GC — a slow leak in exactly the concurrent-driver-thread
+        # scenario the lock exists for. Keep the incumbent, free ours.
+        hit = _BC_CACHE.get(key)
+        if hit is not None and hit[0] is cents:
+            loser = bc
+            _BC_CACHE[key] = _BC_CACHE.pop(key)  # LRU move-to-end
+            bc = hit[1]
+        else:
+            loser = None
+            while len(_BC_CACHE) >= _BC_CACHE_MAX:
+                _, old_bc = _BC_CACHE.pop(next(iter(_BC_CACHE)))
+                try:
+                    old_bc.unpersist()
+                except Exception:
+                    pass            # stopped context: nothing to free
+            _BC_CACHE[key] = (cents, bc)
+    if loser is not None:
+        try:
+            loser.unpersist()
+        except Exception:
+            pass
     return bc
 
 
@@ -253,7 +270,17 @@ def _ivf_assign_pandas(vectors: DataFrame, cents,
     centroid order; zero-norm vectors cos to 0.0 exactly like
     try_divide+coalesce; the input id column's type is preserved) —
     parity is pinned by test against the literal path on the same
-    fixtures. NON-finite vector components are caller error and
+    fixtures. RESIDUAL ASSUMPTION (the BLAS twin of the ln() note in
+    search.py): the matmul here sums the dot product in a different
+    (blocked/vectorized) order than the literal path's and DuckDB's
+    sequential fold, so the raw cosines can differ in the last ulp;
+    the 1e-6 floor-rounding narrows the exposure to cosines whose
+    pre-rounding values straddle a 1e-6 boundary by <1 ulp, where the
+    two paths could assign different cids or flip a ranking. Fixture
+    parity is the evidence this does not occur on the shipped data;
+    if a platform's BLAS ever diverges, the sanctioned fix is a
+    +/-1-micro comparison tolerance in the parity tests, NOT loosening
+    the engine's rounding contract. NON-finite vector components are caller error and
     undefined on both paths (they diverge: Spark orders NaN above
     every double, the BLAS path's denom>0 test coalesces to 0.0) —
     centroids are validated at centroid_triples; vectors are the
@@ -906,7 +933,14 @@ def _semdedup_blas(a: DataFrame, tau: float, keep: str,
     upper-triangular max). Floor-form 1e-6 rounding of both cent_cos
     (already applied upstream) and the pair cosine keeps the verdicts
     identical to the relational method and the DuckDB oracle. The
-    input id column's type is preserved (``id_type``)."""
+    input id column's type is preserved (``id_type``). Same residual
+    assumption as ``_ivf_assign_pandas``: the matmul's summation
+    order differs from the join method's / DuckDB's sequential fold,
+    so a pair cosine <1 ulp from a 1e-6 rounding boundary could flip
+    a kept flag between methods — full-output parity on the real
+    table and the hand fixture is the evidence it does not occur; a
+    platform divergence is handled by test tolerance, not by
+    loosening the rounding contract."""
     farthest = keep == "farthest"
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -146,8 +146,16 @@ def _format_volumes(parts_df: DataFrame, db_dir: str, cfg: BlastConfig,
     had every worker that first touched a volume build it concurrently
     — workers x volumes x O(volume) wall, measured 277 s -> ~30 s at
     the synthesized sf1.0 (10x documents). Driver traffic is the
-    volume NAME list (metadata-sized); warm runs skip the job entirely
-    (pickle presence is checked driver-side)."""
+    volume NAME list (metadata-sized). Warm-run skip: on a local[*]
+    master the driver and the executors share one filesystem, so a
+    driver-side pickle-presence sweep can skip the job entirely; on
+    any OTHER master that check is wrong in both directions (driver
+    has the pickle -> formatting skipped and workers race concurrent
+    builds again; driver lacks it -> only the executor that ran the
+    format task is warmed), so the job is ALWAYS submitted over all
+    volumes and each task no-ops executor-locally on a present pickle
+    (``ensure_index_on_disk`` checks before building) — one
+    metadata-cost task per volume on a warm cluster."""
     import pandas as pd
 
     from mr_mpi_blast_spark.kernel.builtin import (ensure_index_on_disk,
@@ -155,16 +163,18 @@ def _format_volumes(parts_df: DataFrame, db_dir: str, cfg: BlastConfig,
                                                    index_cache_path,
                                                    read_staged_part)
     parts = [str(r["db_part"]) for r in parts_df.collect()]
-    missing = []
-    for p in parts:
-        ip = index_cache_path(index_cache_key(
-            f"{db_dir}:{p}:{gen}", cfg.word_size, cfg.max_kmer_hits,
-            cfg.subject_soft_mask, cfg.complexity_filter,
-            cfg.task == "blastp", cfg.mask_fold_case))
-        if ip is None:
-            return              # no usable cache dir: nothing to format
-        if not os.path.exists(ip):
-            missing.append(p)
+    missing = parts
+    if parts_df.sparkSession.sparkContext.master.startswith("local"):
+        missing = []
+        for p in parts:
+            ip = index_cache_path(index_cache_key(
+                f"{db_dir}:{p}:{gen}", cfg.word_size, cfg.max_kmer_hits,
+                cfg.subject_soft_mask, cfg.complexity_filter,
+                cfg.task == "blastp", cfg.mask_fold_case))
+            if ip is None:
+                return          # no usable cache dir: nothing to format
+            if not os.path.exists(ip):
+                missing.append(p)
     if not missing:
         return
 
