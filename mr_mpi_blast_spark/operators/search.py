@@ -184,8 +184,29 @@ def bm25_topk(docs: DataFrame, queries: dict[int, tuple[str, ...]],
         (F.col("micro") / F.lit(1e6)).alias("score"))
 
 
+def lm_tf_table(docs: DataFrame, *, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """The stageable corpus table for ``bigram_lm_score``: per-(doc,
+    bigram) occurrence counts (doc_id, bigram, w1, tf) — the ONE
+    corpus-sized aggregate of the operator. A deployment scoring the
+    same corpus repeatedly writes this to parquet once (the
+    entry-layer content-addressed store discipline) and passes the
+    re-read frame as ``tf_table=``; the model count tables then
+    derive from the staged table (cheap columnar re-scans, no
+    lambda-bearing subtree, map-side combined) instead of re-exploding
+    the corpus per call."""
+    toks = normalized_text(F.col(text_col))
+    bg = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.split(toks, " ").alias("ws"))
+          .select("doc_id", F.explode(F.expr(BIGRAMS_CASE_SQL)).alias("bigram"))
+          .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0)))
+    return bg.groupBy("doc_id", "bigram", "w1").agg(
+        F.count(F.lit(1)).alias("tf"))
+
+
 def bigram_lm_score(docs: DataFrame, *, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    tf_table: DataFrame | None = None) -> DataFrame:
     """Mean bigram log-likelihood under the corpus's own MLE model.
 
     p(w2|w1) = c(w1 w2) / c(w1 *), counted over the whole corpus with
@@ -198,30 +219,43 @@ def bigram_lm_score(docs: DataFrame, *, text_col: str = "text",
 
     Returns one row per document: (doc_id, n_bigrams, avg_logp);
     avg_logp is NULL for docs with < 2 tokens.
-    """
-    toks = normalized_text(F.col(text_col))
-    # guard the empty case explicitly: Spark's sequence(1, 0) yields a
-    # DESCENDING [1, 0] rather than an empty array
-    bigrams = F.expr(BIGRAMS_CASE_SQL)
-    bg = (docs.select(F.col(id_col).alias("doc_id"),
-                      F.split(toks, " ").alias("ws"))
-          .select("doc_id", F.explode(bigrams).alias("bigram"))
-          .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0)))
 
-    # Each count table re-scans the gram stream rather than deriving
-    # from the tf aggregate. Deliberate: lambda-bearing subtrees (the
-    # bigram transform) defeat Spark's exchange-reuse canonicalization,
-    # so a tf-derived cb/cw would re-shuffle the corpus-sized
-    # (doc, bigram) stream once PER CONSUMER (measured: 0 ReusedExchange,
-    # 3 corpus exchanges); re-scanning keeps cb/cw map-side-combined —
-    # their exchanges carry only distinct grams per partition — and the
-    # one corpus-sized exchange is tf's. A deployment scoring the same
-    # corpus repeatedly should stage tf to parquet once (the
-    # entry-layer _embedding_pairs store discipline).
-    tf = bg.groupBy("doc_id", "bigram", "w1").agg(
-        F.count(F.lit(1)).alias("tf"))
-    cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_b"))
-    cw = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w"))
+    ``tf_table``: a (re-read, typically parquet-staged) frame from
+    ``lm_tf_table`` for the SAME docs — the repeated-scoring path;
+    the model count tables then derive from it by summation instead
+    of re-exploding the corpus.
+    """
+    if tf_table is not None:
+        tf = tf_table
+        # from a staged table these are cheap columnar re-scans with
+        # map-side combine — the lambda-reuse hazard below is gone
+        cb = tf.groupBy("bigram").agg(F.sum("tf").alias("c_b"))
+        cw = tf.groupBy("w1").agg(F.sum("tf").alias("c_w"))
+    else:
+        toks = normalized_text(F.col(text_col))
+        # guard the empty case explicitly: Spark's sequence(1, 0)
+        # yields a DESCENDING [1, 0] rather than an empty array
+        bigrams = F.expr(BIGRAMS_CASE_SQL)
+        bg = (docs.select(F.col(id_col).alias("doc_id"),
+                          F.split(toks, " ").alias("ws"))
+              .select("doc_id", F.explode(bigrams).alias("bigram"))
+              .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0)))
+
+        # Each count table re-scans the gram stream rather than
+        # deriving from the tf aggregate. Deliberate: lambda-bearing
+        # subtrees (the bigram transform) defeat Spark's
+        # exchange-reuse canonicalization, so a tf-derived cb/cw would
+        # re-shuffle the corpus-sized (doc, bigram) stream once PER
+        # CONSUMER (measured: 0 ReusedExchange, 3 corpus exchanges);
+        # re-scanning keeps cb/cw map-side-combined — their exchanges
+        # carry only distinct grams per partition — and the one
+        # corpus-sized exchange is tf's. A deployment scoring the same
+        # corpus repeatedly should stage ``lm_tf_table`` to parquet
+        # once and pass it as ``tf_table=``.
+        tf = bg.groupBy("doc_id", "bigram", "w1").agg(
+            F.count(F.lit(1)).alias("tf"))
+        cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_b"))
+        cw = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w"))
 
     # per-(doc, bigram) contribution: tf * micro(ln p) — integer
     # multiply of an already-quantized value, so the doc-level sum is
@@ -287,10 +321,32 @@ DSIR_MICRO_TMPL = (
     "+ CAST(0.5 AS DOUBLE)) AS BIGINT)")
 
 
+def dsir_tf_table(docs: DataFrame, target_pred,
+                  n_buckets: int = DSIR_BUCKETS, *,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """The stageable corpus table for ``dsir_log_weights``: per-(doc,
+    bucket) occurrence counts (doc_id, tgt, b, tf) — the one
+    corpus-sized aggregate. Stage to parquet once per corpus and pass
+    the re-read frame as ``tf_table=``; bucket stats and totals then
+    derive from it by summation (see ``lm_tf_table``)."""
+    bg = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.when(target_pred, 1).otherwise(0).alias("tgt"),
+                      F.split(normalized_text(F.col(text_col)), " ")
+                      .alias("ws"))
+          .select("doc_id", "tgt",
+                  F.explode(F.expr(BIGRAMS_CASE_SQL)).alias("bigram"))
+          .withColumn("b", F.expr(dsir_bucket_spark("bigram", n_buckets)))
+          .drop("bigram"))
+    return bg.groupBy("doc_id", "tgt", "b").agg(
+        F.count(F.lit(1)).alias("tf"))
+
+
 def dsir_log_weights(docs: DataFrame, target_pred,
                      n_buckets: int = DSIR_BUCKETS, *,
                      text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     tf_table: DataFrame | None = None) -> DataFrame:
     """DSIR importance weights: per-document log-likelihood ratio of a
     hashed-bigram unigram model of the TARGET subset vs the SOURCE
     (whole corpus), Laplace-smoothed — the Xie et al. 2023 data
@@ -319,25 +375,39 @@ def dsir_log_weights(docs: DataFrame, target_pred,
     if n_buckets < 1:
         raise ValueError(f"dsir_log_weights: n_buckets must be >= 1, "
                          f"got {n_buckets}")
-    bg = (docs.select(F.col(id_col).alias("doc_id"),
-                      F.when(target_pred, 1).otherwise(0).alias("tgt"),
-                      F.split(normalized_text(F.col(text_col)), " ")
-                      .alias("ws"))
-          .select("doc_id", "tgt", F.explode(F.expr(BIGRAMS_CASE_SQL)).alias("bigram"))
-          .withColumn("b", F.expr(dsir_bucket_spark("bigram", n_buckets)))
-          .drop("bigram"))
+    if tf_table is not None:
+        # staged-table path (``dsir_tf_table``): stats derive by
+        # summation from cheap columnar re-scans — no corpus explode
+        tf = tf_table.select("doc_id", "b", "tf")
+        cb = tf_table.groupBy("b").agg(
+            F.sum("tf").alias("cs"),
+            F.sum(F.col("tf") * F.col("tgt")).alias("ct"))
+        tot = tf_table.agg(
+            F.sum("tf").alias("ns"),
+            F.sum(F.col("tf") * F.col("tgt")).alias("nt"))
+    else:
+        bg = (docs.select(F.col(id_col).alias("doc_id"),
+                          F.when(target_pred, 1).otherwise(0).alias("tgt"),
+                          F.split(normalized_text(F.col(text_col)), " ")
+                          .alias("ws"))
+              .select("doc_id", "tgt",
+                      F.explode(F.expr(BIGRAMS_CASE_SQL)).alias("bigram"))
+              .withColumn("b",
+                          F.expr(dsir_bucket_spark("bigram", n_buckets)))
+              .drop("bigram"))
 
-    # cb/tot re-scan the gram stream rather than deriving from tf —
-    # same rationale as bigram_lm_score: exchange reuse does not fire
-    # across lambda-bearing subtrees, so tf-derived stats would shuffle
-    # the corpus-sized (doc, bucket) stream once per consumer, while
-    # direct aggregation is map-side-combined down to <= B rows per
-    # partition (cb) and 1 row per partition (tot) before exchanging.
-    tf = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
-    cb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cs"),
-                             F.sum("tgt").alias("ct"))
-    tot = bg.agg(F.count(F.lit(1)).alias("ns"),
-                 F.sum("tgt").alias("nt"))
+        # cb/tot re-scan the gram stream rather than deriving from tf
+        # — same rationale as bigram_lm_score: exchange reuse does not
+        # fire across lambda-bearing subtrees, so tf-derived stats
+        # would shuffle the corpus-sized (doc, bucket) stream once per
+        # consumer, while direct aggregation is map-side-combined down
+        # to <= B rows per partition (cb) and 1 row per partition
+        # (tot) before exchanging.
+        tf = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
+        cb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cs"),
+                                 F.sum("tgt").alias("ct"))
+        tot = bg.agg(F.count(F.lit(1)).alias("ns"),
+                     F.sum("tgt").alias("nt"))
 
     micro = DSIR_MICRO_TMPL.format(ct="ct", cs="cs", nt="nt", ns="ns",
                                    b=n_buckets)

@@ -224,3 +224,44 @@ def test_dsir_bucket_cross_engine_equality():
         b = con.execute(
             f"SELECT {dsir_bucket_duckdb(lit)}").fetchone()[0]
         assert a == b, s
+
+
+def test_staged_tf_paths_match_direct(spark):
+    """The tf_table staged paths (r9) must be value-identical to the
+    direct corpus-explode paths — the stats derive by summation from
+    the staged per-(doc, gram) counts instead of re-exploding, so the
+    counts (and every downstream micro-unit) are equal by
+    construction; pin it anyway, round-tripping the stage through
+    parquet exactly as the registered queries do."""
+    import os
+    import tempfile
+
+    from mr_mpi_blast_spark.operators.search import (bigram_lm_score,
+                                                     dsir_log_weights,
+                                                     dsir_tf_table,
+                                                     lm_tf_table)
+    docs = {1: ("the quick brown fox", True),
+            2: ("the quick brown dog", True),
+            3: ("lorem ipsum dolor sit", False),
+            4: ("the quick ipsum", False),
+            5: ("x", False)}
+    df = spark.createDataFrame(
+        [(d, t, tgt) for d, (t, tgt) in docs.items()],
+        "doc_id BIGINT, text STRING, is_tgt BOOLEAN")
+    with tempfile.TemporaryDirectory() as tmp:
+        lm_path = os.path.join(tmp, "lmtf")
+        lm_tf_table(df).write.parquet(lm_path)
+        direct = {r.doc_id: r for r in bigram_lm_score(df).collect()}
+        staged = {r.doc_id: r for r in bigram_lm_score(
+            df, tf_table=spark.read.parquet(lm_path)).collect()}
+        assert staged == direct
+
+        ds_path = os.path.join(tmp, "dsirtf")
+        dsir_tf_table(df, F.col("is_tgt"), n_buckets=64) \
+            .write.parquet(ds_path)
+        direct = {r.doc_id: r for r in dsir_log_weights(
+            df, F.col("is_tgt"), n_buckets=64).collect()}
+        staged = {r.doc_id: r for r in dsir_log_weights(
+            df, F.col("is_tgt"), n_buckets=64,
+            tf_table=spark.read.parquet(ds_path)).collect()}
+        assert staged == direct
