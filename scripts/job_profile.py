@@ -17,6 +17,15 @@ histograms, and artifact writes each show up as extra jobs — exactly
 the costs we want visible.
 
 Prints one JSON line: {"jobs": {q: n}, "stages": {q: n}, "sf": ...}.
+
+Round-over-round regression flagging (r9): if a committed baseline
+exists at JOB_PROFILE.json (repo root), the output gains
+"job_regressions": {q: [baseline, now]} for every query whose job
+count GREW since the baseline (the signal that a refactor added a
+Spark job), plus "new_queries" for queries absent from the baseline —
+so the profile diff is automatic instead of a manual read. Run with
+--write-baseline to refresh the committed baseline after an
+intentional change.
 """
 
 from __future__ import annotations
@@ -73,8 +82,26 @@ def main() -> None:
             jobs[name] = -1
             stages[name] = -1
     total = sum(v for v in jobs.values() if v > 0)
-    print(json.dumps({"jobs": jobs, "stages": stages,
-                      "total_jobs": total, "sf_dir": sf_dir}))
+    out = {"jobs": jobs, "stages": stages,
+           "total_jobs": total, "sf_dir": sf_dir}
+
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "JOB_PROFILE.json")
+    if "--write-baseline" in sys.argv:
+        with open(baseline_path, "w") as f:
+            json.dump({"jobs": jobs, "stages": stages,
+                       "sf_dir": sf_dir}, f, indent=1, sort_keys=True)
+            f.write("\n")
+        out["baseline_written"] = baseline_path
+    elif os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f).get("jobs", {})
+        out["job_regressions"] = {
+            q: [base[q], n] for q, n in jobs.items()
+            if q in base and 0 < base[q] < n}
+        out["new_queries"] = sorted(q for q in jobs if q not in base)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -239,3 +239,60 @@ def test_word_counts_normalizes(spark):
         "doc_id long, text string")
     got = {r.word: r.wf for r in word_counts(docs).collect()}
     assert got == {"the": 1, "quick": 3}
+
+
+def _hf_tokenizers():
+    try:
+        import tokenizers
+        return tokenizers
+    except ImportError:
+        return None
+
+
+@pytest.mark.skipif(_hf_tokenizers() is None,
+                    reason="HuggingFace tokenizers not installed")
+def test_bpe_parity_with_hf_tokenizers(spark):
+    """Env-gated external-parity check (the BLAST+-parity analog for
+    the tokenizer family): on a TIE-FREE fixture — every iteration
+    has a strictly-unique max-count pair, so any tie policy yields
+    the same sequence — HuggingFace tokenizers' BPE trainer must
+    learn the same merges in the same order, and its encoder must
+    produce the same tokens our greedy rank-order fold does (the two
+    apply algorithms are canonically equivalent: a merge's sides only
+    involve tokens from strictly lower ranks, so lower-rank pairs can
+    never be re-created by a later merge)."""
+    import json as _json
+
+    tokenizers = _hf_tokenizers()
+    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+
+    # frequencies chosen so pair counts are pairwise distinct at every
+    # iteration (asserted below against the python reference)
+    wf = {"aaab": 97, "aab": 41, "abab": 17, "bbba": 7, "ba": 3}
+    n = 4
+    ref = _bpe_ref(dict(wf), n)
+    counts_seen = [r[3] for r in ref]
+    assert len(set(counts_seen)) == len(counts_seen), \
+        "fixture must be tie-free for cross-trainer comparison"
+
+    corpus = [" ".join([w] * f) for w, f in wf.items()]
+    alphabet = sorted({c for w in wf for c in w})
+    tok = Tokenizer(models.BPE())
+    tok.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
+    trainer = trainers.BpeTrainer(
+        vocab_size=len(alphabet) + n, min_frequency=1,
+        show_progress=False, special_tokens=[],
+        initial_alphabet=alphabet)
+    tok.train_from_iterator(corpus, trainer)
+    hf_merges = _json.loads(tok.to_str())["model"]["merges"]
+    hf_pairs = [tuple(m.split(" ")) if isinstance(m, str) else tuple(m)
+                for m in hf_merges]
+    assert hf_pairs == [(l, r) for _, l, r, _, _ in ref]
+
+    merges = bpe_learn(_wc_df(spark, wf), n)
+    assert [(m.lft, m.rgt) for m in merges] == hf_pairs
+    enc = {r.word: r.tokens
+           for r in bpe_encode_words(
+               _wc_df(spark, wf).select("word"), merges).collect()}
+    for w in wf:
+        assert tok.encode(w).tokens == enc[w], w
