@@ -175,6 +175,14 @@ def bpe_learn_iter(
     fully merged). Ties break on (lft ASC, rgt ASC) after count DESC.
     Values are unchanged from the unstaged form by construction, so
     the DuckDB oracle replay (``bpe_oracle_sql``) is unaffected.
+
+    Storage lifecycle: a superseded localCheckpoint's blocks are
+    reclaimed by ContextCleaner once the driver drops its reference
+    (this loop holds only the latest) — asynchronous but bounded in
+    steady state. A deployment that needs deterministic reclamation
+    (or executor-churn fault tolerance) at a 32k-merge production run
+    passes ``materialize=`` a parquet-stage callable; the loop's
+    values do not depend on the materialization mechanism.
     """
     if n_merges < 1:
         raise ValueError(f"bpe_learn: n_merges must be >= 1, "
