@@ -593,6 +593,30 @@ def _pairs_store_path(key: str) -> str:
         "spark_graft_pairs", hashlib.md5(key.encode()).hexdigest()[:16])
 
 
+def _doc_store_key(sf_dir: str, tag: str, suffix: str = "") -> str:
+    """Store path for an artifact derived from the documents table:
+    content-addressed on (tag, sf_dir, documents mtime+size[, suffix])
+    — the shared keying scheme of every doc-derived stage below, so a
+    future change to it lands in ONE place."""
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = f"{tag}:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    if suffix:
+        key += f":{suffix}"
+    return _pairs_store_path(key)
+
+
+def _doc_staged_parquet(spark, sf_dir: str, tag: str, build,
+                        suffix: str = ""):
+    """Write-once/read-many parquet stage of a documents-derived
+    frame (the _embedding_pairs store discipline): ``build()`` runs
+    only when the content-addressed artifact is absent; every later
+    call is a parquet read."""
+    path = _doc_store_key(sf_dir, tag, suffix)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build().write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def _minhash_pairs_path(sf_dir: str) -> str:
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     return _pairs_store_path(
@@ -2777,18 +2801,13 @@ from mr_mpi_blast_spark.operators.search import (  # noqa: E402
 
 
 def _lm_tf_staged(spark, sf_dir):
-    """Content-addressed parquet stage of the LM (doc, bigram, w1, tf)
-    table — the one corpus-sized aggregate of text_lm_score; repeat
-    scorings (and the model count tables) then run from the staged
-    table instead of re-exploding the corpus (the _embedding_pairs
-    store discipline; operators/search.py::lm_tf_table)."""
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    path = _pairs_store_path(
-        f"lmtf:{sf_dir}:{st.st_mtime_ns}:{st.st_size}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        (lm_tf_table(_t(spark, sf_dir, "documents"))
-         .write.mode("overwrite").parquet(path))
-    return spark.read.parquet(path)
+    """Staged LM (doc, bigram, w1, tf) table — the one corpus-sized
+    aggregate of text_lm_score; repeat scorings (and the model count
+    tables) run from the stage instead of re-exploding the corpus
+    (operators/search.py::lm_tf_table)."""
+    return _doc_staged_parquet(
+        spark, sf_dir, "lmtf",
+        lambda: lm_tf_table(_t(spark, sf_dir, "documents")))
 
 
 def _bm25_oracle_sql() -> str:
@@ -2963,19 +2982,14 @@ from mr_mpi_blast_spark.operators.search import (  # noqa: E402
 
 
 def _dsir_tf_staged(spark, sf_dir):
-    """Content-addressed parquet stage of the DSIR (doc, tgt, b, tf)
-    table for the lang='en' target — the one corpus-sized aggregate;
-    the key carries the target predicate and bucket count, so a
-    different selection stages its own table (_lm_tf_staged twin)."""
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    path = _pairs_store_path(
-        f"dsirtf:{sf_dir}:{st.st_mtime_ns}:{st.st_size}:"
-        f"lang=en:{DSIR_BUCKETS}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        (dsir_tf_table(_t(spark, sf_dir, "documents"),
-                       F.col("lang") == "en")
-         .write.mode("overwrite").parquet(path))
-    return spark.read.parquet(path)
+    """Staged DSIR (doc, tgt, b, tf) table for the lang='en' target —
+    the key suffix carries the target predicate and bucket count, so
+    a different selection stages its own table (_lm_tf_staged twin)."""
+    return _doc_staged_parquet(
+        spark, sf_dir, "dsirtf",
+        lambda: dsir_tf_table(_t(spark, sf_dir, "documents"),
+                              F.col("lang") == "en"),
+        suffix=f"lang=en:{DSIR_BUCKETS}")
 
 _DSIR_MICRO = DSIR_MICRO_TMPL.format(ct="ct", cs="cs", nt="nt", ns="ns",
                                      b=DSIR_BUCKETS)
@@ -3034,17 +3048,12 @@ _BPE_N_MERGES = 6
 
 
 def _bpe_word_counts(spark, sf_dir):
-    """Content-addressed parquet stage of the (word, wf) table — the
-    one corpus-sized aggregate; the merge iterations then run against
-    the staged table instead of re-aggregating the corpus per
-    iteration (the _embedding_pairs store discipline)."""
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    path = _pairs_store_path(
-        f"bpewc:{sf_dir}:{st.st_mtime_ns}:{st.st_size}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        (word_counts(_t(spark, sf_dir, "documents"))
-         .write.mode("overwrite").parquet(path))
-    return spark.read.parquet(path)
+    """Staged (word, wf) table — the one corpus-sized aggregate; the
+    merge iterations run against the stage instead of re-aggregating
+    the corpus per iteration."""
+    return _doc_staged_parquet(
+        spark, sf_dir, "bpewc",
+        lambda: word_counts(_t(spark, sf_dir, "documents")))
 
 
 def _bpe_merges_staged(spark, sf_dir):
@@ -3060,10 +3069,8 @@ def _bpe_merges_staged(spark, sf_dir):
     import json as _json
 
     from mr_mpi_blast_spark.operators.bpe import BpeMerge
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    path = _pairs_store_path(
-        f"bpemg:{sf_dir}:{st.st_mtime_ns}:{st.st_size}:"
-        f"{_BPE_N_MERGES}:g1") + ".json"
+    path = _doc_store_key(sf_dir, "bpemg",
+                          f"{_BPE_N_MERGES}:g1") + ".json"
     if not os.path.exists(path):
         merges = bpe_learn(_bpe_word_counts(spark, sf_dir), _BPE_N_MERGES)
         os.makedirs(os.path.dirname(path), exist_ok=True)

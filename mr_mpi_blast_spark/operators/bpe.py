@@ -184,6 +184,11 @@ def bpe_learn_iter(
     passes ``materialize=`` a parquet-stage callable; the loop's
     values do not depend on the materialization mechanism.
     """
+    # validate at CALL time, not first next(): this is a public
+    # iterator entry point, and a generator would defer the
+    # documented ValueError until the iterator is advanced — far
+    # from the faulty call site (or never, if consumption is
+    # conditional)
     if n_merges < 1:
         raise ValueError(f"bpe_learn: n_merges must be >= 1, "
                          f"got {n_merges}")
@@ -191,25 +196,29 @@ def bpe_learn_iter(
         raise ValueError(f"bpe_learn: materialize_every must be >= 1, "
                          f"got {materialize_every}")
     mat = materialize or (lambda df: df.localCheckpoint())
-    # The eager materialization also runs the chr(31) validation once,
-    # up front, instead of on every iteration's re-scan.
-    cur = mat(char_tokens(wc))
-    pending = 0  # merges applied since the last materialization
-    for rank in range(1, n_merges + 1):
-        if pending >= materialize_every:
-            cur = mat(cur)
-            pending = 0
-        best = (_pair_counts(cur)
-                .orderBy(F.col("n").desc(), F.col("lft").asc(),
-                         F.col("rgt").asc())
-                .first())
-        if best is None:
-            break
-        m = BpeMerge(rank, best.lft, best.rgt, int(best.n))
-        yield m
-        cur = cur.select(_apply_merge(F.col("t"), m.lft, m.rgt).alias("t"),
-                         "wf")
-        pending += 1
+
+    def _iterate():
+        # The eager materialization also runs the chr(31) validation
+        # once, up front, instead of on every iteration's re-scan.
+        cur = mat(char_tokens(wc))
+        pending = 0  # merges applied since the last materialization
+        for rank in range(1, n_merges + 1):
+            if pending >= materialize_every:
+                cur = mat(cur)
+                pending = 0
+            best = (_pair_counts(cur)
+                    .orderBy(F.col("n").desc(), F.col("lft").asc(),
+                             F.col("rgt").asc())
+                    .first())
+            if best is None:
+                break
+            m = BpeMerge(rank, best.lft, best.rgt, int(best.n))
+            yield m
+            cur = cur.select(
+                _apply_merge(F.col("t"), m.lft, m.rgt).alias("t"), "wf")
+            pending += 1
+
+    return _iterate()
 
 
 def bpe_learn(wc: DataFrame, n_merges: int,
@@ -377,13 +386,21 @@ def bpe_encode_oracle_sql(n_merges: int, norm_sql: str) -> str:
         "range(1, length(word) + 1), i -> substr(word, i, 1)), "
         "chr(31)) AS t FROM w)")
     for k in range(n_merges):
+        # LEFT JOIN ON TRUE, not a cross join: when the corpus
+        # exhausts its pairs before n_merges, b{k} is EMPTY and a
+        # cross join would annihilate the vocabulary chain (every doc
+        # collapsing to n_tokens=0 while the engine, fed the shorter
+        # learned list, encodes normally). The learn chain tolerates
+        # empty b{k} by construction; mirror that here — a NULL merge
+        # row passes tokens through unchanged.
         ctes.append(
             f"v{k + 1} AS (SELECT word, "
+            f"CASE WHEN b.lft IS NULL THEN t ELSE "
             f"list_reduce(string_split(t, chr(31)), "
             f"(acc, x) -> CASE WHEN x = b.rgt AND (acc = b.lft OR "
             f"ends_with(acc, chr(31) || b.lft)) THEN acc || b.rgt "
-            f"ELSE acc || chr(31) || x END) AS t "
-            f"FROM v{k}, b{k} AS b)")
+            f"ELSE acc || chr(31) || x END) END AS t "
+            f"FROM v{k} LEFT JOIN b{k} b ON TRUE)")
     ctes.append(
         f"docw AS (SELECT doc_id, i AS pos, ws[i] AS word "
         f"FROM (SELECT doc_id, string_split({norm_sql}, ' ') AS ws "

@@ -89,11 +89,20 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "JOB_PROFILE.json")
     if "--write-baseline" in sys.argv:
+        # failed queries (-1 sentinel) must NOT enter the baseline:
+        # a persisted -1 would exempt that query from regression
+        # detection forever (the compare guards on base > 0) — drop
+        # them so they surface as new_queries until a clean refresh
+        good = {q: n for q, n in jobs.items() if n > 0}
         with open(baseline_path, "w") as f:
-            json.dump({"jobs": jobs, "stages": stages,
+            json.dump({"jobs": good,
+                       "stages": {q: stages[q] for q in good},
                        "sf_dir": sf_dir}, f, indent=1, sort_keys=True)
             f.write("\n")
         out["baseline_written"] = baseline_path
+        if len(good) < len(jobs):
+            out["baseline_excluded_failures"] = sorted(
+                q for q in jobs if q not in good)
     elif os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f).get("jobs", {})

@@ -156,6 +156,12 @@ def test_bpe_early_stop_and_validation(spark):
     assert _learned(spark, {"a": 5, "b": 3}, 4) == []
     with pytest.raises(ValueError, match="n_merges"):
         bpe_learn(_wc_df(spark, {"ab": 1}), 0)
+    # the iterator entry point must raise at CALL time, not first
+    # next() (r9 review find: a bare generator deferred it)
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_learn_iter(_wc_df(spark, {"ab": 1}), 0)
+    with pytest.raises(ValueError, match="materialize_every"):
+        bpe_learn_iter(_wc_df(spark, {"ab": 1}), 2, materialize_every=0)
 
 
 def _ref_encode(word: str, merges) -> list[str]:
@@ -266,14 +272,35 @@ def test_bpe_parity_with_hf_tokenizers(spark):
     tokenizers = _hf_tokenizers()
     from tokenizers import Tokenizer, models, pre_tokenizers, trainers
 
-    # frequencies chosen so pair counts are pairwise distinct at every
-    # iteration (asserted below against the python reference)
+    # frequencies chosen so the ARGMAX pair count is strictly unique
+    # at every iteration — verified below by replaying the pair
+    # tables, not by eyeballing the winners (distinct winner counts
+    # across iterations would not rule out a within-iteration tie)
     wf = {"aaab": 97, "aab": 41, "abab": 17, "bbba": 7, "ba": 3}
     n = 4
     ref = _bpe_ref(dict(wf), n)
-    counts_seen = [r[3] for r in ref]
-    assert len(set(counts_seen)) == len(counts_seen), \
-        "fixture must be tie-free for cross-trainer comparison"
+
+    words = [(list(w), f) for w, f in sorted(wf.items())]
+    for rank, lft, rgt, _, _ in ref:
+        counts: dict[tuple[str, str], int] = {}
+        for toks, f in words:
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        top = sorted(counts.values(), reverse=True)
+        assert len(top) < 2 or top[0] != top[1], \
+            f"fixture has an argmax tie at iteration {rank}"
+        for toks, _ in words:
+            out, i = [], 0
+            while i < len(toks):
+                if (i + 1 < len(toks) and toks[i] == lft
+                        and toks[i + 1] == rgt):
+                    out.append(lft + rgt)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks[:] = out
 
     corpus = [" ".join([w] * f) for w, f in wf.items()]
     alphabet = sorted({c for w in wf for c in w})
@@ -296,3 +323,35 @@ def test_bpe_parity_with_hf_tokenizers(spark):
                _wc_df(spark, wf).select("word"), merges).collect()}
     for w in wf:
         assert tok.encode(w).tokens == enc[w], w
+
+
+def test_bpe_encode_oracle_early_stop(spark):
+    """Engine/oracle agreement when the corpus exhausts its pairs
+    BEFORE n_merges (the r9 review find): the oracle's per-merge CTE
+    is a LEFT JOIN ON TRUE, so an empty b{k} passes tokens through
+    unchanged — a cross join there annihilated the vocabulary chain
+    and reported every document as n_tokens=0 while the engine,
+    fed the shorter learned list, encoded normally. Latent on the
+    shipped corpora (they sustain all 6 merges); armed by any small
+    corpus or larger n_merges."""
+    import duckdb
+
+    from mr_mpi_blast_spark.operators.bpe import (bpe_encode,
+                                                  bpe_encode_oracle_sql,
+                                                  word_counts)
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, "b a"), (3, "")],
+        "doc_id long, text string")
+    n_req = 4                      # only 2 merges are learnable
+    merges = bpe_learn(word_counts(docs), n_req)
+    assert 0 < len(merges) < n_req
+    got = {r.doc_id: (r.n_tokens, r.token_str)
+           for r in bpe_encode(docs, merges).collect()}
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    want = {r[0]: (r[1], r[2])
+            for r in con.execute(
+                bpe_encode_oracle_sql(n_req, norm)).fetchall()}
+    assert got == want
+    assert got[1][0] > 0           # the collapse reported 0 here

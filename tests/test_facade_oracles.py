@@ -110,7 +110,11 @@ def _veq(a, b):
 # blast_pipeline: the flagship's production-tail oracle (r7 — the
 # driver previously saw it rows-only) is checked here at sf0.001 too.
 PREFIX_TAILS = ["blast_gapped_tail", "blast_gapped_nucl_tail",
-                "blast_capped_tail", "blast_pipeline"]
+                "blast_capped_tail", "blast_pipeline",
+                # r9: promoted into the driver prefix (swapped with
+                # run_summary) — keep the in-repo parity net per this
+                # list's charter
+                "dedup_substr_spans"]
 
 
 @pytest.mark.parametrize("name", FACADES + PREFIX_TAILS)
