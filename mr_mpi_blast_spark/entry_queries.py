@@ -1086,12 +1086,16 @@ SELECT qid, nid, floor(cos6 * 1e4 + 0.5) / 1e4 AS cos, rank FROM ranked WHERE ra
 """)
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF nprobe=1 ANN: deterministic centroid init (first 8 vectors),
-    bucket equi-join instead of cross join — the O(Q x N/C) scale path,
-    replayed exactly by the oracle."""
-    from mr_mpi_blast_spark.operators.similarity import ivf_topk
+    O(Q x N/C) candidates, replayed exactly by the oracle. Runs the
+    BLAS search twin (r9, ivf_topk_numpy — map-only over the corpus,
+    one broadcast, per-batch matmul scoring): the literal path's
+    per-pair HOF fold made IVF slower than brute-force BLAS at the
+    synthetic decade (20 s vs 7 s at 20k vectors); parity with the
+    literal path is test-pinned, so the oracle is unchanged."""
+    from mr_mpi_blast_spark.operators.similarity import ivf_topk_numpy
     e = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(e.filter(F.col("vec_id") % 20 == 0), e,
-                    _first8_centroids(spark, sf_dir), k=3)
+    return ivf_topk_numpy(e.filter(F.col("vec_id") % 20 == 0), e,
+                          _first8_centroids(spark, sf_dir), k=3)
 
 
 # Trained-centroid artifact: the engine trains centroids (seeded
@@ -2552,13 +2556,15 @@ SELECT qid, nid, floor(cos6 * 1e4 + 0.5) / 1e4 AS cos, rank FROM ranked WHERE ra
 def q_ann_ivf_nprobe2(spark, sf_dir):
     """IVF nprobe=2: queries fan out to their TWO nearest centroid
     buckets (corpus vectors still live in exactly one) — the classic
-    IVF recall/latency dial, O(Q x 2N/C), still a bucket equi-join.
-    Deterministic end-to-end, replayed exactly by the oracle. Tail
-    twin: parameter variant of the recorded ann_ivf_topk."""
-    from mr_mpi_blast_spark.operators.similarity import ivf_topk
+    IVF recall/latency dial, O(Q x 2N/C). Deterministic end-to-end,
+    replayed exactly by the oracle. Tail twin: parameter variant of
+    the recorded ann_ivf_topk; BLAS search path (r9), parity-pinned
+    against the literal bucket equi-join."""
+    from mr_mpi_blast_spark.operators.similarity import ivf_topk_numpy
     e = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(e.filter(F.col("vec_id") % 20 == 0), e,
-                    _first8_centroids(spark, sf_dir), k=3, nprobe=2)
+    return ivf_topk_numpy(e.filter(F.col("vec_id") % 20 == 0), e,
+                          _first8_centroids(spark, sf_dir), k=3,
+                          nprobe=2)
 
 
 @query("multimodal_resize", """

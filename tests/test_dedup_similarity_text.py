@@ -614,3 +614,45 @@ def test_pandas_paths_preserve_id_type(spark, monkeypatch):
         sd = sim.semdedup(vecs, cents, tau=0.95, method=method)
         assert dict(sd.dtypes)["vec_id"] == "string"
         assert {r.vec_id for r in sd.collect() if not r.kept} == {"a1"}
+
+
+def test_ivf_topk_numpy_parity(spark, emb):
+    """The BLAS IVF search twin (r9) must agree row-for-row with the
+    literal-expression ivf_topk on the real table — nprobe 1 and 2,
+    including rank order and the 1e-4 output rounding — and on a
+    tie/zero-norm fixture (zero-norm query and corpus rows cos to 0.0
+    on both paths; assignment ties take the lowest cid)."""
+    from mr_mpi_blast_spark.operators.similarity import (ivf_topk,
+                                                         ivf_topk_numpy)
+
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding")
+    for nprobe in (1, 2):
+        lit = {tuple(r) for r in
+               ivf_topk(q, emb, cents, k=3, nprobe=nprobe).collect()}
+        blas = {tuple(r) for r in
+                ivf_topk_numpy(q, emb, cents, k=3,
+                               nprobe=nprobe).collect()}
+        assert lit == blas, f"parity break at nprobe={nprobe}"
+
+    d = 4
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]),      # centroid 0
+            (1, [0.0, 1.0, 0.0, 0.0]),      # centroid 1
+            (2, [1.0, 0.0, 0.0, 0.0]),      # dup of c0 (tie with 0)
+            (3, [0.0] * d),                 # zero-norm corpus row
+            (4, [0.7, 0.7, 0.0, 0.0]),      # equidistant tie c0/c1
+            (5, [0.9, 0.1, 0.0, 0.0])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qf = spark.createDataFrame([(10, [1.0, 0.05, 0.0, 0.0]),
+                                (11, [0.0] * d)],
+                               "vec_id long, embedding array<double>")
+    cf = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cid"), "embedding")
+    for nprobe in (1, 2):
+        lit = {tuple(r) for r in
+               ivf_topk(qf, vecs, cf, k=4, nprobe=nprobe).collect()}
+        blas = {tuple(r) for r in
+                ivf_topk_numpy(qf, vecs, cf, k=4,
+                               nprobe=nprobe).collect()}
+        assert lit == blas, f"fixture parity break at nprobe={nprobe}"
