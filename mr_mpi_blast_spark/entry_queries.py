@@ -3123,6 +3123,127 @@ def q_bpe_encode(spark, sf_dir):
                       _bpe_merges_staged(spark, sf_dir))
 
 
+_SUBSTR_REMOVE_SQL = f"""
+WITH s AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM s),
+occ AS (
+  SELECT doc_id, u.pos AS pos, u.gram AS gram
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - {_SUBSTR_SPAN_LEN} + 2),
+                      i -> {{'pos': i,
+                             'gram': list_aggregate(ws[i:i+{_SUBSTR_SPAN_LEN}-1],
+                                                    'string_agg', ' ')}})) AS u
+        FROM s WHERE len(ws) >= {_SUBSTR_SPAN_LEN})),
+marked AS (
+  SELECT doc_id, pos, pos + {_SUBSTR_SPAN_LEN} - 1 AS e FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+           count(*) OVER (PARTITION BY gram) AS c
+    FROM occ) WHERE c >= 2 AND rn >= 2),
+islands AS (SELECT doc_id, pos, e,
+  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       THEN 1 ELSE 0 END AS new_span FROM marked),
+spans AS (SELECT doc_id, span_id, min(pos) AS st, max(e) AS en FROM (
+  SELECT doc_id, pos, e,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM islands) GROUP BY 1, 2),
+removedpos AS (SELECT doc_id, unnest(range(st, en + 1)) AS p FROM spans),
+tokpos AS (
+  SELECT doc_id, u.p AS p, u.w AS w
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) + 1),
+                      i -> {{'p': i, 'w': ws[i]}})) AS u
+        FROM s)),
+kept AS (SELECT t.doc_id, t.p, t.w
+         FROM tokpos t ANTI JOIN removedpos r
+           ON t.doc_id = r.doc_id AND t.p = r.p),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+               string_agg(w, ' ' ORDER BY p) AS clean_text
+        FROM kept GROUP BY 1)
+SELECT t.doc_id, t.n_tokens,
+       coalesce(a.kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens,
+       coalesce(a.clean_text, '') AS clean_text
+FROM tok t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("dedup_substr_remove", _SUBSTR_REMOVE_SQL)
+def q_dedup_substr_remove(spark, sf_dir):
+    """ExactSubstr duplicate-span removal (Lee et al. 2021's apply
+    step, r9): rewrite every document with corpus-duplicated >= 20-
+    token spans excised, keeping the corpus-first (min (doc_id, pos))
+    copy of each duplicated gram. Companion to dedup_substr_spans
+    (the report step): one map-side-combinable min-struct aggregate
+    on the 8-byte gram hash replaces the oracle's corpus-wide
+    row_number window, marking is an equi-join, and the text rebuild
+    filters token positions with a pure array expression — token rows
+    are never shuffled (operators/dedup.py:duplicate_span_remove).
+    Tail-registered: the driver's 50-slot window is full."""
+    from mr_mpi_blast_spark.operators.dedup import duplicate_span_remove
+    return duplicate_span_remove(_t(spark, sf_dir, "documents"),
+                                 min_len=_SUBSTR_SPAN_LEN)
+
+
+_SQ8_ORACLE = """
+WITH ma AS (
+  SELECT 127.0 / max(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> abs(x)))) AS scale
+  FROM embeddings),
+codes AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(greatest(-127.0, least(127.0,
+                  floor(x * ma.scale + 0.5))) AS BIGINT))
+           AS code
+  FROM embeddings, ma),
+q AS (SELECT vec_id AS qid, code AS qcode FROM codes WHERE vec_id % 20 = 0),
+pairs AS (
+  SELECT q.qid, c.vec_id AS nid,
+         list_sum(list_transform(range(1, len(c.code) + 1),
+                  i -> q.qcode[i] * c.code[i])) AS intdot,
+         list_sum(list_transform(c.code, x -> x * x)) AS nc2
+  FROM q JOIN codes c ON c.vec_id != q.qid),
+approx AS (
+  SELECT qid, nid,
+         CASE WHEN nc2 = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE CAST(intdot AS DOUBLE) / sqrt(CAST(nc2 AS DOUBLE)) END AS s
+  FROM pairs),
+cand AS (SELECT qid, nid FROM (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+  FROM approx) WHERE rn <= 15),
+scored AS (
+  SELECT k.qid, k.nid,
+         floor((CASE WHEN list_sum(list_transform(CAST(qe.embedding AS DOUBLE[]), x -> x * x)) = 0 OR list_sum(list_transform(CAST(ce.embedding AS DOUBLE[]), x -> x * x)) = 0 THEN CAST(0.0 AS DOUBLE) ELSE list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])) END) * 1e6 + 0.5) / 1e6 AS cos6
+  FROM cand k JOIN embeddings qe ON qe.vec_id = k.qid
+              JOIN embeddings ce ON ce.vec_id = k.nid),
+ranked AS (
+  SELECT qid, nid, cos6,
+         row_number() OVER (PARTITION BY qid ORDER BY cos6 DESC, nid) AS rank
+  FROM scored)
+SELECT qid, nid, floor(cos6 * 1e4 + 0.5) / 1e4 AS cos, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("ann_sq8_topk", _SQ8_ORACLE)
+def q_ann_sq8_topk(spark, sf_dir):
+    """SQ8 scalar-quantized ANN (r9): int8-range codes under one
+    global symmetric scale generate top-15 candidates per query by
+    EXACT integer dot products (bit-reproducible across engines — no
+    rounding discipline needed in stage 1), then the candidates
+    re-rank with the exact-cosine contract of ann_cosine_topk. The
+    memory-bandwidth member of the ANN family: a staged code table is
+    4x smaller than float32 (operators/similarity.py:sq8_topk_numpy
+    for the 100 TB shape). Tail-registered: the driver's 50-slot
+    window is full."""
+    from mr_mpi_blast_spark.operators.similarity import sq8_topk_numpy
+    e = _t(spark, sf_dir, "embeddings")
+    return sq8_topk_numpy(e.filter(F.col("vec_id") % 20 == 0), e,
+                          k=5, refine=3)
+
+
 # ---------------------------------------------------------------------------
 # Run-epilogue summary (W7/A6). Tail-registered since r9: its timing
 # values are wall-clock measurements, so the driver's check is

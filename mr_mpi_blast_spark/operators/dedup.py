@@ -550,3 +550,97 @@ def duplicate_span_profile(df: DataFrame, min_len: int = 20,
                     .alias("dup_tokens")))
     frac = F.col("dup_tokens").cast("double") / F.col("n_tokens")
     return out.withColumn("dup_frac", F.floor(frac * 1e4 + 0.5) / 1e4)
+
+
+def duplicate_span_remove(df: DataFrame, min_len: int = 20,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """ExactSubstr duplicate-span REMOVAL (the apply step of Lee et
+    al. 2021, companion to duplicate_span_profile's report step):
+    rewrite each document with corpus-duplicated spans excised,
+    keeping the corpus-first copy of each duplicated substring.
+
+    Semantics (deterministic, oracle-replayable): for every
+    min_len-token gram that occurs >= 2 times in the corpus, the
+    occurrence with the smallest (doc_id, pos) is CANONICAL; every
+    other occurrence is marked. Per document, marked occurrences merge
+    into maximal intervals (gaps-and-islands, as in the profile), and
+    a token survives iff no marked interval covers it. Note the
+    canonical copy is protected only from its own gram's mark — a
+    token inside it can still fall to a DIFFERENT duplicated gram
+    whose canonical occurrence lies elsewhere; this is the same
+    interval-union coarseness the profile documents, stated rather
+    than hidden.
+
+    Output, one row per input document (docs shorter than min_len
+    pass through unchanged): (doc_id, n_tokens, kept_tokens,
+    clean_text) where clean_text re-joins surviving tokens with
+    single spaces over the normalized token stream.
+
+    100 TB shape: the canonical occurrence per gram comes from ONE
+    aggregate on the 8-byte gram hash (min(struct(doc_id, pos)) +
+    count) — no corpus-wide window, no pair join. Spark executes the
+    struct-min as a SortAggregate (struct buffers aren't
+    hash-aggregable), but it still combines map-side: the shuffle
+    carries one row per gram hash, and the pre-shuffle cost is a
+    per-partition linearithmic sort of the local gram stream, not a
+    global one. Marking is an equi-join back on gh (per-key fan-out
+    = df, AQE-splittable). Interval merge is a per-doc window
+    over only the MARKED occurrences (output-sized). The rebuild
+    joins the per-doc merged-interval array (bounded by
+    n_tokens/min_len entries) back to the document row and filters
+    token positions with a pure array expression — token-level rows
+    are never shuffled. 64-bit gram-hash collisions can spuriously
+    mark ~N^2/2^65 occurrences (ngram_collisions documents the
+    bound); screening-grade, and the DuckDB oracle replays on gram
+    text as the audit path.
+    """
+    ws = F.split(normalized_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+    d = base.filter(F.size("ws") >= min_len)
+    grams = F.expr(
+        f"transform(sequence(1, size(ws) - {min_len} + 1), "
+        f"i -> array_join(slice(ws, i, {min_len}), ' '))")
+    occ = (d.select("doc_id", F.posexplode(grams).alias("p0", "gram"))
+            .select("doc_id", (F.col("p0") + 1).alias("pos"),
+                    F.xxhash64("gram").alias("gh")))
+    # Canonical occurrence per duplicated gram: min(struct) orders by
+    # (doc_id, pos) lexicographically and combines map-side.
+    firsts = (occ.groupBy("gh")
+                 .agg(F.min(F.struct("doc_id", "pos")).alias("first"),
+                      F.count(F.lit(1)).alias("c"))
+                 .filter(F.col("c") >= 2)
+                 .select("gh", F.col("first.doc_id").alias("fdoc"),
+                         F.col("first.pos").alias("fpos")))
+    marked = (occ.join(firsts, "gh")
+                 .filter(~((F.col("doc_id") == F.col("fdoc"))
+                           & (F.col("pos") == F.col("fpos"))))
+                 .select("doc_id", "pos",
+                         (F.col("pos") + min_len - 1).alias("e")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = marked.withColumn(
+        "new_span",
+        F.when(F.col("pos") > F.coalesce(prev_e, F.lit(-1)) + 1,
+               F.lit(1)).otherwise(F.lit(0)))
+    spans = (islands.withColumn("span_id", F.sum("new_span").over(w))
+             .groupBy("doc_id", "span_id")
+             .agg(F.min("pos").alias("s"), F.max("e").alias("e"))
+             .groupBy("doc_id")
+             .agg(F.array_sort(F.collect_list(F.struct("s", "e")))
+                   .alias("spans")))
+    joined = base.join(spans, "doc_id", "left").withColumn(
+        "spans", F.coalesce("spans", F.expr(
+            "CAST(array() AS array<struct<s: int, e: int>>)")))
+    keeps = F.expr(
+        "filter(sequence(1, size(ws)), p -> "
+        "NOT exists(spans, sp -> p >= sp.s AND p <= sp.e))")
+    out = joined.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        keeps.alias("keeps"), "ws")
+    return out.select(
+        "doc_id", "n_tokens",
+        F.size("keeps").cast("long").alias("kept_tokens"),
+        F.expr("array_join(transform(keeps, p -> element_at(ws, p)), ' ')")
+         .alias("clean_text"))

@@ -1085,3 +1085,140 @@ def _semdedup_blas(a: DataFrame, tau: float, keep: str,
             .groupBy("cid")
             .applyInPandas(prune, schema=f"{id_col} {id_type}, cid long, "
                                          "cent_cos double, kept boolean"))
+
+
+# Version tag for the SQ8 quantization scheme below (scale rule, code
+# formula, candidate rank key) — the KERNEL_SPEC/IVF_TRAIN_SPEC
+# discipline, so a content-addressed code-table store can never mix
+# codes from different quantizer versions.
+SQ8_SPEC = "s1"
+
+
+def sq8_scale(corpus: DataFrame, vec_col: str = "embedding") -> float:
+    """Global symmetric SQ8 scale: 127 / max|x| over every component
+    of the corpus. ONE global scale, not per-dimension, on purpose:
+    with per-dimension scales the integer dot product is no longer
+    monotone in the reconstructed dot product (each term would need
+    its own 1/s_j^2 weight), while a single scale factors out —
+    ranking by the raw int dot is exact ranking of the dequantized
+    dot. Max is order-free, so engine and oracle agree bit-for-bit
+    (no summation-order residual in the TRAINING pass at all)."""
+    row = corpus.select(F.max(F.aggregate(
+        F.col(vec_col).cast("array<double>"), F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x)))).alias("m")).collect()
+    m = row[0]["m"]
+    if m is None or m <= 0.0:
+        raise ValueError("sq8_scale: corpus has no nonzero component")
+    return 127.0 / m
+
+
+def _sq8_codes(mat: np.ndarray, scale: float) -> np.ndarray:
+    """code_j = clamp(floor(x_j * scale + 0.5), -127, 127). Every step
+    is one correctly-rounded IEEE double op, so DuckDB replaying the
+    same expression produces the same integers."""
+    return np.clip(np.floor(mat * scale + 0.5), -127, 127).astype(np.int64)
+
+
+def sq8_topk_numpy(queries: DataFrame, corpus: DataFrame, k: int,
+                   refine: int = 3,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   scale: float | None = None) -> DataFrame:
+    """Scalar-quantized (SQ8) approximate top-k with exact re-rank —
+    the memory-bandwidth scale path of the ANN family (faiss's
+    SQ8-style index, one global symmetric scale).
+
+    Two stages, both deterministic and oracle-replayable:
+
+    1. CANDIDATES — integer scan: corpus and query vectors quantize to
+       int8-range codes (see _sq8_codes); the candidate score is
+       intdot / sqrt(nc2) with intdot = sum(cq_j * cc_j) and
+       nc2 = sum(cc_j^2), both EXACT int64 sums, the division one
+       IEEE op — so the per-query candidate cut (top k*refine by
+       (score desc, id asc)) is bit-reproducible across engines, with
+       no rounding discipline needed. Zero-code rows score 0.0.
+    2. RE-RANK — the surviving k*refine candidates per query join
+       back to their full-precision vectors (candidate-sized
+       equi-join) and re-score with the exact-cosine contract of
+       brute_force_topk_numpy (floor 1e-6 rank key, lowest-nid ties,
+       round4_xengine output).
+
+    100 TB shape: this is the path you run when the embedding table
+    itself is the bottleneck — int8 codes are 4x smaller than float32
+    (8x smaller than these double arrays), so a production deployment
+    stages the code table once (content-addressed under SQ8_SPEC) and
+    the per-query scan reads a quarter of the bytes; the BLAS work is
+    one int matmul per Arrow batch against the broadcast query codes.
+    Stage 2 touches only Q x k x refine full vectors. Queries are
+    collected driver-side (the small-Q contract shared with
+    brute_force_topk_numpy / ivf_topk_numpy).
+    """
+    spark = queries.sparkSession
+    if scale is None:
+        scale = sq8_scale(corpus, vec_col)
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qcodes = _sq8_codes(qmat, scale)
+    n_cand = k * refine
+    bc = spark.sparkContext.broadcast((qids, qcodes))
+
+    def candidates(batches):
+        bqids, bqcodes = bc.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = _sq8_codes(mat, scale)
+            intdot = bqcodes @ codes.T                 # Q x batch, int64
+            nc2 = (codes * codes).sum(axis=1)          # batch, int64
+            denom = np.sqrt(nc2.astype(np.float64))
+            for qi, qid in enumerate(bqids):
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = np.where(nc2 == 0, 0.0,
+                                 intdot[qi].astype(np.float64) / denom)
+                mask = ids != qid
+                mids, ms = ids[mask], s[mask]
+                take = min(n_cand, mids.size)
+                cand = np.lexsort((mids, -ms))[:take]
+                yield pd.DataFrame({
+                    "qid": np.repeat(qid, take),
+                    "nid": mids[cand],
+                    "s": ms[cand]})
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        candidates, schema="qid long, nid long, s double")
+    wc = Window.partitionBy("qid").orderBy(F.col("s").desc(),
+                                           F.col("nid").asc())
+    cand = (partial.withColumn("rn", F.row_number().over(wc))
+            .filter(F.col("rn") <= n_cand).select("qid", "nid"))
+
+    # stage 2: exact cosine over the candidate set only
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qunit = np.divide(qmat, qnorm, out=np.zeros_like(qmat),
+                      where=qnorm != 0)
+    bq = spark.sparkContext.broadcast(
+        ({int(q): i for i, q in enumerate(qids)}, qunit))
+
+    def rerank(batches):
+        qpos, bqunit = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            unit = np.divide(mat, norms, out=np.zeros_like(mat),
+                             where=norms != 0)
+            qsel = bqunit[[qpos[int(q)] for q in pdf["qid"]]]
+            cos = np.floor((qsel * unit).sum(axis=1) * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame({"qid": pdf["qid"], "nid": pdf["nid"],
+                                "cos": cos})
+
+    joined = cand.join(
+        corpus.select(F.col(id_col).alias("nid"), vec_col), "nid")
+    scored = joined.mapInPandas(rerank, schema="qid long, nid long, cos double")
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(),
+                                          F.col("nid").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid",
+                    round4_xengine(F.col("cos")).alias("cos"), "rank"))

@@ -394,27 +394,38 @@ def test_signature_cache_release(spark):
     """Library persist() lifecycle: the pair generators register their
     persisted signature tables so callers can release them — a
     long-lived session looping over corpora must not accumulate cached
-    storage (VERDICT r7 item 5)."""
+    storage (VERDICT r7 item 5). Compared as persistent-RDD ID SETS,
+    not counts: ContextCleaner unpersists other tests' dereferenced
+    caches asynchronously, so a count-delta assertion flakes whenever
+    a stale fixture cache happens to be collected mid-test (observed
+    under load, r9); old ids can only DISAPPEAR, so asserting on the
+    new-id set is exact."""
     from mr_mpi_blast_spark.operators.dedup import (
         release_signature_caches, signature_cache_scope)
 
+    def persist_ids():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
     release_signature_caches()                 # clean slate (this module)
-    jsc = spark.sparkContext._jsc.sc()
-    base = jsc.getPersistentRDDs().size()      # fixture caches et al.
     rows = [(i, f"some shared prefix text {i} with enough characters "
                 f"to shingle properly {i}") for i in range(30)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
+    ids0 = persist_ids()
     minhash_lsh_pairs(df, n=10, threshold=0.5).count()
     simhash_near_pairs(df).count()
-    assert jsc.getPersistentRDDs().size() == base + 2
+    new = persist_ids() - ids0
+    assert len(new) == 2                       # the two signature tables
     assert release_signature_caches() == 2
-    assert jsc.getPersistentRDDs().size() == base
+    assert not (persist_ids() & new)
 
+    ids0 = persist_ids()
     with signature_cache_scope():
         minhash_lsh_pairs(df, n=10, threshold=0.5).count()
-        assert jsc.getPersistentRDDs().size() == base + 1
-    assert jsc.getPersistentRDDs().size() == base
+        new = persist_ids() - ids0
+        assert len(new) == 1
+    assert not (persist_ids() & new)
 
 
 def test_duplicate_span_profile_semantics(spark):
@@ -656,3 +667,86 @@ def test_ivf_topk_numpy_parity(spark, emb):
                 ivf_topk_numpy(qf, vecs, cf, k=4,
                                nprobe=nprobe).collect()}
         assert lit == blas, f"fixture parity break at nprobe={nprobe}"
+
+
+def test_duplicate_span_remove_semantics(spark):
+    """ExactSubstr removal edges: the corpus-first copy of a
+    duplicated block survives while every later copy is excised; a
+    within-doc repeat keeps its first occurrence; docs shorter than
+    min_len and clean docs pass through; a doc whose duplicate block
+    is its entire text empties (kept_tokens 0, clean_text '')."""
+    from mr_mpi_blast_spark.operators.dedup import duplicate_span_remove
+
+    B = " ".join(f"b{i}" for i in range(7))     # shared 7-token block
+    docs = spark.createDataFrame([
+        (1, f"a0 a1 {B} a2 a3"),                 # first copy: kept
+        (2, f"c0 {B} c1 c2 c3"),                 # later copy: excised
+        (3, B),                                  # later copy IS the doc
+        (4, "d0 d1 d2 d3 d4 z0 z1 z2 d0 d1 d2 d3 d4"),  # within-doc
+        (5, "short doc"),                        # < min_len
+        (6, "e0 e1 e2 e3 e4 e5"),                # clean
+    ], "doc_id long, text string")
+
+    out = {r.doc_id: r for r in
+           duplicate_span_remove(docs, min_len=5).collect()}
+    assert len(out) == 6
+    got = {k: (v.n_tokens, v.kept_tokens, v.clean_text)
+           for k, v in out.items()}
+    assert got == {
+        1: (11, 11, f"a0 a1 {B} a2 a3"),
+        2: (11, 4, "c0 c1 c2 c3"),
+        3: (7, 0, ""),
+        4: (13, 8, "d0 d1 d2 d3 d4 z0 z1 z2"),
+        5: (2, 2, "short doc"),
+        6: (6, 6, "e0 e1 e2 e3 e4 e5"),
+    }
+
+
+def test_sq8_topk_exhaustive_refine_equals_bruteforce(spark, emb):
+    """SQ8 with a candidate budget covering the whole corpus reduces
+    to exact brute force (stage 2 re-scores every vector under the
+    identical floor-1e-6/lowest-nid contract) — pinning the re-rank
+    path end to end. With the production budget (refine=3) the
+    results stay ranked by the same exact cos key, and every returned
+    cos equals the brute-force cos for that (qid, nid)."""
+    from mr_mpi_blast_spark.operators.similarity import (
+        brute_force_topk_numpy, sq8_topk_numpy)
+
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    bf = {(r.qid, r.rank): (r.nid, r.cos)
+          for r in brute_force_topk_numpy(q, emb, k=5).collect()}
+    full = {(r.qid, r.rank): (r.nid, r.cos)
+            for r in sq8_topk_numpy(q, emb, k=5, refine=1000).collect()}
+    assert full == bf
+
+    bf_cos = {(r.qid, r.nid): r.cos
+              for r in brute_force_topk_numpy(q, emb, k=500).collect()}
+    got = sq8_topk_numpy(q, emb, k=5, refine=3).collect()
+    assert {r.qid for r in got} == {k[0] for k in bf}
+    for r in got:
+        assert r.cos == bf_cos[(r.qid, r.nid)]
+
+
+def test_sq8_topk_zero_norm_and_tie_fixture(spark):
+    """SQ8 edges: a zero-norm corpus row scores 0.0 in both stages
+    (never NaN), a zero-norm query returns all-0.0 cos with lowest-nid
+    rank order, and exact duplicates tie-break by lowest nid."""
+    from mr_mpi_blast_spark.operators.similarity import sq8_topk_numpy
+
+    d = 4
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),      # dup of 0 (tie)
+            (3, [0.0] * d),                 # zero-norm corpus row
+            (4, [0.7, 0.7, 0.0, 0.0])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qf = spark.createDataFrame([(10, [1.0, 0.0, 0.0, 0.0]),
+                                (11, [0.0] * d)],
+                               "vec_id long, embedding array<double>")
+    out = {(r.qid, r.rank): (r.nid, r.cos)
+           for r in sq8_topk_numpy(qf, vecs, k=5, refine=1).collect()}
+    assert out[(10, 1)] == (0, 1.0) and out[(10, 2)] == (2, 1.0)
+    assert out[(10, 5)][1] == 0.0           # zero-norm row: cos 0.0
+    # zero-norm query: every cos 0.0, ranks by lowest nid
+    assert [out[(11, i)][0] for i in range(1, 6)] == [0, 1, 2, 3, 4]
+    assert all(out[(11, i)][1] == 0.0 for i in range(1, 6))

@@ -58,6 +58,13 @@ FACADES = [
     # r9: BPE corpus encode (apply step; window full — the oracle
     # replays learn-then-encode end to end)
     "bpe_encode",
+    # r9: ExactSubstr span removal (apply step of dedup_substr_spans;
+    # window full — strings + exact integer counts)
+    "dedup_substr_remove",
+    # r9: SQ8 quantized ANN (window full — stage-1 candidate cut is
+    # exact integer math, stage-2 re-rank shares the ann_cosine_topk
+    # rounding contract)
+    "ann_sq8_topk",
 ]
 
 # Tail-registered entries with NO value oracle by nature (the driver
