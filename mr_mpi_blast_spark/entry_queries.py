@@ -3244,6 +3244,39 @@ def q_ann_sq8_topk(spark, sf_dir):
                           k=5, refine=3)
 
 
+_MIX_WEIGHTS_SQL = f"""
+WITH per AS (
+  SELECT source AS k, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split({_NORM_SQL}, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt,
+         list_reduce(list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY k),
+                     (a, b) -> a + b) AS ss
+  FROM per)
+SELECT k AS source, n_docs, n_tokens,
+  floor(CAST(n_tokens AS DOUBLE) / tt * 1e6 + 0.5) / 1e6 AS nat_frac,
+  floor(sqrt(CAST(n_tokens AS DOUBLE)) / ss * 1e6 + 0.5) / 1e6 AS mix_frac,
+  floor((sqrt(CAST(n_tokens AS DOUBLE)) / ss)
+        / (CAST(n_tokens AS DOUBLE) / tt) * 1e6 + 0.5) / 1e6 AS upsample
+FROM per, tot
+"""
+
+
+@query("mix_weights", _MIX_WEIGHTS_SQL)
+def q_mix_weights(spark, sf_dir):
+    """Temperature-scaled domain mixing weights (r9, the Pile/LLaMA
+    source-mixing discipline): per-source token mass, natural share,
+    alpha=0.5 mixing share (sqrt keeps the power correctly rounded
+    cross-engine), and the upsampling factor a sampler applies. The
+    cross-domain denominator is a sorted sequential fold, never a
+    partitioning-dependent double sum
+    (operators/sampling.py:mix_weights). Tail-registered: the
+    driver's 50-slot window is full."""
+    from mr_mpi_blast_spark.operators.sampling import mix_weights
+    return mix_weights(_t(spark, sf_dir, "documents"), alpha=0.5)
+
+
 # ---------------------------------------------------------------------------
 # Run-epilogue summary (W7/A6). Tail-registered since r9: its timing
 # values are wall-clock measurements, so the driver's check is

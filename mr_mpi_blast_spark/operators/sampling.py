@@ -127,3 +127,59 @@ def stratified_sample_exact(df: DataFrame, stratum_col: str, id_col: str,
             .withColumn("_rn", F.col("_off") + F.row_number().over(w))
             .filter(F.col("_rn") <= F.ceil(F.lit(frac) * F.col("_tot")))
             .drop("_h", "_hb", "_off", "_tot", "_rn"))
+
+
+def mix_weights(df: DataFrame, alpha: float = 0.5,
+                by: str = "source",
+                text_col: str = "text") -> DataFrame:
+    """Temperature-scaled domain mixing weights (the Pile / LLaMA
+    source-mixing discipline; Gao et al. 2020, Touvron et al. 2023):
+    per domain, the natural token share nat_frac = T_s / T and the
+    temperature-alpha mixing share mix_frac = T_s^alpha / sum_t
+    T_t^alpha, plus the upsampling factor mix_frac / nat_frac a
+    sampler applies per domain. alpha < 1 flattens the mix toward
+    small domains (alpha 0 = uniform over domains, 1 = natural).
+
+    Output, one row per domain: (<by>, n_docs, n_tokens, nat_frac,
+    mix_frac, upsample), fractions floor-rounded at 1e-6.
+
+    Determinism: token counts are EXACT integer sums; for alpha = 0.5
+    the power runs as sqrt (IEEE-correctly-rounded, so engine and
+    oracle agree bit-for-bit), while other alphas use pow, which is
+    only 1-ulp-bounded in both engines — the ln()-residual note in
+    operators/search.py applies. The cross-domain sum of T_s^alpha is
+    a SEQUENTIAL FOLD over the domains sorted by key — never a
+    partitioning-dependent double sum — so the denominator is
+    bit-stable on any cluster layout and replayable by an ordered
+    list_reduce in DuckDB.
+
+    100 TB shape: one map-side-combinable integer aggregate on a
+    low-cardinality key, a one-row totals table broadcast back; no
+    wide shuffle, no skew exposure (per-domain counts combine before
+    the exchange)."""
+    from mr_mpi_blast_spark.functions.text import tokens
+
+    per = (df.groupBy(F.col(by).alias("k"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.size(tokens(F.col(text_col))))
+                   .cast("long").alias("n_tokens")))
+    if alpha == 0.5:
+        pw = F.sqrt(F.col("n_tokens").cast("double"))
+    else:
+        pw = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    per = per.withColumn("pw", pw)
+    tot = (per.agg(F.sum("n_tokens").alias("tt"),
+                   F.sort_array(F.collect_list(F.struct("k", "pw")))
+                    .alias("arr"))
+           .select(F.col("tt").cast("double").alias("tt"),
+                   F.aggregate(F.expr("transform(arr, x -> x.pw)"),
+                               F.lit(0.0),
+                               lambda acc, v: acc + v).alias("ss")))
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    nat = F.col("n_tokens").cast("double") / F.col("tt")
+    mix = F.col("pw") / F.col("ss")
+    return (per.crossJoin(F.broadcast(tot))
+            .select(F.col("k").alias(by), "n_docs", "n_tokens",
+                    r6(nat).alias("nat_frac"),
+                    r6(mix).alias("mix_frac"),
+                    r6(mix / nat).alias("upsample")))

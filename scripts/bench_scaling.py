@@ -92,6 +92,15 @@ def main() -> None:
 
     spark = get_spark("bench_scaling")
     qs = {k: v for k, v in e.queries().items() if k not in CORRECTNESS_ONLY}
+    # Optional query-name filter (argv, like check_correctness.py):
+    # targeted decade runs for newly added operators, merged into
+    # SCALING.json without re-sweeping the whole suite.
+    if len(sys.argv) > 1:
+        want = set(sys.argv[1:])
+        unknown = want - set(qs)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        qs = {k: v for k, v in qs.items() if k in want}
 
     sf_dirs = list(SFS)
     have_sf1 = os.path.isdir(SF1_DIR)

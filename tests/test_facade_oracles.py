@@ -65,6 +65,9 @@ FACADES = [
     # exact integer math, stage-2 re-rank shares the ann_cosine_topk
     # rounding contract)
     "ann_sq8_topk",
+    # r9: temperature-scaled domain mixing weights (window full —
+    # exact integer token sums, sqrt power, sorted-fold denominator)
+    "mix_weights",
 ]
 
 # Tail-registered entries with NO value oracle by nature (the driver

@@ -168,3 +168,25 @@ def test_split_fraction_validation(spark):
         deterministic_split(docs, "doc_id", {"a": 0.9, "b": 0.2})
     with pytest.raises(ValueError):
         deterministic_sample(docs, "doc_id", 1.5)
+
+
+def test_mix_weights_semantics(spark):
+    """Temperature-mix edges: alpha=1 reproduces the natural mix
+    (upsample 1.0 for every domain), alpha=0.5 moves share from the
+    large domain to the small one (upsample < 1 vs > 1) while
+    mix_frac still sums to ~1, and token counts are exact."""
+    from mr_mpi_blast_spark.operators.sampling import mix_weights
+
+    rows = [(1, "a", "w " * 90), (2, "a", "w " * 91),
+            (3, "b", "w " * 10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    nat = {r.source: r for r in mix_weights(df, alpha=1.0).collect()}
+    assert nat["a"].n_tokens == 181 and nat["b"].n_tokens == 10
+    assert nat["a"].n_docs == 2 and nat["b"].n_docs == 1
+    assert nat["a"].upsample == 1.0 and nat["b"].upsample == 1.0
+
+    half = {r.source: r for r in mix_weights(df, alpha=0.5).collect()}
+    assert half["a"].upsample < 1.0 < half["b"].upsample
+    assert abs(half["a"].mix_frac + half["b"].mix_frac - 1.0) < 1e-5
+    assert abs(half["a"].nat_frac - 181 / 191) < 1e-5
