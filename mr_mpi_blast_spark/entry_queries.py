@@ -3227,6 +3227,31 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _sq8_staged(spark, sf_dir):
+    """(scale, code table): the fitted SQ8 artifact, content-addressed
+    on (embeddings generation, SQ8_SPEC) with the scale in a meta
+    sidecar BESIDE the parquet dir (the recall-artifact discipline) —
+    a deployment quantizes its corpus once and every search scans the
+    8x-smaller code table."""
+    from mr_mpi_blast_spark.operators.similarity import (SQ8_SPEC,
+                                                         sq8_encode,
+                                                         sq8_scale)
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    path = _pairs_store_path(
+        f"sq8:{sf_dir}:{st.st_mtime_ns}:{st.st_size}:{SQ8_SPEC}")
+    meta = path + "_meta.json"
+    if not (os.path.exists(os.path.join(path, "_SUCCESS"))
+            and os.path.exists(meta)):
+        e = _t(spark, sf_dir, "embeddings")
+        scale = sq8_scale(e)
+        sq8_encode(e, scale).write.mode("overwrite").parquet(path)
+        with open(meta, "w") as f:
+            json.dump({"scale": scale, "spec": SQ8_SPEC}, f)
+    with open(meta) as f:
+        scale = json.load(f)["scale"]
+    return scale, spark.read.parquet(path)
+
+
 @query("ann_sq8_topk", _SQ8_ORACLE)
 def q_ann_sq8_topk(spark, sf_dir):
     """SQ8 scalar-quantized ANN (r9): int8-range codes under one
@@ -3234,14 +3259,17 @@ def q_ann_sq8_topk(spark, sf_dir):
     EXACT integer dot products (bit-reproducible across engines — no
     rounding discipline needed in stage 1), then the candidates
     re-rank with the exact-cosine contract of ann_cosine_topk. The
-    memory-bandwidth member of the ANN family: a staged code table is
-    4x smaller than float32 (operators/similarity.py:sq8_topk_numpy
-    for the 100 TB shape). Tail-registered: the driver's 50-slot
-    window is full."""
+    memory-bandwidth member of the ANN family: stage 1 scans the
+    STAGED code table (_sq8_staged — 8x smaller than the double
+    arrays, no per-batch quantization), which is where the bandwidth
+    win is real; the on-the-fly form merely ties float brute force
+    (operators/similarity.py:sq8_topk_numpy). Tail-registered: the
+    driver's 50-slot window is full."""
     from mr_mpi_blast_spark.operators.similarity import sq8_topk_numpy
     e = _t(spark, sf_dir, "embeddings")
+    scale, codes = _sq8_staged(spark, sf_dir)
     return sq8_topk_numpy(e.filter(F.col("vec_id") % 20 == 0), e,
-                          k=5, refine=3)
+                          k=5, refine=3, scale=scale, codes=codes)
 
 
 _MIX_WEIGHTS_SQL = f"""

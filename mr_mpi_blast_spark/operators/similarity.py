@@ -692,7 +692,13 @@ def brute_force_topk_numpy(queries: DataFrame, corpus: DataFrame, k: int,
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows])
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    # zero-norm guard (r9): the expression twin and the oracle both
+    # score a zero-norm vector as cos 0.0 (try_divide + coalesce); the
+    # bare division here produced NaN rows instead — a latent
+    # divergence masked only because the testdata has no zero vectors
+    qmat = np.divide(qmat, qnorm, out=np.zeros_like(qmat),
+                     where=qnorm != 0)
     bc = spark.sparkContext.broadcast((qids, qmat))
 
     def score(batches):
@@ -700,23 +706,30 @@ def brute_force_topk_numpy(queries: DataFrame, corpus: DataFrame, k: int,
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = bqmat @ mat.T                       # Q x batch
-            for qi, qid in enumerate(bqids):
-                # rank on the same floor-form 1e-6 key as the window
-                # (np.round is half-even, not half-up) and break
-                # equal-cosine ties by LOWEST nid via lexsort — an
-                # unstable argsort could drop the neighbor the
-                # declared (cos desc, nid asc) contract keeps.
-                row = np.floor(sims[qi] * 1e6 + 0.5) / 1e6
-                mask = ids != qid
-                mids, mcos = ids[mask], row[mask]
-                take = min(k, mids.size)
-                cand = np.lexsort((mids, -mcos))[:take]
-                yield pd.DataFrame({
-                    "qid": np.repeat(qid, take),
-                    "nid": mids[cand],
-                    "cos": mcos[cand]})
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = np.divide(mat, norms, out=np.zeros_like(mat),
+                            where=norms != 0)
+            # rank on the same floor-form 1e-6 key as the window
+            # (np.round is half-even, not half-up). Selection is
+            # vectorized across queries (the per-query Python loop
+            # measured as the sf1.0 wall): columns pre-sorted by id,
+            # then ONE stable argsort of -cos per batch resolves ties
+            # in ascending-id order — the (cos desc, nid asc)
+            # contract the per-query lexsort implemented. Self-pairs
+            # mask to -inf and drop.
+            order0 = np.argsort(ids, kind="stable")
+            ids_s, mat_s = ids[order0], mat[order0]
+            smat = np.floor((bqmat @ mat_s.T) * 1e6 + 0.5) / 1e6
+            smat[bqids[:, None] == ids_s[None, :]] = -np.inf
+            cut = min(k, smat.shape[1])
+            sel = np.argsort(-smat, axis=1, kind="stable")[:, :cut]
+            svals = np.take_along_axis(smat, sel, axis=1)
+            valid = svals > -np.inf                    # row-major nonzero
+            qrow, _ = np.nonzero(valid)
+            yield pd.DataFrame({
+                "qid": bqids[qrow],
+                "nid": ids_s[sel[valid]],
+                "cos": svals[valid]})
 
     partial = corpus.select(id_col, vec_col).mapInPandas(
         score, schema="qid long, nid long, cos double")
@@ -1119,11 +1132,35 @@ def _sq8_codes(mat: np.ndarray, scale: float) -> np.ndarray:
     return np.clip(np.floor(mat * scale + 0.5), -127, 127).astype(np.int64)
 
 
+def sq8_encode(corpus: DataFrame, scale: float,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, code): the SQ8 code table — each vector's int8 codes
+    packed into ONE binary value (d bytes; int8 is endianness-free).
+    8x smaller than the array<double> source and 4x smaller than
+    float32: this is the artifact a production deployment stages once
+    (content-addressed under SQ8_SPEC, scale recorded in a meta
+    sidecar) so every sq8_topk_numpy search scans a quarter of the
+    bytes and skips per-batch quantization entirely."""
+    id_type = dict(corpus.dtypes)[id_col]
+
+    def enc(batches):
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = _sq8_codes(mat, scale).astype(np.int8)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "code": [c.tobytes() for c in codes]})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"{id_col} {id_type}, code binary")
+
+
 def sq8_topk_numpy(queries: DataFrame, corpus: DataFrame, k: int,
                    refine: int = 3,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   scale: float | None = None) -> DataFrame:
+                   scale: float | None = None,
+                   codes: DataFrame | None = None) -> DataFrame:
     """Scalar-quantized (SQ8) approximate top-k with exact re-rank —
     the memory-bandwidth scale path of the ANN family (faiss's
     SQ8-style index, one global symmetric scale).
@@ -1152,8 +1189,22 @@ def sq8_topk_numpy(queries: DataFrame, corpus: DataFrame, k: int,
     Stage 2 touches only Q x k x refine full vectors. Queries are
     collected driver-side (the small-Q contract shared with
     brute_force_topk_numpy / ivf_topk_numpy).
+
+    ``codes``: optionally a staged sq8_encode table (id, code binary)
+    — stage 1 then scans IT instead of the full-precision corpus (8x
+    fewer bytes, no per-batch quantization). Measured honestly at the
+    synthetic sf1.0 (20k x 64 doubles = 10 MB): the staged scan saves
+    only ~10 MB of I/O while stage 2's re-rank join adds ~1 s of
+    fixed job overhead, so SQ8 lands NEXT TO float brute force there,
+    not under it — the crossover is where the corpus scan dominates
+    the fixed costs (GB-scale per executor and up), which is the
+    regime the operator exists for. ``scale`` must be the scale the
+    codes were encoded with.
     """
     spark = queries.sparkSession
+    if codes is not None and scale is None:
+        raise ValueError("sq8_topk_numpy: staged codes require the "
+                         "scale they were encoded with")
     if scale is None:
         scale = sq8_scale(corpus, vec_col)
     qrows = queries.select(id_col, vec_col).collect()
@@ -1161,31 +1212,57 @@ def sq8_topk_numpy(queries: DataFrame, corpus: DataFrame, k: int,
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     qcodes = _sq8_codes(qmat, scale)
     n_cand = k * refine
-    bc = spark.sparkContext.broadcast((qids, qcodes))
+
+    # The integer scan runs as float64 dgemm ON PURPOSE: numpy routes
+    # int64 matmul through naive loops (no BLAS integer GEMM), which
+    # measured ~2x SLOWER than the float brute force it exists to
+    # beat. Codes are bounded by 127, so every product (<= 127^2) and
+    # every partial sum (<= d * 127^2) is an integer below 2^53 —
+    # float64 accumulation is EXACT in any summation order, and the
+    # scores stay bit-identical to the DuckDB integer oracle for any
+    # real dimensionality (the bound breaks only at d > 5e11).
+    bc = spark.sparkContext.broadcast((qids, qcodes.astype(np.float64)))
+
+    d = qmat.shape[1]
+    staged = codes is not None
 
     def candidates(batches):
         bqids, bqcodes = bc.value
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            codes = _sq8_codes(mat, scale)
-            intdot = bqcodes @ codes.T                 # Q x batch, int64
-            nc2 = (codes * codes).sum(axis=1)          # batch, int64
-            denom = np.sqrt(nc2.astype(np.float64))
-            for qi, qid in enumerate(bqids):
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    s = np.where(nc2 == 0, 0.0,
-                                 intdot[qi].astype(np.float64) / denom)
-                mask = ids != qid
-                mids, ms = ids[mask], s[mask]
-                take = min(n_cand, mids.size)
-                cand = np.lexsort((mids, -ms))[:take]
-                yield pd.DataFrame({
-                    "qid": np.repeat(qid, take),
-                    "nid": mids[cand],
-                    "s": ms[cand]})
+            if staged:
+                cmat = (np.frombuffer(b"".join(pdf["code"]), dtype=np.int8)
+                        .reshape(len(pdf), d).astype(np.float64))
+            else:
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                cmat = _sq8_codes(mat, scale).astype(np.float64)
+            # Selection is VECTORIZED across queries (a per-query
+            # Python loop measured as the sf1.0 wall, dwarfing the
+            # dgemm): columns pre-sorted by id, so ONE stable argsort
+            # of -S per batch resolves score ties in ascending-id
+            # order — exactly the (s desc, nid asc) contract the
+            # per-query lexsort implemented. Self-pairs are masked to
+            # -inf (sorts last under every real score) and dropped.
+            order0 = np.argsort(ids, kind="stable")
+            ids_s, cmat_s = ids[order0], cmat[order0]
+            intdot = bqcodes @ cmat_s.T                # Q x batch, exact ints
+            nc2 = (cmat_s * cmat_s).sum(axis=1)        # batch, exact ints
+            with np.errstate(divide="ignore", invalid="ignore"):
+                smat = np.where(nc2 == 0, 0.0, intdot / np.sqrt(nc2))
+            smat[bqids[:, None] == ids_s[None, :]] = -np.inf
+            cut = min(n_cand, smat.shape[1])
+            sel = np.argsort(-smat, axis=1, kind="stable")[:, :cut]
+            svals = np.take_along_axis(smat, sel, axis=1)
+            valid = svals > -np.inf                    # row-major nonzero
+            qrow, _ = np.nonzero(valid)
+            yield pd.DataFrame({
+                "qid": bqids[qrow],
+                "nid": ids_s[sel[valid]],
+                "s": svals[valid]})
 
-    partial = corpus.select(id_col, vec_col).mapInPandas(
+    scan = (codes.select(id_col, "code") if staged
+            else corpus.select(id_col, vec_col))
+    partial = scan.mapInPandas(
         candidates, schema="qid long, nid long, s double")
     wc = Window.partitionBy("qid").orderBy(F.col("s").desc(),
                                            F.col("nid").asc())

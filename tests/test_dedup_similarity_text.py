@@ -750,3 +750,48 @@ def test_sq8_topk_zero_norm_and_tie_fixture(spark):
     # zero-norm query: every cos 0.0, ranks by lowest nid
     assert [out[(11, i)][0] for i in range(1, 6)] == [0, 1, 2, 3, 4]
     assert all(out[(11, i)][1] == 0.0 for i in range(1, 6))
+
+
+def test_sq8_staged_codes_parity(spark, emb):
+    """The staged code-table scan (sq8_encode artifact + codes=) must
+    return row-identical results to the on-the-fly quantizing scan —
+    same codes, same candidate cut, same re-rank."""
+    from mr_mpi_blast_spark.operators.similarity import (sq8_encode,
+                                                         sq8_scale,
+                                                         sq8_topk_numpy)
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    scale = sq8_scale(emb)
+    codes = sq8_encode(emb, scale)
+    fly = {tuple(r) for r in sq8_topk_numpy(q, emb, k=5, refine=3,
+                                            scale=scale).collect()}
+    stg = {tuple(r) for r in sq8_topk_numpy(q, emb, k=5, refine=3,
+                                            scale=scale,
+                                            codes=codes).collect()}
+    assert fly == stg
+
+
+def test_bruteforce_numpy_zero_norm_matches_expression(spark):
+    """Zero-norm fixture parity for the numpy brute-force path: the
+    expression twin scores zero-norm vectors as cos 0.0 (try_divide +
+    coalesce); the numpy path's bare division used to emit NaN rows
+    instead (latent divergence, r9). Both paths must now agree on a
+    fixture WITH zero-norm query and corpus rows."""
+    from mr_mpi_blast_spark.operators.similarity import (
+        brute_force_topk, brute_force_topk_numpy)
+
+    d = 4
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [0.0] * d),                 # zero-norm corpus row
+            (4, [0.7, 0.7, 0.0, 0.0])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qf = spark.createDataFrame([(10, [1.0, 0.0, 0.0, 0.0]),
+                                (11, [0.0] * d)],   # zero-norm query
+                               "vec_id long, embedding array<double>")
+    expr = {tuple(r) for r in brute_force_topk(qf, vecs, k=5).collect()}
+    blas = {tuple(r) for r in
+            brute_force_topk_numpy(qf, vecs, k=5).collect()}
+    assert expr == blas
+    cos = {(q, n): c for q, n, c, _ in expr}
+    assert cos[(10, 3)] == 0.0 and cos[(11, 0)] == 0.0
