@@ -60,7 +60,7 @@ def main() -> None:
     scaling["note"] = scaling.get("note", "") + (
         f" Augmented with {len(runs)} targeted runs (run_aug_*) for: "
         + ", ".join(names) + ".")
-    print(json.dumps(scaling))
+    print(json.dumps(scaling, indent=1))
 
 
 if __name__ == "__main__":
