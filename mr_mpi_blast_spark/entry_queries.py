@@ -3233,6 +3233,7 @@ def _sq8_staged(spark, sf_dir):
     sidecar BESIDE the parquet dir (the recall-artifact discipline) —
     a deployment quantizes its corpus once and every search scans the
     8x-smaller code table."""
+    import shutil
     from mr_mpi_blast_spark.operators.similarity import (SQ8_SPEC,
                                                          sq8_encode,
                                                          sq8_scale)
@@ -3240,13 +3241,28 @@ def _sq8_staged(spark, sf_dir):
     path = _pairs_store_path(
         f"sq8:{sf_dir}:{st.st_mtime_ns}:{st.st_size}:{SQ8_SPEC}")
     meta = path + "_meta.json"
+    # crash-safe build (the recall-artifact discipline above): parquet
+    # lands via tmp-dir rename, the meta via tmp-file replace — a kill
+    # mid-write can never leave a readable-but-torn pair that wedges
+    # every later run in json.load
     if not (os.path.exists(os.path.join(path, "_SUCCESS"))
             and os.path.exists(meta)):
+        if os.path.isdir(path):                 # torn artifact
+            shutil.rmtree(path, ignore_errors=True)
         e = _t(spark, sf_dir, "embeddings")
         scale = sq8_scale(e)
-        sq8_encode(e, scale).write.mode("overwrite").parquet(path)
-        with open(meta, "w") as f:
+        tmpd = f"{path}.{os.getpid()}.tmp"
+        sq8_encode(e, scale).write.mode("overwrite").parquet(tmpd)
+        try:
+            os.rename(tmpd, path)
+        except OSError:
+            shutil.rmtree(tmpd, ignore_errors=True)
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise                           # not a concurrent win
+        mtmp = f"{meta}.{os.getpid()}.tmp"
+        with open(mtmp, "w") as f:
             json.dump({"scale": scale, "spec": SQ8_SPEC}, f)
+        os.replace(mtmp, meta)
     with open(meta) as f:
         scale = json.load(f)["scale"]
     return scale, spark.read.parquet(path)

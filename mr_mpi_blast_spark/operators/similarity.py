@@ -681,6 +681,38 @@ def cosine_pairs_auto(vectors: DataFrame, tau: float,
     return cosine_pairs_rplsh(vectors, tau, id_col, vec_col)
 
 
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    """Row-normalize with the zero-norm guard (r9): the expression
+    twins and the oracles all score a zero-norm vector as cos 0.0
+    (try_divide + coalesce); a bare division produced NaN rows
+    instead — a latent divergence masked only because the testdata
+    has no zero vectors."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return np.divide(mat, norms, out=np.zeros_like(mat),
+                     where=norms != 0)
+
+
+def _select_topk(bqids: np.ndarray, ids: np.ndarray, smat: np.ndarray,
+                 cut: int):
+    """Vectorized per-query top-`cut` selection under the
+    (score desc, id asc) tie contract, shared by the brute-force and
+    SQ8 scans (a per-query Python loop measured as the sf1.0 wall,
+    dwarfing the dgemm): callers pass `smat` with columns ALREADY
+    sorted by ascending id, so ONE stable argsort of -smat resolves
+    score ties in ascending-id order — exactly what the per-query
+    lexsort implemented. Self-pairs are masked to -inf (sorts last
+    under every real score) and dropped. Returns (qrow, nid_idx,
+    svals): row indices into bqids, column indices into the sorted
+    ids, and the selected scores, in row-major rank order."""
+    smat[bqids[:, None] == ids[None, :]] = -np.inf
+    cut = min(cut, smat.shape[1])
+    sel = np.argsort(-smat, axis=1, kind="stable")[:, :cut]
+    svals = np.take_along_axis(smat, sel, axis=1)
+    valid = svals > -np.inf                        # row-major nonzero
+    qrow, _ = np.nonzero(valid)
+    return qrow, sel[valid], svals[valid]
+
+
 def brute_force_topk_numpy(queries: DataFrame, corpus: DataFrame, k: int,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding") -> DataFrame:
@@ -690,46 +722,27 @@ def brute_force_topk_numpy(queries: DataFrame, corpus: DataFrame, k: int,
     brute_force_topk; the heavy O(Q x N x d) work runs in BLAS."""
     spark = queries.sparkSession
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], schema="qid long, nid long, cos double, rank int")
     qids = np.array([r[0] for r in qrows])
-    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
-    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
-    # zero-norm guard (r9): the expression twin and the oracle both
-    # score a zero-norm vector as cos 0.0 (try_divide + coalesce); the
-    # bare division here produced NaN rows instead — a latent
-    # divergence masked only because the testdata has no zero vectors
-    qmat = np.divide(qmat, qnorm, out=np.zeros_like(qmat),
-                     where=qnorm != 0)
+    qmat = _unit_rows(np.array([r[1] for r in qrows], dtype=np.float64))
     bc = spark.sparkContext.broadcast((qids, qmat))
 
     def score(batches):
         bqids, bqmat = bc.value
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            mat = np.divide(mat, norms, out=np.zeros_like(mat),
-                            where=norms != 0)
-            # rank on the same floor-form 1e-6 key as the window
-            # (np.round is half-even, not half-up). Selection is
-            # vectorized across queries (the per-query Python loop
-            # measured as the sf1.0 wall): columns pre-sorted by id,
-            # then ONE stable argsort of -cos per batch resolves ties
-            # in ascending-id order — the (cos desc, nid asc)
-            # contract the per-query lexsort implemented. Self-pairs
-            # mask to -inf and drop.
+            mat = _unit_rows(np.stack(pdf[vec_col].to_numpy())
+                             .astype(np.float64))
             order0 = np.argsort(ids, kind="stable")
             ids_s, mat_s = ids[order0], mat[order0]
+            # rank on the same floor-form 1e-6 key as the window
+            # (np.round is half-even, not half-up)
             smat = np.floor((bqmat @ mat_s.T) * 1e6 + 0.5) / 1e6
-            smat[bqids[:, None] == ids_s[None, :]] = -np.inf
-            cut = min(k, smat.shape[1])
-            sel = np.argsort(-smat, axis=1, kind="stable")[:, :cut]
-            svals = np.take_along_axis(smat, sel, axis=1)
-            valid = svals > -np.inf                    # row-major nonzero
-            qrow, _ = np.nonzero(valid)
+            qrow, nidx, svals = _select_topk(bqids, ids_s, smat, k)
             yield pd.DataFrame({
-                "qid": bqids[qrow],
-                "nid": ids_s[sel[valid]],
-                "cos": svals[valid]})
+                "qid": bqids[qrow], "nid": ids_s[nidx], "cos": svals})
 
     partial = corpus.select(id_col, vec_col).mapInPandas(
         score, schema="qid long, nid long, cos double")
@@ -1208,6 +1221,9 @@ def sq8_topk_numpy(queries: DataFrame, corpus: DataFrame, k: int,
     if scale is None:
         scale = sq8_scale(corpus, vec_col)
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], schema="qid long, nid long, cos double, rank int")
     qids = np.array([r[0] for r in qrows])
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     qcodes = _sq8_codes(qmat, scale)
@@ -1236,29 +1252,15 @@ def sq8_topk_numpy(queries: DataFrame, corpus: DataFrame, k: int,
             else:
                 mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
                 cmat = _sq8_codes(mat, scale).astype(np.float64)
-            # Selection is VECTORIZED across queries (a per-query
-            # Python loop measured as the sf1.0 wall, dwarfing the
-            # dgemm): columns pre-sorted by id, so ONE stable argsort
-            # of -S per batch resolves score ties in ascending-id
-            # order — exactly the (s desc, nid asc) contract the
-            # per-query lexsort implemented. Self-pairs are masked to
-            # -inf (sorts last under every real score) and dropped.
             order0 = np.argsort(ids, kind="stable")
             ids_s, cmat_s = ids[order0], cmat[order0]
             intdot = bqcodes @ cmat_s.T                # Q x batch, exact ints
             nc2 = (cmat_s * cmat_s).sum(axis=1)        # batch, exact ints
             with np.errstate(divide="ignore", invalid="ignore"):
                 smat = np.where(nc2 == 0, 0.0, intdot / np.sqrt(nc2))
-            smat[bqids[:, None] == ids_s[None, :]] = -np.inf
-            cut = min(n_cand, smat.shape[1])
-            sel = np.argsort(-smat, axis=1, kind="stable")[:, :cut]
-            svals = np.take_along_axis(smat, sel, axis=1)
-            valid = svals > -np.inf                    # row-major nonzero
-            qrow, _ = np.nonzero(valid)
+            qrow, nidx, svals = _select_topk(bqids, ids_s, smat, n_cand)
             yield pd.DataFrame({
-                "qid": bqids[qrow],
-                "nid": ids_s[sel[valid]],
-                "s": svals[valid]})
+                "qid": bqids[qrow], "nid": ids_s[nidx], "s": svals})
 
     scan = (codes.select(id_col, "code") if staged
             else corpus.select(id_col, vec_col))
@@ -1270,21 +1272,16 @@ def sq8_topk_numpy(queries: DataFrame, corpus: DataFrame, k: int,
             .filter(F.col("rn") <= n_cand).select("qid", "nid"))
 
     # stage 2: exact cosine over the candidate set only
-    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
-    qunit = np.divide(qmat, qnorm, out=np.zeros_like(qmat),
-                      where=qnorm != 0)
     bq = spark.sparkContext.broadcast(
-        ({int(q): i for i, q in enumerate(qids)}, qunit))
+        ({int(q): i for i, q in enumerate(qids)}, _unit_rows(qmat)))
 
     def rerank(batches):
         qpos, bqunit = bq.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            unit = np.divide(mat, norms, out=np.zeros_like(mat),
-                             where=norms != 0)
+            unit = _unit_rows(np.stack(pdf[vec_col].to_numpy())
+                              .astype(np.float64))
             qsel = bqunit[[qpos[int(q)] for q in pdf["qid"]]]
             cos = np.floor((qsel * unit).sum(axis=1) * 1e6 + 0.5) / 1e6
             yield pd.DataFrame({"qid": pdf["qid"], "nid": pdf["nid"],

@@ -97,9 +97,14 @@ def main() -> None:
     # SCALING.json without re-sweeping the whole suite.
     if len(sys.argv) > 1:
         want = set(sys.argv[1:])
-        unknown = want - set(qs)
+        excluded = sorted(want & CORRECTNESS_ONLY)
+        if excluded:
+            raise SystemExit(
+                f"correctness-only (not benched): {excluded} — see "
+                "bench.py CORRECTNESS_ONLY for the timed twin")
+        unknown = sorted(want - set(e.queries()))
         if unknown:
-            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+            raise SystemExit(f"unknown queries: {unknown}")
         qs = {k: v for k, v in qs.items() if k in want}
 
     sf_dirs = list(SFS)
