@@ -3321,6 +3321,31 @@ def q_mix_weights(spark, sf_dir):
     return mix_weights(_t(spark, sf_dir, "documents"), alpha=0.5)
 
 
+@query("jsonl_roundtrip", """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+""")
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL source/sink round-trip (r9): the documents table rendered
+    to newline-delimited JSON (content-addressed in scratch) and
+    re-read through the explicit-schema JSONL source — the interchange
+    format of training-data pipelines; see sources/jsonl.py for the
+    splittability / no-inference / corrupt-quarantine contract. The
+    oracle is the source table itself: the round-trip must preserve
+    every value exactly (JSON string escaping included). Rows with a
+    non-null quarantine column would surface as a row-count mismatch.
+    Tail-registered: the driver's 50-slot window is full."""
+    from mr_mpi_blast_spark.sources.jsonl import (CORRUPT_COL, read_jsonl,
+                                                  write_jsonl)
+    path = _doc_store_key(sf_dir, "jsonl")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_jsonl(_t(spark, sf_dir, "documents"), path)
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    df = read_jsonl(spark, os.path.join(path, "*.json"), schema)
+    return (df.filter(F.col(CORRUPT_COL).isNull())
+              .select("doc_id", "text", "lang", "source", "n_chars"))
+
+
 # ---------------------------------------------------------------------------
 # Run-epilogue summary (W7/A6). Tail-registered since r9: its timing
 # values are wall-clock measurements, so the driver's check is

@@ -68,6 +68,9 @@ FACADES = [
     # r9: temperature-scaled domain mixing weights (window full —
     # exact integer token sums, sqrt power, sorted-fold denominator)
     "mix_weights",
+    # r9: JSONL source/sink round-trip (window full — the oracle is
+    # the source table; exact value preservation through JSON)
+    "jsonl_roundtrip",
 ]
 
 # Tail-registered entries with NO value oracle by nature (the driver

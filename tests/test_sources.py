@@ -183,3 +183,40 @@ def test_cli_main_end_to_end(spark, tmp_path):
     assert got.count() > 0
     assert rc == 0 and main(["--formats", "bogus",
                              "--query", str(fa)]) == 2
+
+
+def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
+    """JSONL source contract: values round-trip exactly under the
+    explicit schema, a torn line lands in the quarantine column in
+    PERMISSIVE mode (clean fields null, corrupt col carries the raw
+    line) instead of failing the scan, and FAILFAST raises on it."""
+    import pytest
+    from mr_mpi_blast_spark.sources.jsonl import (CORRUPT_COL, read_jsonl,
+                                                  write_jsonl)
+
+    rows = [(1, 'quote " backslash \\ unicode é', "en", 7),
+            (2, "plain text", "de", 10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, out)
+    back = read_jsonl(spark, out + "/*.json",
+                      "doc_id long, text string, lang string, n_chars long")
+    got = {r.doc_id: (r.text, r.lang, r.n_chars)
+           for r in back.filter(F.col(CORRUPT_COL).isNull()).collect()}
+    assert got == {1: rows[0][1:], 2: rows[1][1:]}
+
+    torn = str(tmp_path / "torn.json")
+    with open(torn, "w") as f:
+        f.write('{"doc_id": 3, "text": "ok", "lang": "en", "n_chars": 2}\n')
+        f.write('{"doc_id": 4, "text": "TORN')          # truncated line
+    q = read_jsonl(spark, torn, "doc_id long, text string, lang string, "
+                                "n_chars long").collect()
+    clean = [r for r in q if r[CORRUPT_COL] is None]
+    bad = [r for r in q if r[CORRUPT_COL] is not None]
+    assert len(clean) == 1 and clean[0].doc_id == 3
+    assert len(bad) == 1 and bad[0].doc_id is None and "TORN" in bad[0][CORRUPT_COL]
+
+    with pytest.raises(Exception):
+        read_jsonl(spark, torn, "doc_id long, text string, lang string, "
+                   "n_chars long", mode="FAILFAST").collect()
