@@ -3346,6 +3346,29 @@ def q_jsonl_roundtrip(spark, sf_dir):
               .select("doc_id", "text", "lang", "source", "n_chars"))
 
 
+@query("skyline_parts", """
+SELECT p_partkey, p_retailprice, p_size FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+""")
+def q_skyline_parts(spark, sf_dir):
+    """2-D skyline / Pareto frontier (r9): parts where no other part
+    is both cheaper and smaller (minimize p_retailprice, p_size) —
+    the classic OLAP operator from the retrieved-paper corpus
+    (LShape Partitioning, ICDE 2021). The engine runs the two-phase
+    local-sweep/global-merge shape (operators/skyline.py — per-batch
+    O(n log n) prune, union-sized single-group merge); the oracle is
+    the INDEPENDENT quadratic NOT-EXISTS definition, so the check
+    validates the sweep algorithm itself, not a replay of it.
+    Tail-registered: the driver's 50-slot window is full."""
+    from mr_mpi_blast_spark.operators.skyline import skyline_2d
+    part = _t(spark, sf_dir, "part")
+    return skyline_2d(part.select("p_partkey", "p_retailprice", "p_size"),
+                      "p_retailprice", "p_size")
+
+
 # ---------------------------------------------------------------------------
 # Run-epilogue summary (W7/A6). Tail-registered since r9: its timing
 # values are wall-clock measurements, so the driver's check is

@@ -71,6 +71,9 @@ FACADES = [
     # r9: JSONL source/sink round-trip (window full — the oracle is
     # the source table; exact value preservation through JSON)
     "jsonl_roundtrip",
+    # r9: 2-D skyline (window full — the oracle is the independent
+    # quadratic NOT-EXISTS definition, validating the sweep itself)
+    "skyline_parts",
 ]
 
 # Tail-registered entries with NO value oracle by nature (the driver

@@ -118,3 +118,29 @@ def test_ann_ivf_recall_warm_cache_rerun(spark):
     assert cold == warm
     assert len(warm) == 3  # nprobe 1/2/4
     assert all(0.0 <= r[2] <= 1.0 for r in warm)
+
+
+def test_skyline_2d_edges(spark):
+    """Skyline semantics the table data can't guarantee to exercise:
+    exact duplicates on both dims ALL survive (ties dominate nothing
+    strictly); a row equal on one dim but worse on the other is
+    dominated; an equal-d2 row at strictly smaller d1 dominates; NULL
+    dims are excluded; a single Pareto-dominant row collapses the
+    skyline to itself plus its duplicates."""
+    from mr_mpi_blast_spark.operators.skyline import skyline_2d
+
+    rows = [(1, 1.0, 5), (2, 1.0, 5),      # duplicate pair: both stay
+            (3, 1.0, 6),                    # same d1, worse d2: out
+            (4, 2.0, 5),                    # same d2 as 1 at larger d1: out
+            (5, 0.5, 9),                    # frontier (cheaper, bigger)
+            (6, 3.0, 1),                    # frontier (pricier, smaller)
+            (7, None, 1),                   # NULL dim: excluded
+            (8, 3.0, None)]                 # NULL dim: excluded
+    df = spark.createDataFrame(rows, "id long, price double, size int")
+    got = {r.id for r in skyline_2d(df, "price", "size").collect()}
+    assert got == {1, 2, 5, 6}
+
+    # one strictly dominant row eats everything but its duplicate
+    rows2 = [(1, 0.0, 0), (2, 0.0, 0), (3, 0.1, 0), (4, 0.0, 1)]
+    df2 = spark.createDataFrame(rows2, "id long, price double, size int")
+    assert {r.id for r in skyline_2d(df2, "price", "size").collect()} == {1, 2}
