@@ -3346,6 +3346,49 @@ def q_jsonl_roundtrip(spark, sf_dir):
               .select("doc_id", "text", "lang", "source", "n_chars"))
 
 
+_TOPK_JAC_FLOOR = 0.3
+_TOPK_JAC_K = 10
+
+_TOPK_JAC_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT da, db,
+         round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jac
+  FROM pairs
+  JOIN sizes sa ON da = sa.doc_id
+  JOIN sizes sb ON db = sb.doc_id
+  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= {_TOPK_JAC_FLOOR}
+), ranked AS (
+  SELECT da, db, jac,
+         row_number() OVER (ORDER BY jac DESC, da, db) AS rank
+  FROM scored)
+SELECT da, db, jac, rank FROM ranked WHERE rank <= {_TOPK_JAC_K}
+"""
+
+
+@query("similarity_join_topk", _TOPK_JAC_SQL)
+def q_similarity_join_topk(spark, sf_dir):
+    """Top-k similarity join (r9, the ICDE 2012 operator family): the
+    10 globally most-similar document pairs by char-10-gram Jaccard,
+    searched above a 0.3 floor — one global pair ranking, distinct
+    from all-pairs-above-t (dedup_ngram_jaccard) and per-query top-k
+    (ann_*). The engine searches through the EXACT prefix-filtered
+    join (every pair >= floor provably found) and takes the global
+    top-k as TakeOrderedAndProject — no global sort
+    (operators/dedup.py:ngram_jaccard_topk); the oracle ranks the
+    naive quadratic join on shingle text. Tail-registered: the
+    driver's 50-slot window is full."""
+    from mr_mpi_blast_spark.operators.dedup import ngram_jaccard_topk
+    return ngram_jaccard_topk(_t(spark, sf_dir, "documents"),
+                              _SHINGLE_N, _TOPK_JAC_K, _TOPK_JAC_FLOOR)
+
+
 @query("skyline_parts", """
 SELECT p_partkey, p_retailprice, p_size FROM part p
 WHERE NOT EXISTS (

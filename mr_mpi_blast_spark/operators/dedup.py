@@ -644,3 +644,32 @@ def duplicate_span_remove(df: DataFrame, min_len: int = 20,
         F.size("keeps").cast("long").alias("kept_tokens"),
         F.expr("array_join(transform(keeps, p -> element_at(ws, p)), ' ')")
          .alias("clean_text"))
+
+
+def ngram_jaccard_topk(df: DataFrame, n: int, k: int, floor: float,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Top-k similarity JOIN (the ICDE 2012 "Parallel Top-K Similarity
+    Join" operator family): the k globally most-similar document
+    pairs by shingle Jaccard, searched above a floor threshold.
+    Distinct from ngram_jaccard_pairs (ALL pairs >= t) and from
+    per-query top-k (ANN): one global ranking over pairs.
+
+    ``floor`` is the contract that keeps it exact AND scalable: the
+    prefix filter (ngram_jaccard_pairs_prefix) provably finds every
+    pair >= floor, so as long as at least k pairs clear the floor the
+    global top-k is exact; fewer than k results means the floor was
+    set above the k-th pair's similarity — lower it and rerun (the
+    iterative-deepening discipline of the top-k join literature,
+    driven by the caller, not hidden inside the operator).
+
+    Output: (da, db, jac, rank), rank 1..k by (jac desc, da, db).
+
+    100 TB shape: the candidate join is the prefix-filtered one (each
+    doc contributes ~(1-floor) of its shingles); the global top-k is
+    TakeOrderedAndProject — per-partition heads merged on the driver,
+    no global sort of the pair table."""
+    pairs = ngram_jaccard_pairs_prefix(df, n, floor, text_col, id_col)
+    top = (pairs.orderBy(F.col("jac").desc(), "da", "db").limit(k))
+    w = Window.orderBy(F.col("jac").desc(), "da", "db")
+    return top.withColumn("rank", F.row_number().over(w))
