@@ -55,8 +55,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #     (BLAS mapInPandas, 4x) and ann_ivf_topk/_nprobe2 (bucketed)
 #   run_summary re-runs a small kernel purely to exercise the W7
 #     per-rank timing-log facility — instrumentation, not a workload
+#   similarity_join_topk -> dedup_minhash_lsh for the pair SEARCH
+#     (any exact Jaccard search is quadratic in shingle df on this
+#     shared-vocabulary corpus; the top-k layer itself is output-sized)
 CORRECTNESS_ONLY = {"blast_gapped_tail", "blast_gapped_nucl_tail",
                     "dedup_ngram_jaccard", "ann_cosine_topk",
+                    "similarity_join_topk",
                     "run_summary"}
 
 

@@ -3378,12 +3378,17 @@ def q_similarity_join_topk(spark, sf_dir):
     10 globally most-similar document pairs by char-10-gram Jaccard,
     searched above a 0.3 floor — one global pair ranking, distinct
     from all-pairs-above-t (dedup_ngram_jaccard) and per-query top-k
-    (ann_*). The engine searches through the EXACT prefix-filtered
-    join (every pair >= floor provably found) and takes the global
-    top-k as TakeOrderedAndProject — no global sort
-    (operators/dedup.py:ngram_jaccard_topk); the oracle ranks the
-    naive quadratic join on shingle text. Tail-registered: the
-    driver's 50-slot window is full."""
+    (ann_*). The search is the EXACT join-count form (every pair >=
+    floor provably found; see ngram_jaccard_topk's method note for
+    why the prefix filter degenerates at low floors on this corpus)
+    with the global cut as TakeOrderedAndProject — no global sort;
+    the oracle ranks the independent naive quadratic join on shingle
+    text. CORRECTNESS_ONLY in bench.py, like dedup_ngram_jaccard:
+    any exact Jaccard search is Σ df² in shingle document frequency,
+    quadratic on this shared-vocabulary corpus — the benched scale
+    twin for pair SEARCH is dedup_minhash_lsh; this query's unique
+    surface is the global top-k layer. Tail-registered: the driver's
+    50-slot window is full."""
     from mr_mpi_blast_spark.operators.dedup import ngram_jaccard_topk
     return ngram_jaccard_topk(_t(spark, sf_dir, "documents"),
                               _SHINGLE_N, _TOPK_JAC_K, _TOPK_JAC_FLOOR)

@@ -648,7 +648,8 @@ def duplicate_span_remove(df: DataFrame, min_len: int = 20,
 
 def ngram_jaccard_topk(df: DataFrame, n: int, k: int, floor: float,
                        text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       method: str = "count") -> DataFrame:
     """Top-k similarity JOIN (the ICDE 2012 "Parallel Top-K Similarity
     Join" operator family): the k globally most-similar document
     pairs by shingle Jaccard, searched above a floor threshold.
@@ -656,20 +657,32 @@ def ngram_jaccard_topk(df: DataFrame, n: int, k: int, floor: float,
     per-query top-k (ANN): one global ranking over pairs.
 
     ``floor`` is the contract that keeps it exact AND scalable: the
-    prefix filter (ngram_jaccard_pairs_prefix) provably finds every
-    pair >= floor, so as long as at least k pairs clear the floor the
-    global top-k is exact; fewer than k results means the floor was
-    set above the k-th pair's similarity — lower it and rerun (the
-    iterative-deepening discipline of the top-k join literature,
-    driven by the caller, not hidden inside the operator).
+    search provably finds every pair >= floor, so as long as at least
+    k pairs clear the floor the global top-k is exact; fewer than k
+    results means the floor was set above the k-th pair's similarity
+    — lower it and rerun (the iterative-deepening discipline of the
+    top-k join literature, driven by the caller, not hidden inside
+    the operator).
+
+    ``method`` picks the search join, and the choice matters MORE
+    here than for the >= t dedup operators because top-k floors sit
+    low: 'prefix' (ngram_jaccard_pairs_prefix) reads ~(1-floor) of
+    each doc's shingles — at floor 0.3 that is 70%, and on a
+    shared-vocabulary corpus its candidate set degenerates toward
+    all-pairs with per-pair ARRAY verification (measured: hung the
+    sf1.0 decade run for 9+ minutes). 'count' (the default,
+    ngram_jaccard_pairs) pays the same Σ df² join rows but stays
+    entirely in whole-stage codegen (hash join + hash agg on 8-byte
+    keys, no arrays) — the robust shape at low floors; choose
+    'prefix' only when shingles are selective (web-scale text,
+    df ≈ 1) AND the floor is high.
 
     Output: (da, db, jac, rank), rank 1..k by (jac desc, da, db).
-
-    100 TB shape: the candidate join is the prefix-filtered one (each
-    doc contributes ~(1-floor) of its shingles); the global top-k is
-    TakeOrderedAndProject — per-partition heads merged on the driver,
-    no global sort of the pair table."""
-    pairs = ngram_jaccard_pairs_prefix(df, n, floor, text_col, id_col)
+    The global top-k is TakeOrderedAndProject — per-partition heads
+    merged on the driver, no global sort of the pair table."""
+    search = (ngram_jaccard_pairs_prefix if method == "prefix"
+              else ngram_jaccard_pairs)
+    pairs = search(df, n, floor, text_col, id_col)
     top = (pairs.orderBy(F.col("jac").desc(), "da", "db").limit(k))
     w = Window.orderBy(F.col("jac").desc(), "da", "db")
     return top.withColumn("rank", F.row_number().over(w))
