@@ -795,3 +795,46 @@ def test_bruteforce_numpy_zero_norm_matches_expression(spark):
     assert expr == blas
     cos = {(q, n): c for q, n, c, _ in expr}
     assert cos[(10, 3)] == 0.0 and cos[(11, 0)] == 0.0
+
+
+def _reference_span_remove(docs, L):
+    """Pure-Python replay of the duplicate_span_remove semantics, kept
+    as the randomized oracle: corpus-first gram occurrence canonical,
+    later occurrences marked, interval union per doc, token survives
+    iff uncovered."""
+    occ = {}
+    toks = {d: t.split() for d, t in docs}
+    for d, ws in sorted(toks.items()):
+        for p in range(len(ws) - L + 1):
+            occ.setdefault(" ".join(ws[p:p + L]), []).append((d, p + 1))
+    removed = {d: set() for d in toks}
+    for gram, places in occ.items():
+        if len(places) < 2:
+            continue
+        for d, p in sorted(places)[1:]:
+            removed[d].update(range(p, p + L))
+    out = {}
+    for d, ws in toks.items():
+        kept = [w for i, w in enumerate(ws, 1) if i not in removed[d]]
+        out[d] = (len(ws), len(kept), " ".join(kept))
+    return out
+
+
+def test_duplicate_span_remove_random_matches_reference(spark):
+    """Randomized semantics net for the removal operator: a seeded
+    80-doc corpus over an 8-word vocabulary (dense gram sharing,
+    within-doc repeats, heavy overlap-merge pressure) must match the
+    pure-Python replay of the declared semantics exactly."""
+    import random
+    from mr_mpi_blast_spark.operators.dedup import duplicate_span_remove
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(8)]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(2, 40))))
+            for i in range(80)]
+    ref = _reference_span_remove(docs, 5)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.kept_tokens, r.clean_text)
+           for r in duplicate_span_remove(df, min_len=5).collect()}
+    assert got == ref

@@ -292,3 +292,33 @@ def test_ordered_prefix_sum_cache_consistency(spark):
     other = "test_opsum_cache:v2"
     ordered_prefix_sum(df, "v", ["k"], "ps", cache_key=other).collect()
     assert (other, 1024) in _HIST_CACHE and (key, 1024) in _HIST_CACHE
+
+
+def _naive_skyline(points):
+    """Quadratic dominance check — the definition itself."""
+    out = []
+    for i, (a1, a2) in enumerate(points):
+        dominated = any(
+            b1 <= a1 and b2 <= a2 and (b1 < a1 or b2 < a2)
+            for j, (b1, b2) in enumerate(points) if j != i)
+        if not dominated:
+            out.append(i)
+    return out
+
+
+@given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                min_size=0, max_size=60))
+@settings(max_examples=120, deadline=None)
+def test_skyline_sweep_equals_naive_dominance(points):
+    """The O(n log n) sort-sweep at the heart of skyline_2d must equal
+    the quadratic NOT-EXISTS definition for ANY point multiset — the
+    tight integer domain forces dense ties and duplicates, the cases
+    a sweep gets wrong first. Index-level comparison (not value-level)
+    so surviving duplicates must BOTH survive."""
+    import pandas as pd
+    from mr_mpi_blast_spark.operators.skyline import _sweep
+
+    pdf = pd.DataFrame({"d1": [p[0] for p in points],
+                        "d2": [p[1] for p in points]})
+    got = sorted(_sweep(pdf, "d1", "d2").index.tolist())
+    assert got == _naive_skyline(points)
