@@ -541,7 +541,12 @@ _SHINGLES_SQL = ("list_distinct(list_transform("
                  f"range(0, greatest(length(text) - {_SHINGLE_N}, 0) + 1), "
                  f"i -> substring(text, i + 1, {_SHINGLE_N})))")
 
-_NGRAM_JACCARD_SQL = f"""
+def _jaccard_scored_sql(threshold: float) -> str:
+    """Shared scored-pairs CTE chain for every shingle-Jaccard oracle
+    (all-pairs-above-t and the top-k ranking) — ONE rendering of the
+    shingle join, sizes, and rounded-jac expression, so the oracles
+    cannot drift apart on pair/jac semantics."""
+    return f"""
 WITH sh AS (
   SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
 ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -549,13 +554,17 @@ pairs AS (
   SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT da, db,
-       round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jac
-FROM pairs
-JOIN sizes sa ON da = sa.doc_id
-JOIN sizes sb ON db = sb.doc_id
-WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= {_JAC_TAU}
+), scored AS (
+  SELECT da, db,
+         round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jac
+  FROM pairs
+  JOIN sizes sa ON da = sa.doc_id
+  JOIN sizes sb ON db = sb.doc_id
+  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= {threshold})"""
+
+
+_NGRAM_JACCARD_SQL = _jaccard_scored_sql(_JAC_TAU) + """
+SELECT da, db, jac FROM scored
 """
 
 
@@ -3349,22 +3358,8 @@ def q_jsonl_roundtrip(spark, sf_dir):
 _TOPK_JAC_FLOOR = 0.3
 _TOPK_JAC_K = 10
 
-_TOPK_JAC_SQL = f"""
-WITH sh AS (
-  SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
-), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-pairs AS (
-  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), scored AS (
-  SELECT da, db,
-         round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jac
-  FROM pairs
-  JOIN sizes sa ON da = sa.doc_id
-  JOIN sizes sb ON db = sb.doc_id
-  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= {_TOPK_JAC_FLOOR}
-), ranked AS (
+_TOPK_JAC_SQL = _jaccard_scored_sql(_TOPK_JAC_FLOOR) + f""",
+ranked AS (
   SELECT da, db, jac,
          row_number() OVER (ORDER BY jac DESC, da, db) AS rank
   FROM scored)

@@ -680,6 +680,8 @@ def ngram_jaccard_topk(df: DataFrame, n: int, k: int, floor: float,
     Output: (da, db, jac, rank), rank 1..k by (jac desc, da, db).
     The global top-k is TakeOrderedAndProject — per-partition heads
     merged on the driver, no global sort of the pair table."""
+    if method not in ("count", "prefix"):
+        raise ValueError(f"ngram_jaccard_topk: unknown method {method!r}")
     search = (ngram_jaccard_pairs_prefix if method == "prefix"
               else ngram_jaccard_pairs)
     pairs = search(df, n, floor, text_col, id_col)

@@ -23,8 +23,12 @@ grouped form is what guarantees a single complete pandas frame —
 mapInPandas on a coalesced partition may still arrive as several
 Arrow batches). The phase-2 single task is the standard skyline
 merge bottleneck; it is union-of-local-skylines-sized, not
-corpus-sized. NULL dims are excluded up front (dominance is
-undefined on missing values), documented rather than guessed.
+corpus-sized. NULL and NaN dims are both excluded up front
+(dominance needs ordered values, and NaN comparison semantics differ
+across engines — numpy makes NaN incomparable while DuckDB's total
+order puts it above everything, so admitting NaN rows would make the
+engine and the NOT-EXISTS oracle disagree), documented rather than
+guessed.
 """
 
 from __future__ import annotations
@@ -51,19 +55,32 @@ def _sweep(pdf: pd.DataFrame, d1: str, d2: str) -> pd.DataFrame:
     d1s, d2s = d1v[order], d2v[order]
     newgrp = np.r_[True, d1s[1:] != d1s[:-1]]
     gmin = d2s[newgrp]                       # per-group min (first, sorted)
-    pmin = np.r_[np.inf, np.minimum.accumulate(gmin)[:-1]]
     gidx = np.cumsum(newgrp) - 1
-    keep = (d2s == gmin[gidx]) & (d2s < pmin[gidx])
+    # prefix STRICT min over earlier groups, in the NATIVE dtype: an
+    # inf sentinel would upcast int64 minima to float64 and corrupt
+    # dominance above 2^53 (2^53+1 rounds to 2^53.0) — the first group
+    # has no predecessors, so it is handled by mask instead
+    acc = np.minimum.accumulate(gmin)
+    pmin = np.r_[gmin[:1], acc[:-1]]
+    keep = (d2s == gmin[gidx]) & ((gidx == 0) | (d2s < pmin[gidx]))
     return pdf.iloc[order[keep]]
 
 
 def skyline_2d(df: DataFrame, d1: str, d2: str) -> DataFrame:
     """Pareto-optimal rows of ``df`` minimizing (d1, d2); see module
     docstring for the definition, the two-phase plan shape, and the
-    NULL policy. To MAXIMIZE a dimension, negate it in a projection
-    first. Returns the input columns unchanged."""
+    NULL/NaN policy. To MAXIMIZE a dimension, negate it in a
+    projection first. Returns the input columns unchanged."""
     cols = df.columns
-    src = df.filter(F.col(d1).isNotNull() & F.col(d2).isNotNull())
+
+    def ordered(c):
+        # isnan is only defined on float types; integer dims skip it
+        col = F.col(c)
+        if dict(df.dtypes)[c] in ("double", "float"):
+            return col.isNotNull() & ~F.isnan(col)
+        return col.isNotNull()
+
+    src = df.filter(ordered(d1) & ordered(d2))
     schema = src.schema
 
     def local(batches):

@@ -41,6 +41,11 @@ def read_jsonl(spark: SparkSession, path: str, schema: str,
     module docstring). In PERMISSIVE mode unparseable lines surface in
     the CORRUPT_COL quarantine column (added to the schema here, so a
     caller's schema string stays the clean record shape)."""
+    mode = mode.upper()          # Spark matches the option case-
+    # insensitively; matching case-sensitively here would silently
+    # drop the quarantine column for mode='permissive'
+    if mode not in ("PERMISSIVE", "DROPMALFORMED", "FAILFAST"):
+        raise ValueError(f"read_jsonl: unknown mode {mode!r}")
     rdr = spark.read
     if mode == "PERMISSIVE":
         full = f"{schema}, {CORRUPT_COL} string"

@@ -74,8 +74,9 @@ FACADES = [
     # r9: 2-D skyline (window full — the oracle is the independent
     # quadratic NOT-EXISTS definition, validating the sweep itself)
     "skyline_parts",
-    # r9: top-k similarity join (window full — engine searches via the
-    # exact prefix filter, oracle ranks the naive quadratic join)
+    # r9: top-k similarity join (window full — engine searches via
+    # the exact join-count form, oracle ranks the naive quadratic
+    # join on shingle text)
     "similarity_join_topk",
 ]
 

@@ -144,3 +144,24 @@ def test_skyline_2d_edges(spark):
     rows2 = [(1, 0.0, 0), (2, 0.0, 0), (3, 0.1, 0), (4, 0.0, 1)]
     df2 = spark.createDataFrame(rows2, "id long, price double, size int")
     assert {r.id for r in skyline_2d(df2, "price", "size").collect()} == {1, 2}
+
+
+def test_skyline_nan_excluded_and_int64_precision(spark):
+    """Review-pass regressions (r9): NaN dims are excluded like NULLs
+    (NaN ordering differs between numpy and DuckDB, so admitting them
+    would split engine and oracle); and the sweep's prefix-min stays
+    in the NATIVE dtype — an inf sentinel upcast int64 minima to
+    float64, where 2^53+1 rounds to 2^53 and a genuine skyline row at
+    exactly 2^53 was dropped."""
+    import pandas as pd
+    from mr_mpi_blast_spark.operators.skyline import _sweep, skyline_2d
+
+    rows = [(1, 1.0, 5), (2, float("nan"), 1), (3, 2.0, 1)]
+    df = spark.createDataFrame(rows, "id long, price double, size int")
+    assert {r.id for r in skyline_2d(df, "price", "size").collect()} == {1, 3}
+
+    big = 2 ** 53
+    pdf = pd.DataFrame({"d1": pd.array([1, 2], dtype="int64"),
+                        "d2": pd.array([big + 1, big], dtype="int64")})
+    kept = _sweep(pdf, "d1", "d2")
+    assert len(kept) == 2          # (2, 2^53) is NOT dominated by 2^53+1
