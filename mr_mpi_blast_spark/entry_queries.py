@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from mr_mpi_blast_spark.operators.blocks import (assign_blocks, block_bounds,
                                                  serial_number)
+from mr_mpi_blast_spark.operators.sampling import id_bucket_sql
 from mr_mpi_blast_spark.operators.similarity import (ROUND4_SQL,
                                                      round4_xengine)
 from mr_mpi_blast_spark.operators.topk import topk_per_key
@@ -3328,6 +3329,45 @@ def q_mix_weights(spark, sf_dir):
     driver's 50-slot window is full."""
     from mr_mpi_blast_spark.operators.sampling import mix_weights
     return mix_weights(_t(spark, sf_dir, "documents"), alpha=0.5)
+
+
+_MIX_SAMPLE_SQL = f"""
+WITH per AS (
+  SELECT source AS k, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split({_NORM_SQL}, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt,
+         list_reduce(list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY k),
+                     (a, b) -> a + b) AS ss
+  FROM per),
+mw AS (
+  SELECT k AS source,
+         floor((sqrt(CAST(n_tokens AS DOUBLE)) / ss)
+               / (CAST(n_tokens AS DOUBLE) / tt) * 1e6 + 0.5) / 1e6
+           AS upsample
+  FROM per, tot)
+SELECT d.doc_id, d.source, d.lang, d.n_chars
+FROM documents d JOIN mw ON mw.source = d.source
+WHERE {id_bucket_sql('d.doc_id')}
+      < least(1.0, mw.upsample * 0.5) * 10000
+"""
+
+
+@query("mix_sample", _MIX_SAMPLE_SQL)
+def q_mix_sample(spark, sf_dir):
+    """The apply step to mix_weights (r9): the temperature-mixed
+    corpus itself, by deterministic per-source id-hash sampling at
+    rate min(1, 0.5 * upsample_s) — upweighted domains keep more,
+    downweighted fewer, and membership is a pure function of the row
+    id (operators/sampling.py:mix_sample; one integer aggregate, a
+    broadcast rate join, a narrow fused filter). The oracle replays
+    the weights AND the md5 bucket arithmetic. Tail-registered: the
+    driver's 50-slot window is full."""
+    from mr_mpi_blast_spark.operators.sampling import mix_sample
+    return mix_sample(_t(spark, sf_dir, "documents"), alpha=0.5,
+                      target_frac=0.5).select(
+        "doc_id", "source", "lang", "n_chars")
 
 
 @query("jsonl_roundtrip", """

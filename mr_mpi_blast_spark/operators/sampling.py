@@ -183,3 +183,33 @@ def mix_weights(df: DataFrame, alpha: float = 0.5,
                     r6(nat).alias("nat_frac"),
                     r6(mix).alias("mix_frac"),
                     r6(mix / nat).alias("upsample")))
+
+
+def mix_sample(df: DataFrame, alpha: float = 0.5,
+               target_frac: float = 0.5,
+               by: str = "source",
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """The APPLY step to mix_weights: materialize the temperature-
+    mixed corpus by deterministic per-domain id-hash sampling at rate
+    min(1, target_frac * upsample_s) — domains the alpha-mix
+    upweights keep more of their documents, downweighted ones keep
+    fewer, and the id-bucket discipline makes membership a pure
+    function of the row id (same sample on any cluster layout; rerun
+    = same corpus). ``target_frac`` is the OVERALL keep fraction the
+    caller is budgeting for; rates cap at 1 because this operator
+    only SELECTS — a domain whose mixed share exceeds its natural
+    share beyond the cap needs epoch-level repetition upstream
+    (the standard practice for upsampled domains), not row
+    duplication here.
+
+    100 TB shape: mix_weights' one integer aggregate + a broadcast
+    join of the per-domain rate table + a narrow filter the scan
+    fuses — no extra shuffle over the corpus at all."""
+    if not 0.0 <= target_frac <= 1.0:
+        raise ValueError("target_frac must be in [0, 1]")
+    w = mix_weights(df, alpha, by, text_col).select(by, "upsample")
+    rate = F.least(F.lit(1.0), F.col("upsample") * F.lit(target_frac))
+    return (df.join(F.broadcast(w), by)
+            .filter(id_bucket(F.col(id_col)) < rate * _BUCKETS)
+            .select(*df.columns))

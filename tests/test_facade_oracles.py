@@ -78,6 +78,9 @@ FACADES = [
     # the exact join-count form, oracle ranks the naive quadratic
     # join on shingle text)
     "similarity_join_topk",
+    # r9: mixed-corpus materialization (apply step of mix_weights;
+    # window full — oracle replays weights + md5 bucket arithmetic)
+    "mix_sample",
 ]
 
 # Tail-registered entries with NO value oracle by nature (the driver

@@ -190,3 +190,30 @@ def test_mix_weights_semantics(spark):
     assert half["a"].upsample < 1.0 < half["b"].upsample
     assert abs(half["a"].mix_frac + half["b"].mix_frac - 1.0) < 1e-5
     assert abs(half["a"].nat_frac - 181 / 191) < 1e-5
+
+
+def test_mix_sample_rates_and_determinism(spark):
+    """mix_sample edges: at alpha=1 every domain keeps ~target_frac
+    (upsample 1 everywhere); at alpha=0.5 the small domain keeps a
+    HIGHER fraction than the large one; the sample is a deterministic
+    subset (rerun-identical, and membership is per-id so the sampled
+    set is a subset of the corpus ids); target_frac=1 with rates
+    capped at 1 keeps every doc of upweighted domains."""
+    from mr_mpi_blast_spark.operators.sampling import mix_sample
+
+    rows = [(i, "big", "w " * 50) for i in range(300)] + \
+           [(1000 + i, "small", "w " * 50) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    a = {r.doc_id for r in mix_sample(df, alpha=0.5,
+                                      target_frac=0.5).collect()}
+    b = {r.doc_id for r in mix_sample(df, alpha=0.5,
+                                      target_frac=0.5).collect()}
+    assert a == b and a <= {r[0] for r in rows}
+    kept_big = len([d for d in a if d < 1000]) / 300
+    kept_small = len([d for d in a if d >= 1000]) / 30
+    assert kept_small > kept_big            # alpha<1 favors small domains
+
+    full = mix_sample(df, alpha=0.5, target_frac=1.0)
+    kept = {r.doc_id for r in full.collect()}
+    assert {d for d in kept if d >= 1000} == {1000 + i for i in range(30)}
