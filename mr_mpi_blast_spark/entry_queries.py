@@ -3331,6 +3331,60 @@ def q_mix_weights(spark, sf_dir):
     return mix_weights(_t(spark, sf_dir, "documents"), alpha=0.5)
 
 
+_KEEP_BEST_SQL = f"""
+WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
+sym AS (SELECT da AS a, db AS b FROM pairs
+        UNION ALL SELECT db, da FROM pairs),
+reach(node, lab) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+),
+comp AS (SELECT node AS doc_id, min(lab) AS cluster FROM reach GROUP BY node),
+q AS (SELECT doc_id, quality FROM ({_quality_sql()})),
+ranked AS (
+  SELECT c.cluster, c.doc_id, q.quality,
+         row_number() OVER (PARTITION BY c.cluster
+                            ORDER BY q.quality DESC, c.doc_id) AS rn,
+         count(*) OVER (PARTITION BY c.cluster) AS n_members
+  FROM comp c JOIN q ON q.doc_id = c.doc_id)
+SELECT cluster, doc_id AS keeper, quality AS keeper_quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("dedup_keep_best", _KEEP_BEST_SQL)
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware canonicalization (r9): for each near-dup cluster
+    (connected components over the verified >= 0.8 Jaccard pair
+    graph, as dedup_clusters), the copy to KEEP is the
+    highest-quality member, ties to the lowest doc_id — the decision
+    real curation pipelines make instead of keep-min-id (the best
+    copy of a boilerplate-laden page is rarely the first-crawled
+    one). Engine: the cached component table joins the quality
+    features and one map-side-combining max(struct(quality, -id))
+    aggregate picks the keeper — no window over the corpus. Oracle:
+    recursive-CTE closure + the shared quality rendering + a ranked
+    window. Tail-registered: the driver's 50-slot window is full."""
+    from mr_mpi_blast_spark.functions.text import quality_features
+    pairs = _minhash_pairs(spark, sf_dir)
+    comp = _cc_cached(spark, pairs, _minhash_pairs_path(sf_dir),
+                      "da", "db")
+    q = quality_features(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("node"), "quality")
+    best = (comp.join(q, "node")
+            .groupBy("cluster")
+            .agg(F.max(F.struct(F.col("quality"),
+                                (-F.col("node")).alias("negid"))).alias("b"),
+                 F.count(F.lit(1)).alias("n_members")))
+    return best.select(
+        "cluster",
+        (-F.col("b.negid")).alias("keeper"),
+        F.col("b.quality").alias("keeper_quality"),
+        F.col("n_members").cast("long").alias("n_members"))
+
+
 _MIX_SAMPLE_SQL = f"""
 WITH per AS (
   SELECT source AS k, CAST(count(*) AS BIGINT) AS n_docs,

@@ -838,3 +838,31 @@ def test_duplicate_span_remove_random_matches_reference(spark):
     got = {r.doc_id: (r.n_tokens, r.kept_tokens, r.clean_text)
            for r in duplicate_span_remove(df, min_len=5).collect()}
     assert got == ref
+
+
+def test_dedup_keep_best_prefers_quality_over_min_id(spark):
+    """Keeper semantics: within a near-dup cluster the HIGHEST-quality
+    member wins even when it has the larger doc_id (the exact case
+    keep-min-id gets wrong); quality ties fall to the lowest id."""
+    from mr_mpi_blast_spark.functions.text import quality_features
+    from mr_mpi_blast_spark.operators.dedup import (connected_components,
+                                                    minhash_lsh_pairs,
+                                                    signature_cache_scope)
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight ") * 3
+    rows = [(1, base + "!!!!!!!!!! ;;;;;;;;;;"),   # punct-laden copy
+            (2, base),                             # clean copy: better
+            (3, "an unrelated document about entirely different things "
+                "with many various words in it " * 3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with signature_cache_scope():
+        pairs = minhash_lsh_pairs(df, n=10, threshold=0.5)
+        comp = connected_components(pairs)
+        q = quality_features(df).select(F.col("doc_id").alias("node"),
+                                        "quality")
+        best = (comp.join(q, "node").groupBy("cluster")
+                .agg(F.max(F.struct("quality",
+                                    (-F.col("node")).alias("negid")))
+                      .alias("b")))
+        got = {r.cluster: -r.b.negid for r in best.collect()}
+    assert got == {1: 2}        # cluster of {1,2}: doc 2 wins on quality

@@ -81,6 +81,9 @@ FACADES = [
     # r9: mixed-corpus materialization (apply step of mix_weights;
     # window full — oracle replays weights + md5 bucket arithmetic)
     "mix_sample",
+    # r9: quality-aware keeper per near-dup cluster (window full —
+    # oracle: recursive closure + shared quality rendering + window)
+    "dedup_keep_best",
 ]
 
 # Tail-registered entries with NO value oracle by nature (the driver
