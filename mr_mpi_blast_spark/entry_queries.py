@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 
 from mr_mpi_blast_spark.operators.blocks import (assign_blocks, block_bounds,
                                                  serial_number)
-from mr_mpi_blast_spark.operators.sampling import id_bucket_sql
+from mr_mpi_blast_spark.operators.sampling import (_BUCKETS as _SAMPLING_BUCKETS,
+                                                   id_bucket_sql)
 from mr_mpi_blast_spark.operators.similarity import (ROUND4_SQL,
                                                      round4_xengine)
 from mr_mpi_blast_spark.operators.topk import topk_per_key
@@ -668,7 +669,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return _minhash_pairs(spark, sf_dir)
 
 
-_DEDUP_CLUSTERS_SQL = f"""
+# Shared recursive-closure CTE chain over the exact >= tau Jaccard
+# pairs — ONE rendering for every oracle that needs cluster labels
+# (dedup_clusters, dedup_keep_best), per this file's no-drift rule.
+_CC_CLOSURE_SQL = f"""
 WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
 sym AS (SELECT da AS a, db AS b FROM pairs
         UNION ALL SELECT db, da FROM pairs),
@@ -676,7 +680,9 @@ reach(node, lab) AS (
   SELECT a, a FROM sym
   UNION
   SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
-)
+)"""
+
+_DEDUP_CLUSTERS_SQL = _CC_CLOSURE_SQL + """
 SELECT node AS doc_id, min(lab) AS cluster, count(*) AS reach_n
 FROM reach GROUP BY node
 """
@@ -3298,7 +3304,11 @@ def q_ann_sq8_topk(spark, sf_dir):
                           k=5, refine=3, scale=scale, codes=codes)
 
 
-_MIX_WEIGHTS_SQL = f"""
+# Shared per-domain token-mass + sorted-fold-denominator CTE chain —
+# ONE rendering for both mixing oracles (weights report + sample
+# apply), per this file's no-drift rule. n_docs is consumed by the
+# weights oracle only; the shared rendering keeps it.
+_MIX_CTE_SQL = f"""
 WITH per AS (
   SELECT source AS k, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(len(string_split({_NORM_SQL}, ' '))) AS BIGINT) AS n_tokens
@@ -3307,7 +3317,9 @@ tot AS (
   SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt,
          list_reduce(list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY k),
                      (a, b) -> a + b) AS ss
-  FROM per)
+  FROM per)"""
+
+_MIX_WEIGHTS_SQL = _MIX_CTE_SQL + """
 SELECT k AS source, n_docs, n_tokens,
   floor(CAST(n_tokens AS DOUBLE) / tt * 1e6 + 0.5) / 1e6 AS nat_frac,
   floor(sqrt(CAST(n_tokens AS DOUBLE)) / ss * 1e6 + 0.5) / 1e6 AS mix_frac,
@@ -3331,15 +3343,7 @@ def q_mix_weights(spark, sf_dir):
     return mix_weights(_t(spark, sf_dir, "documents"), alpha=0.5)
 
 
-_KEEP_BEST_SQL = f"""
-WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
-sym AS (SELECT da AS a, db AS b FROM pairs
-        UNION ALL SELECT db, da FROM pairs),
-reach(node, lab) AS (
-  SELECT a, a FROM sym
-  UNION
-  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
-),
+_KEEP_BEST_SQL = _CC_CLOSURE_SQL + f""",
 comp AS (SELECT node AS doc_id, min(lab) AS cluster FROM reach GROUP BY node),
 q AS (SELECT doc_id, quality FROM ({_quality_sql()})),
 ranked AS (
@@ -3368,33 +3372,21 @@ def q_dedup_keep_best(spark, sf_dir):
     recursive-CTE closure + the shared quality rendering + a ranked
     window. Tail-registered: the driver's 50-slot window is full."""
     from mr_mpi_blast_spark.functions.text import quality_features
+    from mr_mpi_blast_spark.operators.dedup import keep_best
     pairs = _minhash_pairs(spark, sf_dir)
     comp = _cc_cached(spark, pairs, _minhash_pairs_path(sf_dir),
                       "da", "db")
-    q = quality_features(_t(spark, sf_dir, "documents")).select(
-        F.col("doc_id").alias("node"), "quality")
-    best = (comp.join(q, "node")
-            .groupBy("cluster")
-            .agg(F.max(F.struct(F.col("quality"),
-                                (-F.col("node")).alias("negid"))).alias("b"),
-                 F.count(F.lit(1)).alias("n_members")))
-    return best.select(
-        "cluster",
-        (-F.col("b.negid")).alias("keeper"),
-        F.col("b.quality").alias("keeper_quality"),
-        F.col("n_members").cast("long").alias("n_members"))
+    # quality is regex-heavy per document: semi-join the corpus down
+    # to the output-sized cluster membership FIRST, so the feature
+    # pass runs over dup-cluster members only, never the full corpus
+    members = (_t(spark, sf_dir, "documents")
+               .join(comp.select(F.col("node").alias("doc_id")),
+                     "doc_id", "left_semi"))
+    q = quality_features(members).select("doc_id", "quality")
+    return keep_best(comp, q)
 
 
-_MIX_SAMPLE_SQL = f"""
-WITH per AS (
-  SELECT source AS k, CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(len(string_split({_NORM_SQL}, ' '))) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY 1),
-tot AS (
-  SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt,
-         list_reduce(list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY k),
-                     (a, b) -> a + b) AS ss
-  FROM per),
+_MIX_SAMPLE_SQL = _MIX_CTE_SQL + f""",
 mw AS (
   SELECT k AS source,
          floor((sqrt(CAST(n_tokens AS DOUBLE)) / ss)
@@ -3404,7 +3396,7 @@ mw AS (
 SELECT d.doc_id, d.source, d.lang, d.n_chars
 FROM documents d JOIN mw ON mw.source = d.source
 WHERE {id_bucket_sql('d.doc_id')}
-      < least(1.0, mw.upsample * 0.5) * 10000
+      < least(1.0, mw.upsample * 0.5) * {_SAMPLING_BUCKETS}
 """
 
 

@@ -688,3 +688,30 @@ def ngram_jaccard_topk(df: DataFrame, n: int, k: int, floor: float,
     top = (pairs.orderBy(F.col("jac").desc(), "da", "db").limit(k))
     w = Window.orderBy(F.col("jac").desc(), "da", "db")
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def keep_best(comp: DataFrame, quality: DataFrame,
+              node_col: str = "node",
+              id_col: str = "doc_id",
+              quality_col: str = "quality") -> DataFrame:
+    """Quality-aware keeper per near-dup cluster: given a component
+    table (node, cluster) and a per-doc quality table, pick each
+    cluster's highest-quality member, ties to the LOWEST id — the
+    canonical-copy decision (the best copy of a boilerplate-laden
+    page is rarely the first-crawled one, so keep-min-id is the
+    wrong default). One map-side-combining max(struct(quality, -id))
+    aggregate — no window over the members. Output: (cluster,
+    keeper, keeper_quality, n_members)."""
+    q = quality.select(F.col(id_col).alias(node_col),
+                       F.col(quality_col).alias("_q"))
+    best = (comp.join(q, node_col)
+            .groupBy("cluster")
+            .agg(F.max(F.struct(F.col("_q").alias("q"),
+                                (-F.col(node_col)).alias("negid")))
+                  .alias("b"),
+                 F.count(F.lit(1)).alias("n_members")))
+    return best.select(
+        "cluster",
+        (-F.col("b.negid")).alias("keeper"),
+        F.col("b.q").alias("keeper_quality"),
+        F.col("n_members").cast("long").alias("n_members"))

@@ -156,9 +156,17 @@ def mix_weights(df: DataFrame, alpha: float = 0.5,
     100 TB shape: one map-side-combinable integer aggregate on a
     low-cardinality key, a one-row totals table broadcast back; no
     wide shuffle, no skew exposure (per-domain counts combine before
-    the exchange)."""
+    the exchange).
+
+    NULL-domain policy: rows with a NULL ``by`` key are EXCLUDED (and
+    so never sampled by mix_sample) — attribute or bucket
+    unattributed rows upstream. Stated rather than silent: a NULL
+    group would also sort differently in the two engines' ordered
+    folds (Spark nulls-first vs DuckDB nulls-last), so admitting it
+    would break the bit-stable denominator."""
     from mr_mpi_blast_spark.functions.text import tokens
 
+    df = df.filter(F.col(by).isNotNull())
     per = (df.groupBy(F.col(by).alias("k"))
              .agg(F.count(F.lit(1)).alias("n_docs"),
                   F.sum(F.size(tokens(F.col(text_col))))
@@ -205,7 +213,10 @@ def mix_sample(df: DataFrame, alpha: float = 0.5,
 
     100 TB shape: mix_weights' one integer aggregate + a broadcast
     join of the per-domain rate table + a narrow filter the scan
-    fuses — no extra shuffle over the corpus at all."""
+    fuses — no extra shuffle over the corpus at all. NULL ``by`` keys
+    follow mix_weights' stated policy: excluded (the inner rate join
+    would otherwise drop them silently; now it is the documented
+    contract)."""
     if not 0.0 <= target_frac <= 1.0:
         raise ValueError("target_frac must be in [0, 1]")
     w = mix_weights(df, alpha, by, text_col).select(by, "upsample")

@@ -855,14 +855,22 @@ def test_dedup_keep_best_prefers_quality_over_min_id(spark):
             (3, "an unrelated document about entirely different things "
                 "with many various words in it " * 3)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
+    from mr_mpi_blast_spark.operators.dedup import keep_best
     with signature_cache_scope():
         pairs = minhash_lsh_pairs(df, n=10, threshold=0.5)
         comp = connected_components(pairs)
-        q = quality_features(df).select(F.col("doc_id").alias("node"),
-                                        "quality")
-        best = (comp.join(q, "node").groupBy("cluster")
-                .agg(F.max(F.struct("quality",
-                                    (-F.col("node")).alias("negid")))
-                      .alias("b")))
-        got = {r.cluster: -r.b.negid for r in best.collect()}
-    assert got == {1: 2}        # cluster of {1,2}: doc 2 wins on quality
+        q = quality_features(df).select("doc_id", "quality")
+        rows_out = keep_best(comp, q).collect()       # production path
+    got = {r.cluster: (r.keeper, r.n_members) for r in rows_out}
+    assert got == {1: (2, 2)}   # cluster of {1,2}: doc 2 wins on quality
+
+    # exact quality tie (identical texts) falls to the LOWEST id
+    dup = "same words repeated here for a while now " * 5
+    tie = spark.createDataFrame([(7, dup), (5, dup)],
+                                "doc_id long, text string")
+    with signature_cache_scope():
+        p2 = minhash_lsh_pairs(tie, n=10, threshold=0.5)
+        c2 = connected_components(p2)
+        q2 = quality_features(tie).select("doc_id", "quality")
+        out2 = keep_best(c2, q2).collect()
+    assert [(r.cluster, r.keeper) for r in out2] == [(5, 5)]

@@ -217,3 +217,11 @@ def test_mix_sample_rates_and_determinism(spark):
     full = mix_sample(df, alpha=0.5, target_frac=1.0)
     kept = {r.doc_id for r in full.collect()}
     assert {d for d in kept if d >= 1000} == {1000 + i for i in range(30)}
+
+    # alpha=1: the natural mix (upsample 1.0 everywhere, pow path) —
+    # every domain keeps ~target_frac via the plain id-bucket rate
+    nat = {r.doc_id for r in mix_sample(df, alpha=1.0,
+                                        target_frac=0.5).collect()}
+    for lo, hi, n in ((0, 1000, 300), (1000, 2000, 30)):
+        frac = len([d for d in nat if lo <= d < hi]) / n
+        assert 0.3 < frac < 0.7
