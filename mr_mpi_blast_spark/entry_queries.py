@@ -2877,7 +2877,11 @@ def q_text_bm25_search(spark, sf_dir):
     return bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERIES, k=10)
 
 
-_LM_SCORE_SQL = f"""
+# Shared LM micro-score CTE chain — ONE rendering for the perplexity
+# report (text_lm_score) and the CCNet bucketing (ccnet_buckets), per
+# this file's no-drift rule: both oracles must tokenize/score
+# identically or parity breaks between the pair.
+_LM_CTE_SQL = f"""
 WITH w AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
 bg AS (SELECT doc_id, unnest({BIGRAMS_DUCKDB_SQL}) AS bigram FROM w),
 tf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY doc_id, bigram),
@@ -2888,7 +2892,9 @@ contrib AS (SELECT tf.doc_id, tf.tf * {LM_MICRO_SQL} AS c, tf.tf AS tf
             FROM tf JOIN cb ON tf.bigram = cb.bigram
             JOIN cw ON split_part(tf.bigram, ' ', 1) = cw.w1),
 s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS micro,
-             CAST(sum(tf) AS BIGINT) AS nbg FROM contrib GROUP BY doc_id)
+             CAST(sum(tf) AS BIGINT) AS nbg FROM contrib GROUP BY doc_id)"""
+
+_LM_SCORE_SQL = _LM_CTE_SQL + """
 SELECT d.doc_id, COALESCE(s.nbg, 0) AS n_bigrams,
        CASE WHEN s.nbg > 0
             THEN (s.micro * CAST(1.0 AS DOUBLE) / s.nbg) / 1e6
@@ -3016,7 +3022,10 @@ def _dsir_tf_staged(spark, sf_dir):
 _DSIR_MICRO = DSIR_MICRO_TMPL.format(ct="ct", cs="cs", nt="nt", ns="ns",
                                      b=DSIR_BUCKETS)
 
-_DSIR_SQL = f"""
+# Shared DSIR micro-weight CTE chain — ONE rendering for the weights
+# report (dsir_weights) and the resampling apply (dsir_sample), per
+# this file's no-drift rule.
+_DSIR_CTE_SQL = f"""
 WITH w AS (SELECT doc_id, COALESCE(CAST(lang = 'en' AS INT), 0) AS tgt,
                   string_split({_NORM_SQL}, ' ') AS ws FROM documents),
 bg AS (SELECT doc_id, tgt,
@@ -3031,7 +3040,9 @@ tot AS (SELECT count(*) AS ns, CAST(sum(tgt) AS BIGINT) AS nt FROM bg),
 contrib AS (SELECT tf.doc_id, tf.tf, tf.tf * {_DSIR_MICRO} AS c
             FROM tf JOIN cb USING (b) CROSS JOIN tot),
 s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS micro,
-             CAST(sum(tf) AS BIGINT) AS nf FROM contrib GROUP BY doc_id)
+             CAST(sum(tf) AS BIGINT) AS nf FROM contrib GROUP BY doc_id)"""
+
+_DSIR_SQL = _DSIR_CTE_SQL + """
 SELECT d.doc_id, COALESCE(s.nf, 0) AS n_features,
        CASE WHEN s.nf > 0 THEN s.micro / 1e6 END AS log_weight
 FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
@@ -3496,6 +3507,190 @@ def q_skyline_parts(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     return skyline_2d(part.select("p_partkey", "p_retailprice", "p_size"),
                       "p_retailprice", "p_size")
+
+
+_DSIR_SAMPLE_RATE = 1.0
+
+_DSIR_SAMPLE_SQL = _DSIR_CTE_SQL + f""",
+mx AS (SELECT max(micro) AS mx FROM s)
+SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       CAST(s.nf AS BIGINT) AS n_features, s.micro / 1e6 AS log_weight
+FROM documents d JOIN s ON d.doc_id = s.doc_id CROSS JOIN mx
+WHERE s.nf > 0
+  AND {id_bucket_sql('d.doc_id')}
+      < least(1.0, {_DSIR_SAMPLE_RATE!r}
+                   * exp((s.micro - mx.mx) / 1e6))
+        * {_SAMPLING_BUCKETS}
+"""
+
+
+@query("dsir_sample", _DSIR_SAMPLE_SQL)
+def q_dsir_sample(spark, sf_dir):
+    """The APPLY step to dsir_weights (r9, completing the
+    report/apply pattern for the DSIR family): the importance-
+    resampled corpus itself, by deterministic id-hash acceptance at
+    the self-normalized rate min(1, w/w_max) — documents the
+    hashed-bigram model scores toward the lang='en' target keep
+    proportionally more probability mass (Xie et al. 2023 §2.3 with
+    the id hash playing the uniform draw; operators/search.py:
+    dsir_sample for the 100 TB shape, the max-anchor rationale, and
+    the stated exp() 1-ulp residual). The exponent is an exact
+    integer micro difference divided once — the form both engines
+    compute identically. Featureless docs are excluded by stated
+    policy. The oracle replays the shared DSIR CTE chain AND the md5
+    bucket arithmetic. Tail-registered: the driver's 50-slot window
+    is full."""
+    from mr_mpi_blast_spark.operators.search import dsir_sample
+    return dsir_sample(_t(spark, sf_dir, "documents"),
+                       F.col("lang") == "en", _DSIR_SAMPLE_RATE,
+                       tf_table=_dsir_tf_staged(spark, sf_dir)).select(
+        "doc_id", "lang", "source", "n_chars", "n_features", "log_weight")
+
+
+_CCNET_SQL = _LM_CTE_SQL + """,
+scored AS (
+  SELECT d.doc_id, d.lang, s.micro, s.nbg,
+         CAST(floor(s.micro * CAST(1.0 AS DOUBLE) / s.nbg) AS BIGINT) AS mm
+  FROM documents d JOIN s ON d.doc_id = s.doc_id WHERE s.nbg > 0)
+SELECT doc_id, lang,
+       (micro * CAST(1.0 AS DOUBLE) / nbg) / 1e6 AS avg_logp,
+       CASE ntile(3) OVER (PARTITION BY lang ORDER BY mm DESC, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM scored
+"""
+
+
+def _lm_scored_staged(spark, sf_dir):
+    """Staged (doc_id, lang, micro, nbg, mm) LM-score frame — the
+    ranking input of ccnet_buckets. Staging matters beyond the usual
+    write-once/read-many: ntile_by_score drives TWO plan-time actions
+    (score range, per-cell counts) plus the final plan, so an
+    unstaged frame would re-derive the LM pipeline three times per
+    run; against the stage each is a columnar parquet scan."""
+    from mr_mpi_blast_spark.operators.search import lm_micro_scores
+
+    def build():
+        docs = _t(spark, sf_dir, "documents")
+        s = lm_micro_scores(docs, tf_table=_lm_tf_staged(spark, sf_dir))
+        return (docs.select("doc_id", "lang").join(s, "doc_id")
+                .filter(F.col("nbg") > 0)
+                .withColumn("mm", F.floor(F.col("micro") * F.lit(1.0)
+                                          / F.col("nbg")).cast("long")))
+    return _doc_staged_parquet(spark, sf_dir, "lmsc", build)
+
+
+@query("ccnet_buckets", _CCNET_SQL)
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing (Wenzek et al. 2020 §4.3, r9): per
+    language, documents cut into head/middle/tail thirds by their
+    corpus-LM score — the standard quality tiering that decides which
+    web text enters pretraining. Ranking runs on the exact integer
+    micro-unit mean (floor(micro/nbg) — the rank key is engine- and
+    partitioning-independent; ties to doc_id) through the
+    hierarchical NTILE (operators/sampling.py:ntile_by_score): a
+    language is corpus-sized at 100 TB, so a naive per-lang window is
+    a single-task funnel — rows rank within plan-sized score cells
+    instead. Docs with < 2 tokens are excluded by stated policy (no
+    score exists). Shares the LM CTE chain with text_lm_score; the
+    scored frame is content-addressed-staged (_lm_scored_staged) so
+    the ranking's three consumers scan parquet, not the LM pipeline.
+    Tail-registered: the driver's 50-slot window is full."""
+    from mr_mpi_blast_spark.operators.sampling import ntile_by_score
+    scored = _lm_scored_staged(spark, sf_dir)
+    b = ntile_by_score(scored, "lang", "mm", "doc_id", 3)
+    return b.select(
+        "doc_id", "lang",
+        ((F.col("micro") * F.lit(1.0) / F.col("nbg")) / F.lit(1e6))
+        .alias("avg_logp"),
+        F.when(F.col("ntile") == 1, "head")
+         .when(F.col("ntile") == 2, "middle")
+         .otherwise("tail").alias("bucket"))
+
+
+_SHUFFLE_SEED = "r9"
+_SHUFFLE_SHARDS = 32
+
+_SHUFFLE_SQL = f"""
+WITH h AS (SELECT doc_id,
+                  md5('{_SHUFFLE_SEED}' || ':' || CAST(doc_id AS VARCHAR))
+                    AS h
+           FROM documents),
+s AS (SELECT doc_id, h,
+             ('0x' || substring(h, 1, 8))::BIGINT % {_SHUFFLE_SHARDS}
+               AS shard
+      FROM h)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) AS pos
+FROM s
+"""
+
+
+@query("corpus_shuffle", _SHUFFLE_SQL)
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic pre-training shuffle (r9): every document gets
+    (shard, pos) — a uniform md5(seed:id) global order, the step that
+    writes a curated corpus out as shuffled training shards (same
+    seed = byte-identical shards on any cluster layout; new seed =
+    fresh shuffle). One shuffle on shard + a per-shard sort — exactly
+    the repartition + sortWithinPartitions write shape; n_shards
+    scales with the corpus so no single-task funnel
+    (operators/sampling.py:shuffle_shards). Tail-registered: the
+    driver's 50-slot window is full."""
+    from mr_mpi_blast_spark.operators.sampling import shuffle_shards
+    return shuffle_shards(_t(spark, sf_dir, "documents"), "doc_id",
+                          _SHUFFLE_SHARDS, seed=_SHUFFLE_SEED).select(
+        "doc_id", "shard", "pos")
+
+
+# Profiled columns restricted to engine-exact string renderings
+# (integers + strings; doubles/timestamps render engine-specifically
+# — operators/profile.py docstring states the policy)
+_PROFILE_COLS = ["o_custkey", "o_orderkey", "o_orderpriority",
+                 "o_orderstatus"]
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+    f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    f"AS n_nulls, "
+    f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+    f"CAST(min({c}) AS VARCHAR) AS min_val, "
+    f"CAST(max({c}) AS VARCHAR) AS max_val FROM orders"
+    for c in _PROFILE_COLS)
+
+
+@query("table_profile", _PROFILE_SQL)
+def q_table_profile(spark, sf_dir):
+    """Table profiling (r9): the statistics pass every 100 TB ingest
+    runs first — per column, row/NULL/exact-distinct counts and
+    native-typed min/max rendered to strings. ONE corpus scan; the
+    exact multi-distinct plans as Spark's Expand + two-level hash
+    aggregate (the oracle-replayable form; approx_count_distinct is
+    the sketch-based 100 TB default — operators/profile.py). The
+    oracle is an independent per-column UNION ALL of plain SQL
+    aggregates. Tail-registered: the driver's 50-slot window is
+    full."""
+    from mr_mpi_blast_spark.operators.profile import table_profile
+    return table_profile(_t(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+@query("orc_roundtrip", """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+""")
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink round-trip (r9): the documents table written
+    to ORC (content-addressed in scratch, Spark's native vectorized
+    ORC writer) and read back — the columnar interchange format
+    beside parquet in warehouse estates; splittable, predicate-
+    pushdown-capable, schema-carrying. The oracle is the source table
+    itself: exact value preservation through the format.
+    Tail-registered: the driver's 50-slot window is full."""
+    path = _doc_store_key(sf_dir, "orc")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _t(spark, sf_dir, "documents").write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select("doc_id", "text", "lang",
+                                       "source", "n_chars")
 
 
 # ---------------------------------------------------------------------------

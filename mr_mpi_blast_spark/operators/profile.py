@@ -1,0 +1,68 @@
+"""Table profiling (beyond-reference training-data surface).
+
+The statistics pass every large-scale ingest runs before anything
+else: per column — row count, NULL count, exact distinct count, min
+and max. At 100 TB this is the report that decides partition keys,
+dedup keys, and skew treatment; it is also the cheap invariant check
+between pipeline stages (a profile diff catches a silently dropped
+column or an exploded join long before a value-level audit would).
+
+100 TB shape: ONE corpus scan. All non-distinct statistics are
+map-side-combinable aggregates; the exact distinct counts make Spark
+plan an Expand (one duplicated stream per distinct column) feeding a
+two-level hash aggregate — the standard exact multi-distinct shape,
+linear in columns x rows with partial aggregation before the
+exchange. When estimates suffice (the usual case at 100 TB), pass
+``exact=False`` to swap in approx_count_distinct (HyperLogLog++,
+fixed-size sketches that merge map-side — no Expand at all); the
+exact form is the one the DuckDB oracle can replay, so it is the
+registered/verified variant.
+
+min/max are computed on the NATIVE type (so numeric ordering, not
+lexicographic) and only then rendered to strings for the uniform
+report schema. The registered demo restricts itself to columns whose
+string rendering is engine-exact (integers, strings, dates);
+doubles/timestamps profile fine but their text forms are
+engine-specific — keep them numeric in a homogeneous report or
+quantize first (the micro-unit discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def table_profile(df: DataFrame, cols: list[str] | None = None,
+                  exact: bool = True) -> DataFrame:
+    """One row per profiled column: (col_name, n_rows, n_nulls,
+    n_distinct, min_val, max_val) — min/max rendered as strings,
+    NULL-only columns render NULL. Columns report in sorted name
+    order. ``exact=False`` switches n_distinct to HyperLogLog++
+    estimates (the 100 TB default; not oracle-replayable)."""
+    cols = sorted(cols if cols is not None else df.columns)
+    if not cols:
+        raise ValueError("table_profile: no columns to profile")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"table_profile: unknown columns {missing}")
+    nd = (F.count_distinct if exact
+          else lambda c: F.approx_count_distinct(c))
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nn{i}"),
+            nd(F.col(c)).alias(f"_nd{i}"),
+            F.min(c).cast("string").alias(f"_mn{i}"),
+            F.max(c).cast("string").alias(f"_mx{i}"),
+        ]
+    row = df.agg(*aggs)
+    # reshape the single stats row to long form with stack() — a
+    # plan-sized pivot, no second pass over the data
+    parts = ", ".join(
+        f"'{c}', _nn{i}, _nd{i}, _mn{i}, _mx{i}" for i, c in enumerate(cols))
+    return row.select(
+        "n_rows",
+        F.expr(f"stack({len(cols)}, {parts}) AS "
+               "(col_name, n_nulls, n_distinct, min_val, max_val)"),
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct",
+             "min_val", "max_val")

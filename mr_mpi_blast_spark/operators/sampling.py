@@ -11,7 +11,7 @@ shuffle at all: split/sample are narrow maps a scan fuses into.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 4-decimal-digit bucket space: fractions resolve to 0.01%
@@ -127,6 +127,108 @@ def stratified_sample_exact(df: DataFrame, stratum_col: str, id_col: str,
             .withColumn("_rn", F.col("_off") + F.row_number().over(w))
             .filter(F.col("_rn") <= F.ceil(F.lit(frac) * F.col("_tot")))
             .drop("_h", "_hb", "_off", "_tot", "_rn"))
+
+
+def ntile_by_score(df: DataFrame, stratum_col: str, score_col: str,
+                   id_col: str, k: int, n_cells: int = 1024,
+                   out_col: str = "ntile") -> DataFrame:
+    """NTILE(k) OVER (PARTITION BY stratum ORDER BY score DESC, id)
+    without a per-stratum global sort — the ranking primitive of
+    CCNet-style quantile bucketing, where a stratum (a language) can
+    be corpus-sized and a naive window would funnel it through ONE
+    task.
+
+    Hierarchical form (the stratified_sample_exact shape, but ordered
+    by an INTEGER score instead of md5): rows land in fixed-width
+    score cells; per-(stratum, cell) counts aggregate in parallel and
+    collect (strata x n_cells rows — plan-sized metadata); the driver
+    prefix-scans each stratum's cells in DESCENDING score order; rank
+    = cell offset + row_number within the (stratum, cell) window only.
+    Every window partition is one cell's rows, never a stratum.
+
+    ``score_col`` must be integer-valued (the micro-unit discipline:
+    rank on the exact integer, report the derived double) and the
+    (score, id) order total within a stratum. NULL strata or scores
+    are the caller's to exclude — stated, not silent: this ranks every
+    row it is given.
+
+    Tile sizes follow the SQL NTILE contract (larger tiles first):
+    tile = 1 + floor((rank - 1) * k / n_stratum) — exact integer
+    arithmetic, replayable by any engine's NTILE.
+
+    Residual skew bound: rows sharing ONE fixed-width cell share a
+    window. A score distribution concentrated in < cell-width around a
+    value keeps that cell's rows in one task — raise n_cells (cells
+    are metadata-sized) or pre-spread the score if a corpus
+    degenerates to near-constant scores.
+    """
+    if k < 1:
+        raise ValueError(f"ntile_by_score: k must be >= 1, got {k}")
+    spark = df.sparkSession
+    # negate so ascending cell order == descending score order; the
+    # (score DESC, id ASC) tiebreak becomes (_s2 ASC, id ASC)
+    q = df.withColumn("_s2", -F.col(score_col).cast("long"))
+    lo, hi = q.agg(F.min("_s2"), F.max("_s2")).first()
+    if lo is None:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    width = max(1, (int(hi) - int(lo)) // n_cells + 1)
+    q = q.withColumn("_cell", F.floor((F.col("_s2") - F.lit(int(lo)))
+                                      / F.lit(width)).cast("long"))
+    counts = (q.groupBy(stratum_col, "_cell")
+              .agg(F.count(F.lit(1)).alias("_c")).collect())
+    per: dict = {}
+    for r in counts:
+        per.setdefault(r[0], []).append((int(r[1]), int(r[2])))
+    offsets, totals = [], []
+    for s, cells in per.items():
+        acc = 0
+        for cell, c in sorted(cells):
+            offsets.append((s, cell, acc))
+            acc += c
+        totals.append((s, acc))
+    off_df = spark.createDataFrame(offsets, [stratum_col, "_cell", "_off"])
+    tot_df = spark.createDataFrame(totals, [stratum_col, "_tot"])
+    w = Window.partitionBy(stratum_col, "_cell").orderBy("_s2", id_col)
+    rank = F.col("_off") + F.row_number().over(w)
+    tile = 1 + F.floor((rank - 1) * F.lit(int(k)) / F.col("_tot"))
+    return (q.join(F.broadcast(off_df), [stratum_col, "_cell"])
+            .join(F.broadcast(tot_df), stratum_col)
+            .withColumn(out_col, tile.cast("long"))
+            .drop("_s2", "_cell", "_off", "_tot"))
+
+
+def shuffle_shards(df: DataFrame, id_col: str, n_shards: int,
+                   seed: str = "") -> DataFrame:
+    """Deterministic pre-training shuffle + shard assignment: every
+    row gets (shard, pos) — a uniform pseudo-random global order,
+    reproducible on any cluster layout from (id, seed) alone — the
+    step that writes a curated corpus out as shuffled training shards
+    (readers stream shard files in pos order; changing ``seed``
+    reshuffles, same seed = byte-identical shards forever).
+
+    Order key = md5(seed ':' id): shard is the key's first-8-hex int
+    mod n_shards, pos the row_number within the shard by (key, id).
+    Uniform because md5 is; deterministic because nothing depends on
+    partitioning or rand() plumbing.
+
+    100 TB shape: ONE shuffle on shard + a per-shard sort — exactly
+    the repartition + sortWithinPartitions write shape, and the
+    per-shard window IS that sort. Size ``n_shards`` so a shard fits
+    a task comfortably (corpus_bytes / n_shards <~ a few GB): shards
+    scale out with the corpus, so no single-task funnel — at 100 TB
+    you run n_shards ~ 20-50k, not this demo's 32.
+    """
+    if n_shards < 1:
+        raise ValueError(f"shuffle_shards: n_shards must be >= 1, "
+                         f"got {n_shards}")
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    shard = (F.conv(F.substring(F.col("_h"), 1, 8), 16, 10)
+             .cast("long") % n_shards)
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (df.withColumn("_h", h)
+            .withColumn("shard", shard)
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .drop("_h"))
 
 
 def mix_weights(df: DataFrame, alpha: float = 0.5,

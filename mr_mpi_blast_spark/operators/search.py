@@ -204,27 +204,16 @@ def lm_tf_table(docs: DataFrame, *, text_col: str = "text",
         F.count(F.lit(1)).alias("tf"))
 
 
-def bigram_lm_score(docs: DataFrame, *, text_col: str = "text",
+def lm_micro_scores(docs: DataFrame, *, text_col: str = "text",
                     id_col: str = "doc_id",
                     tf_table: DataFrame | None = None) -> DataFrame:
-    """Mean bigram log-likelihood under the corpus's own MLE model.
-
-    p(w2|w1) = c(w1 w2) / c(w1 *), counted over the whole corpus with
-    c(w1 *) = occurrences of bigrams starting with w1 (a proper
-    conditional over observed bigrams; every scored bigram has c >= 1
-    so no smoothing is needed for self-scoring). Per-document score =
-    sum over bigram OCCURRENCES of ln p / n_bigrams — the
-    log-perplexity filter of CCNet (Wenzek et al. 2020) with the
-    corpus itself as the reference model.
-
-    Returns one row per document: (doc_id, n_bigrams, avg_logp);
-    avg_logp is NULL for docs with < 2 tokens.
-
-    ``tf_table``: a (re-read, typically parquet-staged) frame from
-    ``lm_tf_table`` for the SAME docs — the repeated-scoring path;
-    the model count tables then derive from it by summation instead
-    of re-exploding the corpus.
-    """
+    """The exact-integer internals of ``bigram_lm_score``: one row per
+    document WITH >= 1 bigram — (doc_id, micro, nbg), where micro is
+    the summed micro-unit bigram log-likelihood (an exact BIGINT, the
+    partitioning/engine-independent quantity) and nbg the bigram
+    occurrence count. ``bigram_lm_score`` is its reported projection;
+    rank-consuming operators (the CCNet perplexity bucketing) order on
+    these integers directly instead of the derived double."""
     if tf_table is not None:
         tf = tf_table
         # from a staged table these are cheap columnar re-scans with
@@ -263,8 +252,33 @@ def bigram_lm_score(docs: DataFrame, *, text_col: str = "text",
     contrib = (tf.join(cb, "bigram").join(cw, "w1")
                .select("doc_id", "tf",
                        (F.col("tf") * F.expr(LM_MICRO_SQL)).alias("c")))
-    s = contrib.groupBy("doc_id").agg(F.sum("c").alias("micro"),
-                                      F.sum("tf").alias("nbg"))
+    return contrib.groupBy("doc_id").agg(F.sum("c").alias("micro"),
+                                         F.sum("tf").alias("nbg"))
+
+
+def bigram_lm_score(docs: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    tf_table: DataFrame | None = None) -> DataFrame:
+    """Mean bigram log-likelihood under the corpus's own MLE model.
+
+    p(w2|w1) = c(w1 w2) / c(w1 *), counted over the whole corpus with
+    c(w1 *) = occurrences of bigrams starting with w1 (a proper
+    conditional over observed bigrams; every scored bigram has c >= 1
+    so no smoothing is needed for self-scoring). Per-document score =
+    sum over bigram OCCURRENCES of ln p / n_bigrams — the
+    log-perplexity filter of CCNet (Wenzek et al. 2020) with the
+    corpus itself as the reference model.
+
+    Returns one row per document: (doc_id, n_bigrams, avg_logp);
+    avg_logp is NULL for docs with < 2 tokens.
+
+    ``tf_table``: a (re-read, typically parquet-staged) frame from
+    ``lm_tf_table`` for the SAME docs — the repeated-scoring path;
+    the model count tables then derive from it by summation instead
+    of re-exploding the corpus.
+    """
+    s = lm_micro_scores(docs, text_col=text_col, id_col=id_col,
+                        tf_table=tf_table)
     return (docs.select(F.col(id_col).alias("doc_id"))
             .join(s, "doc_id", "left")
             .select(
@@ -342,38 +356,19 @@ def dsir_tf_table(docs: DataFrame, target_pred,
         F.count(F.lit(1)).alias("tf"))
 
 
-def dsir_log_weights(docs: DataFrame, target_pred,
-                     n_buckets: int = DSIR_BUCKETS, *,
-                     text_col: str = "text",
-                     id_col: str = "doc_id",
-                     tf_table: DataFrame | None = None) -> DataFrame:
-    """DSIR importance weights: per-document log-likelihood ratio of a
-    hashed-bigram unigram model of the TARGET subset vs the SOURCE
-    (whole corpus), Laplace-smoothed — the Xie et al. 2023 data
-    selection signal (resampling = a downstream deterministic top-k /
-    Gumbel draw over these weights; this operator produces the
-    weights).
-
-    ``target_pred`` is a Column predicate over ``docs`` rows defining
-    the target distribution (e.g. lang == 'en', source == 'wiki').
-
-    100 TB shape: one corpus scan feeds the bigram explode; bucket
-    count tables are B-bounded BY CONSTRUCTION (not by data), so the
-    per-bucket log-ratio table broadcasts; the per-doc aggregate is
-    map-side-combinable. No pair join, no df^2 term anywhere — the
-    whole reason DSIR hashes features instead of keeping raw n-grams.
-
-    Determinism: per-bucket log-ratios are quantized to integer
-    micro-units before the per-doc sum (exact integer arithmetic,
-    engine- and partitioning-independent); counts and totals are
-    exact integers; the only transcendental is one ln() on an
-    identical double in both engines.
-
-    Output: (doc_id, n_features, log_weight) — log_weight is the
-    summed log ratio / 1e6, NULL for docs with no bigrams.
-    """
+def dsir_micro_weights(docs: DataFrame, target_pred,
+                       n_buckets: int = DSIR_BUCKETS, *,
+                       text_col: str = "text",
+                       id_col: str = "doc_id",
+                       tf_table: DataFrame | None = None) -> DataFrame:
+    """The exact-integer internals of ``dsir_log_weights``: one row
+    per document WITH >= 1 feature — (doc_id, micro, nf), micro the
+    summed micro-unit log ratio (exact BIGINT). ``dsir_log_weights``
+    is its reported projection; ``dsir_sample`` normalizes and
+    thresholds on the integers directly (differences of micro are
+    exact where differences of the derived doubles are not)."""
     if n_buckets < 1:
-        raise ValueError(f"dsir_log_weights: n_buckets must be >= 1, "
+        raise ValueError(f"dsir_micro_weights: n_buckets must be >= 1, "
                          f"got {n_buckets}")
     if tf_table is not None:
         # staged-table path (``dsir_tf_table``): stats derive by
@@ -415,8 +410,42 @@ def dsir_log_weights(docs: DataFrame, target_pred,
                .crossJoin(F.broadcast(tot))
                .select("doc_id", "tf",
                        (F.col("tf") * F.expr(micro)).alias("c")))
-    s = contrib.groupBy("doc_id").agg(F.sum("c").alias("micro"),
-                                      F.sum("tf").alias("nf"))
+    return contrib.groupBy("doc_id").agg(F.sum("c").alias("micro"),
+                                         F.sum("tf").alias("nf"))
+
+
+def dsir_log_weights(docs: DataFrame, target_pred,
+                     n_buckets: int = DSIR_BUCKETS, *,
+                     text_col: str = "text",
+                     id_col: str = "doc_id",
+                     tf_table: DataFrame | None = None) -> DataFrame:
+    """DSIR importance weights: per-document log-likelihood ratio of a
+    hashed-bigram unigram model of the TARGET subset vs the SOURCE
+    (whole corpus), Laplace-smoothed — the Xie et al. 2023 data
+    selection signal (resampling = ``dsir_sample`` below, or a
+    downstream Gumbel top-k over these weights).
+
+    ``target_pred`` is a Column predicate over ``docs`` rows defining
+    the target distribution (e.g. lang == 'en', source == 'wiki').
+
+    100 TB shape: one corpus scan feeds the bigram explode; bucket
+    count tables are B-bounded BY CONSTRUCTION (not by data), so the
+    per-bucket log-ratio table broadcasts; the per-doc aggregate is
+    map-side-combinable. No pair join, no df^2 term anywhere — the
+    whole reason DSIR hashes features instead of keeping raw n-grams.
+
+    Determinism: per-bucket log-ratios are quantized to integer
+    micro-units before the per-doc sum (exact integer arithmetic,
+    engine- and partitioning-independent); counts and totals are
+    exact integers; the only transcendental is one ln() on an
+    identical double in both engines.
+
+    Output: (doc_id, n_features, log_weight) — log_weight is the
+    summed log ratio / 1e6, NULL for docs with no bigrams.
+    """
+    s = dsir_micro_weights(docs, target_pred, n_buckets,
+                           text_col=text_col, id_col=id_col,
+                           tf_table=tf_table)
     return (docs.select(F.col(id_col).alias("doc_id"))
             .join(s, "doc_id", "left")
             .select(
@@ -424,3 +453,69 @@ def dsir_log_weights(docs: DataFrame, target_pred,
                 F.coalesce(F.col("nf"), F.lit(0)).alias("n_features"),
                 F.when(F.col("nf") > 0,
                        F.col("micro") / F.lit(1e6)).alias("log_weight")))
+
+
+def dsir_sample(docs: DataFrame, target_pred, base_rate: float,
+                n_buckets: int = DSIR_BUCKETS, *,
+                text_col: str = "text", id_col: str = "doc_id",
+                tf_table: DataFrame | None = None) -> DataFrame:
+    """The APPLY step to ``dsir_log_weights`` (Xie et al. 2023 §2.3):
+    materialize the importance-resampled corpus by deterministic
+    per-document hash acceptance at the SELF-NORMALIZED rate
+
+        p(doc) = min(1, base_rate * w_doc / w_max),
+        w_doc / w_max = exp((micro_doc - micro_max) / 1e6)
+
+    — documents whose hashed-bigram likelihood ratio favors the target
+    keep proportionally more probability mass, with the id hash
+    playing the uniform draw (the ``mix_sample`` discipline:
+    membership is a pure function of (corpus, id) — same sample on
+    any cluster layout, on every rerun). Importance resampling is
+    invariant to the weights' normalizing constant, so anchoring at
+    the corpus max is sound — and necessary: raw exp(log_weight)
+    saturates (subset-vs-corpus log ratios are systematically
+    negative under smoothing; measured: 1 of 500 docs kept raw vs 24
+    normalized at base_rate 1). The anchor is max(micro) — an exact
+    integer max, and the exponent is an exact integer DIFFERENCE
+    divided once by 1e6 (micro1/1e6 - micro2/1e6 can differ from
+    (micro1-micro2)/1e6 in the last ulp; the difference form is the
+    one both engines compute identically). ``base_rate`` scales the
+    whole sample (the top-weighted doc keeps at base_rate); samples
+    at growing base_rate NEST (the id bucket is fixed).
+
+    Rows with no features are EXCLUDED — the stated policy
+    (mix_weights' NULL-domain twin): a doc the model cannot score has
+    no importance weight; length-gate upstream if such docs must stay.
+
+    100 TB shape: the weights' linear shapes (B-bounded broadcast
+    stats, per-doc map-side-combined sum) + a one-row broadcast max +
+    ONE doc-keyed join of the kept-weight frame back to the corpus.
+    No pair join, no global sort; output is the kept subset.
+
+    Determinism residual: exp() shares ln()'s 1-ulp non-correctly-
+    rounded status (module docstring), so acceptance could flip ONLY
+    if rate * 10000 lands within 1 ulp of the row's integer bucket —
+    the same stated residual, observed value-equal on this corpus;
+    the sanctioned fix on a diverging platform is a +/-1-bucket
+    comparison tolerance, not a code change.
+
+    Returns the kept ``docs`` rows + (n_features, log_weight).
+    """
+    from mr_mpi_blast_spark.operators.sampling import _BUCKETS, id_bucket
+    if not 0.0 <= base_rate <= 1.0:
+        raise ValueError(f"dsir_sample: base_rate must be in [0, 1], "
+                         f"got {base_rate}")
+    s = dsir_micro_weights(docs, target_pred, n_buckets,
+                           text_col=text_col, id_col=id_col,
+                           tf_table=tf_table)
+    mx = s.agg(F.max("micro").alias("mx"))
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(base_rate))
+        * F.exp((F.col("micro") - F.col("mx")) / F.lit(1e6)))
+    keep = (s.crossJoin(F.broadcast(mx))
+            .filter(id_bucket(F.col("doc_id")) < rate * _BUCKETS)
+            .select(F.col("doc_id").alias(id_col),
+                    F.col("nf").alias("n_features"),
+                    (F.col("micro") / F.lit(1e6)).alias("log_weight")))
+    return docs.join(keep, id_col)

@@ -84,6 +84,22 @@ FACADES = [
     # r9: quality-aware keeper per near-dup cluster (window full —
     # oracle: recursive closure + shared quality rendering + window)
     "dedup_keep_best",
+    # r9 continuation: DSIR resampling apply (window full — oracle
+    # replays the shared DSIR CTE chain + max anchor + md5 buckets)
+    "dsir_sample",
+    # r9 continuation: CCNet head/middle/tail perplexity tiers
+    # (window full — oracle: shared LM CTE chain + NTILE window; the
+    # engine ranks hierarchically on the exact integer micro mean)
+    "ccnet_buckets",
+    # r9 continuation: deterministic pre-training shuffle + shards
+    # (window full — oracle replays the md5(seed:id) order)
+    "corpus_shuffle",
+    # r9 continuation: per-column profiling pass (window full —
+    # oracle is an independent per-column UNION ALL of aggregates)
+    "table_profile",
+    # r9 continuation: ORC source/sink round-trip (window full — the
+    # oracle is the source table; exact preservation)
+    "orc_roundtrip",
 ]
 
 # Tail-registered entries with NO value oracle by nature (the driver

@@ -165,3 +165,60 @@ def test_skyline_nan_excluded_and_int64_precision(spark):
                         "d2": pd.array([big + 1, big], dtype="int64")})
     kept = _sweep(pdf, "d1", "d2")
     assert len(kept) == 2          # (2, 2^53) is NOT dominated by 2^53+1
+
+
+def test_table_profile_exact_counts_and_validation(spark):
+    """table_profile on a fixture with NULLs and duplicates: exact
+    row/NULL/distinct counts, native-typed min/max rendered as
+    strings, sorted column order; unknown columns and empty column
+    lists raise; the approx (HLL) variant runs and is near-exact at
+    this cardinality."""
+    from mr_mpi_blast_spark.operators.profile import table_profile
+
+    rows = [(1, "b", None), (2, "a", 10), (3, "a", 30), (4, None, 30),
+            (5, "c", None)]
+    df = spark.createDataFrame(rows, "id long, s string, v long")
+    out = {r.col_name: r for r in table_profile(df).collect()}
+    assert list(out) == ["id", "s", "v"]  # sorted report order
+    assert all(r.n_rows == 5 for r in out.values())
+    assert (out["s"].n_nulls, out["s"].n_distinct) == (1, 3)
+    assert (out["v"].n_nulls, out["v"].n_distinct) == (2, 2)
+    assert (out["id"].min_val, out["id"].max_val) == ("1", "5")
+    # native-typed min/max: numeric ordering then string render
+    assert (out["v"].min_val, out["v"].max_val) == ("10", "30")
+    assert (out["s"].min_val, out["s"].max_val) == ("a", "c")
+
+    approx = {r.col_name: r.n_distinct
+              for r in table_profile(df, exact=False).collect()}
+    assert approx["id"] in range(4, 7)  # HLL estimate, tiny input
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        table_profile(df, ["nope"])
+    with _pytest.raises(ValueError):
+        table_profile(df, [])
+
+
+def test_ccnet_buckets_ordering_and_sizes(spark):
+    """ccnet_buckets semantics on the real table: within each lang,
+    every head doc scores >= every middle doc >= every tail doc (on
+    the exact rank key), and tile sizes follow the NTILE contract
+    (larger tiles first, sizes differ by <= 1)."""
+    import __spark_entry__ as entry
+
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+    rows = entry.queries()["ccnet_buckets"](spark, sf).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {}).setdefault(r.bucket, []).append(
+            r.avg_logp)
+    for lang, bs in by_lang.items():
+        sizes = [len(bs.get(k, [])) for k in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1 and sorted(
+            sizes, reverse=True) == sizes, (lang, sizes)
+        if bs.get("head") and bs.get("middle"):
+            # rank key is floor(micro/nbg): docs sharing one micro-unit
+            # cell can straddle a bucket edge with avg_logp within 1e-6
+            assert min(bs["head"]) >= max(bs["middle"]) - 2e-6
+        if bs.get("middle") and bs.get("tail"):
+            assert min(bs["middle"]) >= max(bs["tail"]) - 2e-6

@@ -265,3 +265,34 @@ def test_staged_tf_paths_match_direct(spark):
             df, F.col("is_tgt"), n_buckets=64,
             tf_table=spark.read.parquet(ds_path)).collect()}
         assert staged == direct
+
+
+def test_dsir_sample_nesting_and_policy(spark):
+    """dsir_sample: samples nest in base_rate (the id bucket is
+    fixed); featureless docs are excluded by stated policy; the
+    argmax-weight doc survives at base_rate=1 (its normalized rate is
+    exactly 1); validation rejects out-of-range rates."""
+    from mr_mpi_blast_spark.operators.search import (dsir_log_weights,
+                                                     dsir_sample)
+
+    rows = [(i, "en" if i % 3 == 0 else "xx",
+             ("spark shuffle join " if i % 3 == 0 else "row scan agg ")
+             * (3 + i % 4)) for i in range(40)]
+    rows.append((99, "en", "solo"))  # 1 token -> no bigrams -> excluded
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    pred = F.col("lang") == "en"
+
+    small = {r.doc_id for r in dsir_sample(df, pred, 0.4).collect()}
+    big = {r.doc_id for r in dsir_sample(df, pred, 1.0).collect()}
+    assert small <= big and big
+    assert 99 not in big                       # featureless: excluded
+    w = dsir_log_weights(df, pred).collect()
+    top = max((r for r in w if r.n_features > 0),
+              key=lambda r: (r.log_weight, -r.doc_id))
+    assert top.doc_id in big                   # rate(argmax) == base_rate=1
+    out_cols = set(dsir_sample(df, pred, 1.0).columns)
+    assert {"doc_id", "lang", "text", "n_features", "log_weight"} == out_cols
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dsir_sample(df, pred, 1.5)

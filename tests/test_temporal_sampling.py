@@ -225,3 +225,64 @@ def test_mix_sample_rates_and_determinism(spark):
     for lo, hi, n in ((0, 1000, 300), (1000, 2000, 30)):
         frac = len([d for d in nat if lo <= d < hi]) / n
         assert 0.3 < frac < 0.7
+
+
+def test_ntile_by_score_matches_naive_window(spark):
+    """Hierarchical NTILE == SQL NTILE(k) OVER (PARTITION BY stratum
+    ORDER BY score DESC, id) — multiple strata, heavy score ties, and
+    tile sizes on non-divisible counts (larger tiles first)."""
+    from pyspark.sql import Window
+
+    from mr_mpi_blast_spark.operators.sampling import ntile_by_score
+
+    rows = [(i, "a", (i * 7) % 5) for i in range(23)] + \
+           [(100 + i, "b", 3) for i in range(7)]  # all-tied stratum
+    df = spark.createDataFrame(rows, "id long, s string, score long")
+    got = {(r.s, r.id): r.ntile
+           for r in ntile_by_score(df, "s", "score", "id", 3,
+                                   n_cells=4).collect()}
+    w = Window.partitionBy("s").orderBy(F.col("score").desc(), "id")
+    want = {(r.s, r.id): r.nt
+            for r in df.withColumn("nt", F.ntile(3).over(w)).collect()}
+    assert got == want
+    # explicit size contract on a non-divisible stratum (23 = 8+8+7)
+    sizes = [len([1 for (s, _), t in got.items() if s == "a" and t == k])
+             for k in (1, 2, 3)]
+    assert sizes == [8, 8, 7]
+
+
+def test_ntile_by_score_validation_and_empty(spark):
+    from mr_mpi_blast_spark.operators.sampling import ntile_by_score
+
+    df = spark.createDataFrame([], "id long, s string, score long")
+    assert ntile_by_score(df, "s", "score", "id", 3).count() == 0
+    with pytest.raises(ValueError):
+        ntile_by_score(df, "s", "score", "id", 0)
+
+
+def test_shuffle_shards_permutation_and_determinism(spark):
+    """Every shard's pos is a contiguous 1..n permutation; the
+    assignment is a pure function of (seed, id) — identical across
+    repartitions — and a different seed reorders."""
+    from mr_mpi_blast_spark.operators.sampling import shuffle_shards
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    a = shuffle_shards(docs, "doc_id", 8, seed="s1")
+    rows = a.collect()
+    assert len(rows) == docs.count()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # layout-independent: same (shard, pos) under a different partitioning
+    b = shuffle_shards(docs.repartition(13), "doc_id", 8, seed="s1")
+    assert {(r.doc_id, r.shard, r.pos) for r in b.collect()} == \
+           {(r.doc_id, r.shard, r.pos) for r in rows}
+    # a new seed is a different order (overwhelmingly)
+    c = shuffle_shards(docs, "doc_id", 8, seed="s2")
+    assert {(r.doc_id, r.shard, r.pos) for r in c.collect()} != \
+           {(r.doc_id, r.shard, r.pos) for r in rows}
+    with pytest.raises(ValueError):
+        shuffle_shards(docs, "doc_id", 0)
