@@ -3693,6 +3693,64 @@ def q_orc_roundtrip(spark, sf_dir):
                                        "source", "n_chars")
 
 
+# PageRank over the part<->supplier bipartite graph. Node encoding:
+# parts at 2*partkey, suppliers at 2*suppkey+1 (disjoint id spaces,
+# invertible by parity). Both directions of every distinct
+# (part, supplier) lineitem edge, so every node has outdeg >= 1 —
+# no dangling mass by construction.
+_PAGERANK_EDGES_SQL = """
+SELECT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM lineitem
+UNION ALL
+SELECT 2 * l_suppkey + 1 AS src, 2 * l_partkey AS dst FROM lineitem
+"""
+
+_PAGERANK_ITER = 5
+
+
+def _pagerank_oracle() -> str:
+    from mr_mpi_blast_spark.operators.graph import pagerank_micro_sql
+    inner = pagerank_micro_sql(_PAGERANK_EDGES_SQL, n_iter=_PAGERANK_ITER)
+    return f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+       node // 2 AS key, rank_micro
+FROM ({inner})
+"""
+
+
+@query("graph_pagerank", _pagerank_oracle())
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank (r9, Page et al. 1999): the iterative-join algorithm
+    class — host-level quality ranks over a crawl graph are the
+    standard keep/drop signal for web-scale pretraining corpora, and
+    the loop (map contributions / aggregate by target / reduce with
+    the damping base) is the canonical workload of the reference's
+    own MapReduce engine (mrmpi/mapreduce.h:59-118). Here: the
+    part<->supplier bipartite graph from lineitem, 5 power-method
+    iterations in exact int64 micro arithmetic (integer floor
+    division only, so the values are partitioning- and engine-
+    independent — the oracle replays the iterations with `//` and
+    matches bit-exactly). Scale shape: edge list checkpointed once
+    with outdeg pre-joined and co-partitioned with the rank table on
+    the join key, ONE shuffle (the dst aggregate) per iteration,
+    lineage truncated per round (operators/graph.py:pagerank_micro).
+    Tail-registered: the driver's 50-slot window is full."""
+    from mr_mpi_blast_spark.operators.graph import pagerank_micro
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select((2 * F.col("l_partkey")).alias("src"),
+                    (2 * F.col("l_suppkey") + 1).alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
+    r = pagerank_micro(edges, n_iter=_PAGERANK_ITER,
+                       content_key=f"ps-bipartite:{sf_dir}:"
+                                   f"{st.st_mtime_ns}:{st.st_size}")
+    return r.select(
+        F.when(F.col("node") % 2 == 0, "part")
+         .otherwise("supplier").alias("node_type"),
+        F.expr("node div 2").alias("key"),
+        "rank_micro")
+
+
 # ---------------------------------------------------------------------------
 # Run-epilogue summary (W7/A6). Tail-registered since r9: its timing
 # values are wall-clock measurements, so the driver's check is

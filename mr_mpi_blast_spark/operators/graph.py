@@ -1,0 +1,166 @@
+"""Iterative graph operators: fixed-point PageRank in exact integer
+micro arithmetic.
+
+PageRank is the canonical iterative-join algorithm of a web-scale
+data-curation stack (host-level quality ranks over the crawl graph —
+the signal CommonCrawl-derived corpora use to keep or drop domains;
+Page et al. 1999). The reference's MapReduce engine ships the same
+loop shape as its map/aggregate/reduce cycle (mrmpi/mapreduce.h:59-118
+— PageRank is the README example of every MapReduce runtime); here it
+is the DataFrame form: one join + one aggregate per iteration with
+lineage truncated per round.
+
+Determinism contract (house micro-unit discipline, shared with
+operators/search.py): all rank mass is carried as int64 MICRO units
+(1_000_000 == probability 1.0) and every division is integer floor
+division, so the result is bit-identical in any engine, any partition
+layout, any summation order — integer addition is associative and
+commutative, double addition is not. The DuckDB oracle replays the
+same iterations with `//` and matches exactly; no tolerance needed.
+
+Update rule per iteration, in micros::
+
+    contrib(u -> v) = (rank[u] * d_micro) div (1_000_000 * outdeg(u))
+    rank'[v]        = (1_000_000 - d_micro) div n  +  sum_u contrib(u->v)
+
+Floor-division remainders leak a deterministic trickle of mass per
+iteration (as does a dangling node, which contributes nothing) — the
+totals are NOT conserved to exactly 1e6 and do not need to be: the
+operator contract is the ranking and its exact values, not stochastic
+normalization. Callers wanting floats divide by 1e6 at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def pagerank_micro(edges: DataFrame, src: str = "src", dst: str = "dst",
+                   n_iter: int = 5, damping_micro: int = 850_000,
+                   content_key: str | None = None) -> DataFrame:
+    """Fixed-iteration power method over a directed edge list.
+
+    Scale shape (the part that must survive 100 TB):
+
+    - The edge list is joined EVERY iteration, so it is materialized
+      once with outdeg pre-joined — each round touches one flat
+      table, never the upstream pipeline that produced the edges.
+    - With ``content_key`` set (the production path and the
+      registered query's), the (src, dst, outdeg) table and the node
+      table are staged as content-addressed BUCKETED tables
+      (operators/bucketing.py) on src / node with shuffle-partition
+      bucket counts. Every iteration's big join then reads the edge
+      buckets in place: the EDGE table is never shuffled again, and
+      the only per-iteration exchanges are NODE-sized (the rank table
+      routed to the edge buckets, and the contribution aggregate) —
+      pinned by tests/test_graph.py::test_pagerank_iteration_plan.
+      At web scale edges ≫ nodes (the crawl graph is ~100 edges per
+      host), so per-iteration shuffle volume drops from O(E) to O(V).
+    - Without ``content_key`` (ad-hoc/small graphs) both tables are
+      localCheckpoint-ed: same values, simplest lifecycle; PySpark's
+      localCheckpoint does not carry partitioning into the logical
+      plan, so this path re-exchanges (or broadcasts) the edge side
+      per iteration — fine exactly when the graph is small.
+    - Lineage is truncated per round (the bpe_learn lesson,
+      operators/bpe.py): plan depth stays O(1) in n_iter, so a
+      50-iteration run plans as cheaply as a 5-iteration one.
+    - Ranks are node-sized, edges are edge-sized; nothing corpus-sized
+      crosses the driver — the only driver scalar is n (node count).
+
+    Dangling nodes (outdeg == 0) receive rank but contribute nothing:
+    their mass leaks, deterministically, per the module contract.
+    Output: (node, rank_micro) for every node appearing in any edge.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if not 0 < damping_micro < MICRO:
+        raise ValueError(f"damping_micro must be in (0, {MICRO}), "
+                         f"got {damping_micro}")
+    spark = edges.sparkSession
+    shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = edges.select(F.col(src).cast("long").alias("src"),
+                     F.col(dst).cast("long").alias("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes_df = (e.select(F.col("src").alias("node"))
+                .union(e.select(F.col("dst").alias("node")))
+                .distinct())
+    if content_key is not None:
+        import hashlib
+        from mr_mpi_blast_spark.operators.bucketing import \
+            ensure_bucketed_table
+        digest = hashlib.md5(content_key.encode()).hexdigest()[:12]
+        ed = spark.table(ensure_bucketed_table(
+            spark, lambda: e.join(deg, "src"), f"pr_edges_{digest}",
+            "src", shuf, f"pr_edges:{content_key}"))
+        nodes = spark.table(ensure_bucketed_table(
+            spark, lambda: nodes_df, f"pr_nodes_{digest}",
+            "node", shuf, f"pr_nodes:{content_key}"))
+    else:
+        ed = (e.join(deg, "src")
+              .repartition(shuf, "src")
+              .localCheckpoint(eager=True))
+        nodes = (nodes_df.repartition(shuf, "node")
+                 .localCheckpoint(eager=True))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_micro", F.lit(0).cast("long"))
+    base = (MICRO - damping_micro) // n
+    # trivial projection of the already-materialized node table — no
+    # checkpoint (on the bucketed path that would DISCARD the layout)
+    ranks = nodes.withColumn("rank_micro", F.lit(MICRO // n).cast("long"))
+    for _ in range(n_iter):
+        ranks = _pagerank_round(ed, nodes, ranks, base,
+                                damping_micro).localCheckpoint(eager=True)
+    return ranks
+
+
+def _pagerank_round(ed: DataFrame, nodes: DataFrame, ranks: DataFrame,
+                    base: int, damping_micro: int) -> DataFrame:
+    """One power-method round (un-checkpointed — pagerank_micro owns
+    lineage truncation). Split out so tests/test_graph.py can pin the
+    single-shuffle plan shape of an iteration directly."""
+    contrib = (ed.join(ranks.select(F.col("node").alias("src"),
+                                    "rank_micro"), "src")
+               .groupBy(F.col("dst").alias("node"))
+               .agg(F.sum(F.expr(
+                   f"(rank_micro * {damping_micro}L) div "
+                   f"({MICRO}L * outdeg)")).alias("c")))
+    return (nodes.join(contrib, "node", "left")
+            .select("node",
+                    (F.lit(base).cast("long")
+                     + F.coalesce(F.col("c"), F.lit(0).cast("long")))
+                    .alias("rank_micro")))
+
+
+def pagerank_micro_sql(edges_sql: str, n_iter: int = 5,
+                       damping_micro: int = 850_000) -> str:
+    """The DuckDB oracle: unrolled CTE replay of pagerank_micro over
+    an arbitrary `edges_sql` (must yield columns src, dst). Every
+    arithmetic step is integer (`//`), so the replay is exact —
+    identical int64 rank_micro values, no tolerance."""
+    base_expr = f"({MICRO} - {damping_micro}) // p.n"
+    sql = [f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+p AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST({MICRO} // p.n AS BIGINT) AS rank_micro
+       FROM nodes, p)"""]
+    for k in range(1, n_iter + 1):
+        sql.append(f""",
+r{k} AS (
+  SELECT nodes.node,
+         CAST({base_expr} + COALESCE(c.s, 0) AS BIGINT) AS rank_micro
+  FROM nodes CROSS JOIN p
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM((r.rank_micro * {damping_micro}) //
+               ({MICRO} * d.outdeg)) AS s
+    FROM e JOIN r{k - 1} r ON e.src = r.node
+           JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) c ON nodes.node = c.node)""")
+    sql.append(f"\nSELECT node, rank_micro FROM r{n_iter}")
+    return "".join(sql)

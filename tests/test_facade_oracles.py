@@ -100,6 +100,10 @@ FACADES = [
     # r9 continuation: ORC source/sink round-trip (window full — the
     # oracle is the source table; exact preservation)
     "orc_roundtrip",
+    # r9 continuation: PageRank in exact int64 micros (window full —
+    # the oracle replays the unrolled power iterations with `//`,
+    # matching bit-exactly; no tolerance)
+    "graph_pagerank",
 ]
 
 # Tail-registered entries with NO value oracle by nature (the driver

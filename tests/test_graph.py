@@ -1,0 +1,119 @@
+"""PageRank (operators/graph.py): value parity against a pure-Python
+replay of the micro-integer update rule, cross-path determinism
+(bucketed staging vs localCheckpoint), and the per-iteration plan
+shape — the edge table must come straight off its bucketed layout
+with no exchange and no sort, leaving only node-sized shuffles."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_mpi_blast_spark.operators.graph import (MICRO, _pagerank_round,
+                                                pagerank_micro)
+
+# src, dst; node 5 is dangling (receives from 1, emits nothing)
+EDGES = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1), (4, 3), (1, 5)]
+
+
+def py_pagerank(edges, n_iter, d_micro=850_000):
+    edges = sorted(set(edges))
+    nodes = sorted({u for e in edges for u in e})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    base = (MICRO - d_micro) // n
+    rank = {v: MICRO // n for v in nodes}
+    for _ in range(n_iter):
+        nxt = {v: base for v in nodes}
+        for s, t in edges:
+            nxt[t] += (rank[s] * d_micro) // (MICRO * outdeg[s])
+        rank = nxt
+    return rank
+
+
+@pytest.mark.parametrize("n_iter", [1, 3, 7])
+def test_pagerank_matches_python_replay(spark, n_iter):
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    got = {r["node"]: r["rank_micro"]
+           for r in pagerank_micro(edges, n_iter=n_iter).collect()}
+    assert got == py_pagerank(EDGES, n_iter)
+
+
+def test_pagerank_dangling_mass_leaks_deterministically(spark):
+    # node 5 has no out-edges: it accumulates rank but contributes
+    # nothing — totals shrink, values stay exactly reproducible
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    a = pagerank_micro(edges, n_iter=4).collect()
+    b = pagerank_micro(edges, n_iter=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    total = sum(r["rank_micro"] for r in a)
+    assert 0 < total < MICRO  # leaked, not conserved — by contract
+
+
+def test_pagerank_validation(spark):
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank_micro(edges, n_iter=0)
+    with pytest.raises(ValueError, match="damping_micro"):
+        pagerank_micro(edges, damping_micro=MICRO)
+
+
+def test_pagerank_bucketed_path_value_identical(spark, tmp_path,
+                                                monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path))
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    plain = sorted(map(tuple, pagerank_micro(edges, n_iter=3).collect()))
+    bucketed = sorted(map(tuple, pagerank_micro(
+        edges, n_iter=3, content_key="test-graph-tiny").collect()))
+    assert plain == bucketed == sorted(py_pagerank(EDGES, 3).items())
+
+
+def test_pagerank_iteration_plan(spark, tmp_path, monkeypatch):
+    """The 100 TB contract: per iteration, the EDGE table is read off
+    its bucketed layout (no Exchange, no Sort above its scan) and the
+    only exchanges are the two node-sized ones (rank routing + the
+    contribution aggregate)."""
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path))
+    import hashlib
+
+    from mr_mpi_blast_spark.operators.bucketing import \
+        ensure_bucketed_table
+
+    rows = [(s, d) for s, d in EDGES for _ in range(1)]
+    e = (spark.createDataFrame(rows, ["src", "dst"])
+         .select(F.col("src").cast("long").alias("src"),
+                 F.col("dst").cast("long").alias("dst")).distinct())
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes_df = (e.select(F.col("src").alias("node"))
+                .union(e.select(F.col("dst").alias("node"))).distinct())
+    shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    dg = hashlib.md5(b"test-graph-plan").hexdigest()[:12]
+    ed = spark.table(ensure_bucketed_table(
+        spark, lambda: e.join(deg, "src"), f"pr_edges_{dg}", "src",
+        shuf, "pr_edges:test-graph-plan"))
+    nodes = spark.table(ensure_bucketed_table(
+        spark, lambda: nodes_df, f"pr_nodes_{dg}", "node",
+        shuf, "pr_nodes:test-graph-plan"))
+    n = nodes.count()
+    # a mid-loop round: ranks arrive partitioning-less (checkpointed)
+    ranks = (nodes.withColumn("rank_micro",
+                              F.lit(MICRO // n).cast("long"))
+             .localCheckpoint(eager=True))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        new = _pagerank_round(ed, nodes, ranks, 1, 850_000)
+        plan = new._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    # both table scans come off the bucketed layout
+    for line in plan.splitlines():
+        if "FileScan parquet" in line and "Bucketed: true" not in line:
+            raise AssertionError(f"non-bucketed scan in plan: {line}")
+    assert plan.count("Bucketed: true") == 2
+    # exactly the two node-sized sorts (SMJ sides fed by exchanges);
+    # a third would mean a bucketed side got re-sorted
+    assert len(re.findall(r"\n\s*(?:\+|:)- Sort ", plan)) == 2
