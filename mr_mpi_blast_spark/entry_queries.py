@@ -3751,6 +3751,141 @@ def q_graph_pagerank(spark, sf_dir):
         "rank_micro")
 
 
+@query("events_funnel", f"""
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2
+       FROM events e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3
+       FROM events e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT s1.user_id,
+       strftime(t1, '{_TS_FMT_DUCK}') AS t_view,
+       strftime(t2, '{_TS_FMT_DUCK}') AS t_click,
+       strftime(t3, '{_TS_FMT_DUCK}') AS t_purchase,
+       CASE WHEN t3 IS NOT NULL THEN 3
+            WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS depth
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+""")
+def q_events_funnel(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase (r9): per
+    user, the earliest reach-time of each stage strictly after the
+    previous stage (operators/temporal.py:funnel). Each stage costs
+    one filtered aggregate + one user-equi-join — only that stage's
+    rows shuffle (type filter pushed to the scan) and per-user state
+    is one timestamp, so a million-event user costs no more than a
+    two-event one. Strictly-after is the stated tie policy.
+    Tail-registered: the driver's 50-slot window is full."""
+    from mr_mpi_blast_spark.operators.temporal import funnel
+    ev = _t(spark, sf_dir, "events")
+    f = funnel(ev, ["view", "click", "purchase"])
+    return f.select(
+        "user_id",
+        F.date_format("t1", _TS_FMT_SPARK).alias("t_view"),
+        F.date_format("t2", _TS_FMT_SPARK).alias("t_click"),
+        F.date_format("t3", _TS_FMT_SPARK).alias("t_purchase"),
+        "depth")
+
+
+@query("events_resample", f"""
+WITH ranked AS (
+  SELECT user_id, date_trunc('hour', ts) AS cell, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id, date_trunc('hour', ts))
+           AS n_events
+  FROM events),
+pc AS (SELECT user_id, cell, n_events, value AS lv
+       FROM ranked WHERE rn = 1),
+spans AS (SELECT user_id, min(cell) AS lo, max(cell) AS hi
+          FROM pc GROUP BY user_id),
+grid AS (SELECT user_id,
+                unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS cell
+         FROM spans),
+j AS (SELECT g.user_id, g.cell,
+             CAST(COALESCE(pc.n_events, 0) AS BIGINT) AS n_events, pc.lv
+      FROM grid g LEFT JOIN pc
+        ON g.user_id = pc.user_id AND g.cell = pc.cell)
+SELECT user_id, strftime(cell, '{_TS_FMT_DUCK}') AS cell, n_events,
+       last_value(lv IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY cell
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS value_locf
+FROM j
+""")
+def q_events_resample(spark, sf_dir):
+    """Time-grid resample with LOCF gap fill (r9): each user's event
+    stream regularized to a dense hourly series — per-cell event
+    count and last raw value, carried forward across empty hours
+    (operators/temporal.py:resample_locf). ONE corpus-sized aggregate
+    on (user, hour); the grid explode and the carry-forward window
+    both run on CELL-sized data (per-user fan-out = time-span hours,
+    not event count). Values pass through with no arithmetic, so
+    cross-engine parity is exact. Tail-registered: the driver's
+    50-slot window is full."""
+    from mr_mpi_blast_spark.operators.temporal import resample_locf
+    ev = _t(spark, sf_dir, "events")
+    r = resample_locf(ev, step="1 hour")
+    return r.select(
+        "user_id",
+        F.date_format("cell", _TS_FMT_SPARK).alias("cell"),
+        "n_events", "value_locf")
+
+
+@query("events_retention", """
+WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+       CAST(a.day - f.cohort_day AS BIGINT) AS day_offset,
+       count(*) AS n_active
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""")
+def q_events_retention(spark, sf_dir):
+    """Cohort retention matrix (r9): users bucketed by first-activity
+    day, counted at every later day-offset they were active — two
+    hash aggregates + one user-equi-join, exact date arithmetic
+    (operators/temporal.py:retention_matrix). Tail-registered: the
+    driver's 50-slot window is full."""
+    from mr_mpi_blast_spark.operators.temporal import retention_matrix
+    ev = _t(spark, sf_dir, "events")
+    m = retention_matrix(ev)
+    return m.select(F.col("cohort_day").cast("string").alias("cohort_day"),
+                    F.col("day_offset").cast("long").alias("day_offset"),
+                    "n_active")
+
+
+@query("inverted_index", f"""
+WITH tok AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+             FROM documents),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+       WHERE term <> '' GROUP BY 1, 2),
+stats AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
+          FROM tf GROUP BY 1),
+ranked AS (SELECT term, doc_id,
+                  row_number() OVER (PARTITION BY term
+                                     ORDER BY tf DESC, doc_id) AS rn
+           FROM tf),
+top AS (SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn)
+               AS top_docs
+        FROM ranked WHERE rn <= 3 GROUP BY term)
+SELECT stats.term, df, tf_total, top.top_docs
+FROM stats JOIN top ON stats.term = top.term
+""")
+def q_inverted_index(spark, sf_dir):
+    """Materialized inverted index (r9): per term, df, total tf, and
+    the top-3 posting entries (tf desc, doc asc; comma-joined ids) —
+    the build step behind BM25 retrieval, staged once by a corpus
+    scored repeatedly (operators/search.py:inverted_index). The top
+    slice cuts through WindowGroupLimit map-side, so a stopword's
+    corpus-sized posting list never collects anywhere.
+    Tail-registered: the driver's 50-slot window is full."""
+    from mr_mpi_blast_spark.operators.search import inverted_index
+    return inverted_index(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Run-epilogue summary (W7/A6). Tail-registered since r9: its timing
 # values are wall-clock measurements, so the driver's check is

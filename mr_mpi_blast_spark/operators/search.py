@@ -519,3 +519,43 @@ def dsir_sample(docs: DataFrame, target_pred, base_rate: float,
                     F.col("nf").alias("n_features"),
                     (F.col("micro") / F.lit(1e6)).alias("log_weight")))
     return docs.join(keep, id_col)
+
+
+def inverted_index(docs: DataFrame, *, text_col: str = "text",
+                   id_col: str = "doc_id", top_docs: int = 3) -> DataFrame:
+    """Materialized inverted index: per term, document frequency,
+    total term frequency, and the top-``top_docs`` posting entries
+    (by tf desc, doc id asc) — the build step behind bm25_topk's
+    retrieval (which derives its posting stats per query; a corpus
+    scored repeatedly stages THIS table once instead).
+
+    Shape: one corpus explode -> (term, doc) hash aggregate (map-side
+    combined), then two term-keyed aggregates — stats over all
+    postings, and the top slice through a per-term window that
+    Catalyst plans as WindowGroupLimit, so a stopword's million-row
+    posting list is cut map-side, never collected. The top slice is
+    emitted as a comma-joined id string (engine-neutral rendering).
+
+    Output: (term, df, tf_total, top_docs).
+    """
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    tf = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(toks).alias("term"))
+          .filter(F.col("term") != "")
+          .groupBy("term", "doc_id")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("tf_total"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(),
+                                           F.col("doc_id").asc())
+    top = (tf.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= top_docs)
+           .groupBy("term")
+           .agg(F.array_join(
+               F.transform(
+                   F.array_sort(F.collect_list(F.struct("rn", "doc_id"))),
+                   lambda s: s["doc_id"].cast("string")),
+               ",").alias("top_docs")))
+    return stats.join(top, "term")

@@ -110,3 +110,103 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
     for c in carried:
         u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return u.filter(F.col("_side") == 1).drop("_side")
+
+
+def funnel(events: DataFrame, stages: list[str],
+           key_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel: per key, the earliest time each stage was
+    reached STRICTLY after the previous stage (the conversion-path
+    question every event warehouse answers: of the users who viewed,
+    who then clicked, who then purchased?).
+
+    Stage k is min(ts) over events of stages[k] with ts > t_{k-1} —
+    strictly-after is the stated tie policy (a same-microsecond pair
+    does not count as progression; exact and engine-independent).
+    Shape: one filtered aggregate + one key-equi-join per stage, so
+    each round shuffles only THAT stage's rows (the type filter is
+    pushed to the scan) and per-key state is one timestamp — no
+    per-key event collection, no corpus window, robust to a key with
+    millions of events. Keys that never reach stages[0] don't appear.
+
+    Output: (key, t1..tn timestamps nullable, depth 1..n).
+    """
+    if len(stages) < 2:
+        raise ValueError(f"need >= 2 stages, got {stages!r}")
+    out = (events.filter(F.col(type_col) == stages[0])
+           .groupBy(key_col).agg(F.min(ts_col).alias("t1")))
+    for k in range(2, len(stages) + 1):
+        nxt = (events.filter(F.col(type_col) == stages[k - 1])
+               .join(out.select(key_col, f"t{k - 1}"), key_col)
+               .filter(F.col(ts_col) > F.col(f"t{k - 1}"))
+               .groupBy(key_col).agg(F.min(ts_col).alias(f"t{k}")))
+        out = out.join(nxt.select(key_col, f"t{k}"), key_col, "left")
+    depth = F.lit(1)
+    for k in range(2, len(stages) + 1):
+        depth = F.when(F.col(f"t{k}").isNotNull(), F.lit(k)).otherwise(depth)
+    # the when-chain resolves to the DEEPEST non-null stage: t_k can
+    # only be non-null if t_{k-1} is, so later whens win correctly
+    cols = [key_col] + [f"t{k}" for k in range(1, len(stages) + 1)]
+    return out.select(*cols, depth.cast("int").alias("depth"))
+
+
+def resample_locf(events: DataFrame, key_col: str = "user_id",
+                  ts_col: str = "ts", value_col: str = "value",
+                  tiebreak_col: str = "event_id",
+                  step: str = "1 hour") -> DataFrame:
+    """Regular time-grid resample with last-observation-carried-forward
+    — the gap-filling step that turns an irregular event stream into
+    the fixed-cadence series a feature pipeline consumes.
+
+    Per key: a dense grid from date_trunc(step-unit, min ts) to
+    date_trunc(step-unit, max ts); per cell, n_events and the LAST
+    raw value in the cell (deterministic tie-break on
+    ``tiebreak_col``), carried forward across empty cells with
+    last(ignorenulls) over (key ORDER BY cell). Values pass through
+    untouched (no arithmetic), so engine parity is exact.
+
+    Shape: ONE aggregate on (key, cell) — corpus-sized input reduced
+    to cell-sized — then the grid explode and the LOCF window run on
+    CELL-sized data (per-key fan-out = the key's time span in steps,
+    not its event count). A bot key with 1e9 events in one hour costs
+    the same downstream as a key with one event.
+    """
+    unit = step.split()[-1]
+    cell = F.date_trunc(unit, F.col(ts_col))
+    per_cell = (events.groupBy(F.col(key_col), cell.alias("cell"))
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.max_by(value_col, F.struct(ts_col, tiebreak_col))
+                     .alias("last_value")))
+    spans = per_cell.groupBy(key_col).agg(F.min("cell").alias("lo"),
+                                          F.max("cell").alias("hi"))
+    grid = spans.select(
+        key_col,
+        F.explode(F.sequence("lo", "hi",
+                             F.expr(f"interval {step}"))).alias("cell"))
+    w = (Window.partitionBy(key_col).orderBy("cell")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    j = grid.join(per_cell, [key_col, "cell"], "left")
+    return j.select(
+        key_col, "cell",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.last("last_value", ignorenulls=True).over(w).alias("value_locf"))
+
+
+def retention_matrix(events: DataFrame, key_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Cohort retention: keys grouped by first-activity day, counted
+    on each later day-offset they were active (the engagement matrix
+    behind every 'day-N retention' dashboard).
+
+    Two hash aggregates (first day per key; distinct key-days) and a
+    key-equi-join — all shuffles on the key, offsets by exact date
+    arithmetic. Output: (cohort_day, day_offset, n_active).
+    """
+    day = F.to_date(F.col(ts_col))
+    first = (events.groupBy(key_col)
+             .agg(F.min(day).alias("cohort_day")))
+    active = events.select(key_col, day.alias("day")).distinct()
+    return (active.join(first, key_col)
+            .groupBy("cohort_day",
+                     F.datediff("day", "cohort_day").alias("day_offset"))
+            .agg(F.count(F.lit(1)).alias("n_active")))

@@ -104,6 +104,13 @@ FACADES = [
     # the oracle replays the unrolled power iterations with `//`,
     # matching bit-exactly; no tolerance)
     "graph_pagerank",
+    # r9 continuation: temporal analytics trio (window full — exact
+    # timestamp/date arithmetic; resample values pass through with no
+    # arithmetic so parity is exact)
+    "events_funnel", "events_resample", "events_retention",
+    # r9 continuation: materialized inverted index (window full —
+    # exact integer counts, comma-joined posting rendering)
+    "inverted_index",
 ]
 
 # Tail-registered entries with NO value oracle by nature (the driver

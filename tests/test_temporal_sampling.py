@@ -286,3 +286,76 @@ def test_shuffle_shards_permutation_and_determinism(spark):
            {(r.doc_id, r.shard, r.pos) for r in rows}
     with pytest.raises(ValueError):
         shuffle_shards(docs, "doc_id", 0)
+
+
+def _ev(rows):
+    # rows: (event_id, user, minute, type, value)
+    return [Row(event_id=i, user_id=u, ts=_ts(m, s), event_type=t,
+                value=float(v))
+            for (i, u, m, s, t, v) in rows]
+
+
+def test_funnel_strict_order_and_ties(spark):
+    from mr_mpi_blast_spark.operators.temporal import funnel
+    rows = _ev([
+        # user 1: full path view(1) -> click(2) -> purchase(3)
+        (1, 1, 1, 0, "view", 0), (2, 1, 2, 0, "click", 0),
+        (3, 1, 3, 0, "purchase", 0),
+        # user 2: click BEFORE the first view never counts; a later
+        # click does
+        (4, 2, 5, 0, "click", 0), (5, 2, 6, 0, "view", 0),
+        (6, 2, 7, 0, "click", 0),
+        # user 3: click at the SAME microsecond as view — strictly-
+        # after policy says no progression
+        (7, 3, 8, 0, "view", 0), (8, 3, 8, 0, "click", 0),
+        # user 4: never views -> absent from the funnel
+        (9, 4, 9, 0, "purchase", 0),
+    ])
+    f = funnel(spark.createDataFrame(rows), ["view", "click", "purchase"])
+    got = {r.user_id: (r.t1, r.t2, r.t3, r.depth) for r in f.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (_ts(1), _ts(2), _ts(3), 3)
+    assert got[2] == (_ts(6), _ts(7), None, 2)
+    assert got[3] == (_ts(8), None, None, 1)
+    with pytest.raises(ValueError, match="stages"):
+        funnel(spark.createDataFrame(rows), ["view"])
+
+
+def test_resample_locf_gap_fill(spark):
+    from mr_mpi_blast_spark.operators.temporal import resample_locf
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # hour 0: three events; last (by ts, then event_id) wins
+        Row(event_id=1, user_id=1, ts=base.replace(minute=5),
+            event_type="x", value=1.0),
+        Row(event_id=3, user_id=1, ts=base.replace(minute=50),
+            event_type="x", value=3.0),
+        Row(event_id=2, user_id=1, ts=base.replace(minute=50),
+            event_type="x", value=2.0),
+        # hours 1-2 empty; hour 3 has one event
+        Row(event_id=4, user_id=1, ts=base.replace(hour=3),
+            event_type="x", value=9.0),
+    ]
+    r = resample_locf(spark.createDataFrame(rows)).orderBy("cell").collect()
+    assert [(x.cell.hour, x.n_events, x.value_locf) for x in r] == [
+        (0, 3, 3.0),   # event_id 3 is the max (ts, event_id) tie-break
+        (1, 0, 3.0),   # carried forward
+        (2, 0, 3.0),
+        (3, 1, 9.0),
+    ]
+
+
+def test_retention_matrix_offsets(spark):
+    from mr_mpi_blast_spark.operators.temporal import retention_matrix
+    def d(day, user, i):
+        return Row(event_id=i, user_id=user,
+                   ts=dt.datetime(2024, 1, day, 10, 0, 0),
+                   event_type="x", value=0.0)
+    rows = [d(1, 1, 1), d(1, 1, 2),  # same day twice -> one active day
+            d(3, 1, 3),              # offset 2
+            d(2, 2, 4), d(3, 2, 5)]  # cohort Jan 2: offsets 0, 1
+    m = retention_matrix(spark.createDataFrame(rows))
+    got = {(str(r.cohort_day), r.day_offset): r.n_active
+           for r in m.collect()}
+    assert got == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1,
+                   ("2024-01-02", 0): 1, ("2024-01-02", 1): 1}
