@@ -3886,6 +3886,191 @@ def q_inverted_index(spark, sf_dir):
     return inverted_index(_t(spark, sf_dir, "documents"))
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query("events_pivot", """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+""")
+def q_events_pivot(spark, sf_dir):
+    """PIVOT (r9): per-user event-type count matrix through Spark's
+    native pivot with an EXPLICIT value list — the two-pass implicit
+    form first collects distinct pivot values to the driver, which at
+    100 TB is an extra corpus aggregate (and a failure if the column
+    has unbounded cardinality); the explicit list is one hash
+    aggregate, same plan as conditional counts. The oracle IS the
+    conditional-aggregation form — two independent expressions of the
+    same semantics. Tail-registered: the driver's window is full."""
+    ev = _t(spark, sf_dir, "events")
+    p = (ev.groupBy("user_id")
+         .pivot("event_type", _EVENT_TYPES)
+         .agg(F.count(F.lit(1))))
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+          for t in _EVENT_TYPES])
+
+
+_UNPIVOT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_UNPIVOT_SQL = "\nUNION ALL\n".join(
+    f"SELECT l_orderkey, l_linenumber, '{m}' AS measure, {m} AS val "
+    f"FROM lineitem" for m in _UNPIVOT_MEASURES)
+
+
+@query("lineitem_unpivot", _UNPIVOT_SQL)
+def q_lineitem_unpivot(spark, sf_dir):
+    """UNPIVOT/melt (r9): the four lineitem measures to long form
+    (key, measure, val) — the reshape every metrics store performs
+    before a generic per-measure aggregate. Spark's native unpivot is
+    a single Expand over one scan (rows x 4 with NO shuffle and no
+    four-fold re-scan — strictly better than the UNION-ALL form the
+    oracle uses, which is the point of the comparison). Values pass
+    through with no arithmetic. Tail-registered: window full."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(["l_orderkey", "l_linenumber"], _UNPIVOT_MEASURES,
+                      "measure", "val")
+
+
+_CHUNK_TOKENS, _CHUNK_STRIDE = 32, 24
+
+
+@query("doc_chunks", f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+           FROM documents),
+k AS (SELECT doc_id, ws,
+             unnest(generate_series(
+                 0, (greatest(len(ws) - {_CHUNK_TOKENS}, 0)
+                     + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE})) AS k
+      FROM t)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(ws, k * {_CHUNK_STRIDE} + 1,
+                           k * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}))
+            AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(ws, k * {_CHUNK_STRIDE} + 1,
+                                  k * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}),
+                       ' ') AS chunk_text
+FROM k
+""")
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window chunking (r9): documents cut into overlapping
+    32-token windows at stride 24 — the RAG/pretraining prep step
+    (operators/sampling.py:chunk_documents). Window enumeration is
+    exact integer arithmetic so both engines produce identical
+    chunks; fan-out is token-count-proportional (ceil(n/stride) per
+    doc), pure column expressions, no UDF. Tail-registered: the
+    driver's window is full."""
+    from mr_mpi_blast_spark.operators.sampling import chunk_documents
+    return chunk_documents(_t(spark, sf_dir, "documents"),
+                           _CHUNK_TOKENS, _CHUNK_STRIDE)
+
+
+# CDC fixtures: a deterministic changeset over orders — deletes
+# (key % 17 = 3), in-place updates (key % 10 = 0, priority prefixed,
+# deletes take precedence), inserts (key % 13 = 5 re-keyed far above
+# the natural key range: TPC-H orderkeys stay < 10^8 up to sf ~16).
+_CDC_SHIFT = 100_000_000
+
+_CDC_V2_SQL = f"""
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         CASE WHEN o_orderkey % 10 = 0 THEN 'X-' || o_orderpriority
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 17 <> 3
+  UNION ALL
+  SELECT o_orderkey + {_CDC_SHIFT}, o_custkey, 'N', o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 13 = 5
+"""
+
+
+def _orders_changeset(o):
+    dels = (o.filter(F.col("o_orderkey") % 17 == 3)
+            .withColumn("op", F.lit("D")))
+    upds = (o.filter((F.col("o_orderkey") % 10 == 0)
+                     & (F.col("o_orderkey") % 17 != 3))
+            .withColumn("o_orderpriority",
+                        F.concat(F.lit("X-"), "o_orderpriority"))
+            .withColumn("op", F.lit("U")))
+    ins = (o.filter(F.col("o_orderkey") % 13 == 5)
+           .withColumn("o_orderkey", F.col("o_orderkey") + _CDC_SHIFT)
+           .withColumn("o_orderstatus", F.lit("N"))
+           .withColumn("op", F.lit("I")))
+    return dels.unionByName(upds).unionByName(ins)
+
+
+def _orders_v2(spark, sf_dir):
+    from mr_mpi_blast_spark.operators.cdc import apply_changeset
+    o = _t(spark, sf_dir, "orders")
+    return apply_changeset(o, _orders_changeset(o), ["o_orderkey"])
+
+
+@query("orders_cdc_apply", f"""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       strftime(o_orderdate, '{_TS_FMT_DUCK}') AS o_orderdate,
+       o_orderpriority
+FROM ({_CDC_V2_SQL})
+""")
+def q_orders_cdc_apply(spark, sf_dir):
+    """MERGE / changeset apply (r9): a deterministic I/U/D changeset
+    applied to the orders snapshot (operators/cdc.py:apply_changeset
+    — one key anti-join against the touched-key set, broadcastable
+    when the changeset is small, plus a union of the upsert payload:
+    the copy-on-write MERGE shape of a lakehouse table). The oracle
+    constructs the post-merge snapshot DIRECTLY from the change rules
+    — two independent routes to the same table. Tail-registered: the
+    driver's window is full."""
+    v2 = _orders_v2(spark, sf_dir)
+    return v2.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.date_format("o_orderdate", _TS_FMT_SPARK).alias("o_orderdate"),
+        "o_orderpriority")
+
+
+@query("orders_snapshot_diff", f"""
+WITH v2 AS ({_CDC_V2_SQL}),
+j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new,
+         (CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+               THEN 1 ELSE 0 END)
+         + (CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN o.o_orderdate IS DISTINCT FROM n.o_orderdate
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                 THEN 1 ELSE 0 END) AS nd
+  FROM orders o FULL OUTER JOIN v2 n ON o.o_orderkey = n.o_orderkey)
+SELECT o_orderkey,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       CAST(CASE WHEN in_old AND in_new THEN nd ELSE 0 END AS BIGINT)
+         AS n_changed_cols
+FROM j WHERE (NOT in_old) OR (NOT in_new) OR nd > 0
+""")
+def q_orders_snapshot_diff(spark, sf_dir):
+    """Snapshot diff (r9): the inverse of orders_cdc_apply — classify
+    every key across the v1/v2 snapshots as added/removed/changed
+    with a per-column null-safe comparison, NEVER a rendered row hash
+    (double/timestamp formatting is engine-specific; IS DISTINCT FROM
+    is not). One full-outer key join; output is changeset-sized
+    (operators/cdc.py:snapshot_diff). The oracle re-derives v2 and
+    the diff independently in SQL. Tail-registered: the driver's
+    window is full."""
+    from mr_mpi_blast_spark.operators.cdc import snapshot_diff
+    o = _t(spark, sf_dir, "orders")
+    return snapshot_diff(o, _orders_v2(spark, sf_dir), ["o_orderkey"])
+
+
 # ---------------------------------------------------------------------------
 # Run-epilogue summary (W7/A6). Tail-registered since r9: its timing
 # values are wall-clock measurements, so the driver's check is

@@ -326,3 +326,43 @@ def mix_sample(df: DataFrame, alpha: float = 0.5,
     return (df.join(F.broadcast(w), by)
             .filter(id_bucket(F.col(id_col)) < rate * _BUCKETS)
             .select(*df.columns))
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 32,
+                    stride: int = 24, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window document chunking — the RAG/pretraining prep
+    step that cuts long documents into overlapping fixed-token
+    windows (chunk k covers tokens [k*stride, k*stride+chunk_tokens)
+    of the whitespace-normalized token stream; overlap =
+    chunk_tokens - stride).
+
+    Chunk count per doc is exact integer arithmetic
+    ((max(n - chunk, 0) + stride - 1) div stride, inclusive of chunk
+    0), so both engines enumerate identical windows; the trailing
+    chunk is shorter, never empty, and a document shorter than one
+    chunk yields exactly one chunk. Pure column expressions — the
+    explode fans out per doc by ceil(n/stride), token-count-
+    proportional, never corpus-squared; no UDF, no collect.
+
+    Output: (doc_id, chunk_id, n_tokens, chunk_text).
+    """
+    if chunk_tokens < 1 or stride < 1 or stride > chunk_tokens:
+        raise ValueError(
+            f"need 1 <= stride <= chunk_tokens, got "
+            f"chunk_tokens={chunk_tokens} stride={stride}")
+    from mr_mpi_blast_spark.functions.hashing import normalized_text
+    ws = F.split(normalized_text(F.col(text_col)), " ")
+    t = df.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+    kmax = F.expr(
+        f"(greatest(size(ws) - {chunk_tokens}, 0) + {stride} - 1) "
+        f"div {stride}")
+    exploded = t.select(
+        "doc_id", "ws",
+        F.explode(F.sequence(F.lit(0), kmax)).alias("chunk_id"))
+    piece = F.slice(F.col("ws"), F.col("chunk_id") * stride + 1,
+                    chunk_tokens)
+    return exploded.select(
+        "doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"))

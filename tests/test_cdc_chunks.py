@@ -1,0 +1,81 @@
+"""CDC (snapshot_diff / apply_changeset) and sliding-window chunking:
+handcrafted edges for null-safe comparison, merge semantics, and
+exact window enumeration."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mr_mpi_blast_spark.operators.cdc import apply_changeset, snapshot_diff
+from mr_mpi_blast_spark.operators.sampling import chunk_documents
+
+
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double")
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),          # unchanged -> not emitted
+         (2, "b", 20.0),          # null -> value: changed (1 col)
+         (4, "d", 41.0),          # two cols changed
+         (5, "e", 50.0)],         # added
+        "k long, s string, v double")
+    got = {r.k: (r.change_type, r.n_changed_cols)
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {2: ("changed", 1), 3: ("removed", 0),
+                   4: ("changed", 2), 5: ("added", 0)}
+    with pytest.raises(ValueError, match="key_cols"):
+        snapshot_diff(old, new, [])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snapshot_diff(old, new.withColumnRenamed("v", "w"), ["k"])
+
+
+def test_apply_changeset_merge_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, s string")
+    changes = spark.createDataFrame(
+        [(2, "B", "U"), (3, None, "D"), (4, "d", "I")],
+        "k long, s string, op string")
+    got = {r.k: r.s for r in
+           apply_changeset(target, changes, ["k"]).collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}
+    with pytest.raises(ValueError, match="changeset columns"):
+        apply_changeset(target, changes.drop("s"), ["k"])
+
+
+def test_apply_then_diff_roundtrip(spark):
+    """diff(v1, apply(v1, changes)) recovers exactly the changeset's
+    keys and classes — the two operators are mutual inverses."""
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, s string")
+    changes = spark.createDataFrame(
+        [(2, "B", "U"), (3, None, "D"), (4, "d", "I")],
+        "k long, s string, op string")
+    v2 = apply_changeset(target, changes, ["k"])
+    got = {r.k: r.change_type
+           for r in snapshot_diff(target, v2, ["k"]).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+@pytest.mark.parametrize("n,starts", [
+    (1, [0]), (24, [0]), (32, [0]), (33, [0, 24]),
+    (56, [0, 24]), (57, [0, 24, 48]), (81, [0, 24, 48, 72]),
+])
+def test_chunk_windows_exact(spark, n, starts):
+    text = " ".join(f"w{i}" for i in range(n))
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    rows = sorted(chunk_documents(df, 32, 24).collect(),
+                  key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in rows] == list(range(len(starts)))
+    for r, s in zip(rows, starts):
+        want = [f"w{i}" for i in range(s, min(s + 32, n))]
+        assert r.chunk_text.split(" ") == want
+        assert r.n_tokens == len(want)
+
+
+def test_chunk_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, 8, 9)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, 8, 0)

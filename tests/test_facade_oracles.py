@@ -111,6 +111,16 @@ FACADES = [
     # r9 continuation: materialized inverted index (window full —
     # exact integer counts, comma-joined posting rendering)
     "inverted_index",
+    # r9 continuation: PIVOT / UNPIVOT pair (window full — oracle is
+    # the conditional-aggregation / UNION-ALL form respectively)
+    "events_pivot", "lineitem_unpivot",
+    # r9 continuation: sliding-window chunking (window full — exact
+    # integer window enumeration, identical in both engines)
+    "doc_chunks",
+    # r9 continuation: CDC pair (window full — apply's oracle builds
+    # the post-merge snapshot directly from the change rules; diff's
+    # oracle re-derives v2 and the full-outer IS DISTINCT FROM diff)
+    "orders_cdc_apply", "orders_snapshot_diff",
 ]
 
 # Tail-registered entries with NO value oracle by nature (the driver
