@@ -4071,6 +4071,74 @@ def q_orders_snapshot_diff(spark, sf_dir):
     return snapshot_diff(o, _orders_v2(spark, sf_dir), ["o_orderkey"])
 
 
+_Z_BITS, _Z_FILE_BITS = 20, 18
+
+
+def _zorder_oracle() -> str:
+    from mr_mpi_blast_spark.operators.layout import zorder_sql
+    z = zorder_sql("l_partkey", "l_suppkey", _Z_BITS, "//")
+    return f"""
+WITH z AS (SELECT l_partkey AS x, l_suppkey AS y, {z} AS z FROM lineitem)
+SELECT CAST(z // {1 << _Z_FILE_BITS} AS BIGINT) AS file_id,
+       count(*) AS n_rows,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y
+FROM z GROUP BY 1
+"""
+
+
+@query("lineitem_zorder", _zorder_oracle())
+def q_lineitem_zorder(spark, sf_dir):
+    """Z-order layout manifest (r9): lineitem clustered on the Morton
+    interleave of (l_partkey, l_suppkey) into fixed-width z-range
+    files, reporting each file's min/max on BOTH dimensions — the
+    manifest statistics a reader prunes with, and the evidence the
+    layout bounds per-file ranges on both keys where a single-key
+    sort bounds only one (operators/layout.py; the OPTIMIZE ZORDER
+    idea of the lakehouse formats). File assignment is fixed-width
+    arithmetic on the z-value — no global sort, no single-task
+    window; the oracle replays the identical generated integer
+    expression. Tail-registered: the driver's window is full."""
+    from mr_mpi_blast_spark.operators.layout import zorder_file_stats
+    li = _t(spark, sf_dir, "lineitem")
+    return zorder_file_stats(li, "l_partkey", "l_suppkey",
+                             bits=_Z_BITS, file_width_bits=_Z_FILE_BITS)
+
+
+@query("events_rolling", """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events)
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""")
+def q_events_rolling(spark, sf_dir):
+    """Time-RANGE rolling window (r9): per event, the count and
+    cent-exact value sum of the same user's events in the trailing
+    hour — the sliding-window feature a fraud/abuse scorer computes.
+    The frame is RANGE (time-based) not ROWS: bounds are exact epoch
+    microseconds, inclusive both ends, peers included identically in
+    both engines. Sums run in integer cents (values are 2-decimal;
+    floor(v*100 + 0.5) on non-negative values is exact in IEEE
+    double), so partitioning and summation order cannot move the
+    result. One shuffle on user_id. Tail-registered: the driver's
+    window is full."""
+    from mr_mpi_blast_spark.operators.temporal import epoch_us
+    ev = _t(spark, sf_dir, "events")
+    us = epoch_us(ev, "ts")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    w = (Window.partitionBy("user_id").orderBy(F.col("us"))
+         .rangeBetween(-3_600_000_000, 0))
+    return (ev.select("event_id", "user_id", us.alias("us"),
+                      cents.alias("cents"))
+            .select("event_id", "user_id",
+                    F.count(F.lit(1)).over(w).alias("n_1h"),
+                    F.sum("cents").over(w).alias("cents_1h")))
+
+
 # ---------------------------------------------------------------------------
 # Run-epilogue summary (W7/A6). Tail-registered since r9: its timing
 # values are wall-clock measurements, so the driver's check is

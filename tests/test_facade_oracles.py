@@ -121,6 +121,10 @@ FACADES = [
     # the post-merge snapshot directly from the change rules; diff's
     # oracle re-derives v2 and the full-outer IS DISTINCT FROM diff)
     "orders_cdc_apply", "orders_snapshot_diff",
+    # r9 continuation: z-order manifest + time-RANGE rolling window
+    # (window full — exact integer Morton/cents arithmetic; the
+    # zorder oracle replays the identical generated expression)
+    "lineitem_zorder", "events_rolling",
 ]
 
 # Tail-registered entries with NO value oracle by nature (the driver

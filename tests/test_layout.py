@@ -1,0 +1,85 @@
+"""Z-order layout (operators/layout.py): Morton bijectivity, the
+bounded-both-dims pruning property vs a single-key layout, and the
+inclusive time-RANGE frame of events_rolling."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mr_mpi_blast_spark.operators.layout import (zorder_file_stats,
+                                                 zorder_sql, zvalue)
+
+
+def _interleave(x, y, bits):
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zvalue_bijective_on_grid(spark):
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {(r.x, r.y): r.z for r in
+           df.select("x", "y", zvalue("x", "y", 4).alias("z")).collect()}
+    assert sorted(got.values()) == list(range(256))
+    for (x, y), z in got.items():
+        assert z == _interleave(x, y, 4)
+
+
+def test_zorder_bounds_both_dims(spark):
+    """On a 64x64 grid with 64-z-unit files, every z-order file is an
+    aligned 8x8 block: BOTH dimension spans are 7. The x-major layout
+    of the same data bounds x only — its y span stays the full 63.
+    This is the pruning claim, asserted, not narrated."""
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    stats = zorder_file_stats(df, "x", "y", bits=6,
+                              file_width_bits=6).collect()
+    assert len(stats) == 64
+    for r in stats:
+        assert r.n_rows == 64
+        assert r.max_x - r.min_x == 7 and r.max_y - r.min_y == 7
+    xmajor = (df.groupBy(F.expr("x div 8").alias("file_id"))
+              .agg(F.min("y").alias("min_y"), F.max("y").alias("max_y"))
+              .collect())
+    assert all(r.max_y - r.min_y == 63 for r in xmajor)
+
+
+def test_zorder_sql_validation():
+    with pytest.raises(ValueError, match="bits"):
+        zorder_sql("x", "y", 0, "div")
+    with pytest.raises(ValueError, match="bits"):
+        zorder_sql("x", "y", 32, "//")
+
+
+def test_rolling_range_inclusive_boundary(spark):
+    from mr_mpi_blast_spark.operators.temporal import epoch_us
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        Row(event_id=1, user_id=1, ts=base, value=1.0),
+        # exactly 3600s later: still inside the trailing hour (RANGE
+        # bounds are inclusive both ends)
+        Row(event_id=2, user_id=1,
+            ts=base + dt.timedelta(seconds=3600), value=2.0),
+        # one microsecond past: event 1 falls out
+        Row(event_id=3, user_id=1,
+            ts=base + dt.timedelta(seconds=3600, microseconds=1),
+            value=4.0),
+    ]
+    ev = spark.createDataFrame(rows)
+    from pyspark.sql import Window
+    us = epoch_us(ev, "ts")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    w = (Window.partitionBy("user_id").orderBy(F.col("us"))
+         .rangeBetween(-3_600_000_000, 0))
+    got = {r.event_id: (r.n, r.c) for r in
+           ev.select("event_id", "user_id", us.alias("us"),
+                     cents.alias("cents"))
+             .withColumn("n", F.count(F.lit(1)).over(w))
+             .withColumn("c", F.sum("cents").over(w))
+             .collect()}
+    assert got == {1: (1, 100), 2: (2, 300), 3: (2, 600)}
