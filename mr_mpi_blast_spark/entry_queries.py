@@ -4139,6 +4139,166 @@ def q_events_rolling(spark, sf_dir):
                     F.sum("cents").over(w).alias("cents_1h")))
 
 
+@query("local_supplier_volume", """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""")
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape (r9): local-supplier volume — revenue where the
+    ordering customer and the supplier share a nation, six-table star
+    join with a region filter and a date range. The plan to want at
+    100 TB: lineitem and orders shuffle-join on the orderkey (the two
+    fact tables), every dimension broadcasts, the date filter pushes
+    into the orders scan, and Catalyst is free to REORDER the
+    dimension joins (declared, not hand-scheduled — the exact
+    opposite of the reference's fixed map/reduce staging). The
+    same-nation predicate is applied as a join-level filter, not a
+    post-aggregation one. Tail-registered: the driver's window is
+    full."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(s), (F.col("l_suppkey") == F.col("s_suppkey"))
+               & (F.col("c_nationkey") == F.col("s_nationkey")))
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")))
+    return (j.groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+@query("events_transitions", """
+WITH t AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type, count(*) AS n
+FROM t WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""")
+def q_events_transitions(spark, sf_dir):
+    """Event-type transition matrix (r9): per-user consecutive-event
+    pairs counted into the Markov transition table behind journey and
+    next-action analytics. One shuffle on user_id (the lag window)
+    + one map-side-combined aggregate on the 5x5 pair space; ordering
+    ties break on event_id so the matrix is deterministic.
+    Tail-registered: the driver's window is full."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("prev_type", F.lag("event_type").over(w))
+            .filter(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", "event_type")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@query("part_fuzzy_match", """
+WITH names AS (
+  SELECT p_name, count(*) AS n_parts,
+         string_split(p_name, ' ')[-1] AS block
+  FROM part GROUP BY p_name),
+pairs AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b,
+         levenshtein(a.p_name, b.p_name) AS dist,
+         a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+  FROM names a JOIN names b
+    ON a.block = b.block AND a.p_name < b.p_name)
+SELECT name_a, name_b, CAST(dist AS BIGINT) AS dist,
+       n_parts_a, n_parts_b
+FROM pairs WHERE dist <= 2
+""")
+def q_part_fuzzy_match(spark, sf_dir):
+    """Blocked fuzzy self-join (r9): near-identical part names by
+    edit distance <= 2 — the entity-resolution block-then-verify
+    shape. The join runs on the DISTINCT name table (vocabulary-
+    sized, with per-name counts carried), candidates form only
+    within a blocking key (the name's last token), and the
+    levenshtein verify runs per candidate pair — never the all-pairs
+    square. Both engines implement unit-cost Levenshtein, so the
+    verify is engine-exact. At 100 TB the same shape holds with a
+    stronger blocker (q-gram prefix or phonetic key) when a single
+    block grows hot. Tail-registered: the driver's window is full."""
+    p = _t(spark, sf_dir, "part")
+    names = (p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+             .withColumn("block", F.element_at(F.split("p_name", " "), -1)))
+    a = names.select(F.col("p_name").alias("name_a"),
+                     F.col("n_parts").alias("n_parts_a"),
+                     F.col("block"))
+    b = names.select(F.col("p_name").alias("name_b"),
+                     F.col("n_parts").alias("n_parts_b"),
+                     F.col("block"))
+    return (a.join(b, "block")
+            .filter(F.col("name_a") < F.col("name_b"))
+            .withColumn("dist", F.levenshtein("name_a", "name_b")
+                        .cast("long"))
+            .filter(F.col("dist") <= 2)
+            .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b"))
+
+
+@query("events_anomaly", """
+WITH e AS (SELECT event_id, user_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+s AS (SELECT user_id, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS s1,
+             CAST(sum(cents * cents) AS BIGINT) AS s2
+      FROM e GROUP BY user_id)
+SELECT e.event_id, e.user_id, e.cents
+FROM e JOIN s ON e.user_id = s.user_id
+WHERE 4 * (s.n * e.cents - s.s1) * (s.n * e.cents - s.s1)
+      > 9 * (s.n * s.s2 - s.s1 * s.s1)
+""")
+def q_events_anomaly(spark, sf_dir):
+    """Per-user outlier flag in EXACT integer algebra (r9): an event
+    is anomalous when |z| > 1.5 against its user's own distribution —
+    but instead of float mean/stddev (whose summation order diverges
+    across engines and partitionings), the test is cross-multiplied
+    into integers: |x - mu| > 1.5 sigma  <=>  4(nx - S)^2 > 9(nS2 -
+    S^2) with S = sum(cents), S2 = sum(cents^2). Every quantity is an
+    int64 (bounds: safe while n * max_cents < ~3e9 per user — ~50k
+    events/user at these values; past that, promote the algebra to
+    DECIMAL(38,0), the dsir_weights overflow lesson). One aggregate +
+    one key-equi join; strict > is the stated tie policy.
+    Tail-registered: the driver's window is full."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("event_id", "user_id",
+                  F.floor(F.col("value") * 100 + 0.5).cast("long")
+                  .alias("cents"))
+    s = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"))
+    j = e.join(s, "user_id")
+    # NOT (..)**2: pow promotes to double; explicit multiply stays int64
+    d = F.col("n") * F.col("cents") - F.col("s1")
+    lhs = F.lit(4) * d * d
+    rhs = F.lit(9) * (F.col("n") * F.col("s2")
+                      - F.col("s1") * F.col("s1"))
+    return (j.filter(lhs > rhs)
+            .select("event_id", "user_id", "cents"))
+
+
 # ---------------------------------------------------------------------------
 # Run-epilogue summary (W7/A6). Tail-registered since r9: its timing
 # values are wall-clock measurements, so the driver's check is

@@ -79,3 +79,40 @@ def test_chunk_validation(spark):
         chunk_documents(df, 8, 9)
     with pytest.raises(ValueError, match="stride"):
         chunk_documents(df, 8, 0)
+def test_anomaly_algebra_matches_float_zscore(spark):
+    """The cross-multiplied integer test agrees with the float
+    z-score definition everywhere the float is not AT the boundary
+    (population sigma; |z| > 1.5)."""
+    import random
+    random.seed(9)
+    rows = [(i, i % 7, round(random.uniform(0, 560.0), 2))
+            for i in range(600)]
+    import statistics
+    by_user = {}
+    for i, u, v in rows:
+        by_user.setdefault(u, []).append((i, round(v * 100)))
+    want = set()
+    for u, evs in by_user.items():
+        xs = [c for _, c in evs]
+        mu = statistics.fmean(xs)
+        sig = statistics.pstdev(xs)
+        for i, c in evs:
+            if sig > 0 and abs((c - mu) / sig) > 1.5000001:
+                want.add(i)
+    df = spark.createDataFrame(
+        [(i, u, v) for i, u, v in rows],
+        "event_id long, user_id long, value double")
+    e = df.selectExpr("event_id", "user_id",
+                      "CAST(floor(value*100 + 0.5) AS BIGINT) AS cents")
+    from pyspark.sql import functions as F
+    s = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"))
+    d = F.col("n") * F.col("cents") - F.col("s1")
+    got = {r.event_id for r in
+           e.join(s, "user_id")
+            .filter(F.lit(4) * d * d
+                    > F.lit(9) * (F.col("n") * F.col("s2")
+                                  - F.col("s1") * F.col("s1")))
+            .collect()}
+    assert got == want

@@ -125,6 +125,11 @@ FACADES = [
     # (window full — exact integer Morton/cents arithmetic; the
     # zorder oracle replays the identical generated expression)
     "lineitem_zorder", "events_rolling",
+    # r9 continuation: TPC-H Q5-shape star join, Markov transition
+    # matrix, blocked Levenshtein fuzzy join, exact-integer z-score
+    # anomaly flag (window full)
+    "local_supplier_volume", "events_transitions", "part_fuzzy_match",
+    "events_anomaly",
 ]
 
 # Tail-registered entries with NO value oracle by nature (the driver
