@@ -4299,6 +4299,33 @@ def q_events_anomaly(spark, sf_dir):
             .select("event_id", "user_id", "cents"))
 
 
+@query("revenue_cube", """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def q_revenue_cube(spark, sf_dir):
+    """CUBE (r9): revenue over every subset of (returnflag,
+    linestatus) — all four grouping sets in ONE pass (Catalyst plans
+    an Expand over a single scan + one hash aggregate; rollup_revenue
+    covers the hierarchical prefix form, this is the full lattice).
+    grouping_id disambiguates a real NULL group from an aggregated-
+    out dimension — both engines use the same bit order (first listed
+    column = MSB). Tail-registered: the driver's window is full."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.grouping_id().cast("long").alias("gid"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .select("l_returnflag", "l_linestatus", "gid",
+                    "revenue", "n_items"))
+
+
 # ---------------------------------------------------------------------------
 # Run-epilogue summary (W7/A6). Tail-registered since r9: its timing
 # values are wall-clock measurements, so the driver's check is

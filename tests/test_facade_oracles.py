@@ -130,6 +130,9 @@ FACADES = [
     # anomaly flag (window full)
     "local_supplier_volume", "events_transitions", "part_fuzzy_match",
     "events_anomaly",
+    # r9 continuation: full CUBE lattice with grouping_id (window
+    # full — same bit order in both engines, first column = MSB)
+    "revenue_cube",
 ]
 
 # Tail-registered entries with NO value oracle by nature (the driver
