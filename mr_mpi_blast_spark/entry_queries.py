@@ -4276,10 +4276,13 @@ def q_events_anomaly(spark, sf_dir):
     across engines and partitionings), the test is cross-multiplied
     into integers: |x - mu| > 1.5 sigma  <=>  4(nx - S)^2 > 9(nS2 -
     S^2) with S = sum(cents), S2 = sum(cents^2). Every quantity is an
-    int64 (bounds: safe while n * max_cents < ~3e9 per user — ~50k
-    events/user at these values; past that, promote the algebra to
-    DECIMAL(38,0), the dsir_weights overflow lesson). One aggregate +
-    one key-equi join; strict > is the stated tie policy.
+    int64. Overflow bound — the binding term is rhs: 9*n*S2 <=
+    9*(n*max_cents)^2 must stay under 2^63, i.e. n * max_cents <
+    ~1.0e9 (~18k events/user at these ~56k-cent values); past that
+    Spark wraps silently (ANSI off) while DuckDB raises, so promote
+    the algebra to DECIMAL(38,0) BEFORE the bound, not at it (the
+    dsir_weights overflow lesson). One aggregate + one key-equi join;
+    strict > is the stated tie policy.
     Tail-registered: the driver's window is full."""
     ev = _t(spark, sf_dir, "events")
     e = ev.select("event_id", "user_id",

@@ -170,8 +170,22 @@ def resample_locf(events: DataFrame, key_col: str = "user_id",
     CELL-sized data (per-key fan-out = the key's time span in steps,
     not its event count). A bot key with 1e9 events in one hour costs
     the same downstream as a key with one event.
+
+    ``step`` must be exactly '1 <unit>' of a date_trunc unit: cells
+    are assigned by truncating to the unit, so a multi-unit stride
+    ('2 hour') would put events in cells the grid never visits —
+    silently dropping them — and a sub-unit stride can't be expressed
+    by truncation at all. Rejected loudly here.
     """
-    unit = step.split()[-1]
+    parts = step.split()
+    allowed = {"year", "quarter", "month", "week", "day",
+               "hour", "minute", "second"}
+    if len(parts) != 2 or parts[0] != "1" or parts[1] not in allowed:
+        raise ValueError(
+            f"step must be '1 <unit>' with unit in {sorted(allowed)}; "
+            f"got {step!r} (cells truncate to the unit, so any other "
+            f"stride would desynchronize cells from the grid)")
+    unit = parts[1]
     cell = F.date_trunc(unit, F.col(ts_col))
     per_cell = (events.groupBy(F.col(key_col), cell.alias("cell"))
                 .agg(F.count(F.lit(1)).alias("n_events"),

@@ -3,7 +3,6 @@ handcrafted edges for null-safe comparison, merge semantics, and
 exact window enumeration."""
 
 import pytest
-from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from mr_mpi_blast_spark.operators.cdc import apply_changeset, snapshot_diff
@@ -79,6 +78,8 @@ def test_chunk_validation(spark):
         chunk_documents(df, 8, 9)
     with pytest.raises(ValueError, match="stride"):
         chunk_documents(df, 8, 0)
+
+
 def test_anomaly_algebra_matches_float_zscore(spark):
     """The cross-multiplied integer test agrees with the float
     z-score definition everywhere the float is not AT the boundary
@@ -104,7 +105,6 @@ def test_anomaly_algebra_matches_float_zscore(spark):
         "event_id long, user_id long, value double")
     e = df.selectExpr("event_id", "user_id",
                       "CAST(floor(value*100 + 0.5) AS BIGINT) AS cents")
-    from pyspark.sql import functions as F
     s = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s1"),
         F.sum(F.col("cents") * F.col("cents")).alias("s2"))

@@ -81,8 +81,7 @@ def test_pagerank_iteration_plan(spark, tmp_path, monkeypatch):
     from mr_mpi_blast_spark.operators.bucketing import \
         ensure_bucketed_table
 
-    rows = [(s, d) for s, d in EDGES for _ in range(1)]
-    e = (spark.createDataFrame(rows, ["src", "dst"])
+    e = (spark.createDataFrame(list(EDGES), ["src", "dst"])
          .select(F.col("src").cast("long").alias("src"),
                  F.col("dst").cast("long").alias("dst")).distinct())
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))

@@ -359,3 +359,18 @@ def test_retention_matrix_offsets(spark):
            for r in m.collect()}
     assert got == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1,
                    ("2024-01-02", 0): 1, ("2024-01-02", 1): 1}
+
+
+def test_resample_step_validation(spark):
+    """Only '1 <unit>' steps are expressible by truncation: a '2 hour'
+    stride would drop odd-hour events into cells the grid never
+    visits (silent data loss) and '30 minutes' can't truncate at all
+    — both must fail loudly."""
+    from mr_mpi_blast_spark.operators.temporal import resample_locf
+    ev = spark.createDataFrame(
+        [Row(event_id=1, user_id=1, ts=_ts(1), event_type="x",
+             value=1.0)])
+    for bad in ["2 hour", "30 minutes", "hour", "1 fortnight"]:
+        with pytest.raises(ValueError, match="step"):
+            resample_locf(ev, step=bad)
+    assert resample_locf(ev, step="1 day").count() == 1
