@@ -4329,6 +4329,39 @@ def q_revenue_cube(spark, sf_dir):
                     "revenue", "n_items"))
 
 
+@query("events_sliding", f"""
+WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+w AS (SELECT event_type, cents,
+             ((us // 900000000) - t.k) * 900000000 AS ws
+      FROM e, generate_series(0, 3) AS t(k))
+SELECT strftime(make_timestamp(ws), '{_TS_FMT_DUCK}') AS win_start,
+       event_type, count(*) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM w GROUP BY 1, 2
+""")
+def q_events_sliding(spark, sf_dir):
+    """Sliding-window aggregate (r9): 1-hour windows sliding every 15
+    minutes per event type — Spark's native F.window(slide) (each
+    event fans out to windowDuration/slide = 4 epoch-aligned windows
+    inside the Expand, then ONE hash aggregate; the streaming form is
+    the same expression under a watermark). The oracle enumerates the
+    4 member windows per event explicitly from epoch-microsecond
+    floor arithmetic — an independent statement of the window-
+    assignment rule. Counts and integer cents only, so parity is
+    exact. Tail-registered: the driver's window is full."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (ev.select(w.alias("w"), "event_type",
+                      F.floor(F.col("value") * 100 + 0.5).cast("long")
+                      .alias("c"))
+            .groupBy(F.date_format("w.start", _TS_FMT_SPARK)
+                     .alias("win_start"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("c").alias("cents")))
+
+
 # ---------------------------------------------------------------------------
 # Run-epilogue summary (W7/A6). Tail-registered since r9: its timing
 # values are wall-clock measurements, so the driver's check is

@@ -133,6 +133,10 @@ FACADES = [
     # r9 continuation: full CUBE lattice with grouping_id (window
     # full — same bit order in both engines, first column = MSB)
     "revenue_cube",
+    # r9 continuation: sliding-window aggregate (window full — the
+    # oracle enumerates the 4 epoch-aligned member windows per event
+    # from floor arithmetic; counts + integer cents)
+    "events_sliding",
 ]
 
 # Tail-registered entries with NO value oracle by nature (the driver
