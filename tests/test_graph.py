@@ -116,3 +116,25 @@ def test_pagerank_iteration_plan(spark, tmp_path, monkeypatch):
     # exactly the two node-sized sorts (SMJ sides fed by exchanges);
     # a third would mean a bucketed side got re-sorted
     assert len(re.findall(r"\n\s*(?:\+|:)- Sort ", plan)) == 2
+
+
+@pytest.mark.slow
+def test_pagerank_iteration_count_scales_linearly(spark):
+    """The bpe_learn lesson applied here: per-round checkpointing must
+    keep plan depth O(1) in n_iter, so 24 iterations cost ~4x of 6 —
+    linear — rather than the quadratic blowup of an uncheckpointed
+    lineage (which also deepens analysis per round). Wall-clock gated
+    loosely (noise-tolerant): the 4x work may take at most 12x time,
+    and values still match the python replay exactly."""
+    import time
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    pagerank_micro(edges, n_iter=1).collect()  # JIT/session warm
+    t0 = time.monotonic()
+    pagerank_micro(edges, n_iter=6).collect()
+    t6 = time.monotonic() - t0
+    t0 = time.monotonic()
+    got = {r["node"]: r["rank_micro"]
+           for r in pagerank_micro(edges, n_iter=24).collect()}
+    t24 = time.monotonic() - t0
+    assert got == py_pagerank(EDGES, 24)
+    assert t24 < 12 * max(t6, 0.5), (t6, t24)
