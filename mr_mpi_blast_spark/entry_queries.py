@@ -4362,6 +4362,60 @@ def q_events_sliding(spark, sf_dir):
                  F.sum("c").alias("cents")))
 
 
+_COPURCHASE_MAX_BASKET = 50
+_COPURCHASE_K = 20
+
+
+@query("part_copurchase", f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sized AS (
+  SELECT l_orderkey FROM items GROUP BY l_orderkey
+  HAVING count(*) <= {_COPURCHASE_MAX_BASKET}),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS n_orders
+  FROM items a
+  JOIN sized USING (l_orderkey)
+  JOIN items b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2)
+SELECT part_a, part_b, n_orders FROM (
+  SELECT part_a, part_b, n_orders,
+         row_number() OVER (ORDER BY n_orders DESC, part_a, part_b)
+           AS rk
+  FROM pairs) WHERE rk <= {_COPURCHASE_K}
+""")
+def q_part_copurchase(spark, sf_dir):
+    """Market-basket co-occurrence (r9): the top-20 part pairs
+    bought in the same order — the frequent-itemset primitive behind
+    recommendation and affinity analytics. Per-order fan-out is
+    basket-size-squared, so baskets above 50 items are excluded by
+    stated policy BEFORE the self-join (the hot-basket bound every
+    market-basket job needs: one pathological 1e5-item order would
+    otherwise emit 5e9 pairs). Distinct items per order first, one
+    orderkey-equi self-join, map-side-combined pair counts, and the
+    global top-k runs as TakeOrderedAndProject over a total order
+    (count desc, then both keys) — output-sized, no global sort.
+    Tail-registered: the driver's window is full."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (items.groupBy("l_orderkey")
+             .agg(F.count(F.lit(1)).alias("_n"))
+             .filter(F.col("_n") <= _COPURCHASE_MAX_BASKET)
+             .select("l_orderkey"))
+    a = items.join(sized, "l_orderkey")
+    b = items.select(F.col("l_orderkey"),
+                     F.col("l_partkey").alias("part_b"))
+    pairs = (a.withColumnRenamed("l_partkey", "part_a")
+             .join(b, "l_orderkey")
+             .filter(F.col("part_a") < F.col("part_b"))
+             .groupBy("part_a", "part_b")
+             .agg(F.count(F.lit(1)).alias("n_orders")))
+    return (pairs.orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+            .limit(_COPURCHASE_K))
+
+
 # ---------------------------------------------------------------------------
 # Run-epilogue summary (W7/A6). Tail-registered since r9: its timing
 # values are wall-clock measurements, so the driver's check is

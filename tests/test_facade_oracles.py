@@ -137,6 +137,9 @@ FACADES = [
     # oracle enumerates the 4 epoch-aligned member windows per event
     # from floor arithmetic; counts + integer cents)
     "events_sliding",
+    # r9 continuation: market-basket co-purchase top-k (window full —
+    # hot-basket bound stated; total-order ranking, exact counts)
+    "part_copurchase",
 ]
 
 # Tail-registered entries with NO value oracle by nature (the driver
