@@ -116,3 +116,28 @@ def test_anomaly_algebra_matches_float_zscore(spark):
                                   - F.col("s1") * F.col("s1")))
             .collect()}
     assert got == want
+
+
+def test_chunk_reconstruction_property(spark):
+    """Lossless-coverage property: taking the first `stride` tokens of
+    every chunk plus the remainder of the final chunk reproduces the
+    exact token stream — no token is dropped or duplicated beyond the
+    declared overlap, for any document length."""
+    import random
+    random.seed(4)
+    lengths = [1, 2, 23, 24, 25, 31, 32, 33, 47, 48, 49, 56, 57, 96,
+               random.randint(60, 200)]
+    rows = [(i, " ".join(f"t{i}x{j}" for j in range(n)))
+            for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in chunk_documents(df, 32, 24).collect():
+        out.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split(" ")
+    for i, n in enumerate(lengths):
+        chunks = [out[i][k] for k in sorted(out[i])]
+        rebuilt = []
+        for k, ch in enumerate(chunks):
+            rebuilt += ch[:24] if k < len(chunks) - 1 else ch
+        assert rebuilt == [f"t{i}x{j}" for j in range(n)], (i, n)
+        # every non-final chunk is full-width
+        assert all(len(c) == 32 for c in chunks[:-1])
