@@ -4416,6 +4416,50 @@ def q_part_copurchase(spark, sf_dir):
             .limit(_COPURCHASE_K))
 
 
+@query("events_trimmed_mean", """
+WITH e AS (SELECT event_type, event_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+r AS (SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(max(n) // 10 AS BIGINT) AS k_trim,
+       CAST(sum(cents) AS BIGINT) AS trimmed_sum,
+       count(*) AS kept,
+       floor((sum(cents) * 1.0 / count(*)) * 1e4 + 0.5) / 1e4
+         AS mean_cents
+FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+GROUP BY event_type
+""")
+def q_events_trimmed_mean(spark, sf_dir):
+    """Exact 10%-trimmed mean per event type (r9) — the robust
+    location statistic, computed from the VALUE HISTOGRAM instead of
+    a per-row rank: one map-side-combined (type, cents) count, then a
+    cumulative window whose per-group state is bounded by the value
+    domain's cardinality (~56k distinct cents), NOT the corpus — the
+    oracle is the per-row rank definition, so the check proves the
+    histogram overlap arithmetic IS rank trimming (ties carry equal
+    values, so the two are the same multiset). All trim arithmetic is
+    exact int64; only the final mean divides, rendered with the
+    cross-engine floor rounding (operators/profile.py:
+    trimmed_mean_by_group). Tail-registered: the driver's window is
+    full."""
+    from mr_mpi_blast_spark.operators.profile import trimmed_mean_by_group
+    from mr_mpi_blast_spark.operators.similarity import round4_xengine
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("event_type",
+                  F.floor(F.col("value") * 100 + 0.5).cast("long")
+                  .alias("cents"))
+    t = trimmed_mean_by_group(e, "event_type", "cents")
+    return t.select(
+        "event_type", "n", "k_trim", "trimmed_sum", "kept",
+        round4_xengine(F.col("trimmed_sum") * F.lit(1.0) / F.col("kept"))
+        .alias("mean_cents"))
+
+
 # ---------------------------------------------------------------------------
 # Run-epilogue summary (W7/A6). Tail-registered since r9: its timing
 # values are wall-clock measurements, so the driver's check is

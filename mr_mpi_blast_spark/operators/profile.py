@@ -66,3 +66,52 @@ def table_profile(df: DataFrame, cols: list[str] | None = None,
                "(col_name, n_nulls, n_distinct, min_val, max_val)"),
     ).select("col_name", "n_rows", "n_nulls", "n_distinct",
              "min_val", "max_val")
+
+
+def trimmed_mean_by_group(df, group_col: str, cents_col: str,
+                          trim_denom: int = 10):
+    """Exact trimmed mean per group over integer cents — the robust
+    location statistic (drop the floor(n/denom) smallest and largest
+    observations, average the rest) computed WITHOUT per-row ranking.
+
+    The scale trick: rank-based trimming needs a per-group total
+    order (a corpus-sized single-task window for a hot group); this
+    computes the identical result from the VALUE HISTOGRAM —
+    (group, cents) counts from one map-side-combined aggregate, then
+    a per-group cumulative window whose state is bounded by the
+    VALUE DOMAIN's cardinality, not the corpus (ties all carry the
+    same value, so trimming k by rank equals trimming k by histogram
+    multiplicity). Each histogram row contributes
+    clamp-overlap(k, cumulative range) x value to the trimmed-away
+    sums — all exact int64 arithmetic, partitioning-independent.
+
+    Output: (group, n, k_trim, trimmed_sum, kept) — callers derive
+    the mean; it is exact rational trimmed_sum/kept.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    if trim_denom < 2:
+        raise ValueError(f"trim_denom must be >= 2, got {trim_denom}")
+    h = (df.groupBy(group_col, cents_col)
+         .agg(F.count(F.lit(1)).alias("cnt"),
+              F.sum(cents_col).alias("vsum")))
+    w = (Window.partitionBy(group_col).orderBy(cents_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = Window.partitionBy(group_col)
+    h = (h.withColumn("cum", F.sum("cnt").over(w))
+         .withColumn("n", F.sum("cnt").over(tot))
+         .withColumn("total", F.sum("vsum").over(tot)))
+    k = F.expr(f"n div {trim_denom}")
+    lo_take = F.greatest(F.lit(0), F.least(
+        F.col("cnt"), k - (F.col("cum") - F.col("cnt"))))
+    hi_take = F.greatest(F.lit(0), F.least(
+        F.col("cnt"), k - (F.col("n") - F.col("cum"))))
+    return (h.groupBy(group_col)
+            .agg(F.first("n").alias("n"),
+                 F.first(k).alias("k_trim"),
+                 (F.first("total")
+                  - F.sum(lo_take * F.col(cents_col))
+                  - F.sum(hi_take * F.col(cents_col)))
+                 .cast("long").alias("trimmed_sum"),
+                 (F.first("n") - 2 * F.first(k)).cast("long")
+                 .alias("kept")))

@@ -141,3 +141,18 @@ def test_chunk_reconstruction_property(spark):
         assert rebuilt == [f"t{i}x{j}" for j in range(n)], (i, n)
         # every non-final chunk is full-width
         assert all(len(c) == 32 for c in chunks[:-1])
+
+
+def test_trimmed_mean_tie_straddles_cut(spark):
+    """Ties straddling the trim boundary: with n=10, k=1, values
+    [1,1,1,5,5,5,5,5,9,9] — only ONE of the three 1s and ONE of the
+    two 9s are dropped (partial take from a tied histogram row)."""
+    from mr_mpi_blast_spark.operators.profile import trimmed_mean_by_group
+    vals = [1, 1, 1, 5, 5, 5, 5, 5, 9, 9]
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "g string, cents long")
+    r = trimmed_mean_by_group(df, "g", "cents").collect()[0]
+    # drop one 1 and one 9: kept = [1,1,5,5,5,5,5,9] -> sum 36, n 8
+    assert (r.n, r.k_trim, r.trimmed_sum, r.kept) == (10, 1, 36, 8)
+    with pytest.raises(ValueError, match="trim_denom"):
+        trimmed_mean_by_group(df, "g", "cents", trim_denom=1)

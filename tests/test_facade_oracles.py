@@ -140,6 +140,10 @@ FACADES = [
     # r9 continuation: market-basket co-purchase top-k (window full —
     # hot-basket bound stated; total-order ranking, exact counts)
     "part_copurchase",
+    # r9 continuation: histogram-based exact trimmed mean (window
+    # full — the oracle is the per-row rank definition, proving the
+    # histogram overlap arithmetic IS rank trimming)
+    "events_trimmed_mean",
 ]
 
 # Tail-registered entries with NO value oracle by nature (the driver
