@@ -4460,6 +4460,91 @@ def q_events_trimmed_mean(spark, sf_dir):
         .alias("mean_cents"))
 
 
+@query("events_scd2", f"""
+WITH v AS (
+  SELECT user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         ts, event_id,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS next_ts
+  FROM events WHERE event_type = 'purchase')
+SELECT user_id, cents,
+       strftime(ts, '{_TS_FMT_DUCK}') AS valid_from,
+       strftime(next_ts, '{_TS_FMT_DUCK}') AS valid_to,
+       next_ts IS NULL AS is_current
+FROM v
+""")
+def q_events_scd2(spark, sf_dir):
+    """SCD Type-2 history build (r9): each user's purchase stream
+    versioned into validity intervals — valid_from = the event,
+    valid_to = the next event (NULL + is_current on the open
+    interval), the slowly-changing-dimension shape every warehouse
+    keeps for point-in-time joins (the as-of join above is its read
+    side). One lag/lead window per key, ties on event_id; integer
+    cents. Tail-registered: the driver's window is full."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = (ev.select("user_id",
+                   F.floor(F.col("value") * 100 + 0.5).cast("long")
+                   .alias("cents"),
+                   "ts", "event_id")
+         .withColumn("next_ts", F.lead("ts").over(w)))
+    return v.select(
+        "user_id", "cents",
+        F.date_format("ts", _TS_FMT_SPARK).alias("valid_from"),
+        F.date_format("next_ts", _TS_FMT_SPARK).alias("valid_to"),
+        F.col("next_ts").isNull().alias("is_current"))
+
+
+@query("orders_ivm_agg", f"""
+WITH v2 AS ({_CDC_V2_SQL})
+SELECT o_custkey, count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents_total
+FROM v2 GROUP BY o_custkey
+""")
+def q_orders_ivm_agg(spark, sf_dir):
+    """Incremental view maintenance (r9): the per-customer
+    (count, cents) aggregate maintained from the BASE aggregate plus
+    changeset DELTAS — the base table is never rescanned, the 100 TB
+    materialized-view discipline (rescan cost is the corpus; delta
+    cost is the changeset). Deltas: I -> (+1, +cents), D -> (-1,
+    -old), U -> (0, new - old); old rows come from ONE key-equi join
+    of the changeset against the base (changeset-sized,
+    broadcastable), the merge is one outer join of two group-keyed
+    aggregates, and groups whose count reaches zero drop out. The
+    oracle aggregates the post-merge snapshot DIRECTLY — two
+    independent routes that must meet bit-exactly (integer cents).
+    Tail-registered: the driver's window is full."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    base = (o.groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(cents).alias("c")))
+    ch = _orders_changeset(o).select(
+        "op", "o_orderkey", "o_custkey", cents.alias("new_cents"))
+    old = o.select(F.col("o_orderkey"), cents.alias("old_cents"))
+    d = (ch.join(old, "o_orderkey", "left")
+         .select("o_custkey",
+                 F.when(F.col("op") == "I", 1)
+                  .when(F.col("op") == "D", -1)
+                  .otherwise(0).cast("long").alias("dn"),
+                 F.when(F.col("op") == "I", F.col("new_cents"))
+                  .when(F.col("op") == "D", -F.col("old_cents"))
+                  .otherwise(F.col("new_cents") - F.col("old_cents"))
+                  .alias("dc")))
+    delta = d.groupBy("o_custkey").agg(F.sum("dn").alias("dn"),
+                                       F.sum("dc").alias("dc"))
+    merged = (base.join(delta, "o_custkey", "full_outer")
+              .select("o_custkey",
+                      (F.coalesce("n", F.lit(0))
+                       + F.coalesce("dn", F.lit(0))).alias("n_orders"),
+                      (F.coalesce("c", F.lit(0))
+                       + F.coalesce("dc", F.lit(0))).alias("cents_total")))
+    return merged.filter(F.col("n_orders") > 0)
+
+
 # ---------------------------------------------------------------------------
 # Run-epilogue summary (W7/A6). Tail-registered since r9: its timing
 # values are wall-clock measurements, so the driver's check is

@@ -144,6 +144,10 @@ FACADES = [
     # full — the oracle is the per-row rank definition, proving the
     # histogram overlap arithmetic IS rank trimming)
     "events_trimmed_mean",
+    # r9 continuation: SCD2 history build + incremental view
+    # maintenance (window full — IVM's oracle aggregates the
+    # post-merge snapshot directly; integer cents meet bit-exactly)
+    "events_scd2", "orders_ivm_agg",
 ]
 
 # Tail-registered entries with NO value oracle by nature (the driver
