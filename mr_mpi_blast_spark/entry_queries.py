@@ -4545,6 +4545,64 @@ def q_orders_ivm_agg(spark, sf_dir):
     return merged.filter(F.col("n_orders") > 0)
 
 
+def _cms_oracle() -> str:
+    from mr_mpi_blast_spark.operators.profile import (CMS_DEPTH,
+                                                      cms_hash_duckdb)
+    cells = "\n    UNION ALL ".join(
+        f"SELECT {r} AS r, {cms_hash_duckdb('term', r)} AS bucket FROM t"
+        for r in range(CMS_DEPTH))
+    probes = "\n  UNION ALL ".join(
+        f"SELECT term, true_n, {r} AS r, "
+        f"{cms_hash_duckdb('term', r)} AS bucket FROM top"
+        for r in range(CMS_DEPTH))
+    return f"""
+WITH tok AS (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term
+             FROM documents),
+t AS (SELECT term FROM tok WHERE term <> ''),
+exact AS (SELECT term, count(*) AS true_n FROM t GROUP BY term),
+top AS (SELECT term, true_n FROM exact
+        ORDER BY true_n DESC, term LIMIT 10),
+cells AS (
+  SELECT r, bucket, count(*) AS counter FROM (
+    {cells})
+  GROUP BY r, bucket),
+probes AS (
+  {probes})
+SELECT term, true_n, CAST(min(counter) AS BIGINT) AS est_n
+FROM probes JOIN cells ON probes.r = cells.r
+                      AND probes.bucket = cells.bucket
+GROUP BY term, true_n
+"""
+
+
+@query("text_cms_heavy_hitters", _cms_oracle())
+def q_text_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch heavy hitters (r9, Cormode & Muthukrishnan
+    2005): the top-10 terms' exact counts beside their CMS estimates
+    from a 4x256-cell sketch — the MERGEABLE bounded-state frequency
+    summary (map-side combinable; 1000 executors each reduce their
+    shard to 4 KB of cells and the cells ADD, which is how frequency
+    questions survive 100 TB without a corpus-keyed shuffle). Hashes
+    are the house md5-prefix buckets salted by row index, so sketch
+    construction is bit-identical in both engines and the oracle
+    replays it exactly; est >= true always (one-sided error), pinned
+    by unit test. The exact side here exists to VERIFY the sketch —
+    production keeps only the cells (operators/profile.py:
+    cms_sketch). Tail-registered: the driver's window is full."""
+    from mr_mpi_blast_spark.operators.profile import (cms_estimate,
+                                                      cms_sketch)
+    from mr_mpi_blast_spark.functions.hashing import normalized_text
+    docs = _t(spark, sf_dir, "documents")
+    t = (docs.select(F.explode(
+            F.split(normalized_text(F.col("text")), " ")).alias("term"))
+         .filter(F.col("term") != ""))
+    sketch = cms_sketch(t)
+    top = (t.groupBy("term").agg(F.count(F.lit(1)).alias("true_n"))
+           .orderBy(F.col("true_n").desc(), "term").limit(10))
+    est = cms_estimate(sketch, top.select("term"))
+    return top.join(est, "term").select("term", "true_n", "est_n")
+
+
 # ---------------------------------------------------------------------------
 # Run-epilogue summary (W7/A6). Tail-registered since r9: its timing
 # values are wall-clock measurements, so the driver's check is

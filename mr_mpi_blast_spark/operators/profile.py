@@ -115,3 +115,61 @@ def trimmed_mean_by_group(df, group_col: str, cents_col: str,
                  .cast("long").alias("trimmed_sum"),
                  (F.first("n") - 2 * F.first(k)).cast("long")
                  .alias("kept")))
+
+
+CMS_DEPTH, CMS_WIDTH = 4, 256
+
+
+def cms_hash_spark(col: str, row: int, width: int = CMS_WIDTH) -> str:
+    """Row-``row``'s CMS bucket for a string column — the house
+    md5-prefix bucket (dsir_bucket_spark) salted by the row index, so
+    the d hash functions are independent and computable identically
+    in any engine."""
+    return (f"pmod(CAST(conv(substring(md5(concat('{row}:', {col})), 1, 8),"
+            f" 16, 10) AS BIGINT), {width})")
+
+
+def cms_hash_duckdb(col: str, row: int, width: int = CMS_WIDTH) -> str:
+    return (f"(CAST(('0x' || substring(md5('{row}:' || {col}), 1, 8)) "
+            f"AS BIGINT) % {width})")
+
+
+def cms_sketch(items, term_col: str = "term", depth: int = CMS_DEPTH,
+               width: int = CMS_WIDTH):
+    """Count-min sketch over a term stream: a (row, bucket, counter)
+    table of depth x width cells — the MERGEABLE bounded-state
+    frequency summary (Cormode & Muthukrishnan 2005). Build cost is
+    one map-side-combined aggregate over the depth-times-exploded
+    stream; the sketch is depth*width cells REGARDLESS of corpus
+    size, and two corpora's sketches merge by cell-wise addition —
+    the property that lets 1000 executors summarize 100 TB into 4 KB
+    each and reduce. Estimates are one-sided: est >= true always,
+    est <= true + eps*N with prob 1-delta (eps = e/width,
+    delta = exp(-depth)).
+    """
+    from pyspark.sql import functions as F
+    rows = [items.select(
+        F.lit(r).alias("r"),
+        F.expr(cms_hash_spark(term_col, r)).alias("bucket"))
+        for r in range(depth)]
+    stream = rows[0]
+    for x in rows[1:]:
+        stream = stream.unionByName(x)
+    return (stream.groupBy("r", "bucket")
+            .agg(F.count(F.lit(1)).alias("counter")))
+
+
+def cms_estimate(sketch, probes, term_col: str = "term",
+                 depth: int = CMS_DEPTH):
+    """Point-estimate each probe term against the sketch: min over
+    the d rows of that row's cell. Probe-sized joins only."""
+    from pyspark.sql import functions as F
+    keyed = None
+    for r in range(depth):
+        k = probes.select(
+            term_col, F.lit(r).alias("r"),
+            F.expr(cms_hash_spark(term_col, r)).alias("bucket"))
+        keyed = k if keyed is None else keyed.unionByName(k)
+    return (keyed.join(sketch, ["r", "bucket"])
+            .groupBy(term_col)
+            .agg(F.min("counter").alias("est_n")))

@@ -156,3 +156,36 @@ def test_trimmed_mean_tie_straddles_cut(spark):
     assert (r.n, r.k_trim, r.trimmed_sum, r.kept) == (10, 1, 36, 8)
     with pytest.raises(ValueError, match="trim_denom"):
         trimmed_mean_by_group(df, "g", "cents", trim_denom=1)
+
+
+def test_cms_one_sided_error(spark):
+    """CMS contract: est >= true for EVERY term (not just the top
+    probes), and est <= true + N (trivial upper sanity); merging two
+    shards' sketches cell-wise equals the sketch of the union."""
+    from mr_mpi_blast_spark.operators.profile import (cms_estimate,
+                                                      cms_sketch)
+    import random
+    random.seed(11)
+    terms = [f"w{random.randint(0, 300)}" for _ in range(4000)]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    sk = cms_sketch(df)
+    truth = {}
+    for t in terms:
+        truth[t] = truth.get(t, 0) + 1
+    probes = spark.createDataFrame([(t,) for t in truth], "term string")
+    est = {r.term: r.est_n for r in cms_estimate(sk, probes).collect()}
+    assert set(est) == set(truth)
+    n = len(terms)
+    for t, true_n in truth.items():
+        assert true_n <= est[t] <= true_n + n, (t, true_n, est[t])
+    # mergeability: sketch(a) + sketch(b) == sketch(a union b)
+    half = len(terms) // 2
+    a = spark.createDataFrame([(t,) for t in terms[:half]], "term string")
+    b = spark.createDataFrame([(t,) for t in terms[half:]], "term string")
+    from pyspark.sql import functions as F
+    merged = (cms_sketch(a).unionByName(cms_sketch(b))
+              .groupBy("r", "bucket")
+              .agg(F.sum("counter").alias("counter")))
+    full = {(r.r, r.bucket): r.counter for r in sk.collect()}
+    got = {(r.r, r.bucket): r.counter for r in merged.collect()}
+    assert got == full

@@ -148,6 +148,10 @@ FACADES = [
     # maintenance (window full — IVM's oracle aggregates the
     # post-merge snapshot directly; integer cents meet bit-exactly)
     "events_scd2", "orders_ivm_agg",
+    # r9 continuation: count-min sketch heavy hitters (window full —
+    # md5-salted hashes make construction bit-identical; the oracle
+    # replays the sketch AND the exact side)
+    "text_cms_heavy_hitters",
 ]
 
 # Tail-registered entries with NO value oracle by nature (the driver
