@@ -86,7 +86,11 @@ def trimmed_mean_by_group(df, group_col: str, cents_col: str,
     sums — all exact int64 arithmetic, partitioning-independent.
 
     Output: (group, n, k_trim, trimmed_sum, kept) — callers derive
-    the mean; it is exact rational trimmed_sum/kept.
+    the mean; it is exact rational trimmed_sum/kept. kept CAN be 0
+    (only at trim_denom == 2 with even n, where the trim consumes
+    everything): the statistic is undefined there and callers must
+    null-guard the division — emitted as data, not raised, because
+    it is a per-group condition, not a parameter error.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -121,17 +125,18 @@ CMS_DEPTH, CMS_WIDTH = 4, 256
 
 
 def cms_hash_spark(col: str, row: int, width: int = CMS_WIDTH) -> str:
-    """Row-``row``'s CMS bucket for a string column — the house
-    md5-prefix bucket (dsir_bucket_spark) salted by the row index, so
-    the d hash functions are independent and computable identically
-    in any engine."""
-    return (f"pmod(CAST(conv(substring(md5(concat('{row}:', {col})), 1, 8),"
-            f" 16, 10) AS BIGINT), {width})")
+    """Row-``row``'s CMS bucket for a string column — DELEGATES to
+    the house md5-prefix bucket (operators/search.py dsir_bucket_*,
+    whose cross-engine %/pmod agreement is test-pinned) with the row
+    index as salt, so the d hash functions are independent and there
+    is exactly ONE rendering of the hash contract in the repo."""
+    from mr_mpi_blast_spark.operators.search import dsir_bucket_spark
+    return dsir_bucket_spark(f"concat('{row}:', {col})", width)
 
 
 def cms_hash_duckdb(col: str, row: int, width: int = CMS_WIDTH) -> str:
-    return (f"(CAST(('0x' || substring(md5('{row}:' || {col}), 1, 8)) "
-            f"AS BIGINT) % {width})")
+    from mr_mpi_blast_spark.operators.search import dsir_bucket_duckdb
+    return dsir_bucket_duckdb(f"('{row}:' || {col})", width)
 
 
 def cms_sketch(items, term_col: str = "term", depth: int = CMS_DEPTH,
@@ -148,28 +153,36 @@ def cms_sketch(items, term_col: str = "term", depth: int = CMS_DEPTH,
     delta = exp(-depth)).
     """
     from pyspark.sql import functions as F
-    rows = [items.select(
-        F.lit(r).alias("r"),
-        F.expr(cms_hash_spark(term_col, r)).alias("bucket"))
-        for r in range(depth)]
-    stream = rows[0]
-    for x in rows[1:]:
-        stream = stream.unionByName(x)
-    return (stream.groupBy("r", "bucket")
+    # one scan: each item explodes to its d (r, bucket) cells inline
+    # (a union of d projections would re-scan — and re-derive — the
+    # term stream d times; Spark does not CSE across union branches)
+    cells = F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 F.expr(cms_hash_spark(term_col, r)).alias("bucket"))
+        for r in range(depth)])
+    return (items.select(F.explode(cells).alias("cell"))
+            .groupBy(F.col("cell.r").alias("r"),
+                     F.col("cell.bucket").alias("bucket"))
             .agg(F.count(F.lit(1)).alias("counter")))
 
 
 def cms_estimate(sketch, probes, term_col: str = "term",
                  depth: int = CMS_DEPTH):
     """Point-estimate each probe term against the sketch: min over
-    the d rows of that row's cell. Probe-sized joins only."""
+    the d rows of that row's cell, with an EMPTY cell counting as 0
+    (left join + coalesce — an inner join would silently drop a
+    never-seen probe, or worse min() over only its non-empty cells
+    and over-estimate). Probe-sized joins only; every probe term
+    comes back exactly once."""
     from pyspark.sql import functions as F
-    keyed = None
-    for r in range(depth):
-        k = probes.select(
-            term_col, F.lit(r).alias("r"),
-            F.expr(cms_hash_spark(term_col, r)).alias("bucket"))
-        keyed = k if keyed is None else keyed.unionByName(k)
-    return (keyed.join(sketch, ["r", "bucket"])
+    cells = F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 F.expr(cms_hash_spark(term_col, r)).alias("bucket"))
+        for r in range(depth)])
+    keyed = probes.select(term_col, F.explode(cells).alias("cell")) \
+        .select(term_col, F.col("cell.r").alias("r"),
+                F.col("cell.bucket").alias("bucket"))
+    return (keyed.join(sketch, ["r", "bucket"], "left")
             .groupBy(term_col)
-            .agg(F.min("counter").alias("est_n")))
+            .agg(F.min(F.coalesce("counter", F.lit(0).cast("long")))
+                 .alias("est_n")))

@@ -189,3 +189,22 @@ def test_cms_one_sided_error(spark):
     full = {(r.r, r.bucket): r.counter for r in sk.collect()}
     got = {(r.r, r.bucket): r.counter for r in merged.collect()}
     assert got == full
+
+
+def test_cms_estimate_never_seen_probe(spark):
+    """A probe term absent from the corpus must come back (left join,
+    not inner) with the canonical estimate: min over its cells with
+    empty cells counting 0 — on a sparse sketch that is 0, never a
+    dropped row and never a min over only the non-empty cells."""
+    from mr_mpi_blast_spark.operators.profile import (cms_estimate,
+                                                      cms_sketch)
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "term string")
+    sk = cms_sketch(df)
+    probes = spark.createDataFrame(
+        [("a",), ("never-seen-term",)], "term string")
+    got = {r.term: r.est_n for r in cms_estimate(sk, probes).collect()}
+    assert set(got) == {"a", "never-seen-term"}
+    assert got["a"] >= 2
+    # 3 items over 4x256 cells: the phantom's 4 cells are almost
+    # surely not all hit; with this fixed seedless hash it IS 0
+    assert got["never-seen-term"] == 0

@@ -121,20 +121,22 @@ def test_pagerank_iteration_plan(spark, tmp_path, monkeypatch):
 @pytest.mark.slow
 def test_pagerank_iteration_count_scales_linearly(spark):
     """The bpe_learn lesson applied here: per-round checkpointing must
-    keep plan depth O(1) in n_iter, so 24 iterations cost ~4x of 6 —
-    linear — rather than the quadratic blowup of an uncheckpointed
-    lineage (which also deepens analysis per round). Wall-clock gated
-    loosely (noise-tolerant): the 4x work may take at most 12x time,
-    and values still match the python replay exactly."""
-    import time
+    keep plan depth O(1) in n_iter — a 24-iteration result's plan is
+    the SAME flat checkpoint scan as a 6-iteration one (no joins, no
+    per-round lineage accumulation), asserted on the plan itself
+    rather than a wall-clock ratio (timing gates flake on a loaded
+    box — the cache-release de-flake lesson). Values at 24 rounds
+    still match the python replay exactly."""
     edges = spark.createDataFrame(EDGES, ["src", "dst"])
-    pagerank_micro(edges, n_iter=1).collect()  # JIT/session warm
-    t0 = time.monotonic()
-    pagerank_micro(edges, n_iter=6).collect()
-    t6 = time.monotonic() - t0
-    t0 = time.monotonic()
-    got = {r["node"]: r["rank_micro"]
-           for r in pagerank_micro(edges, n_iter=24).collect()}
-    t24 = time.monotonic() - t0
+    r6 = pagerank_micro(edges, n_iter=6)
+    r24 = pagerank_micro(edges, n_iter=24)
+    got = {r["node"]: r["rank_micro"] for r in r24.collect()}
     assert got == py_pagerank(EDGES, 24)
-    assert t24 < 12 * max(t6, 0.5), (t6, t24)
+
+    def shape(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan and "Exchange" not in plan, plan
+        return plan.count("\n")
+
+    # O(1): identical (tiny) plan depth regardless of iteration count
+    assert shape(r24) == shape(r6) <= 3
