@@ -4603,6 +4603,53 @@ def q_text_cms_heavy_hitters(spark, sf_dir):
     return top.join(est, "term").select("term", "true_n", "est_n")
 
 
+@query("graph_triangles", f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sized AS (SELECT l_orderkey FROM items GROUP BY l_orderkey
+          HAVING count(*) <= {_COPURCHASE_MAX_BASKET}),
+e AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+      FROM items a
+      JOIN sized ON a.l_orderkey = sized.l_orderkey
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey),
+tri AS (SELECT e1.x AS u, e1.y AS v, e2.y AS w
+        FROM e e1 JOIN e e2 ON e1.y = e2.x
+                  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+corners AS (SELECT u AS node FROM tri
+            UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri)
+SELECT node, count(*) AS n_tri FROM corners GROUP BY node
+""")
+def q_graph_triangles(spark, sf_dir):
+    """Per-part triangle counts over the co-purchase graph (r9,
+    Schank & Wagner 2005): how tightly a part's co-purchase
+    neighborhood interlocks — the clustering primitive of cohesion /
+    community analytics. Engine: the degree-ORIENTED node-iterator
+    (operators/graph.py:triangle_counts) — wedges enumerate at each
+    edge's (degree, id)-smaller endpoint, bounding any node's join
+    fan-out by its out-degree = O(sqrt(E)) even at a celebrity vertex
+    where the naive neighbor-pairs form is quadratic. The oracle is
+    that naive form (a triple self-join with x<y ordering) — an
+    independent definition validating the orientation trick, not a
+    replay. Same hot-basket bound as part_copurchase.
+    Tail-registered: the driver's window is full."""
+    from mr_mpi_blast_spark.operators.graph import triangle_counts
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (items.groupBy("l_orderkey")
+             .agg(F.count(F.lit(1)).alias("_n"))
+             .filter(F.col("_n") <= _COPURCHASE_MAX_BASKET)
+             .select("l_orderkey"))
+    a = items.join(sized, "l_orderkey")
+    edges = (a.join(items.select("l_orderkey",
+                                 F.col("l_partkey").alias("pb")),
+                    "l_orderkey")
+             .filter(F.col("l_partkey") < F.col("pb"))
+             .select(F.col("l_partkey").alias("a"),
+                     F.col("pb").alias("b")))
+    return triangle_counts(edges)
+
+
 # ---------------------------------------------------------------------------
 # Run-epilogue summary (W7/A6). Tail-registered since r9: its timing
 # values are wall-clock measurements, so the driver's check is

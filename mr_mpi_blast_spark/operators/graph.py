@@ -164,3 +164,56 @@ r{k} AS (
     GROUP BY e.dst) c ON nodes.node = c.node)""")
     sql.append(f"\nSELECT node, rank_micro FROM r{n_iter}")
     return "".join(sql)
+
+
+def triangle_counts(edges: DataFrame, a: str = "a",
+                    b: str = "b") -> DataFrame:
+    """Per-node triangle counts over an undirected edge list — the
+    clustering/cohesion primitive (co-occurrence tightness, spam-farm
+    detection on link graphs).
+
+    The scale shape is the degree-oriented node-iterator (Schank &
+    Wagner 2005): every edge is directed from its (degree, id)-smaller
+    endpoint to the larger, so each wedge is enumerated at exactly one
+    node and a node's join fan-out is its OUT-degree, which the
+    orientation bounds by O(sqrt(E)) on any graph — the naive
+    neighbor-pairs form explodes quadratically at a hot vertex (a
+    celebrity node with 1e6 neighbors = 1e12 wedges; oriented, the
+    same node contributes almost none). Three key-equi joins + one
+    aggregate, all map-side-combinable; no windows, no collects.
+
+    Output: (node, n_tri) for every node in >= 1 triangle; each
+    triangle credits all three of its corners once.
+    """
+    e = (edges.select(F.col(a).cast("long").alias("x"),
+                      F.col(b).cast("long").alias("y"))
+         .filter(F.col("x") != F.col("y"))
+         .select(F.least("x", "y").alias("x"),
+                 F.greatest("x", "y").alias("y"))
+         .distinct())
+    deg = (e.select(F.col("x").alias("node"))
+           .union(e.select(F.col("y").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    ed = (e.join(deg.select(F.col("node").alias("x"),
+                            F.col("d").alias("dx")), "x")
+          .join(deg.select(F.col("node").alias("y"),
+                           F.col("d").alias("dy")), "y"))
+    fwd = F.struct("dx", "x") < F.struct("dy", "y")
+    orient = ed.select(
+        F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("src"),
+        F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("dst"),
+        F.when(fwd, F.col("dy")).otherwise(F.col("dx")).alias("ddst"))
+    w1 = orient.select("src", F.col("dst").alias("v"),
+                       F.col("ddst").alias("dv"))
+    w2 = orient.select("src", F.col("dst").alias("w"),
+                       F.col("ddst").alias("dw"))
+    wedges = (w1.join(w2, "src")
+              .filter(F.struct("dv", "v") < F.struct("dw", "w")))
+    tri = wedges.join(
+        orient.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"])
+    corners = (tri.select(F.col("src").alias("node"))
+               .union(tri.select(F.col("v").alias("node")))
+               .union(tri.select(F.col("w").alias("node"))))
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_tri"))

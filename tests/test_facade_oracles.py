@@ -152,6 +152,10 @@ FACADES = [
     # md5-salted hashes make construction bit-identical; the oracle
     # replays the sketch AND the exact side)
     "text_cms_heavy_hitters",
+    # r9 continuation: degree-oriented triangle counts (window full —
+    # the oracle is the naive triple self-join, an independent
+    # definition validating the orientation trick)
+    "graph_triangles",
 ]
 
 # Tail-registered entries with NO value oracle by nature (the driver

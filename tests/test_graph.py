@@ -140,3 +140,47 @@ def test_pagerank_iteration_count_scales_linearly(spark):
 
     # O(1): identical (tiny) plan depth regardless of iteration count
     assert shape(r24) == shape(r6) <= 3
+
+
+def py_triangles(edges):
+    adj = {}
+    es = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        x, y = min(a, b), max(a, b)
+        es.add((x, y))
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    out = {}
+    for x, y in es:
+        for z in adj[x] & adj[y]:
+            if z > y:  # count each triangle once (x < y < z)
+                for v in (x, y, z):
+                    out[v] = out.get(v, 0) + 1
+    return out
+
+
+def test_triangles_known_graphs(spark):
+    from mr_mpi_blast_spark.operators.graph import triangle_counts
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    star = [(0, i) for i in range(1, 9)]  # celebrity vertex: 0 triangles
+    path = [(1, 2), (2, 3), (3, 4)]
+    for edges, want in [(k4, {1: 3, 2: 3, 3: 3, 4: 3}),
+                        (star, {}), (path, {})]:
+        df = spark.createDataFrame(edges, ["a", "b"])
+        got = {r.node: r.n_tri for r in triangle_counts(df).collect()}
+        assert got == want, (edges, got)
+
+
+def test_triangles_random_vs_python(spark):
+    from mr_mpi_blast_spark.operators.graph import triangle_counts
+    import random
+    random.seed(21)
+    edges = list({(random.randint(0, 30), random.randint(0, 30))
+                  for _ in range(160)})
+    # include reversed duplicates and self-loops: must be normalized
+    noisy = edges + [(b, a) for a, b in edges[:40]] + [(5, 5)]
+    df = spark.createDataFrame(noisy, ["a", "b"])
+    got = {r.node: r.n_tri for r in triangle_counts(df).collect()}
+    assert got == py_triangles(edges)
