@@ -4650,6 +4650,61 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_counts(edges)
 
 
+_KCORE_K, _KCORE_ROUNDS = 3, 12
+
+_KCORE_EDGES_SQL = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sized AS (SELECT l_orderkey FROM items GROUP BY l_orderkey
+          HAVING count(*) <= {_COPURCHASE_MAX_BASKET}),
+pairs AS (SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS n
+          FROM items a
+          JOIN sized ON a.l_orderkey = sized.l_orderkey
+          JOIN items b ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2)
+SELECT a, b FROM pairs WHERE n >= 2
+"""
+
+
+def _kcore_oracle() -> str:
+    from mr_mpi_blast_spark.operators.graph import kcore_sql
+    return kcore_sql(f"SELECT a, b FROM ({_KCORE_EDGES_SQL})",
+                     _KCORE_K, _KCORE_ROUNDS)
+
+
+@query("graph_kcore", _kcore_oracle())
+def q_graph_kcore(spark, sf_dir):
+    """k-core decomposition (r9): the 3-core of the repeat-co-purchase
+    graph (pairs bought together in >= 2 orders) by iterative peeling
+    — drop degree < 3 nodes until stable, the dense-subgraph
+    primitive behind community and spam-core mining. Fixed-round
+    contract: the engine peels with an early stop that is provably
+    equal to the 12-round unroll (a no-change round is a fixed
+    point), so the oracle replays EXACTLY 12 unrolled rounds and must
+    match whether or not the peel converged early
+    (operators/graph.py:kcore). Per round: one degree aggregate + two
+    edge-sized semi-joins, lineage truncated. Tail-registered: the
+    driver's window is full."""
+    from mr_mpi_blast_spark.operators.graph import kcore
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (items.groupBy("l_orderkey")
+             .agg(F.count(F.lit(1)).alias("_n"))
+             .filter(F.col("_n") <= _COPURCHASE_MAX_BASKET)
+             .select("l_orderkey"))
+    a = items.join(sized, "l_orderkey")
+    edges = (a.join(items.select("l_orderkey",
+                                 F.col("l_partkey").alias("pb")),
+                    "l_orderkey")
+             .filter(F.col("l_partkey") < F.col("pb"))
+             .groupBy(F.col("l_partkey").alias("a"),
+                      F.col("pb").alias("b"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") >= 2)
+             .select("a", "b"))
+    return kcore(edges, _KCORE_K, _KCORE_ROUNDS)
+
+
 # ---------------------------------------------------------------------------
 # Run-epilogue summary (W7/A6). Tail-registered since r9: its timing
 # values are wall-clock measurements, so the driver's check is

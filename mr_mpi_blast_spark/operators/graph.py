@@ -252,3 +252,86 @@ def triangle_counts(edges: DataFrame, a: str = "a",
                                     F.lit(1).alias("k"))))
     return (corners.groupBy("node")
             .agg(F.sum("k").cast("long").alias("n_tri")))
+
+
+def kcore(edges: DataFrame, k: int, rounds: int = 12,
+          a: str = "a", b: str = "b") -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop
+    every node of degree < k (with its edges) until stable — the
+    dense-subgraph primitive (cohesive communities; spam/link-farm
+    cores on web graphs).
+
+    Fixed-round contract: the result after ``rounds`` peels, with an
+    Observation-based early stop that is a pure optimization — once a
+    round removes nothing the state is a fixed point, so stopping
+    early equals running all rounds, and the DuckDB oracle can replay
+    the SAME unrolled round count (kcore_sql) for an exact match
+    whether or not the peel converged within the budget.
+
+    Per round: one degree aggregate + two semi-joins, all key-equi,
+    edge-sized; lineage truncated per round (localCheckpoint — the
+    pagerank/bpe lesson). Output: (node, core_deg) for nodes
+    surviving all rounds, with their degree in the surviving
+    subgraph.
+    """
+    from pyspark.sql import Observation
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    alive = (edges.select(F.col(a).cast("long").alias("x"),
+                          F.col(b).cast("long").alias("y"))
+             .filter(F.col("x") != F.col("y"))
+             .select(F.least("x", "y").alias("x"),
+                     F.greatest("x", "y").alias("y"))
+             .distinct()
+             .localCheckpoint(eager=True))
+    for _ in range(rounds):
+        deg = (alive.select(F.col("x").alias("node"))
+               .union(alive.select(F.col("y").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+        keep = deg.filter(F.col("d") >= k).select("node")
+        obs = Observation()
+        nxt = (alive
+               .join(keep.withColumnRenamed("node", "x"), "x", "left_semi")
+               .join(keep.withColumnRenamed("node", "y"), "y", "left_semi")
+               .observe(obs, F.count(F.lit(1)).alias("m"))
+               .localCheckpoint(eager=True))
+        before = alive.count()
+        alive = nxt
+        if int(obs.get["m"] or 0) == before:
+            break  # fixed point: further rounds are no-ops
+    deg = (alive.select(F.col("x").alias("node"))
+           .union(alive.select(F.col("y").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("core_deg")))
+    return deg.filter(F.col("core_deg") >= k)
+
+
+def kcore_sql(edges_sql: str, k: int, rounds: int = 12) -> str:
+    """DuckDB oracle: the unrolled ``rounds``-round peel over
+    ``edges_sql`` (columns a, b) — identical to kcore() by the
+    fixed-point argument in its docstring."""
+    # every a{{i}} is referenced by THREE later CTEs and k{{i}} by two:
+    # without MATERIALIZED, DuckDB's default CTE inlining expands the
+    # chain exponentially (2^rounds scans of the base table — observed
+    # as a too-many-open-files explosion at 12 rounds)
+    sql = [f"""
+WITH a0 AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+  FROM ({edges_sql}) WHERE a <> b)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        sql.append(f""",
+d{i} AS (SELECT node, count(*) AS d FROM (
+           SELECT x AS node FROM a{p}
+           UNION ALL SELECT y FROM a{p}) GROUP BY node),
+k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE d >= {k}),
+a{i} AS MATERIALIZED (SELECT x, y FROM a{p}
+         WHERE x IN (SELECT node FROM k{i})
+           AND y IN (SELECT node FROM k{i}))""")
+    sql.append(f"""
+SELECT node, count(*) AS core_deg FROM (
+  SELECT x AS node FROM a{rounds}
+  UNION ALL SELECT y FROM a{rounds}) GROUP BY node
+HAVING count(*) >= {k}""")
+    return "".join(sql)

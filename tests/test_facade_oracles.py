@@ -156,6 +156,10 @@ FACADES = [
     # the oracle is the naive triple self-join, an independent
     # definition validating the orientation trick)
     "graph_triangles",
+    # r9 continuation: k-core by fixed-round peeling (window full —
+    # the oracle replays the exact 12-round unroll as MATERIALIZED
+    # CTEs; early stop provably equals the unroll)
+    "graph_kcore",
 ]
 
 # Tail-registered entries with NO value oracle by nature (the driver

@@ -184,3 +184,51 @@ def test_triangles_random_vs_python(spark):
     df = spark.createDataFrame(noisy, ["a", "b"])
     got = {r.node: r.n_tri for r in triangle_counts(df).collect()}
     assert got == py_triangles(edges)
+
+
+def test_kcore_peeling_cascade(spark):
+    """Pendant chain peels away in CASCADE (each removal exposes the
+    next), leaving exactly the triangle as the 2-core — and a k above
+    the densest core empties the graph."""
+    from mr_mpi_blast_spark.operators.graph import kcore
+    edges = [(1, 2), (2, 3), (3, 1),           # triangle
+             (3, 4), (4, 5), (5, 6)]           # pendant chain
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {r.node: r.core_deg for r in kcore(df, 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    assert kcore(df, 3).count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must"):
+        kcore(df, 0)
+    with _pt.raises(ValueError, match="rounds"):
+        kcore(df, 2, rounds=0)
+
+
+def test_kcore_early_stop_equals_full_unroll(spark):
+    """The fixed-point contract: rounds=12 (early-stopped) equals
+    rounds=3 when the peel converges in <= 3, and both equal the
+    python reference."""
+    from mr_mpi_blast_spark.operators.graph import kcore
+    import random
+    random.seed(33)
+    edges = list({(random.randint(0, 25), random.randint(0, 25))
+                  for _ in range(70)})
+    df = spark.createDataFrame(edges, ["a", "b"])
+
+    def py_kcore(es, k):
+        es = {(min(a, b), max(a, b)) for a, b in es if a != b}
+        while True:
+            deg = {}
+            for x, y in es:
+                deg[x] = deg.get(x, 0) + 1
+                deg[y] = deg.get(y, 0) + 1
+            drop = {n for n, d in deg.items() if d < k}
+            if not drop:
+                return deg
+            es = {(x, y) for x, y in es
+                  if x not in drop and y not in drop}
+
+    want = py_kcore(edges, 3)
+    a = {r.node: r.core_deg for r in kcore(df, 3, rounds=12).collect()}
+    b = {r.node: r.core_deg for r in kcore(df, 3, rounds=26).collect()}
+    assert a == b == want
