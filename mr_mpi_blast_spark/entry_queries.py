@@ -4366,6 +4366,34 @@ _COPURCHASE_MAX_BASKET = 50
 _COPURCHASE_K = 20
 
 
+
+
+def _basket_items(spark, sf_dir):
+    """Distinct (order, part) pairs from baskets within the hot-basket
+    bound — the shared base of the three co-purchase-graph queries
+    (part_copurchase, graph_triangles, graph_kcore): one definition of
+    the bound and the pair normalization, so they cannot drift."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (items.groupBy("l_orderkey")
+             .agg(F.count(F.lit(1)).alias("_n"))
+             .filter(F.col("_n") <= _COPURCHASE_MAX_BASKET)
+             .select("l_orderkey"))
+    return items, items.join(sized, "l_orderkey")
+
+
+def _copurchase_pairs(spark, sf_dir):
+    """(a, b, n) co-purchase pair counts (a < b) over bounded baskets."""
+    items, bounded = _basket_items(spark, sf_dir)
+    return (bounded.join(items.select("l_orderkey",
+                                      F.col("l_partkey").alias("pb")),
+                         "l_orderkey")
+            .filter(F.col("l_partkey") < F.col("pb"))
+            .groupBy(F.col("l_partkey").alias("a"),
+                     F.col("pb").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 @query("part_copurchase", f"""
 WITH items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -4398,20 +4426,9 @@ def q_part_copurchase(spark, sf_dir):
     global top-k runs as TakeOrderedAndProject over a total order
     (count desc, then both keys) — output-sized, no global sort.
     Tail-registered: the driver's window is full."""
-    li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    sized = (items.groupBy("l_orderkey")
-             .agg(F.count(F.lit(1)).alias("_n"))
-             .filter(F.col("_n") <= _COPURCHASE_MAX_BASKET)
-             .select("l_orderkey"))
-    a = items.join(sized, "l_orderkey")
-    b = items.select(F.col("l_orderkey"),
-                     F.col("l_partkey").alias("part_b"))
-    pairs = (a.withColumnRenamed("l_partkey", "part_a")
-             .join(b, "l_orderkey")
-             .filter(F.col("part_a") < F.col("part_b"))
-             .groupBy("part_a", "part_b")
-             .agg(F.count(F.lit(1)).alias("n_orders")))
+    pairs = _copurchase_pairs(spark, sf_dir).select(
+        F.col("a").alias("part_a"), F.col("b").alias("part_b"),
+        F.col("n").alias("n_orders"))
     return (pairs.orderBy(F.col("n_orders").desc(), "part_a", "part_b")
             .limit(_COPURCHASE_K))
 
@@ -4593,12 +4610,18 @@ def q_text_cms_heavy_hitters(spark, sf_dir):
                                                       cms_sketch)
     from mr_mpi_blast_spark.functions.hashing import normalized_text
     docs = _t(spark, sf_dir, "documents")
+    # the tokenize/explode stream feeds the sketch AND the exact
+    # aggregate, and the top-10 feeds the probe AND the final join —
+    # materialize each once (Spark does not CSE across DAG branches;
+    # the triangle_counts lesson)
     t = (docs.select(F.explode(
             F.split(normalized_text(F.col("text")), " ")).alias("term"))
-         .filter(F.col("term") != ""))
+         .filter(F.col("term") != "")
+         .localCheckpoint(eager=True))
     sketch = cms_sketch(t)
     top = (t.groupBy("term").agg(F.count(F.lit(1)).alias("true_n"))
-           .orderBy(F.col("true_n").desc(), "term").limit(10))
+           .orderBy(F.col("true_n").desc(), "term").limit(10)
+           .localCheckpoint(eager=True))
     est = cms_estimate(sketch, top.select("term"))
     return top.join(est, "term").select("term", "true_n", "est_n")
 
@@ -4634,20 +4657,8 @@ def q_graph_triangles(spark, sf_dir):
     replay. Same hot-basket bound as part_copurchase.
     Tail-registered: the driver's window is full."""
     from mr_mpi_blast_spark.operators.graph import triangle_counts
-    li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    sized = (items.groupBy("l_orderkey")
-             .agg(F.count(F.lit(1)).alias("_n"))
-             .filter(F.col("_n") <= _COPURCHASE_MAX_BASKET)
-             .select("l_orderkey"))
-    a = items.join(sized, "l_orderkey")
-    edges = (a.join(items.select("l_orderkey",
-                                 F.col("l_partkey").alias("pb")),
-                    "l_orderkey")
-             .filter(F.col("l_partkey") < F.col("pb"))
-             .select(F.col("l_partkey").alias("a"),
-                     F.col("pb").alias("b")))
-    return triangle_counts(edges)
+    return triangle_counts(
+        _copurchase_pairs(spark, sf_dir).select("a", "b"))
 
 
 _KCORE_K, _KCORE_ROUNDS = 3, 12
@@ -4686,22 +4697,8 @@ def q_graph_kcore(spark, sf_dir):
     edge-sized semi-joins, lineage truncated. Tail-registered: the
     driver's window is full."""
     from mr_mpi_blast_spark.operators.graph import kcore
-    li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    sized = (items.groupBy("l_orderkey")
-             .agg(F.count(F.lit(1)).alias("_n"))
-             .filter(F.col("_n") <= _COPURCHASE_MAX_BASKET)
-             .select("l_orderkey"))
-    a = items.join(sized, "l_orderkey")
-    edges = (a.join(items.select("l_orderkey",
-                                 F.col("l_partkey").alias("pb")),
-                    "l_orderkey")
-             .filter(F.col("l_partkey") < F.col("pb"))
-             .groupBy(F.col("l_partkey").alias("a"),
-                      F.col("pb").alias("b"))
-             .agg(F.count(F.lit(1)).alias("n"))
-             .filter(F.col("n") >= 2)
-             .select("a", "b"))
+    edges = (_copurchase_pairs(spark, sf_dir)
+             .filter(F.col("n") >= 2).select("a", "b"))
     return kcore(edges, _KCORE_K, _KCORE_ROUNDS)
 
 

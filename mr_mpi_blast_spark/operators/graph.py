@@ -166,6 +166,22 @@ r{k} AS (
     return "".join(sql)
 
 
+
+def _normalized_undirected(edges: DataFrame, a: str, b: str) -> DataFrame:
+    """Shared normalization for the undirected-graph operators: long
+    ids, self-loops dropped, (min, max) orientation, distinct, and
+    materialized ONCE — every caller reads it from multiple consumers,
+    and without truncation each consumer would re-run the (possibly
+    expensive) upstream pipeline that produced the edges."""
+    return (edges.select(F.col(a).cast("long").alias("x"),
+                         F.col(b).cast("long").alias("y"))
+            .filter(F.col("x") != F.col("y"))
+            .select(F.least("x", "y").alias("x"),
+                    F.greatest("x", "y").alias("y"))
+            .distinct()
+            .localCheckpoint(eager=True))
+
+
 def triangle_counts(edges: DataFrame, a: str = "a",
                     b: str = "b") -> DataFrame:
     """Per-node triangle counts over an undirected edge list — the
@@ -185,17 +201,7 @@ def triangle_counts(edges: DataFrame, a: str = "a",
     Output: (node, n_tri) for every node in >= 1 triangle; each
     triangle credits all three of its corners once.
     """
-    # materialize the normalized edge list ONCE: it feeds the degree
-    # count and both sides of the degree join — without truncation
-    # each consumer re-runs the (possibly expensive) upstream pipeline
-    # that produced the edges
-    e = (edges.select(F.col(a).cast("long").alias("x"),
-                      F.col(b).cast("long").alias("y"))
-         .filter(F.col("x") != F.col("y"))
-         .select(F.least("x", "y").alias("x"),
-                 F.greatest("x", "y").alias("y"))
-         .distinct()
-         .localCheckpoint(eager=True))
+    e = _normalized_undirected(edges, a, b)
     deg = (e.select(F.col("x").alias("node"))
            .union(e.select(F.col("y").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
@@ -279,28 +285,28 @@ def kcore(edges: DataFrame, k: int, rounds: int = 12,
         raise ValueError(f"k must be >= 1, got {k}")
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
-    alive = (edges.select(F.col(a).cast("long").alias("x"),
-                          F.col(b).cast("long").alias("y"))
-             .filter(F.col("x") != F.col("y"))
-             .select(F.least("x", "y").alias("x"),
-                     F.greatest("x", "y").alias("y"))
-             .distinct()
-             .localCheckpoint(eager=True))
+    alive = _normalized_undirected(edges, a, b)
+    # carry the edge count across rounds: round i's observed size IS
+    # round i+1's "before" — one count up front, zero per-round count
+    # jobs
+    before = alive.count()
     for _ in range(rounds):
         deg = (alive.select(F.col("x").alias("node"))
                .union(alive.select(F.col("y").alias("node")))
                .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
         keep = deg.filter(F.col("d") >= k).select("node")
         obs = Observation()
-        nxt = (alive
-               .join(keep.withColumnRenamed("node", "x"), "x", "left_semi")
-               .join(keep.withColumnRenamed("node", "y"), "y", "left_semi")
-               .observe(obs, F.count(F.lit(1)).alias("m"))
-               .localCheckpoint(eager=True))
-        before = alive.count()
-        alive = nxt
-        if int(obs.get["m"] or 0) == before:
+        alive = (alive
+                 .join(keep.withColumnRenamed("node", "x"), "x",
+                       "left_semi")
+                 .join(keep.withColumnRenamed("node", "y"), "y",
+                       "left_semi")
+                 .observe(obs, F.count(F.lit(1)).alias("m"))
+                 .localCheckpoint(eager=True))
+        m = int(obs.get["m"] or 0)
+        if m == before:
             break  # fixed point: further rounds are no-ops
+        before = m
     deg = (alive.select(F.col("x").alias("node"))
            .union(alive.select(F.col("y").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("core_deg")))

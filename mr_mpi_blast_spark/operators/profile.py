@@ -96,7 +96,12 @@ def trimmed_mean_by_group(df, group_col: str, cents_col: str,
     from pyspark.sql import functions as F
     if trim_denom < 2:
         raise ValueError(f"trim_denom must be >= 2, got {trim_denom}")
-    h = (df.groupBy(group_col, cents_col)
+    # NULL observations are EXCLUDED (the house NULL-domain policy,
+    # as mix_weights): a NULL has no rank position, and letting it
+    # into the histogram would inflate n/k while its NULL products
+    # silently vanish from the trim sums — wrong in both directions
+    h = (df.filter(F.col(cents_col).isNotNull())
+         .groupBy(group_col, cents_col)
          .agg(F.count(F.lit(1)).alias("cnt"),
               F.sum(cents_col).alias("vsum")))
     w = (Window.partitionBy(group_col).orderBy(cents_col)

@@ -141,70 +141,3 @@ def test_chunk_reconstruction_property(spark):
         assert rebuilt == [f"t{i}x{j}" for j in range(n)], (i, n)
         # every non-final chunk is full-width
         assert all(len(c) == 32 for c in chunks[:-1])
-
-
-def test_trimmed_mean_tie_straddles_cut(spark):
-    """Ties straddling the trim boundary: with n=10, k=1, values
-    [1,1,1,5,5,5,5,5,9,9] — only ONE of the three 1s and ONE of the
-    two 9s are dropped (partial take from a tied histogram row)."""
-    from mr_mpi_blast_spark.operators.profile import trimmed_mean_by_group
-    vals = [1, 1, 1, 5, 5, 5, 5, 5, 9, 9]
-    df = spark.createDataFrame([("g", v) for v in vals],
-                               "g string, cents long")
-    r = trimmed_mean_by_group(df, "g", "cents").collect()[0]
-    # drop one 1 and one 9: kept = [1,1,5,5,5,5,5,9] -> sum 36, n 8
-    assert (r.n, r.k_trim, r.trimmed_sum, r.kept) == (10, 1, 36, 8)
-    with pytest.raises(ValueError, match="trim_denom"):
-        trimmed_mean_by_group(df, "g", "cents", trim_denom=1)
-
-
-def test_cms_one_sided_error(spark):
-    """CMS contract: est >= true for EVERY term (not just the top
-    probes), and est <= true + N (trivial upper sanity); merging two
-    shards' sketches cell-wise equals the sketch of the union."""
-    from mr_mpi_blast_spark.operators.profile import (cms_estimate,
-                                                      cms_sketch)
-    import random
-    random.seed(11)
-    terms = [f"w{random.randint(0, 300)}" for _ in range(4000)]
-    df = spark.createDataFrame([(t,) for t in terms], "term string")
-    sk = cms_sketch(df)
-    truth = {}
-    for t in terms:
-        truth[t] = truth.get(t, 0) + 1
-    probes = spark.createDataFrame([(t,) for t in truth], "term string")
-    est = {r.term: r.est_n for r in cms_estimate(sk, probes).collect()}
-    assert set(est) == set(truth)
-    n = len(terms)
-    for t, true_n in truth.items():
-        assert true_n <= est[t] <= true_n + n, (t, true_n, est[t])
-    # mergeability: sketch(a) + sketch(b) == sketch(a union b)
-    half = len(terms) // 2
-    a = spark.createDataFrame([(t,) for t in terms[:half]], "term string")
-    b = spark.createDataFrame([(t,) for t in terms[half:]], "term string")
-    from pyspark.sql import functions as F
-    merged = (cms_sketch(a).unionByName(cms_sketch(b))
-              .groupBy("r", "bucket")
-              .agg(F.sum("counter").alias("counter")))
-    full = {(r.r, r.bucket): r.counter for r in sk.collect()}
-    got = {(r.r, r.bucket): r.counter for r in merged.collect()}
-    assert got == full
-
-
-def test_cms_estimate_never_seen_probe(spark):
-    """A probe term absent from the corpus must come back (left join,
-    not inner) with the canonical estimate: min over its cells with
-    empty cells counting 0 — on a sparse sketch that is 0, never a
-    dropped row and never a min over only the non-empty cells."""
-    from mr_mpi_blast_spark.operators.profile import (cms_estimate,
-                                                      cms_sketch)
-    df = spark.createDataFrame([("a",), ("a",), ("b",)], "term string")
-    sk = cms_sketch(df)
-    probes = spark.createDataFrame(
-        [("a",), ("never-seen-term",)], "term string")
-    got = {r.term: r.est_n for r in cms_estimate(sk, probes).collect()}
-    assert set(got) == {"a", "never-seen-term"}
-    assert got["a"] >= 2
-    # 3 items over 4x256 cells: the phantom's 4 cells are almost
-    # surely not all hit; with this fixed seedless hash it IS 0
-    assert got["never-seen-term"] == 0

@@ -119,7 +119,7 @@ def test_pagerank_iteration_plan(spark, tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
-def test_pagerank_iteration_count_scales_linearly(spark):
+def test_pagerank_plan_depth_constant_in_iterations(spark):
     """The bpe_learn lesson applied here: per-round checkpointing must
     keep plan depth O(1) in n_iter — a 24-iteration result's plan is
     the SAME flat checkpoint scan as a 6-iteration one (no joins, no
@@ -205,9 +205,9 @@ def test_kcore_peeling_cascade(spark):
 
 
 def test_kcore_early_stop_equals_full_unroll(spark):
-    """The fixed-point contract: rounds=12 (early-stopped) equals
-    rounds=3 when the peel converges in <= 3, and both equal the
-    python reference."""
+    """The fixed-point contract: two different round budgets (12 and
+    26, both early-stopped at convergence) produce identical results,
+    and both equal the unbounded python peel."""
     from mr_mpi_blast_spark.operators.graph import kcore
     import random
     random.seed(33)
