@@ -4260,9 +4260,9 @@ def q_part_fuzzy_match(spark, sf_dir):
 WITH e AS (SELECT event_id, user_id,
                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
            FROM events),
-s AS (SELECT user_id, count(*) AS n,
-             CAST(sum(cents) AS BIGINT) AS s1,
-             CAST(sum(cents * cents) AS BIGINT) AS s2
+s AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(cents AS HUGEINT)) AS s1,
+             sum(CAST(cents AS HUGEINT) * cents) AS s2
       FROM e GROUP BY user_id)
 SELECT e.event_id, e.user_id, e.cents
 FROM e JOIN s ON e.user_id = s.user_id
@@ -4275,26 +4275,29 @@ def q_events_anomaly(spark, sf_dir):
     but instead of float mean/stddev (whose summation order diverges
     across engines and partitionings), the test is cross-multiplied
     into integers: |x - mu| > 1.5 sigma  <=>  4(nx - S)^2 > 9(nS2 -
-    S^2) with S = sum(cents), S2 = sum(cents^2). Every quantity is an
-    int64. Overflow bound — the binding term is rhs: 9*n*S2 <=
-    9*(n*max_cents)^2 must stay under 2^63, i.e. n * max_cents <
-    ~1.0e9 (~18k events/user at these ~56k-cent values); past that
-    Spark wraps silently (ANSI off) while DuckDB raises, so promote
-    the algebra to DECIMAL(38,0) BEFORE the bound, not at it (the
-    dsir_weights overflow lesson). One aggregate + one key-equi join;
-    strict > is the stated tie policy.
-    Tail-registered: the driver's window is full."""
+    S^2) with S = sum(cents), S2 = sum(cents^2). r10 (advisory
+    closure): the whole algebra — the S2 aggregate included — runs in
+    128-bit-class exact integers on BOTH engines (Spark
+    DECIMAL(38,0), DuckDB HUGEINT; both exact to ~1e38), because at
+    int64 the first term to go is sum(cents^2) at ~3e5 events/user of
+    these ~5.6e6-cent values, where Spark (ANSI off) wraps SILENTLY
+    while DuckDB raises — a cross-engine divergence, not just a wrong
+    answer. The 1e38 headroom moves the bound to n * max_cents ~
+    2e18, beyond any physical event stream. One aggregate + one
+    key-equi join; strict > is the stated tie policy. Output cents
+    stay int64. Tail-registered: the driver's window is full."""
     ev = _t(spark, sf_dir, "events")
     e = ev.select("event_id", "user_id",
                   F.floor(F.col("value") * 100 + 0.5).cast("long")
                   .alias("cents"))
+    dc = F.col("cents").cast("decimal(38,0)")
     s = e.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("s1"),
-        F.sum(F.col("cents") * F.col("cents")).alias("s2"))
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dc).cast("decimal(38,0)").alias("s1"),
+        F.sum(dc * dc).cast("decimal(38,0)").alias("s2"))
     j = e.join(s, "user_id")
-    # NOT (..)**2: pow promotes to double; explicit multiply stays int64
-    d = F.col("n") * F.col("cents") - F.col("s1")
+    # NOT (..)**2: pow promotes to double; explicit multiply stays exact
+    d = F.col("n") * dc - F.col("s1")
     lhs = F.lit(4) * d * d
     rhs = F.lit(9) * (F.col("n") * F.col("s2")
                       - F.col("s1") * F.col("s1"))
@@ -4626,7 +4629,7 @@ def q_text_cms_heavy_hitters(spark, sf_dir):
     return top.join(est, "term").select("term", "true_n", "est_n")
 
 
-@query("graph_triangles", f"""
+_TRIANGLES_ORACLE = f"""
 WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 sized AS (SELECT l_orderkey FROM items GROUP BY l_orderkey
           HAVING count(*) <= {_COPURCHASE_MAX_BASKET}),
@@ -4642,7 +4645,10 @@ corners AS (SELECT u AS node FROM tri
             UNION ALL SELECT v FROM tri
             UNION ALL SELECT w FROM tri)
 SELECT node, count(*) AS n_tri FROM corners GROUP BY node
-""")
+"""
+
+
+@query("graph_triangles", _TRIANGLES_ORACLE)
 def q_graph_triangles(spark, sf_dir):
     """Per-part triangle counts over the co-purchase graph (r9,
     Schank & Wagner 2005): how tightly a part's co-purchase
@@ -4659,6 +4665,29 @@ def q_graph_triangles(spark, sf_dir):
     from mr_mpi_blast_spark.operators.graph import triangle_counts
     return triangle_counts(
         _copurchase_pairs(spark, sf_dir).select("a", "b"))
+
+
+@query("graph_triangles_bucketed", _TRIANGLES_ORACLE)
+def q_graph_triangles_bucketed(spark, sf_dir):
+    """The beyond-broadcast triangle path (r10), same values as
+    graph_triangles by contract: strategy="shuffle" forbids the
+    adjacency broadcast entirely and, with a content key, stages the
+    oriented edge table (bucketed on src) and the adjacency table
+    (bucketed on node) as content-addressed bucketed tables — the
+    src-side adjacency join runs with NO exchange and NO sort off the
+    bucketed layout, and the dst-side join exchanges only the probe
+    stream into adj's bucketing (operators/graph.py:triangle_counts;
+    plan pinned by tests/test_graph.py::test_triangles_bucketed_plan).
+    This is the plan the 100 TB crawl graph needs — per-executor
+    memory holds ONE partition of the adjacency, never all of it —
+    benched beside the broadcast form so the cost of dropping the
+    broadcast is a recorded number, not a guess."""
+    from mr_mpi_blast_spark.operators.graph import triangle_counts
+    st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
+    return triangle_counts(
+        _copurchase_pairs(spark, sf_dir).select("a", "b"),
+        strategy="shuffle",
+        content_key=f"copurchase:{sf_dir}:{st.st_mtime_ns}:{st.st_size}")
 
 
 _KCORE_K, _KCORE_ROUNDS = 3, 12
@@ -4700,6 +4729,39 @@ def q_graph_kcore(spark, sf_dir):
     edges = (_copurchase_pairs(spark, sf_dir)
              .filter(F.col("n") >= 2).select("a", "b"))
     return kcore(edges, _KCORE_K, _KCORE_ROUNDS)
+
+
+_COMPONENTS_ROUNDS = 6
+
+
+def _components_oracle() -> str:
+    from mr_mpi_blast_spark.operators.graph import components_sql
+    return components_sql(f"SELECT a, b FROM ({_KCORE_EDGES_SQL})",
+                          _COMPONENTS_ROUNDS)
+
+
+@query("graph_components", _components_oracle())
+def q_graph_components(spark, sf_dir):
+    """Connected components (r10): cluster labels over the repeat-
+    co-purchase graph (pairs bought together in >= 2 orders) — the
+    canonicalization primitive dedup already uses internally
+    (operators/dedup.py:connected_components), promoted to a
+    first-class graph query. Min-label propagation with pointer
+    jumping: per round one edge join + min-aggregate + one label-table
+    self-join, all edge/node-sized, lineage truncated per round;
+    the jump step halves pointer depth so convergence is O(log n)
+    rounds even on chains (probe: tests/test_graph.py). Fixed-round
+    contract (the kcore pattern): engine runs max_iter =
+    _COMPONENTS_ROUNDS with an early stop that is provably a fixed
+    point, the oracle unrolls the SAME round count with MATERIALIZED
+    CTEs, so the match is exact whether or not propagation converged
+    within the budget."""
+    from mr_mpi_blast_spark.operators.dedup import connected_components
+    edges = (_copurchase_pairs(spark, sf_dir)
+             .filter(F.col("n") >= 2).select("a", "b"))
+    return (connected_components(edges, src="a", dst="b",
+                                 max_iter=_COMPONENTS_ROUNDS)
+            .select("node", "cluster"))
 
 
 # ---------------------------------------------------------------------------

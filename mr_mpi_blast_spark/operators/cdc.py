@@ -64,12 +64,27 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
 
 
 def apply_changeset(target: DataFrame, changes: DataFrame,
-                    key_cols: list[str], op_col: str = "op") -> DataFrame:
+                    key_cols: list[str], op_col: str = "op",
+                    validate: bool = True,
+                    assert_unique_keys: bool = False) -> DataFrame:
     """MERGE: apply a CDC changeset to a snapshot. ``changes`` carries
     ``op_col`` in {'I','U','D'}: D removes the key, U replaces the
     key's row wholesale, I adds a new row. A key may appear at most
-    once (upstream compaction's contract; enforced cheaply at read
-    time by the caller's tests, not with a corpus-sized assert here).
+    once in the changeset (upstream compaction's contract).
+
+    Contract enforcement (r10 advisory closure — silently DROPPING a
+    row with a typo'd op code is the CDC equivalent of data loss):
+
+    - ``validate=True`` (default) probes the changeset for op codes
+      outside {'I','U','D'} and raises ValueError naming them. The
+      probe is one job over the CHANGESET only (changeset-sized by
+      definition, never the target) and collects at most 5 rows.
+    - ``assert_unique_keys=True`` (debug mode) additionally raises if
+      any key appears in more than one changeset row — the
+      at-most-once contract this MERGE depends on (a duplicate would
+      both upsert twice and make the result order-dependent). Also
+      changeset-sized; off by default because upstream compaction
+      already guarantees it in production.
 
     Shape: one anti-join of the target against the U/D key set (the
     only part that touches the big table, key-equi, broadcastable
@@ -82,6 +97,25 @@ def apply_changeset(target: DataFrame, changes: DataFrame,
         raise ValueError(
             f"changeset columns {sorted(data_cols)} must match target "
             f"{sorted(target.columns)} plus '{op_col}'")
+    if validate:
+        bad = (changes.filter(~F.col(op_col).isin("I", "U", "D"))
+               .select(op_col).limit(5).collect())
+        if bad:
+            codes = sorted({repr(r[op_col]) for r in bad})
+            raise ValueError(
+                f"apply_changeset: unknown op code(s) {codes} in "
+                f"'{op_col}' (expected 'I'/'U'/'D'); refusing to "
+                f"silently drop changeset rows")
+    if assert_unique_keys:
+        dup = (changes.groupBy(*key_cols)
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .filter(F.col("_n") > 1).limit(5).collect())
+        if dup:
+            keys = [tuple(r[k] for k in key_cols) for r in dup]
+            raise ValueError(
+                f"apply_changeset: key(s) {keys} appear more than once "
+                f"in the changeset — the at-most-one-row-per-key MERGE "
+                f"contract is violated (compact upstream first)")
     touched = (changes.filter(F.col(op_col).isin("U", "D"))
                .select(*key_cols))
     kept = target.join(touched, key_cols, "left_anti")

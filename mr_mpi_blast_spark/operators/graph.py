@@ -182,8 +182,22 @@ def _normalized_undirected(edges: DataFrame, a: str, b: str) -> DataFrame:
             .localCheckpoint(eager=True))
 
 
-def triangle_counts(edges: DataFrame, a: str = "a",
-                    b: str = "b") -> DataFrame:
+#: Broadcast gate for triangle_counts' adjacency table. The adjacency
+#: payload is one copy of the edge list (~8 B/edge + per-row array
+#: overhead, estimated at 24 B/edge below to be conservative), and a
+#: broadcast materializes it IN FULL on the driver and on every
+#: executor — so the cap is sized as a small fraction of a typical
+#: 4-8 GiB executor heap, not of the cluster. 256 MiB ≈ 1e7 edges;
+#: a crawl graph's 1e11 edges (≈2.4 TB estimated) routes to the
+#: bucketed/shuffle path automatically.
+TRIANGLE_BROADCAST_CAP = 256 << 20
+_ADJ_BYTES_PER_EDGE = 24
+
+
+def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b", *,
+                    strategy: str = "auto",
+                    broadcast_cap_bytes: int = TRIANGLE_BROADCAST_CAP,
+                    content_key: str | None = None) -> DataFrame:
     """Per-node triangle counts over an undirected edge list — the
     clustering/cohesion primitive (co-occurrence tightness, spam-farm
     detection on link graphs).
@@ -198,9 +212,36 @@ def triangle_counts(edges: DataFrame, a: str = "a",
     same node contributes almost none). Three key-equi joins + one
     aggregate, all map-side-combinable; no windows, no collects.
 
+    Physical strategy for attaching the two out-adjacency arrays
+    (``strategy``):
+
+    - ``"broadcast"``: ship the node-sized (node, nbrs) table to every
+      executor so the oriented edge stream never shuffles its array
+      payloads. Fastest while the adjacency fits executor memory
+      (it is what turned the 112 s wedge-JOIN form into 7-9 s at
+      sf0.1), but the payload is O(E) — a hard scale boundary.
+    - ``"shuffle"``: no broadcast anywhere — both adjacency joins run
+      as sort-merge joins. With ``content_key`` set, the oriented
+      edge table and the adjacency table are staged as content-
+      addressed BUCKETED tables (operators/bucketing.py, exactly the
+      ``pagerank_micro`` pattern): the src-side join then reads both
+      sides off their bucketed layout with NO exchange and NO sort,
+      and the dst-side join exchanges only the probe stream into
+      adj's existing bucketing. This is the 100 TB path: per-executor
+      memory holds one partition of the adjacency, never all of it.
+      Pinned by tests/test_graph.py::test_triangles_bucketed_plan.
+    - ``"auto"`` (default): estimate the adjacency payload from the
+      oriented edge count (``_ADJ_BYTES_PER_EDGE`` per edge) and pick
+      ``broadcast`` iff it is at most ``broadcast_cap_bytes``.
+
     Output: (node, n_tri) for every node in >= 1 triangle; each
-    triangle credits all three of its corners once.
+    triangle credits all three of its corners once. Values are
+    strategy-independent (pinned by test_triangles_strategies_agree).
     """
+    if strategy not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"strategy must be auto|broadcast|shuffle, "
+                         f"got {strategy!r}")
+    spark = edges.sparkSession
     e = _normalized_undirected(edges, a, b)
     deg = (e.select(F.col("x").alias("node"))
            .union(e.select(F.col("y").alias("node")))
@@ -210,13 +251,18 @@ def triangle_counts(edges: DataFrame, a: str = "a",
           .join(deg.select(F.col("node").alias("y"),
                            F.col("d").alias("dy")), "y"))
     fwd = F.struct("dx", "x") < F.struct("dy", "y")
-    # the oriented table is read three times (two wedge sides + the
-    # closing-edge probe) — materialize it too
+    # the oriented table is read three times (the adjacency build +
+    # two probe sides) — materialize it once
     orient = ed.select(
         F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("src"),
         F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("dst"),
-        F.when(fwd, F.col("dy")).otherwise(F.col("dx")).alias("ddst")
     ).localCheckpoint(eager=True)
+    if strategy == "auto":
+        # orient is checkpointed, so the count is a cheap local scan;
+        # the estimate errs high (array/row overhead folded into the
+        # per-edge constant) so "auto" never broadcasts past the cap
+        est = orient.count() * _ADJ_BYTES_PER_EDGE
+        strategy = "broadcast" if est <= broadcast_cap_bytes else "shuffle"
     # edge-iterator over OUT-adjacency arrays: for oriented edge
     # (u -> v) the triangle's third corners are N+(u) ∩ N+(v), and
     # each triangle is found exactly once at its (deg,id)-least base
@@ -231,37 +277,75 @@ def triangle_counts(edges: DataFrame, a: str = "a",
     # over edge-sized streams instead (measured 7-9 s warm for the
     # whole query on the same graph), and only the triangle-sized
     # corner explode leaves the row.
-    adj = orient.groupBy(F.col("src").alias("node")).agg(
-        F.sort_array(F.collect_list("dst")).alias("nbrs"))
-    # adj is NODE-sized with O(sqrt(E))-bounded arrays (total payload
-    # = one copy of the edge list): broadcast it so the edge stream
-    # never shuffles its two array payloads (edge-count x out-degree
-    # longs — the dominant shuffle volume otherwise). Past broadcast
-    # reach, co-partition edges and adj on the join key via bucketing
-    # (the pagerank_micro pattern) instead.
-    adjb = F.broadcast(adj)
-    withu = (orient.select("src", "dst")
-             .join(adjb.select(F.col("node").alias("src"),
-                               F.col("nbrs").alias("nu")), "src")
-             .join(adjb.select(F.col("node").alias("dst"),
-                               F.col("nbrs").alias("nv")), "dst"))
-    common = (withu.select(
-        "src", "dst",
-        F.array_intersect("nu", "nv").alias("ws"))
-        .filter(F.size("ws") > 0)
-        .localCheckpoint(eager=True))
+    if strategy == "shuffle" and content_key is not None:
+        import hashlib
+
+        from mr_mpi_blast_spark.operators.bucketing import \
+            ensure_bucketed_table
+        shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        digest = hashlib.md5(content_key.encode()).hexdigest()[:12]
+        orient_b = spark.table(ensure_bucketed_table(
+            spark, lambda: orient, f"tri_edges_{digest}", "src", shuf,
+            f"tri_edges:{content_key}"))
+        adj = spark.table(ensure_bucketed_table(
+            spark,
+            lambda: orient.groupBy(F.col("src").alias("node")).agg(
+                F.sort_array(F.collect_list("dst")).alias("nbrs")),
+            f"tri_adj_{digest}", "node", shuf,
+            f"tri_adj:{content_key}"))
+        probe = orient_b.select("src", "dst")
+    else:
+        adj = orient.groupBy(F.col("src").alias("node")).agg(
+            F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        probe = orient.select("src", "dst")
+    if strategy == "broadcast":
+        # adj is NODE-sized with O(sqrt(E))-bounded arrays (total
+        # payload = one copy of the edge list): while it fits, ship it
+        # so the edge stream never shuffles its two array payloads
+        # (edge-count x out-degree longs — the dominant shuffle volume
+        # otherwise)
+        adj_u = F.broadcast(adj)
+        adj_v = adj_u
+    else:
+        # merge hint: forbid Catalyst from re-introducing the very
+        # broadcast this path exists to avoid (AQE may see a small
+        # post-shuffle adj and flip the join). Both joins become SMJ;
+        # on the bucketed layout the src side needs no exchange/sort
+        # at all and the dst side exchanges only the probe stream.
+        adj_u = adj.hint("merge")
+        adj_v = adj_u
+    common = _triangle_common(probe, adj_u, adj_v) \
+        .localCheckpoint(eager=True)
     corners = (common.select(F.col("src").alias("node"),
                              F.size("ws").alias("k"))
                .union(common.select(F.col("dst").alias("node"),
                                     F.size("ws").alias("k")))
                .union(common.select(F.explode("ws").alias("node"),
                                     F.lit(1).alias("k"))))
-    return (corners.groupBy("node")
-            .agg(F.sum("k").cast("long").alias("n_tri")))
+    out = (corners.groupBy("node")
+           .agg(F.sum("k").cast("long").alias("n_tri")))
+    out.triangle_strategy = strategy  # driver-side introspection/tests
+    return out
+
+
+def _triangle_common(probe: DataFrame, adj_u: DataFrame,
+                     adj_v: DataFrame) -> DataFrame:
+    """The adjacency-attach stage (un-checkpointed): oriented edge
+    stream x two out-adjacency sides -> (src, dst, ws) wedge-closure
+    rows. Split out so tests/test_graph.py can pin the bucketed
+    no-broadcast plan shape directly (the _pagerank_round pattern)."""
+    return (probe
+            .join(adj_u.select(F.col("node").alias("src"),
+                               F.col("nbrs").alias("nu")), "src")
+            .join(adj_v.select(F.col("node").alias("dst"),
+                               F.col("nbrs").alias("nv")), "dst")
+            .select("src", "dst",
+                    F.array_intersect("nu", "nv").alias("ws"))
+            .filter(F.size("ws") > 0))
 
 
 def kcore(edges: DataFrame, k: int, rounds: int = 12,
-          a: str = "a", b: str = "b") -> DataFrame:
+          a: str = "a", b: str = "b", strict: bool = False) -> DataFrame:
     """k-core decomposition by iterative peeling: repeatedly drop
     every node of degree < k (with its edges) until stable — the
     dense-subgraph primitive (cohesive communities; spam/link-farm
@@ -279,6 +363,16 @@ def kcore(edges: DataFrame, k: int, rounds: int = 12,
     pagerank/bpe lesson). Output: (node, core_deg) for nodes
     surviving all rounds, with their degree in the surviving
     subgraph.
+
+    Convergence signal: the loop already observes per-round edge
+    counts, so it KNOWS whether the budget reached the fixed point.
+    The returned DataFrame carries ``kcore_converged`` (bool,
+    driver-side attribute); a caller asking for "the" k-core of a
+    deep graph (a long chain needs ~n/2 rounds) can pass
+    ``strict=True`` to get a RuntimeError instead of a silent
+    superset when ``rounds`` exhausts before convergence. The
+    fixed-round result itself is unchanged either way — the DuckDB
+    oracle replays the same budget.
     """
     from pyspark.sql import Observation
     if k < 1:
@@ -290,6 +384,7 @@ def kcore(edges: DataFrame, k: int, rounds: int = 12,
     # round i+1's "before" — one count up front, zero per-round count
     # jobs
     before = alive.count()
+    converged = before == 0  # an empty graph is trivially its fixed point
     for _ in range(rounds):
         deg = (alive.select(F.col("x").alias("node"))
                .union(alive.select(F.col("y").alias("node")))
@@ -304,13 +399,57 @@ def kcore(edges: DataFrame, k: int, rounds: int = 12,
                  .observe(obs, F.count(F.lit(1)).alias("m"))
                  .localCheckpoint(eager=True))
         m = int(obs.get["m"] or 0)
-        if m == before:
+        if m == before or m == 0:
+            converged = True
             break  # fixed point: further rounds are no-ops
         before = m
+    if strict and not converged:
+        raise RuntimeError(
+            f"kcore: round budget {rounds} exhausted before the peel "
+            f"reached a fixed point ({before} edges still alive and "
+            f"shrinking) — the result would be a superset of the "
+            f"{k}-core; raise rounds")
     deg = (alive.select(F.col("x").alias("node"))
            .union(alive.select(F.col("y").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("core_deg")))
-    return deg.filter(F.col("core_deg") >= k)
+    out = deg.filter(F.col("core_deg") >= k)
+    out.kcore_converged = converged
+    return out
+
+
+def components_sql(edges_sql: str, rounds: int) -> str:
+    """DuckDB oracle for connected components: the unrolled
+    ``rounds``-round replay of operators/dedup.connected_components'
+    min-label propagation + pointer jumping over ``edges_sql``
+    (columns a, b). Each round is deterministic, so engine and oracle
+    states are identical round-for-round; the engine's early stop is a
+    fixed point (changed == 0 means every later round is a no-op), so
+    calling the engine with ``max_iter == rounds`` matches this replay
+    whether or not it converged early — the kcore_sql contract.
+
+    MATERIALIZED CTEs throughout (the kcore lesson: DuckDB's default
+    inlining re-expands multiply-referenced round CTEs exponentially).
+    """
+    sql = [f"""
+WITH sym AS MATERIALIZED (
+  SELECT a, b FROM ({edges_sql})
+  UNION ALL
+  SELECT b, a FROM ({edges_sql})),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, a AS lab FROM sym)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        sql.append(f""",
+n{i} AS (SELECT e.a AS node, min(l.lab) AS minn
+         FROM sym e JOIN l{p} l ON e.b = l.node GROUP BY e.a),
+m{i} AS MATERIALIZED (
+  SELECT l.node, least(l.lab, coalesce(n.minn, l.lab)) AS lab
+  FROM l{p} l LEFT JOIN n{i} n ON l.node = n.node),
+l{i} AS MATERIALIZED (
+  SELECT m.node, coalesce(j.lab, m.lab) AS lab
+  FROM m{i} m LEFT JOIN m{i} j ON m.lab = j.node)""")
+    sql.append(f"\nSELECT node, lab AS cluster FROM l{rounds}")
+    return "".join(sql)
 
 
 def kcore_sql(edges_sql: str, k: int, rounds: int = 12) -> str:

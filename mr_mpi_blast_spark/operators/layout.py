@@ -26,7 +26,18 @@ def zorder_sql(x: str, y: str, bits: int, div_op: str) -> str:
     columns ``x`` and ``y`` (low ``bits`` bits each; callers mask or
     size ``bits`` to cover the domain — 2*bits must stay < 63).
     ``div_op`` is the engine's integer floor division ('div' for
-    Spark SQL, '//' for DuckDB)."""
+    Spark SQL, '//' for DuckDB).
+
+    PRECONDITION: ``x`` and ``y`` must be NON-NEGATIVE. Both engines'
+    ``%``/integer-division semantics on negatives (sign-of-dividend
+    remainders) make the bit extraction produce a NON-MONOTONIC, wrong
+    interleave for negative inputs — silently, since every value is
+    still a valid-looking long. The raw expression carries no guard
+    (it must stay replayable verbatim in DuckDB); Spark-side callers
+    go through ``zvalue(checked=True)``, which fails loudly instead.
+    Map signed domains first (e.g. ``x - min_x``, or a zigzag
+    ``2x``/``-2x-1`` encoding) — a stated policy, not a silent clamp.
+    """
     if not 1 <= bits <= 31:
         raise ValueError(f"bits must be in [1, 31], got {bits}")
     terms = []
@@ -36,9 +47,25 @@ def zorder_sql(x: str, y: str, bits: int, div_op: str) -> str:
     return "(" + "\n + ".join(terms) + ")"
 
 
-def zvalue(x: str, y: str, bits: int = 20) -> Column:
-    """Spark column: z-interleave of two non-negative integer columns."""
-    return F.expr(zorder_sql(x, y, bits, "div")).cast("long")
+def zvalue(x: str, y: str, bits: int = 20, *,
+           checked: bool = True) -> Column:
+    """Spark column: z-interleave of two non-negative integer columns.
+
+    ``checked=True`` (default, r10 advisory closure) wraps the
+    interleave in a guard that raises executor-side on a negative
+    input instead of emitting the silently-wrong curve value
+    ``zorder_sql`` documents; the cost is one codegen'd CASE per row.
+    Pass ``checked=False`` only where the domain is proven
+    non-negative upstream (e.g. synthetic keys)."""
+    z = zorder_sql(x, y, bits, "div")
+    if not checked:
+        return F.expr(z).cast("long")
+    return F.expr(
+        f"CASE WHEN {x} < 0 OR {y} < 0 THEN "
+        f"raise_error(concat('zorder: negative input (', {x}, ', ', "
+        f"{y}, '); the interleave is undefined on negatives - "
+        f"shift or zigzag-encode the domain first')) "
+        f"ELSE {z} END").cast("long")
 
 
 def zorder_file_stats(df: DataFrame, x: str, y: str, *, bits: int = 20,
@@ -48,6 +75,11 @@ def zorder_file_stats(df: DataFrame, x: str, y: str, *, bits: int = 20,
     z div 2^file_width_bits — pure arithmetic, no global sort, no
     single-task window), and each file reports its row count and its
     min/max on BOTH dimensions — the statistics a reader prunes with.
+
+    PRECONDITION (inherited from ``zorder_sql``): both dimension
+    columns must be non-negative — the manifest would otherwise bin
+    rows by a silently-wrong curve. The ``zvalue`` guard below raises
+    executor-side on the first negative row.
 
     One hash aggregate over one scan; at scale the same z-value feeds
     repartitionByRange + sortWithinPartitions to actually write the

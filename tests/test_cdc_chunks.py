@@ -42,6 +42,36 @@ def test_apply_changeset_merge_semantics(spark):
         apply_changeset(target, changes.drop("s"), ["k"])
 
 
+def test_apply_changeset_rejects_unknown_ops(spark):
+    """r10 advisory closure: a typo'd op code must fail loudly, not be
+    silently filtered out of both the touched-key set and the upsert
+    payload (= data loss); validate=False restores the old permissive
+    behavior for callers that pre-validated."""
+    target = spark.createDataFrame([(1, "a")], "k long, s string")
+    changes = spark.createDataFrame(
+        [(2, "b", "I"), (3, "c", "X")], "k long, s string, op string")
+    with pytest.raises(ValueError, match="unknown op code.*'X'"):
+        apply_changeset(target, changes, ["k"])
+    got = {r.k: r.s for r in
+           apply_changeset(target, changes, ["k"],
+                           validate=False).collect()}
+    assert got == {1: "a", 2: "b"}   # X row dropped, by explicit opt-out
+
+
+def test_apply_changeset_unique_key_assertion(spark):
+    target = spark.createDataFrame([(1, "a")], "k long, s string")
+    dup = spark.createDataFrame(
+        [(2, "b", "I"), (2, "c", "U")], "k long, s string, op string")
+    with pytest.raises(ValueError, match="more than once"):
+        apply_changeset(target, dup, ["k"], assert_unique_keys=True)
+    ok = spark.createDataFrame(
+        [(2, "b", "I")], "k long, s string, op string")
+    got = {r.k: r.s for r in
+           apply_changeset(target, ok, ["k"],
+                           assert_unique_keys=True).collect()}
+    assert got == {1: "a", 2: "b"}
+
+
 def test_apply_then_diff_roundtrip(spark):
     """diff(v1, apply(v1, changes)) recovers exactly the changeset's
     keys and classes — the two operators are mutual inverses."""

@@ -186,6 +186,83 @@ def test_triangles_random_vs_python(spark):
     assert got == py_triangles(edges)
 
 
+def test_triangles_strategies_agree(spark, tmp_path, monkeypatch):
+    """The strategy switch is physical only: broadcast, plain-shuffle,
+    and bucketed-shuffle paths must produce identical values (and the
+    python replay's)."""
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path))
+    from mr_mpi_blast_spark.operators.graph import triangle_counts
+    import random
+    random.seed(77)
+    edges = list({(random.randint(0, 40), random.randint(0, 40))
+                  for _ in range(220)})
+    df = spark.createDataFrame(edges, ["a", "b"])
+    want = py_triangles(edges)
+    for kwargs in ({"strategy": "broadcast"},
+                   {"strategy": "shuffle"},
+                   {"strategy": "shuffle", "content_key": "tri-test-77"}):
+        got = {r.node: r.n_tri
+               for r in triangle_counts(df, **kwargs).collect()}
+        assert got == want, kwargs
+
+
+def test_triangles_auto_switch_and_validation(spark):
+    """auto = broadcast under the cap, shuffle above it (estimated
+    from the oriented edge count); bogus strategy fails loudly."""
+    from mr_mpi_blast_spark.operators.graph import triangle_counts
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    df = spark.createDataFrame(k4, ["a", "b"])
+    small = triangle_counts(df)  # 6 edges * 24 B << default cap
+    assert small.triangle_strategy == "broadcast"
+    big = triangle_counts(df, broadcast_cap_bytes=1)
+    assert big.triangle_strategy == "shuffle"
+    assert ({r.node: r.n_tri for r in small.collect()}
+            == {r.node: r.n_tri for r in big.collect()}
+            == {1: 3, 2: 3, 3: 3, 4: 3})
+    with pytest.raises(ValueError, match="strategy"):
+        triangle_counts(df, strategy="hash")
+
+
+def test_triangles_bucketed_plan(spark, tmp_path, monkeypatch):
+    """The 100 TB contract for the beyond-broadcast path: NO broadcast
+    anywhere; both adjacency joins are sort-merge; the src-side join
+    reads the oriented edge table AND the adjacency table straight off
+    their bucketed layouts (no exchange, no sort above those scans),
+    and the dst-side join exchanges ONLY the probe stream into adj's
+    existing bucketing — three bucketed scans, one exchange, one sort
+    total."""
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path))
+    import hashlib
+
+    from mr_mpi_blast_spark.operators.graph import (_triangle_common,
+                                                    triangle_counts)
+    import random
+    random.seed(5)
+    edges = list({(random.randint(0, 30), random.randint(0, 30))
+                  for _ in range(120)})
+    df = spark.createDataFrame(edges, ["a", "b"])
+    ck = "tri-plan-test"
+    # one run stages + registers the content-addressed bucketed tables
+    triangle_counts(df, strategy="shuffle", content_key=ck).collect()
+    dg = hashlib.md5(ck.encode()).hexdigest()[:12]
+    orient = spark.table(f"tri_edges_{dg}").select("src", "dst")
+    adj = spark.table(f"tri_adj_{dg}").hint("merge")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (_triangle_common(orient, adj, adj)
+                ._jdf.queryExecution().executedPlan().toString())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastExchange" not in plan and "BroadcastHashJoin" not in plan
+    for line in plan.splitlines():
+        if "FileScan parquet" in line and "Bucketed: true" not in line:
+            raise AssertionError(f"non-bucketed scan in plan: {line}")
+    assert plan.count("Bucketed: true") == 3
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"\n\s*(?:\+|:)- Sort ", plan)) == 1
+
+
 def test_kcore_peeling_cascade(spark):
     """Pendant chain peels away in CASCADE (each removal exposes the
     next), leaving exactly the triangle as the 2-core — and a k above
@@ -232,3 +309,87 @@ def test_kcore_early_stop_equals_full_unroll(spark):
     a = {r.node: r.core_deg for r in kcore(df, 3, rounds=12).collect()}
     b = {r.node: r.core_deg for r in kcore(df, 3, rounds=26).collect()}
     assert a == b == want
+
+
+def test_kcore_convergence_signal(spark):
+    """A 30-node path peels 2 endpoints per round, so its (empty)
+    2-core needs ~15 rounds: a 5-round budget must SAY it didn't
+    converge (attribute False; strict=True raises), a 20-round budget
+    converges to the empty core. The returned rows are the same
+    fixed-round contract either way."""
+    from mr_mpi_blast_spark.operators.graph import kcore
+    path = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(path, ["a", "b"])
+    partial = kcore(df, 2, rounds=5)
+    assert partial.kcore_converged is False
+    assert partial.count() > 0          # honest superset, flagged
+    with pytest.raises(RuntimeError, match="fixed point"):
+        kcore(df, 2, rounds=5, strict=True)
+    full = kcore(df, 2, rounds=20)
+    assert full.kcore_converged is True
+    assert full.count() == 0
+    # strict passes when the budget suffices
+    assert kcore(df, 2, rounds=20, strict=True).count() == 0
+
+
+def py_components(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_components_random_vs_union_find(spark):
+    from mr_mpi_blast_spark.operators.dedup import connected_components
+    import random
+    random.seed(11)
+    edges = list({(random.randint(0, 60), random.randint(0, 60))
+                  for _ in range(80)})
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {r.node: r.cluster
+           for r in connected_components(df, "a", "b").collect()}
+    assert got == py_components(edges)
+
+
+def test_components_chain_converges_logarithmically(spark):
+    """Pointer jumping's O(log n) contract: a 64-node chain (diameter
+    63 — min-label propagation alone would need ~63 rounds) must fully
+    converge within an 8-round budget."""
+    from mr_mpi_blast_spark.operators.dedup import connected_components
+    chain = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(chain, ["a", "b"])
+    got = {r.node: r.cluster
+           for r in connected_components(df, "a", "b",
+                                         max_iter=8).collect()}
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_components_oracle_replay_matches_engine(spark):
+    """components_sql is a round-for-round replay: even on a graph too
+    deep to converge within the budget, engine (max_iter=R) and oracle
+    (R unrolled rounds) states are identical."""
+    import duckdb
+
+    from mr_mpi_blast_spark.operators.dedup import connected_components
+    from mr_mpi_blast_spark.operators.graph import components_sql
+    chain = [(i, i + 1) for i in range(40)] + [(100, 101), (101, 102)]
+    df = spark.createDataFrame(chain, ["a", "b"])
+    for rounds in (2, 4, 8):   # 2 is mid-propagation, 8 is converged
+        got = {(r.node, r.cluster)
+               for r in connected_components(
+                   df, "a", "b", max_iter=rounds).collect()}
+        values = ", ".join(f"({a}, {b})" for a, b in chain)
+        sql = components_sql(
+            f"SELECT * FROM (VALUES {values}) AS t(a, b)", rounds)
+        want = {(int(a), int(b))
+                for a, b in duckdb.connect().execute(sql).fetchall()}
+        assert got == want, rounds

@@ -56,6 +56,22 @@ def test_zorder_sql_validation():
         zorder_sql("x", "y", 32, "//")
 
 
+def test_zvalue_negative_input_fails_loudly(spark):
+    """r10 advisory closure: engine %/div semantics on negatives make
+    the interleave silently non-monotonic, so the checked default must
+    raise executor-side instead of emitting a wrong curve value;
+    checked=False opts out where the domain is proven."""
+    df = spark.createDataFrame([(3, -1)], "x long, y long")
+    with pytest.raises(Exception, match="zorder: negative input"):
+        df.select(zvalue("x", "y", 4).alias("z")).collect()
+    # opt-out still computes (documented caller responsibility)
+    df.select(zvalue("x", "y", 4, checked=False).alias("z")).collect()
+    # the guard passes cleanly on the non-negative domain
+    ok = spark.createDataFrame([(3, 1)], "x long, y long")
+    assert ok.select(zvalue("x", "y", 4).alias("z")).collect()[0].z \
+        == _interleave(3, 1, 4)
+
+
 def test_rolling_range_inclusive_boundary(spark):
     from mr_mpi_blast_spark.operators.temporal import epoch_us
     base = dt.datetime(2024, 1, 1, 12, 0, 0)
