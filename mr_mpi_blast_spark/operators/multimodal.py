@@ -125,10 +125,10 @@ def _decode_bmp(payload: bytes) -> dict:
             "duration_s": None, "feature": feature.tolist()}
 
 
-def _decode_wav(payload: bytes) -> dict:
-    """Pure-Python WAV decode (RIFF/WAVE, PCM fmt chunk): real channel
-    count, sample rate, and duration from the chunk walk; feature
-    vector from the actual PCM samples (16-bit) or raw data bytes."""
+def _wav_chunks(payload: bytes) -> tuple[tuple, bytes]:
+    """RIFF chunk walk shared by every WAV reader: returns the parsed
+    fmt tuple (audio_fmt, channels, rate, byte_rate, block, bits) and
+    the raw data chunk bytes; raises on missing magic or chunks."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
     pos, fmt, data = 12, None, None
@@ -143,6 +143,28 @@ def _decode_wav(payload: bytes) -> dict:
         pos += 8 + csz + (csz & 1)     # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt / data chunk")
+    return fmt, data
+
+
+def decode_wav_samples(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """(rate, channels, int16 sample array) from a 16-bit PCM WAV —
+    the exact-integer decode surface: no float statistics, so callers
+    (and DuckDB oracles) can compare sample-level values bit-exactly."""
+    fmt, data = _wav_chunks(bytes(payload))
+    _audio_fmt, channels, rate, _byte_rate, _block, bits = fmt
+    if bits != 16:
+        raise ValueError(f"decode_wav_samples: 16-bit PCM only, "
+                         f"got {bits}-bit")
+    samples = np.frombuffer(
+        data[:len(data) - (len(data) % 2)], dtype="<i2")
+    return rate, channels, samples
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """Pure-Python WAV decode (RIFF/WAVE, PCM fmt chunk): real channel
+    count, sample rate, and duration from the chunk walk; feature
+    vector from the actual PCM samples (16-bit) or raw data bytes."""
+    fmt, data = _wav_chunks(payload)
     _audio_fmt, channels, rate, byte_rate, _block, bits = fmt
     duration_s = round(len(data) / byte_rate, 4) if byte_rate else None
     if bits == 16:
@@ -258,6 +280,63 @@ def sample_frames(assets: DataFrame, every_n: int = 4,
             .mapInPandas(
                 run,
                 schema="asset_id long, frame_no int, frame_payload binary"))
+
+
+#: wav_roundtrip_stats sample-synthesis constants — shared verbatim by
+#: the DuckDB oracle (entry_queries.multimodal_wav_roundtrip), which
+#: replays the formula arithmetically instead of parsing bytes: the
+#: comparison therefore proves encode_wav -> decode_wav_samples is the
+#: identity on real RIFF bytes, not that two decoders agree.
+WAV_RATE = 8000
+WAV_N_BASE, WAV_N_MOD = 40, 17           # n = 40 + doc_id % 17
+WAV_A, WAV_B, WAV_M = 7349, 2797, 4001   # s_i = (id*A + i*B) % M - 2000
+
+
+def wav_roundtrip_stats(docs: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exercise the REAL (pure-Python PCM) audio codec end-to-end
+    through the Arrow-batched executor path: per document, synthesize
+    a deterministic int16 sample ramp, ENCODE it to genuine RIFF/WAVE
+    bytes (encode_wav), DECODE those bytes back through the real
+    codec (decode_wav_samples — header walk + frombuffer, the same
+    code path a production WAV scan uses), and emit exact-integer
+    statistics of the decoded samples. Every emitted value is an
+    int64 derived from the synthesis formula, so a DuckDB oracle can
+    recompute it without touching bytes — any header-arithmetic,
+    endianness, or chunk-walk defect in either codec half breaks the
+    match. Narrow transform: payloads are created, decoded, and
+    discarded inside one mapInPandas batch; nothing binary shuffles.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"_id": [], "n_samples": [], "sample_sum": [],
+                   "sample_min": [], "sample_max": [], "rate": [],
+                   "n_bytes": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                n = WAV_N_BASE + did % WAV_N_MOD
+                i = np.arange(n, dtype=np.int64)
+                samples = ((did * WAV_A + i * WAV_B) % WAV_M
+                           - 2000).astype(np.int16)
+                payload = encode_wav(samples, rate=WAV_RATE)
+                rate, channels, got = decode_wav_samples(payload)
+                if channels != 1:
+                    raise ValueError(f"roundtrip channels={channels}")
+                out["_id"].append(did)
+                out["n_samples"].append(len(got))
+                out["sample_sum"].append(int(got.astype(np.int64).sum()))
+                out["sample_min"].append(int(got.min()))
+                out["sample_max"].append(int(got.max()))
+                out["rate"].append(rate)
+                out["n_bytes"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    return (docs.select(id_col)
+            .mapInPandas(run, schema="_id long, n_samples long, "
+                                     "sample_sum long, sample_min long, "
+                                     "sample_max long, rate long, "
+                                     "n_bytes long")
+            .withColumnRenamed("_id", id_col))
 
 
 def assets_from_documents(docs: DataFrame) -> DataFrame:

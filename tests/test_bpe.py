@@ -131,6 +131,44 @@ def test_bpe_256_merges_values_and_flat_cost(spark):
     assert last_q < 4 * first_q + 0.5, (first_q, last_q)
 
 
+@pytest.mark.slow
+def test_bpe_1024_merges_flat_cost(spark):
+    """The production-merge-count tier (r10): 1024 merges, value-exact
+    against the python reference end-to-end, per-iteration wall time
+    flat (quartile medians) — four materialization generations beyond
+    the 256 test, so any per-generation cost accumulation (lineage,
+    block-manager pressure, plan depth) would show. The full
+    4096-merge curve is committed evidence from scripts/bpe_curve.py
+    (PLANS.md round-10 section) — at ~15 min end-to-end it lives
+    there, not in the suite; this tier keeps the claim regression-
+    tested at suite-compatible cost. Shuffle partitions are pinned
+    low for the probe: 32 reduce tasks on a 2k-row working set would
+    measure scheduler overhead, not the loop."""
+    rng = random.Random(1337)
+    wf = {"".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                  for _ in range(rng.randint(14, 22))): rng.randint(1, 50)
+          for _ in range(1200)}
+    n = 1024
+    ref = _bpe_ref(dict(wf), n)
+    assert len(ref) == n, "vocabulary too small to sustain 1024 merges"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        got, times = [], []
+        t0 = time.monotonic()
+        for m in bpe_learn_iter(_wc_df(spark, wf).coalesce(4), n):
+            t1 = time.monotonic()
+            times.append(t1 - t0)
+            t0 = t1
+            got.append((m.rank, m.lft, m.rgt, m.lft + m.rgt, m.n))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert got == ref
+    first_q = statistics.median(times[:256])
+    last_q = statistics.median(times[-256:])
+    assert last_q < 4 * first_q + 0.5, (first_q, last_q)
+
+
 def test_bpe_materialize_every_equivalence(spark):
     """materialize_every > 1 (bounded fold stacking between
     checkpoints) and a caller-supplied materializer change execution

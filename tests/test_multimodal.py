@@ -2,6 +2,7 @@
 explode shapes) is real; the codec is the deterministic fake."""
 
 import hashlib
+import os
 
 import pytest
 
@@ -161,3 +162,55 @@ class TestRealCodecs:
         from mr_mpi_blast_spark.operators.multimodal import real_decode
         with _pytest.raises(ValueError, match="BMP"):
             real_decode(b"not a bitmap at all.....", "image")
+
+
+class TestGoldenFixtures:
+    """Committed binary fixtures decoded by the real codecs: the bytes
+    on DISK (not a same-process re-encode) must yield the pinned
+    values, so a codec regression cannot hide behind a matching
+    encoder bug."""
+
+    FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+    def test_golden_bmp(self):
+        from mr_mpi_blast_spark.operators.multimodal import _decode_bmp
+        payload = open(os.path.join(self.FIXTURES, "golden_7x5.bmp"),
+                       "rb").read()
+        got = _decode_bmp(payload)
+        assert (got["width"], got["height"], got["n_frames"]) == (5, 7, 1)
+        f = got["feature"]
+        assert f[:3] == [5.0, 7.0, 24.0]         # w, h, bpp
+        assert abs(f[3] - 124.685714) < 1e-4     # pixel mean (real data)
+        assert (f[5], f[6], f[7]) == (0.0, 255.0, 35.0)
+
+    def test_golden_wav(self):
+        from mr_mpi_blast_spark.operators.multimodal import (
+            _decode_wav, decode_wav_samples)
+        payload = open(os.path.join(self.FIXTURES, "golden_48.wav"),
+                       "rb").read()
+        rate, channels, samples = decode_wav_samples(payload)
+        assert (rate, channels, len(samples)) == (8000, 1, 48)
+        # the exact ramp the generator wrote: ((i*2797) % 4001) - 2000
+        want = [((i * 2797) % 4001) - 2000 for i in range(48)]
+        assert samples.tolist() == want
+        meta = _decode_wav(payload)
+        assert meta["duration_s"] == 0.006
+        assert meta["feature"][:3] == [1.0, 8.0, 16.0]
+
+    def test_wav_roundtrip_stats_spark(self, spark):
+        """The registered query's operator over a small doc frame:
+        stats equal the synthesis formula computed in python."""
+        from mr_mpi_blast_spark.operators.multimodal import (
+            WAV_A, WAV_B, WAV_M, WAV_N_BASE, WAV_N_MOD,
+            wav_roundtrip_stats)
+        docs = spark.createDataFrame([(i,) for i in range(12)],
+                                     "doc_id long")
+        got = {r.doc_id: r for r in wav_roundtrip_stats(docs).collect()}
+        for did in range(12):
+            n = WAV_N_BASE + did % WAV_N_MOD
+            vals = [((did * WAV_A + i * WAV_B) % WAV_M) - 2000
+                    for i in range(n)]
+            r = got[did]
+            assert (r.n_samples, r.sample_sum, r.sample_min,
+                    r.sample_max, r.rate, r.n_bytes) == \
+                (n, sum(vals), min(vals), max(vals), 8000, 44 + 2 * n)

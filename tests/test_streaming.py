@@ -327,3 +327,81 @@ def test_search_from_stream_empty_stream(spark, tmp_path):
     got = search_from_stream(spark, out, BlastConfig(task="blastp"))
     assert got.count() == 0
     assert "evalue" in got.columns and "bitscore" in got.columns
+
+
+def test_cdc_stream_equals_batch(spark, tmp_path):
+    """Streaming MERGE parity: a changeset delivered across multiple
+    micro-batches folds into EXACTLY the batch apply_changeset result
+    on the whole changeset (keys appear once each — the compaction
+    contract), and a rerun against the same checkpoint commits
+    nothing new (exactly-once across restart)."""
+    from mr_mpi_blast_spark.operators.cdc import apply_changeset
+    from mr_mpi_blast_spark.streaming.cdc_stream import (
+        apply_changeset_stream, read_cdc_state)
+
+    target = spark.createDataFrame(
+        [(k, f"v{k}", k * 10) for k in range(1, 21)],
+        "k long, s string, v long")
+    rows = ([(k, f"V{k}", k * 100, "U") for k in range(1, 8)]     # updates
+            + [(k, None, 0, "D") for k in range(8, 13)]           # deletes
+            + [(k, f"n{k}", k, "I") for k in range(30, 39)])      # inserts
+    changes = spark.createDataFrame(rows, "k long, s string, v long, "
+                                          "op string")
+    src = str(tmp_path / "csrc")
+    changes.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(changes.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    apply_changeset_stream(target, stream, ["k"], state, ckpt)
+
+    got = read_cdc_state(spark, state)
+    want = apply_changeset(target, changes, ["k"])
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    n_batches = len([d for d in os.listdir(state)
+                     if d.startswith("batch=")])
+    assert n_batches >= 3, "changeset must actually micro-batch"
+
+    # restart against the same checkpoint: no new commits, same state
+    mtimes = {d: os.path.getmtime(os.path.join(state, d))
+              for d in os.listdir(state) if d.startswith("batch=")}
+    stream2 = (spark.readStream.schema(changes.schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    apply_changeset_stream(target, stream2, ["k"], state, ckpt)
+    assert {d: os.path.getmtime(os.path.join(state, d))
+            for d in os.listdir(state)
+            if d.startswith("batch=")} == mtimes
+    assert read_cdc_state(spark, state).count() == want.count()
+
+
+def test_cdc_stream_sequential_key_revisit(spark, tmp_path):
+    """A key inserted by an earlier batch and updated by a later one is
+    sequential MERGE application: the final state carries the LATER
+    batch's payload. Delivered as two explicit single-file batches so
+    the order is deterministic."""
+    from mr_mpi_blast_spark.streaming.cdc_stream import (
+        apply_changeset_stream, read_cdc_state)
+
+    target = spark.createDataFrame([(1, "a")], "k long, s string")
+    schema = "k long, s string, op string"
+    src = str(tmp_path / "csrc")
+    os.makedirs(src)
+    b1 = spark.createDataFrame([(2, "first", "I")], schema)
+    b2 = spark.createDataFrame([(2, "second", "U"), (1, None, "D")],
+                               schema)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    for i, b in enumerate((b1, b2)):
+        b.coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema(b.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        apply_changeset_stream(target, stream, ["k"], state, ckpt)
+    got = {r.k: r.s for r in read_cdc_state(spark, state).collect()}
+    assert got == {2: "second"}
+
+
+def test_read_cdc_state_requires_stage(spark, tmp_path):
+    from mr_mpi_blast_spark.streaming.cdc_stream import read_cdc_state
+    with pytest.raises(FileNotFoundError, match="staged base"):
+        read_cdc_state(spark, str(tmp_path / "nope"))
