@@ -4804,6 +4804,87 @@ def q_multimodal_wav_roundtrip(spark, sf_dir):
     return wav_roundtrip_stats(_t(spark, sf_dir, "documents"))
 
 
+def _hll_oracle() -> str:
+    from mr_mpi_blast_spark.operators.profile import hll_distinct_sql
+    return hll_distinct_sql("l_orderkey", "lineitem")
+
+
+@query("lineitem_hll_distinct", _hll_oracle())
+def q_lineitem_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct sketch (r10, Flajolet 2007): estimated vs
+    exact distinct order count — the MERGEABLE cardinality summary
+    (registers merge by MAX: 1000 executors each reduce their shard to
+    256 small ints, the CMS discipline applied to COUNT DISTINCT).
+    Deterministic md5 bucket/rank arithmetic and an integer-rendered
+    estimate (sum(2^-M) carried as an exact scaled int64; no ln(), no
+    libm), so the DuckDB oracle replays the sketch bit-exactly — the
+    verified twin of Spark's black-box native HLL++
+    (approx_count_distinct), same reason cms_sketch exists beside any
+    native frequency sketch. Tail-registered (r10 window is set);
+    oracle-checked in-repo every run."""
+    from mr_mpi_blast_spark.operators.profile import hll_distinct
+    li = _t(spark, sf_dir, "lineitem")
+    return hll_distinct(li, "l_orderkey")
+
+
+_BLOOM_ACCTBAL = 9000
+
+
+def _bloom_oracle() -> str:
+    from mr_mpi_blast_spark.operators.profile import (BLOOM_K,
+                                                      bloom_positions_duckdb)
+    kpos = "\n    UNION ALL ".join(
+        f"SELECT {p} AS p FROM keys"
+        for p in bloom_positions_duckdb("k"))
+    ppos = "\n    UNION ALL ".join(
+        f"SELECT pk, {p} AS p FROM probe"
+        for p in bloom_positions_duckdb("pk"))
+    return f"""
+WITH keys AS (SELECT c_custkey AS k FROM customer
+              WHERE c_acctbal >= {_BLOOM_ACCTBAL}),
+pos AS (SELECT DISTINCT p FROM (
+    {kpos})),
+probe AS (SELECT DISTINCT o_custkey AS pk FROM orders),
+hits AS (SELECT pk, count(*) AS nh FROM (
+    {ppos}) q JOIN pos USING (p) GROUP BY pk)
+SELECT probe.pk AS o_custkey,
+       coalesce(hits.nh = {BLOOM_K}, FALSE) AS bloom_pass,
+       probe.pk IN (SELECT k FROM keys) AS is_member
+FROM probe LEFT JOIN hits ON probe.pk = hits.pk
+"""
+
+
+@query("orders_bloom_prune", _bloom_oracle())
+def q_orders_bloom_prune(spark, sf_dir):
+    """Bloom-filter join pruning (r10, Bloom 1970): the runtime-filter
+    primitive — build a kilobyte bit-set over the selective dimension
+    side (high-balance customers), probe every fact-side key through
+    it BEFORE any join/shuffle. At 100 TB this prunes the fact scan to
+    the ~matching sliver for the cost of broadcasting ~1 KB (the
+    filter is bounded at BLOOM_BITS positions BY CONSTRUCTION, unlike
+    a key-list broadcast which is O(keys)); Spark's own runtime
+    row-group filters are this exact idea inside the engine. Output:
+    every probe key with its bloom verdict AND its true membership —
+    the one-sided contract (member => pass, non-member passes only on
+    a K-fold md5 collision) is thereby value-checked row-for-row by
+    the oracle's replay of the identical position arithmetic.
+    Tail-registered (r10 window is set); oracle-checked in-repo."""
+    from mr_mpi_blast_spark.operators.profile import (bloom_build,
+                                                      bloom_probe)
+    cust = (_t(spark, sf_dir, "customer")
+            .filter(F.col("c_acctbal") >= _BLOOM_ACCTBAL)
+            .select("c_custkey"))
+    positions = bloom_build(cust, "c_custkey")
+    probe = (_t(spark, sf_dir, "orders")
+             .select("o_custkey").distinct())
+    probed = bloom_probe(probe, "o_custkey", positions)
+    members = cust.select(F.col("c_custkey").alias("o_custkey"),
+                          F.lit(True).alias("_m"))
+    return (probed.join(members, "o_custkey", "left")
+            .select("o_custkey", "bloom_pass",
+                    F.coalesce("_m", F.lit(False)).alias("is_member")))
+
+
 # ---------------------------------------------------------------------------
 # Run-epilogue summary (W7/A6). Tail-registered since r9: its timing
 # values are wall-clock measurements, so the driver's check is

@@ -191,3 +191,176 @@ def cms_estimate(sketch, probes, term_col: str = "term",
             .groupBy(term_col)
             .agg(F.min(F.coalesce("counter", F.lit(0).cast("long")))
                  .alias("est_n")))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (Flajolet et al. 2007) — exact-integer,
+# oracle-replayable rendering.
+# ---------------------------------------------------------------------------
+
+HLL_P = 8                      # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_RANK_BITS = 20             # rank domain [1, 21]; 20-bit hash tail
+HLL_SCALE_BITS = HLL_RANK_BITS + 1   # 2^(SCALE-M) integral for M<=21
+#: alpha_m * 1e6 for m=256, fixed at import so both engines consume
+#: the SAME integer constant (no libm in the loop)
+HLL_ALPHA_MICRO = round(0.7213 / (1 + 1.079 / HLL_M) * 1_000_000)
+
+
+def _hll_rank_spark(v: str) -> str:
+    """1 + leading-zeros of a 20-bit value via binary-string length —
+    integer-only (no log2/floats): rank = 21 - bit_length(v), v=0 -> 21."""
+    return (f"CASE WHEN {v} = 0 THEN {HLL_RANK_BITS + 1} "
+            f"ELSE {HLL_RANK_BITS + 1} - length(conv({v}, 10, 2)) END")
+
+
+def _hll_rank_duckdb(v: str) -> str:
+    return (f"CASE WHEN {v} = 0 THEN {HLL_RANK_BITS + 1} "
+            f"ELSE {HLL_RANK_BITS + 1} - length(bin({v})) END")
+
+
+def hll_distinct(df, col: str):
+    """HyperLogLog cardinality estimate beside the exact count — the
+    MERGEABLE distinct sketch (Flajolet 2007): every item hashes to a
+    (register, rank) pair, registers keep max(rank), two corpora's
+    sketches merge by register-wise MAX — 256 small ints summarize any
+    corpus, which is how a 1000-executor scan answers "how many
+    distinct X" with one 2 KB reduce instead of a corpus-keyed
+    shuffle. (Spark's own approx_count_distinct is HLL++; this
+    operator exists because ITS arithmetic is deterministic md5 and
+    therefore DuckDB-replayable — the verified twin of the black-box
+    native sketch, same discipline as cms_sketch vs any native
+    frequency sketch.)
+
+    Exactness rendering: raw-estimate arithmetic only (no linear-
+    counting branch — its ln() is libm-dependent; callers in the
+    small-n regime want the exact count anyway, which rides along).
+    sum(2^-M[j]) is carried as the exact integer
+    sum_inv_scaled = sum(2^(SCALE_BITS - M[j])) (every term a power
+    of two, no rounding anywhere; SCALE_BITS = RANK_BITS + 1 because
+    the rank domain is [1, RANK_BITS+1] — a 21-rank register's term
+    2^-21 must still scale to an integer, the sf1.0 lesson: at 2^20
+    scaling a maxed register made the shift count negative, which
+    Java masks to <<63), and
+
+        est = ALPHA_MICRO * m^2 * 2^SCALE_BITS
+              div (1e6 * sum_inv_scaled)
+
+    is pure int64 (numerator <= 1e17). Output one row:
+    (m, n_registers_hit, sum_inv_scaled, est_distinct,
+    exact_distinct). The estimate's relative error is ~1.04/sqrt(m)
+    (~6.5% at m=256) once n >> 2.5*m.
+    """
+    from mr_mpi_blast_spark.operators.search import dsir_bucket_spark
+    bucket = dsir_bucket_spark(f"concat('hll:', {col})", HLL_M)
+    v20 = (f"CAST(conv(substring(md5(concat('hll:', {col})), 9, 5), "
+           f"16, 10) AS BIGINT)")
+    regs = (df.select(F.expr(bucket).alias("b"),
+                      F.expr(_hll_rank_spark(v20)).alias("rank"))
+            .groupBy("b").agg(F.max("rank").alias("m_rank")))
+    zero_term = 1 << HLL_SCALE_BITS
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.sum(F.expr(f"CAST(shiftleft(1L, {HLL_SCALE_BITS} - m_rank) "
+                     f"AS BIGINT)")).alias("s_hit"))
+    exact = df.agg(F.count_distinct(F.col(col)).alias("exact_distinct"))
+    num = HLL_ALPHA_MICRO * HLL_M * HLL_M * (1 << HLL_SCALE_BITS)
+    return (agg.crossJoin(exact).select(
+        F.lit(HLL_M).cast("long").alias("m"),
+        F.col("n_hit").cast("long").alias("n_registers_hit"),
+        (F.col("s_hit")
+         + (F.lit(HLL_M) - F.col("n_hit")) * F.lit(zero_term))
+        .cast("long").alias("sum_inv_scaled"),
+        F.expr(f"CAST({num} div (1000000 * (s_hit + "
+               f"({HLL_M} - n_hit) * {zero_term})) AS BIGINT)")
+        .alias("est_distinct"),
+        F.col("exact_distinct").cast("long")))
+
+
+def hll_distinct_sql(col_sql: str, from_sql: str) -> str:
+    """DuckDB replay of hll_distinct over `col_sql` drawn FROM
+    `from_sql` — identical md5 bucket/rank arithmetic, identical
+    integer estimate formula."""
+    from mr_mpi_blast_spark.operators.search import dsir_bucket_duckdb
+    # built over the aliased item column, so col_sql can be any
+    # expression without needing textual substitution
+    bucket = dsir_bucket_duckdb("('hll:' || x)", HLL_M)
+    v20 = "CAST(('0x' || substring(md5('hll:' || x), 9, 5)) AS BIGINT)"
+    zero_term = 1 << HLL_SCALE_BITS
+    num = HLL_ALPHA_MICRO * HLL_M * HLL_M * (1 << HLL_SCALE_BITS)
+    return f"""
+WITH items AS (SELECT {col_sql} AS x FROM {from_sql}),
+regs AS (SELECT {bucket} AS b,
+                max({_hll_rank_duckdb(v20)}) AS m_rank
+         FROM items GROUP BY 1),
+agg AS (SELECT count(*) AS n_hit,
+               sum(CAST(1 AS BIGINT) << ({HLL_SCALE_BITS} - m_rank)) AS s_hit
+        FROM regs),
+ex AS (SELECT count(DISTINCT x) AS exact_distinct FROM items)
+SELECT CAST({HLL_M} AS BIGINT) AS m,
+       CAST(n_hit AS BIGINT) AS n_registers_hit,
+       CAST(s_hit + ({HLL_M} - n_hit) * {zero_term} AS BIGINT)
+         AS sum_inv_scaled,
+       CAST({num} // (1000000 * (s_hit + ({HLL_M} - n_hit)
+                                 * {zero_term})) AS BIGINT)
+         AS est_distinct,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct
+FROM agg, ex
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning (Bloom 1970) — the runtime-filter
+# primitive, exact-integer and oracle-replayable.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 8192
+BLOOM_K = 3
+
+
+def _bloom_positions_spark(col: str):
+    from mr_mpi_blast_spark.operators.search import dsir_bucket_spark
+    return [dsir_bucket_spark(f"concat('bloom{i}:', {col})", BLOOM_BITS)
+            for i in range(BLOOM_K)]
+
+
+def bloom_positions_duckdb(col_sql: str) -> list[str]:
+    from mr_mpi_blast_spark.operators.search import dsir_bucket_duckdb
+    return [dsir_bucket_duckdb(f"('bloom{i}:' || {col_sql})", BLOOM_BITS)
+            for i in range(BLOOM_K)]
+
+
+def bloom_build(keys, key_col: str):
+    """The set-bit positions of a Bloom filter over ``keys`` — K md5
+    positions per key, distinct. Bounded at BLOOM_BITS rows (1 KB-
+    class) regardless of key count, and MERGEABLE: two filters'
+    position sets union (the physical big-data form packs positions
+    into int64 words with a bit_or aggregate — 128 words here — and
+    words merge by OR; the positions table is that filter in its
+    joinable rendering). This is the runtime-filter primitive: build
+    on the dimension's selective side, ship the kilobyte, prune the
+    fact scan BEFORE its shuffle — at 100 TB the difference between
+    shuffling the fact table and shuffling the ~matching sliver."""
+    pos = F.array(*[F.expr(p) for p in _bloom_positions_spark(key_col)])
+    return (keys.select(F.explode(pos).alias("pos")).distinct())
+
+
+def bloom_probe(probe, key_col: str, positions):
+    """Append bloom_pass: TRUE iff all K of the key's positions are
+    set. One explode + one position-table join (broadcast — the
+    filter is kilobytes BY CONSTRUCTION, unlike a key-list broadcast)
+    + one count==K aggregate. One-sided by construction: a true
+    member always passes; a non-member passes only on a K-fold
+    collision (the false-positive rate callers size BLOOM_BITS for:
+    ~(n_keys*K/BLOOM_BITS)^K)."""
+    pos = F.array(*[F.expr(p) for p in _bloom_positions_spark("_pk")])
+    keyed = (probe.select(F.col(key_col).alias("_pk")).distinct()
+             .select("_pk", F.explode(pos).alias("pos")))
+    hits = (keyed.join(F.broadcast(positions), "pos", "left_semi")
+            .groupBy("_pk").agg(F.count(F.lit(1)).alias("_nhit")))
+    return (probe.join(hits.select(F.col("_pk").alias(key_col),
+                                   (F.col("_nhit") == BLOOM_K)
+                                   .alias("bloom_pass")),
+                       key_col, "left")
+            .withColumn("bloom_pass",
+                        F.coalesce("bloom_pass", F.lit(False))))

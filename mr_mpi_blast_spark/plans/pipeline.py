@@ -345,10 +345,19 @@ def run_search(queries: DataFrame, subjects: DataFrame,
 
 def attach_deflines(hits: DataFrame, deflines: DataFrame) -> DataFrame:
     """J3 (load_csv.py:104-142): re-attach query deflines — the
-    reference's sorted sequential merge-join becomes a broadcast hash
-    join; qids missing from the sidecar yield null qdef (the reference
-    raises; we keep the row, SURVEY FIXTURES §4)."""
+    reference's sorted sequential merge-join becomes a hash join;
+    qids missing from the sidecar yield null qdef (the reference
+    raises; we keep the row, SURVEY FIXTURES §4).
+
+    No forced broadcast (r10, the triangle_counts lesson): the query
+    sidecar is small in the common search mode, and Catalyst/AQE
+    broadcasts it automatically under the threshold — but in the
+    reference's all-vs-all mode (examples/refseq-all-vs-all) the
+    query set IS the corpus, and a hard-coded F.broadcast would ship
+    a corpus-sized table to every executor. Letting the optimizer
+    choose gives broadcast when it fits and sort-merge when it
+    doesn't, with zero change at the bounded sizes."""
     d = deflines.select(F.col("qid"), F.col("defline").alias("_qdef"))
-    return (hits.join(F.broadcast(d), "qid", "left")
+    return (hits.join(d, "qid", "left")
                 .withColumn("qdef", F.col("_qdef"))
                 .drop("_qdef"))

@@ -83,3 +83,76 @@ def test_trimmed_mean_null_observations_excluded(spark):
     r = trimmed_mean_by_group(df, "g", "cents", trim_denom=5).collect()[0]
     # 5 non-null obs, k = 1: drop one 10 from each end -> kept 3
     assert (r.n, r.k_trim, r.trimmed_sum, r.kept) == (5, 1, 30, 3)
+
+
+def test_hll_mergeability_and_accuracy(spark):
+    """The property that makes HLL the 100 TB COUNT DISTINCT: two
+    shards' register tables merged by register-wise MAX equal the
+    whole corpus's registers (so distributed build == sequential
+    build), and the estimate lands within the ~1.04/sqrt(256) = 6.5%
+    design error (3-sigma guard band here) on a genuinely-large-n
+    input."""
+    from pyspark.sql import functions as F
+
+    from mr_mpi_blast_spark.operators.profile import (HLL_M, hll_distinct)
+    n = 6000
+    df = spark.createDataFrame([(f"k{i}",) for i in range(n)], "x string")
+    r = hll_distinct(df, "x").collect()[0]
+    assert r.exact_distinct == n
+    assert abs(r.est_distinct - n) / n < 0.20   # 3x the design sigma
+    assert r.m == HLL_M
+
+    # merge = register-wise max: shard registers then combine
+    def regs(sub):
+        from mr_mpi_blast_spark.operators.search import dsir_bucket_spark
+        from mr_mpi_blast_spark.operators.profile import (_hll_rank_spark,
+                                                          HLL_M)
+        bucket = dsir_bucket_spark("concat('hll:', x)", HLL_M)
+        v20 = ("CAST(conv(substring(md5(concat('hll:', x)), 9, 5), "
+               "16, 10) AS BIGINT)")
+        return (sub.select(F.expr(bucket).alias("b"),
+                           F.expr(_hll_rank_spark(v20)).alias("rank"))
+                .groupBy("b").agg(F.max("rank").alias("m_rank")))
+
+    half1 = df.filter(F.substring("x", 2, 10).cast("long") % 2 == 0)
+    half2 = df.filter(F.substring("x", 2, 10).cast("long") % 2 == 1)
+    merged = (regs(half1).unionByName(regs(half2))
+              .groupBy("b").agg(F.max("m_rank").alias("m_rank")))
+    whole = regs(df)
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, whole.collect())))
+
+
+def test_bloom_one_sided_under_forced_collisions(spark, monkeypatch):
+    """Bloom's contract is ONE-SIDED: with the filter squeezed to 64
+    bits (heavy collisions), every true member must still pass; false
+    positives may appear (and should, at this density) but never a
+    false negative."""
+    import mr_mpi_blast_spark.operators.profile as prof
+    from pyspark.sql import functions as F
+    monkeypatch.setattr(prof, "BLOOM_BITS", 64)
+    keys = spark.createDataFrame([(i,) for i in range(40)], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    positions = prof.bloom_build(keys, "k")
+    assert positions.count() <= 64
+    got = {r.k: r.bloom_pass
+           for r in prof.bloom_probe(probe, "k", positions).collect()}
+    assert all(got[i] for i in range(40)), "false negative!"
+    fp = sum(1 for i in range(40, 200) if got[i])
+    assert fp > 0   # 40 keys * 3 hashes in 64 bits: collisions certain
+
+
+def test_bloom_no_false_negatives_at_production_bits(spark):
+    from mr_mpi_blast_spark.operators.profile import (bloom_build,
+                                                      bloom_probe)
+    keys = spark.createDataFrame([(f"u{i}",) for i in range(100)],
+                                 "k string")
+    probe = spark.createDataFrame([(f"u{i}",) for i in range(300)],
+                                  "k string")
+    got = {r.k: r.bloom_pass
+           for r in bloom_probe(probe, "k",
+                                bloom_build(keys, "k")).collect()}
+    assert all(got[f"u{i}"] for i in range(100))
+    # 100 keys * 3 in 8192 bits: fp rate ~ (300/8192)^3 ~ 5e-5
+    fp = sum(1 for i in range(100, 300) if got[f"u{i}"])
+    assert fp <= 2
