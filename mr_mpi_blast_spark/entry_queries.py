@@ -4849,7 +4849,7 @@ hits AS (SELECT pk, count(*) AS nh FROM (
     {ppos}) q JOIN pos USING (p) GROUP BY pk)
 SELECT probe.pk AS o_custkey,
        coalesce(hits.nh = {BLOOM_K}, FALSE) AS bloom_pass,
-       probe.pk IN (SELECT k FROM keys) AS is_member
+       coalesce(probe.pk IN (SELECT k FROM keys), FALSE) AS is_member
 FROM probe LEFT JOIN hits ON probe.pk = hits.pk
 """
 
@@ -4875,9 +4875,14 @@ def q_orders_bloom_prune(spark, sf_dir):
             .filter(F.col("c_acctbal") >= _BLOOM_ACCTBAL)
             .select("c_custkey"))
     positions = bloom_build(cust, "c_custkey")
+    # keys_are_distinct: the output contract here is per-KEY, so the
+    # distinct is taken once and bloom_probe is told not to repeat it
+    # (its internal distinct exists for duplicate-key probes, where
+    # the count==K check needs unique keys)
     probe = (_t(spark, sf_dir, "orders")
              .select("o_custkey").distinct())
-    probed = bloom_probe(probe, "o_custkey", positions)
+    probed = bloom_probe(probe, "o_custkey", positions,
+                         keys_are_distinct=True)
     members = cust.select(F.col("c_custkey").alias("o_custkey"),
                           F.lit(True).alias("_m"))
     return (probed.join(members, "o_custkey", "left")

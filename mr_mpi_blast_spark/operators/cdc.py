@@ -98,7 +98,11 @@ def apply_changeset(target: DataFrame, changes: DataFrame,
             f"changeset columns {sorted(data_cols)} must match target "
             f"{sorted(target.columns)} plus '{op_col}'")
     if validate:
-        bad = (changes.filter(~F.col(op_col).isin("I", "U", "D"))
+        # NULL op must be caught too: ~isin(...) is NULL (not TRUE)
+        # for a NULL op under three-valued logic, which would slip
+        # through this probe and still be dropped by the merge below
+        bad = (changes.filter(~F.col(op_col).isin("I", "U", "D")
+                              | F.col(op_col).isNull())
                .select(op_col).limit(5).collect())
         if bad:
             codes = sorted({repr(r[op_col]) for r in bad})

@@ -182,6 +182,33 @@ def _normalized_undirected(edges: DataFrame, a: str, b: str) -> DataFrame:
             .localCheckpoint(eager=True))
 
 
+def orient_edges(edges: DataFrame, a: str = "a",
+                 b: str = "b") -> DataFrame:
+    """The (degree, id)-oriented edge stream: every undirected edge
+    directed from its (degree, id)-smaller endpoint to the larger, so
+    each node's OUT-degree is bounded O(sqrt(2E)) on any graph — THE
+    property that makes triangle counting hot-vertex-safe (Schank &
+    Wagner 2005; a celebrity's edges all point INTO it). Normalized
+    (self-loops dropped, duplicates merged) and materialized once —
+    consumers read it multiple times. Exposed as the single source of
+    the orientation rule: triangle_counts and the skew probe
+    (scripts/graph_skew_probe.py) must measure the SAME orientation.
+    Output: (src, dst)."""
+    e = _normalized_undirected(edges, a, b)
+    deg = (e.select(F.col("x").alias("node"))
+           .union(e.select(F.col("y").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    ed = (e.join(deg.select(F.col("node").alias("x"),
+                            F.col("d").alias("dx")), "x")
+          .join(deg.select(F.col("node").alias("y"),
+                           F.col("d").alias("dy")), "y"))
+    fwd = F.struct("dx", "x") < F.struct("dy", "y")
+    return ed.select(
+        F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("src"),
+        F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("dst"),
+    ).localCheckpoint(eager=True)
+
+
 #: Broadcast gate for triangle_counts' adjacency table. The adjacency
 #: payload is one copy of the edge list (~8 B/edge + per-row array
 #: overhead, estimated at 24 B/edge below to be conservative), and a
@@ -242,21 +269,7 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b", *,
         raise ValueError(f"strategy must be auto|broadcast|shuffle, "
                          f"got {strategy!r}")
     spark = edges.sparkSession
-    e = _normalized_undirected(edges, a, b)
-    deg = (e.select(F.col("x").alias("node"))
-           .union(e.select(F.col("y").alias("node")))
-           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
-    ed = (e.join(deg.select(F.col("node").alias("x"),
-                            F.col("d").alias("dx")), "x")
-          .join(deg.select(F.col("node").alias("y"),
-                           F.col("d").alias("dy")), "y"))
-    fwd = F.struct("dx", "x") < F.struct("dy", "y")
-    # the oriented table is read three times (the adjacency build +
-    # two probe sides) — materialize it once
-    orient = ed.select(
-        F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("src"),
-        F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("dst"),
-    ).localCheckpoint(eager=True)
+    orient = orient_edges(edges, a, b)
     if strategy == "auto":
         # orient is checkpointed, so the count is a cheap local scan;
         # the estimate errs high (array/row overhead folded into the
@@ -403,6 +416,15 @@ def kcore(edges: DataFrame, k: int, rounds: int = 12,
             converged = True
             break  # fixed point: further rounds are no-ops
         before = m
+    if not converged:
+        # the budget's LAST round may have landed exactly on the
+        # fixed point (it changed something, so the loop can't know)
+        # — one edge-sized degree probe decides, instead of reporting
+        # a false not-converged on a fully-peeled result
+        deg = (alive.select(F.col("x").alias("node"))
+               .union(alive.select(F.col("y").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+        converged = deg.filter(F.col("d") < k).isEmpty()
     if strict and not converged:
         raise RuntimeError(
             f"kcore: round budget {rounds} exhausted before the peel "

@@ -265,16 +265,20 @@ def hll_distinct(df, col: str):
                      f"AS BIGINT)")).alias("s_hit"))
     exact = df.agg(F.count_distinct(F.col(col)).alias("exact_distinct"))
     num = HLL_ALPHA_MICRO * HLL_M * HLL_M * (1 << HLL_SCALE_BITS)
-    return (agg.crossJoin(exact).select(
+    # the denominator is spelled ONCE and both outputs derive from it
+    # (a second hand-expanded rendering could silently drift from the
+    # emitted sum_inv_scaled under a future scaling change)
+    denom = (agg.crossJoin(exact)
+             .withColumn("sum_inv_scaled",
+                         (F.col("s_hit") + (F.lit(HLL_M) - F.col("n_hit"))
+                          * F.lit(zero_term)).cast("long")))
+    return denom.select(
         F.lit(HLL_M).cast("long").alias("m"),
         F.col("n_hit").cast("long").alias("n_registers_hit"),
-        (F.col("s_hit")
-         + (F.lit(HLL_M) - F.col("n_hit")) * F.lit(zero_term))
-        .cast("long").alias("sum_inv_scaled"),
-        F.expr(f"CAST({num} div (1000000 * (s_hit + "
-               f"({HLL_M} - n_hit) * {zero_term})) AS BIGINT)")
+        "sum_inv_scaled",
+        F.expr(f"CAST({num} div (1000000 * sum_inv_scaled) AS BIGINT)")
         .alias("est_distinct"),
-        F.col("exact_distinct").cast("long")))
+        F.col("exact_distinct").cast("long"))
 
 
 def hll_distinct_sql(col_sql: str, from_sql: str) -> str:
@@ -345,17 +349,25 @@ def bloom_build(keys, key_col: str):
     return (keys.select(F.explode(pos).alias("pos")).distinct())
 
 
-def bloom_probe(probe, key_col: str, positions):
+def bloom_probe(probe, key_col: str, positions,
+                keys_are_distinct: bool = False):
     """Append bloom_pass: TRUE iff all K of the key's positions are
     set. One explode + one position-table join (broadcast — the
     filter is kilobytes BY CONSTRUCTION, unlike a key-list broadcast)
     + one count==K aggregate. One-sided by construction: a true
     member always passes; a non-member passes only on a K-fold
     collision (the false-positive rate callers size BLOOM_BITS for:
-    ~(n_keys*K/BLOOM_BITS)^K)."""
+    ~(n_keys*K/BLOOM_BITS)^K).
+
+    The probe keys are deduplicated before the count==K aggregate (a
+    duplicated key would tally 2K matches and fail the equality);
+    callers whose probe frame is already key-distinct pass
+    ``keys_are_distinct=True`` to skip the redundant shuffle."""
     pos = F.array(*[F.expr(p) for p in _bloom_positions_spark("_pk")])
-    keyed = (probe.select(F.col(key_col).alias("_pk")).distinct()
-             .select("_pk", F.explode(pos).alias("pos")))
+    uniq = probe.select(F.col(key_col).alias("_pk"))
+    if not keys_are_distinct:
+        uniq = uniq.distinct()
+    keyed = uniq.select("_pk", F.explode(pos).alias("pos"))
     hits = (keyed.join(F.broadcast(positions), "pos", "left_semi")
             .groupBy("_pk").agg(F.count(F.lit(1)).alias("_nhit")))
     return (probe.join(hits.select(F.col("_pk").alias(key_col),

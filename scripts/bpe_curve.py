@@ -59,7 +59,9 @@ def main() -> None:
     wc = (synthetic_words(spark, args.n_words).coalesce(4)
           .localCheckpoint(eager=True))
 
-    seg = args.n_merges // args.segments
+    # clamp: --segments above --n-merges must not make the segment
+    # width zero (range step 0) after the measurement already ran
+    seg = max(1, args.n_merges // args.segments)
     times: list[float] = []
     t0 = time.time()
     it = bpe_learn_iter(wc, args.n_merges)
@@ -83,7 +85,8 @@ def main() -> None:
         "segment_size": seg,
         "segment_mean_sec": seg_means,
         "flatness_last_over_first": round(
-            seg_means[-1] / seg_means[0], 3) if len(seg_means) > 1 else 1.0,
+            seg_means[-1] / seg_means[0], 3)
+        if len(seg_means) > 1 and seg_means[0] > 0 else 1.0,
     }
     print(json.dumps(out))
 

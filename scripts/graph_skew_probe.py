@@ -72,22 +72,17 @@ def main() -> None:
     n_edges = edges.select(F.least("a", "b"), F.greatest("a", "b")) \
         .distinct().count()
 
-    # structural bound: max oriented out-degree vs sqrt(E)
-    e = (edges.select(F.least("a", "b").alias("x"),
-                      F.greatest("a", "b").alias("y")).distinct())
-    deg = (e.select(F.col("x").alias("node"))
-           .union(e.select(F.col("y").alias("node")))
-           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
-    ed = (e.join(deg.select(F.col("node").alias("x"),
-                            F.col("d").alias("dx")), "x")
-          .join(deg.select(F.col("node").alias("y"),
-                           F.col("d").alias("dy")), "y"))
-    fwd = F.struct("dx", "x") < F.struct("dy", "y")
-    out_deg = (ed.select(F.when(fwd, F.col("x")).otherwise(F.col("y"))
-                         .alias("src"))
-               .groupBy("src").agg(F.count(F.lit(1)).alias("od")))
-    row = out_deg.agg(F.max("od").alias("m")).first()
-    hub_row = deg.filter(F.col("node") == 0).first()
+    # structural bound: max oriented out-degree vs sqrt(E), measured
+    # through the OPERATOR'S OWN orientation (orient_edges — the one
+    # source of the rule; re-implementing it here would let the probe
+    # silently diverge from what ships)
+    from mr_mpi_blast_spark.operators.graph import orient_edges
+    orient = orient_edges(edges)
+    row = (orient.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+           .agg(F.max("od").alias("m")).first())
+    hub_deg = (orient.select(F.col("src").alias("n"))
+               .union(orient.select(F.col("dst").alias("n")))
+               .filter(F.col("n") == 0).count())
     max_out = int(row["m"])
     sqrt_e = math.sqrt(2 * n_edges)
 
@@ -116,7 +111,7 @@ def main() -> None:
     out = {
         "metric": "graph_skew_probe",
         "n_edges": n_edges,
-        "hub_degree": int(hub_row["d"]),
+        "hub_degree": int(hub_deg),
         "max_out_deg": max_out,
         "sqrt_e": round(sqrt_e, 1),
         "orientation_bound_ok": max_out <= 3 * sqrt_e,

@@ -52,6 +52,12 @@ def test_apply_changeset_rejects_unknown_ops(spark):
         [(2, "b", "I"), (3, "c", "X")], "k long, s string, op string")
     with pytest.raises(ValueError, match="unknown op code.*'X'"):
         apply_changeset(target, changes, ["k"])
+    # NULL op is also unknown: ~isin() is NULL (not TRUE) for it, so
+    # an isin-only probe would let it through to be silently dropped
+    nullop = spark.createDataFrame(
+        [(2, "b", "I"), (5, "x", None)], "k long, s string, op string")
+    with pytest.raises(ValueError, match="unknown op code"):
+        apply_changeset(target, nullop, ["k"])
     got = {r.k: r.s for r in
            apply_changeset(target, changes, ["k"],
                            validate=False).collect()}

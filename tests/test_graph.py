@@ -332,6 +332,21 @@ def test_kcore_convergence_signal(spark):
     assert kcore(df, 2, rounds=20, strict=True).count() == 0
 
 
+def test_kcore_converged_when_budget_lands_on_fixed_point(spark):
+    """The last budgeted round may itself REACH the fixed point (it
+    changed something, so the loop's no-change detector can't see it)
+    — the post-loop degree probe must still report converged, and
+    strict must not raise: triangle + one pendant, k=2, rounds=1
+    peels exactly the pendant and leaves the exact 2-core."""
+    from mr_mpi_blast_spark.operators.graph import kcore
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    out = kcore(df, 2, rounds=1, strict=True)   # must NOT raise
+    assert out.kcore_converged is True
+    assert {r.node: r.core_deg for r in out.collect()} \
+        == {1: 2, 2: 2, 3: 2}
+
+
 def py_components(edges):
     parent = {}
 
