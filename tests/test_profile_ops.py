@@ -156,3 +156,26 @@ def test_bloom_no_false_negatives_at_production_bits(spark):
     # 100 keys * 3 in 8192 bits: fp rate ~ (300/8192)^3 ~ 5e-5
     fp = sum(1 for i in range(100, 300) if got[f"u{i}"])
     assert fp <= 2
+
+
+def test_bloom_probe_plan_broadcasts_only_the_filter(spark):
+    """The runtime-filter plan shape: the position table rides a
+    BroadcastExchange (it is kilobytes BY CONSTRUCTION) into a
+    broadcast LEFT SEMI join — the probe stream is never shuffled for
+    the membership test itself."""
+    from mr_mpi_blast_spark.operators.profile import (bloom_build,
+                                                      bloom_probe)
+    keys = spark.createDataFrame([(f"u{i}",) for i in range(50)],
+                                 "k string")
+    probe = spark.createDataFrame([(f"u{i}",) for i in range(150)],
+                                  "k string")
+    out = bloom_probe(probe, "k", bloom_build(keys, "k"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "LeftSemi" in plan
+    # the semi join must be the broadcast form, not a sort-merge that
+    # would shuffle the probe stream
+    import re
+    semi_lines = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert semi_lines and all("Broadcast" in ln for ln in semi_lines), \
+        semi_lines
