@@ -405,3 +405,49 @@ def test_read_cdc_state_requires_stage(spark, tmp_path):
     from mr_mpi_blast_spark.streaming.cdc_stream import read_cdc_state
     with pytest.raises(FileNotFoundError, match="staged base"):
         read_cdc_state(spark, str(tmp_path / "nope"))
+
+
+def test_watermark_drops_late_data_across_restart(spark, tmp_path):
+    """The late-data contract, exercised rather than narrated: with a
+    1-hour watermark, an event arriving in a LATER micro-batch for a
+    window already finalized (window end < watermark) is dropped — and
+    the watermark itself is recovered from the checkpoint across a
+    stream restart, so the drop happens even when the late file
+    arrives in a separate run."""
+    import datetime as dt
+
+    from mr_mpi_blast_spark.streaming import hourly_counts
+
+    def ev(h, m, typ):
+        return (dt.datetime(2024, 3, 1, h, m), typ, 1.0)
+
+    schema = "ts timestamp, event_type string, value double"
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def drain(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (hourly_counts(stream, watermark="1 hour")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    # run 1: two 10:00-window events + a 14:00 event that pushes the
+    # watermark to 13:00, finalizing (and emitting) the 10:00 window
+    drain([ev(10, 0, "view"), ev(10, 5, "view"), ev(14, 0, "click")])
+    # run 2 (restart from checkpoint): a LATE 10:10 event — its window
+    # closed below the recovered watermark — plus an on-time 14:10
+    drain([ev(10, 10, "view"), ev(14, 10, "click")])
+
+    got = {(r.hour, r.event_type): r.n
+           for r in spark.read.parquet(out).collect()}
+    # the finalized 10:00 window counts exactly the two ON-TIME events
+    assert got[("2024-03-01 10:00", "view")] == 2
+    # the 14:00 window is not yet past the watermark: absent, not torn
+    assert not any(h.startswith("2024-03-01 14") for h, _ in got)
