@@ -264,6 +264,23 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b", *,
     Output: (node, n_tri) for every node in >= 1 triangle; each
     triangle credits all three of its corners once. Values are
     strategy-independent (pinned by test_triangles_strategies_agree).
+
+    Cost note on ``"auto"``: the payload estimate is one extra Spark
+    job per invocation (``orient.count()`` — cheap, the orient is
+    checkpointed so it is a local scan, but still a job; JOB_PROFILE
+    records the 19->21 delta as intentional). Callers that already
+    know their graph's size should pass ``strategy="broadcast"`` or
+    ``strategy="shuffle"`` explicitly and skip the probe entirely.
+
+    The chosen strategy is reported driver-side as a plain Python
+    attribute ``triangle_strategy`` on the RETURNED DataFrame object
+    only — any subsequent transformation (``.select``, ``.filter``,
+    caching helpers) returns a NEW DataFrame and silently drops it,
+    as does ``kcore``'s ``kcore_converged``. Read the attribute off
+    the direct return value before transforming, or don't rely on it
+    programmatically (it is introspection/test surface, never a
+    correctness signal — for a hard guarantee on kcore use
+    ``strict=True``, which raises instead of flagging).
     """
     if strategy not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"strategy must be auto|broadcast|shuffle, "
@@ -386,6 +403,12 @@ def kcore(edges: DataFrame, k: int, rounds: int = 12,
     superset when ``rounds`` exhausts before convergence. The
     fixed-round result itself is unchanged either way — the DuckDB
     oracle replays the same budget.
+
+    ATTRIBUTE FRAGILITY (r11 advisory): ``kcore_converged`` lives on
+    the returned DataFrame OBJECT, not on its plan — any subsequent
+    transformation returns a new DataFrame without it. Read the flag
+    off the direct return value before ``.select``/``.filter``/
+    caching, or use ``strict=True`` for an unlosable signal.
     """
     from pyspark.sql import Observation
     if k < 1:

@@ -60,8 +60,17 @@ def zvalue(x: str, y: str, bits: int = 20, *,
     z = zorder_sql(x, y, bits, "div")
     if not checked:
         return F.expr(z).cast("long")
+    # NULL arm first (r11 advisory): `x < 0 OR y < 0` is NULL (not
+    # true) when a dimension is NULL, so without it a NULL input
+    # would fall to the ELSE branch and yield a silently-NULL z that
+    # downstream ntile bins NULLS-FIRST instead of failing the stated
+    # non-negative-integer precondition loudly.
     return F.expr(
-        f"CASE WHEN {x} < 0 OR {y} < 0 THEN "
+        f"CASE WHEN {x} IS NULL OR {y} IS NULL THEN "
+        f"raise_error('zorder: NULL dimension; the curve is defined "
+        f"only on non-negative integers - filter or impute NULLs "
+        f"first') "
+        f"WHEN {x} < 0 OR {y} < 0 THEN "
         f"raise_error(concat('zorder: negative input (', {x}, ', ', "
         f"{y}, '); the interleave is undefined on negatives - "
         f"shift or zigzag-encode the domain first')) "

@@ -65,16 +65,47 @@ def apply_changeset_stream(target: DataFrame, changes_stream: DataFrame,
     batch commits; each micro-batch then writes the merged snapshot to
     ``state_dir/batch=<id>``. Raises TimeoutError (checkpoint
     preserved — a rerun resumes without recomputing committed batches)
-    if the drain exceeds ``timeout_s``."""
+    if the drain exceeds ``timeout_s``.
+
+    Once the base is staged, ``target`` is FIXED for that state_dir: a
+    schema+rowcount fingerprint of the staged base is stored beside it
+    and a resume passing a disagreeing target raises ValueError
+    instead of silently merging onto the stale snapshot (r11
+    advisory). The check costs one count() of the passed target per
+    resume — snapshot-sized by contract."""
     from mr_mpi_blast_spark.operators.cdc import apply_changeset
 
     spark = changes_stream.sparkSession
     fs, hpath = _hadoop_fs(spark, state_dir)
     base = f"{state_dir}/base"
+    fp_dir = f"{state_dir}/base_fp"
     if not fs.exists(hpath(f"{base}/_SUCCESS")):
         # idempotent: a concurrent/replayed stager overwrites with the
         # same deterministic content
         target.write.mode("overwrite").parquet(base)
+        # fingerprint the staged base so a later resume can detect a
+        # caller passing a DIFFERENT target (r11 advisory: without
+        # this, staging is skipped and the new target silently merges
+        # onto the stale snapshot). Written through Spark so the
+        # sidecar lives on the same filesystem as the state.
+        (spark.createDataFrame(
+            [(target.schema.simpleString(), target.count())],
+            "schema_str string, n_rows long")
+         .coalesce(1).write.mode("overwrite").json(fp_dir))
+    elif fs.exists(hpath(fp_dir)):
+        rec = spark.read.schema("schema_str string, n_rows long") \
+            .json(fp_dir).collect()[0]
+        got = (target.schema.simpleString(), target.count())
+        if got != (rec["schema_str"], rec["n_rows"]):
+            raise ValueError(
+                f"apply_changeset_stream: state_dir {state_dir!r} was "
+                f"staged from a different target (staged schema/rows "
+                f"{rec['schema_str']!r}/{rec['n_rows']}, got "
+                f"{got[0]!r}/{got[1]}). Once the base is staged the "
+                f"target is fixed for that state_dir — use a fresh "
+                f"state_dir for a new target.")
+    # else: legacy pre-fingerprint state dir — target is ignored once
+    # base is staged (documented contract), no way to verify
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         part = f"{state_dir}/batch={batch_id}"

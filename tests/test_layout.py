@@ -72,6 +72,20 @@ def test_zvalue_negative_input_fails_loudly(spark):
         == _interleave(3, 1, 4)
 
 
+def test_zvalue_null_input_fails_loudly(spark):
+    """r11 advisory closure: `x < 0 OR y < 0` is NULL (not true) for a
+    NULL dimension, so without an explicit IS NULL arm a NULL input
+    slid to the ELSE branch and produced a silently-NULL z that
+    zorder_file_stats binned NULLS-FIRST. The checked form must raise
+    instead; checked=False keeps the documented raw passthrough."""
+    df = spark.createDataFrame([(3, None)], "x long, y long")
+    with pytest.raises(Exception, match="zorder: NULL dimension"):
+        df.select(zvalue("x", "y", 4).alias("z")).collect()
+    # opt-out: raw expression NULL-propagates (engine arithmetic)
+    assert df.select(zvalue("x", "y", 4, checked=False).alias("z")) \
+        .collect()[0].z is None
+
+
 def test_rolling_range_inclusive_boundary(spark):
     from mr_mpi_blast_spark.operators.temporal import epoch_us
     base = dt.datetime(2024, 1, 1, 12, 0, 0)

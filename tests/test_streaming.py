@@ -401,6 +401,40 @@ def test_cdc_stream_sequential_key_revisit(spark, tmp_path):
     assert got == {2: "second"}
 
 
+def test_cdc_stream_rejects_different_target_on_resume(spark, tmp_path):
+    """r11 advisory closure: once the base snapshot is staged, the
+    target is fixed for that state_dir. A resume passing a DIFFERENT
+    target must raise (schema+rowcount fingerprint disagreement), not
+    silently merge new changes onto the stale staged snapshot."""
+    from mr_mpi_blast_spark.streaming.cdc_stream import \
+        apply_changeset_stream
+
+    schema = "k long, s string, op string"
+    src = str(tmp_path / "csrc")
+    spark.createDataFrame([(2, "x", "I")], schema) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    def mkstream():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    target = spark.createDataFrame([(1, "a")], "k long, s string")
+    apply_changeset_stream(target, mkstream(), ["k"], state, ckpt)
+    # same target resumes fine (fingerprint agrees)
+    apply_changeset_stream(target, mkstream(), ["k"], state, ckpt)
+    # different row count, same schema -> rejected
+    other = spark.createDataFrame([(1, "a"), (9, "z")],
+                                  "k long, s string")
+    with pytest.raises(ValueError, match="different target"):
+        apply_changeset_stream(other, mkstream(), ["k"], state, ckpt)
+    # different schema -> rejected
+    wide = spark.createDataFrame([(1, "a", 0)],
+                                 "k long, s string, extra long")
+    with pytest.raises(ValueError, match="different target"):
+        apply_changeset_stream(wide, mkstream(), ["k"], state, ckpt)
+
+
 def test_read_cdc_state_requires_stage(spark, tmp_path):
     from mr_mpi_blast_spark.streaming.cdc_stream import read_cdc_state
     with pytest.raises(FileNotFoundError, match="staged base"):
