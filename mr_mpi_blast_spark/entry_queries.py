@@ -465,6 +465,85 @@ def q_events_percentiles(spark, sf_dir):
                    for p in (0.5, 0.9, 0.99)]))
 
 
+_HDR_QS = [500, 900, 990, 999]
+
+
+def _hdr_oracle() -> str:
+    from mr_mpi_blast_spark.operators.profile import (HDR_SUB_BITS,
+                                                      hdr_bucket_duckdb)
+    bucket = hdr_bucket_duckdb("v")
+    qvals = ", ".join(f"({q})" for q in _HDR_QS)
+    return f"""
+WITH vals AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+              FROM events),
+sk AS (SELECT {bucket} AS bucket, count(*) AS cnt FROM vals GROUP BY 1),
+cum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum,
+               sum(cnt) OVER () AS n FROM sk),
+qs(q_permille) AS (VALUES {qvals}),
+hit AS (SELECT q_permille, min(bucket) AS qb, min(n) AS n
+        FROM cum, qs WHERE cum * 1000 >= q_permille * n
+        GROUP BY q_permille),
+vc AS (SELECT v, count(*) AS cnt FROM vals GROUP BY 1),
+vcum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+                sum(cnt) OVER () AS n FROM vc),
+ex AS (SELECT q_permille, min(v) AS exact_cents
+       FROM vcum, qs WHERE cum * 1000 >= q_permille * n
+       GROUP BY q_permille)
+SELECT CAST(hit.q_permille AS BIGINT) AS q_permille,
+       CAST(hit.n AS BIGINT) AS n,
+       CAST((qb % {1 << HDR_SUB_BITS}) << (qb // {1 << HDR_SUB_BITS})
+            AS BIGINT) AS est_cents,
+       CAST(exact_cents AS BIGINT) AS exact_cents
+FROM hit JOIN ex ON hit.q_permille = ex.q_permille
+"""
+
+
+@query("events_hdr_quantiles", _hdr_oracle())
+def q_events_hdr_quantiles(spark, sf_dir):
+    """Mergeable quantile sketch (r11): HDR-histogram buckets over
+    integer cents — the approximate-quantiles twin of
+    events_percentiles, whose EXACT form buffers whole groups and
+    cannot run at 100 TB. The verdict asked for KLL or t-digest; both
+    are randomized (compaction coin-flips / insertion-order
+    centroids) and therefore not oracle-replayable — the HDR
+    bucketing (integer bit-length ladder, no libm) keeps the same
+    operational property: a few-KB sketch, merge-by-count-sum partial
+    aggregates (associativity pinned by
+    tests/test_profile_ops.py::test_hdr_merge_associative), and a
+    guaranteed <=2^-(SUB_BITS-1) (~1.6%) per-value relative error.
+    Output per q: the sketch estimate BESIDE the exact type-1
+    quantile computed by the identical integer rank rule — the
+    HLL est/exact discipline (operators/profile.py)."""
+    from pyspark.sql import Window as W
+    from mr_mpi_blast_spark.operators.profile import (HDR_SUB_BITS,
+                                                      hdr_quantiles,
+                                                      hdr_sketch)
+    ev = _t(spark, sf_dir, "events")
+    vals = ev.select(F.floor(F.col("value") * 100 + 0.5)
+                     .cast("long").alias("v"))
+    est = hdr_quantiles(hdr_sketch(vals, "v"), _HDR_QS)
+    # exact type-1 quantile by the SAME integer rank rule over the
+    # raw value counts (value-sized state — the contract the sketch
+    # exists to avoid at scale; here it is the accuracy evidence)
+    vc = vals.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    vcum = (vc.withColumn("cum", F.sum("cnt").over(wcum))
+            .withColumn("n", F.sum("cnt").over(wall)))
+    qarr = F.explode(F.array(*[F.lit(q) for q in _HDR_QS]))
+    exact = (vcum.select("v", "cum", "n", qarr.alias("q_permille"))
+             .filter(F.col("cum") * 1000
+                     >= F.col("q_permille") * F.col("n"))
+             .groupBy("q_permille")
+             .agg(F.min("v").alias("exact_cents"),
+                  F.min("n").alias("n")))
+    return (est.join(exact, "q_permille")
+            .select(F.col("q_permille").cast("long"),
+                    F.col("n").cast("long"),
+                    F.col("est").cast("long").alias("est_cents"),
+                    F.col("exact_cents").cast("long")))
+
+
 @query("events_interval_join", f"""
 WITH clicks AS (SELECT event_id AS click_id, user_id, ts
                 FROM events WHERE event_type = 'click'),
@@ -4103,6 +4182,55 @@ def q_lineitem_zorder(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return zorder_file_stats(li, "l_partkey", "l_suppkey",
                              bits=_Z_BITS, file_width_bits=_Z_FILE_BITS)
+
+
+# pruned-scan predicate: fixed constants that exist at every sf
+# (partkeys/suppkeys are 1..N with N growing in sf) and stay selective
+# as N grows — the pruning evidence strengthens with scale.
+_PRUNE_PK = (50, 120)
+_PRUNE_SK = (1, 25)
+
+
+def _zlayout_dir(sf_dir: str) -> str:
+    st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
+    key = f"zlayout:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    return _pairs_store_path(key)
+
+
+@query("lineitem_pruned_scan", f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
+FROM lineitem
+WHERE l_partkey BETWEEN {_PRUNE_PK[0]} AND {_PRUNE_PK[1]}
+  AND l_suppkey BETWEEN {_PRUNE_SK[0]} AND {_PRUNE_SK[1]}
+""")
+def q_lineitem_pruned_scan(spark, sf_dir):
+    """Manifest-driven file-skipping scan (r11): lineitem staged once
+    as a z-clustered parquet layout (write_zorder_layout — one dir
+    per z-range cell), then a range predicate on BOTH clustered
+    dimensions planned as a PRUNED read: the per-cell min/max
+    manifest is filtered driver-side (files-not-rows sized) and only
+    surviving cells are opened — the reference's DB-partition
+    selection (mrblast.cpp:105-117, dblist as the scan scope)
+    generalized, and the payoff of lineitem_zorder's manifest.
+    Pruning is conservative (envelope overlap), so re-applying the
+    exact predicate is value-identical to the full scan — the oracle
+    IS the full scan. tests/test_layout.py pins files_kept <
+    files_total on this predicate; the query returns the pruned
+    frame so the driver's value hash exercises the pruned path."""
+    from mr_mpi_blast_spark.operators.layout import (pruned_read,
+                                                     write_zorder_layout,
+                                                     zorder_manifest)
+    path = _zlayout_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_zorder_layout(_t(spark, sf_dir, "lineitem"),
+                            "l_partkey", "l_suppkey", path)
+    manifest = zorder_manifest(spark, path, "l_partkey", "l_suppkey")
+    df, kept, total = pruned_read(spark, path, manifest,
+                                  x_range=_PRUNE_PK, y_range=_PRUNE_SK)
+    return (df.filter(F.col("l_partkey").between(*_PRUNE_PK)
+                      & F.col("l_suppkey").between(*_PRUNE_SK))
+            .select("l_orderkey", "l_linenumber", "l_partkey",
+                    "l_suppkey", "l_extendedprice"))
 
 
 @query("events_rolling", """

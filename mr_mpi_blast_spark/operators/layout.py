@@ -17,7 +17,9 @@ also exactly the evidence that the layout prunes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -102,3 +104,137 @@ def zorder_file_stats(df: DataFrame, x: str, y: str, *, bits: int = 20,
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.min("x").alias("min_x"), F.max("x").alias("max_x"),
                  F.min("y").alias("min_y"), F.max("y").alias("max_y")))
+
+
+# ---------------------------------------------------------------------------
+# Manifest-driven file skipping (r11): the payoff step of the z-order
+# family. zorder_file_stats EMITS the per-file statistics; these
+# operators WRITE the clustered layout, read its manifest back, and
+# plan a pruned read that touches only the files a range predicate
+# can possibly hit — the reference's DB-partition selection
+# (mrblast.cpp:105-117, the dblist as the scan scope) generalized to
+# min/max (and optional Bloom) pruning, and the OPTIMIZE-ZORDER
+# payoff the lakehouse formats sell.
+# ---------------------------------------------------------------------------
+
+
+def write_zorder_layout(df: DataFrame, x: str, y: str, out_dir: str, *,
+                        bits: int = 20,
+                        target_files: int = 64) -> None:
+    """Write ``df`` as a z-clustered parquet layout: one directory
+    partition per fixed-width z-range cell (``zcell=<id>``), cell
+    width sized so roughly ``target_files`` cells cover the observed
+    z-domain (one O(1)-row max-aggregate decides the width — a
+    staging-time job, amortized over every later pruned read).
+
+    At 100 TB this is the OPTIMIZE-ZORDER write: the partitionBy
+    clusters co-curve rows into the same files, so BOTH dimensions
+    get bounded per-file ranges. The cell id is pure arithmetic on
+    the z-value — no global sort, no single-task window — and the
+    write is one shuffle-free scan (each task appends to the cells
+    its rows land in; at scale prepend a repartitionByRange on z to
+    bound open-file counts per task).
+    """
+    z = zvalue(x, y, bits)
+    zdf = df.withColumn("_z", z)
+    max_z = zdf.agg(F.max("_z")).collect()[0][0]
+    if max_z is None:
+        max_z = 0
+    width_bits = max(1, math.ceil(math.log2(max(2, (max_z + 1)
+                                                / target_files))))
+    (zdf.withColumn("zcell", F.expr(f"_z div {1 << width_bits}"))
+        .drop("_z")
+        .write.mode("overwrite").partitionBy("zcell").parquet(out_dir))
+
+
+def zorder_manifest(spark: SparkSession, layout_dir: str,
+                    x: str, y: str,
+                    bloom_col: str | None = None) -> DataFrame:
+    """The manifest of a ``write_zorder_layout`` output: one row per
+    zcell with row count and min/max on BOTH clustered dimensions —
+    exactly the statistics a format's file manifest carries. With
+    ``bloom_col`` set, each cell additionally carries the set-bit
+    positions of a Bloom filter over that column (bounded at
+    BLOOM_BITS entries per cell BY CONSTRUCTION — kilobytes however
+    many rows the cell holds), enabling point-lookup pruning on a
+    column the curve does not cluster.
+
+    One aggregate over one scan of the layout; at scale the manifest
+    is a byproduct of the layout write, and its size is
+    files-not-rows — the quantity a driver may hold.
+    """
+    df = spark.read.parquet(layout_dir)
+    aggs = [F.count(F.lit(1)).alias("n_rows"),
+            F.min(x).alias("min_x"), F.max(x).alias("max_x"),
+            F.min(y).alias("min_y"), F.max(y).alias("max_y")]
+    if bloom_col is not None:
+        from mr_mpi_blast_spark.operators.profile import \
+            _bloom_positions_spark
+        pos = F.array(*[F.expr(p)
+                        for p in _bloom_positions_spark(bloom_col)])
+        aggs.append(F.array_sort(F.array_distinct(
+            F.flatten(F.collect_list(pos)))).alias("bloom_pos"))
+    return df.groupBy("zcell").agg(*aggs)
+
+
+def _ranges_overlap(lo_col: str, hi_col: str, lo, hi):
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(hi_col) >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col(lo_col) <= F.lit(hi))
+    return cond
+
+
+def pruned_read(spark: SparkSession, layout_dir: str,
+                manifest: DataFrame, *,
+                x_range: tuple | None = None,
+                y_range: tuple | None = None,
+                bloom_point=None) -> tuple[DataFrame, int, int]:
+    """Plan a pruned read of a z-layout: filter the MANIFEST (not the
+    data) to the cells whose [min,max] envelopes can intersect the
+    predicate, then read only the surviving ``zcell=`` directories.
+    Returns ``(df, files_kept, files_total)`` — the skip counts are
+    the operator's own evidence, reported out-of-band rather than as
+    a fragile DataFrame attribute.
+
+    The manifest filter runs driver-side via collect(): the manifest
+    is files-not-rows sized BY CONSTRUCTION (one row per cell; a
+    100 TB table at 1 GB files is ~1e5 rows — kilobytes of ids), the
+    same quantity any lakehouse reader's planner holds. The data
+    itself is never collected.
+
+    Pruning is CONSERVATIVE (envelope overlap / Bloom one-sidedness):
+    every row matching the predicate lives in a surviving cell, so
+    re-applying the exact predicate on the pruned frame is
+    value-identical to the full scan — the caller applies it (this
+    function plans the scan; it does not guess the residual).
+
+    ``bloom_point=(value_sql_literal,)`` prunes on the manifest's
+    ``bloom_pos`` arrays: a cell survives only if all K positions of
+    the probed value are set — a non-member cell survives only on a
+    K-fold collision (one-sided, never drops a true member).
+    """
+    cond = F.lit(True)
+    if x_range is not None:
+        cond = cond & _ranges_overlap("min_x", "max_x", *x_range)
+    if y_range is not None:
+        cond = cond & _ranges_overlap("min_y", "max_y", *y_range)
+    if bloom_point is not None:
+        from mr_mpi_blast_spark.operators.profile import \
+            _bloom_positions_spark
+        lit = (f"'{bloom_point}'" if isinstance(bloom_point, str)
+               else repr(bloom_point))
+        probe = F.array(*[F.expr(p) for p in
+                          _bloom_positions_spark(f"CAST({lit} AS STRING)")])
+        cond = cond & (F.size(F.array_except(probe, F.col("bloom_pos")))
+                       == 0)
+    rows = manifest.select("zcell", cond.alias("keep")).collect()
+    total = len(rows)
+    kept = [r.zcell for r in rows if r.keep]
+    if not kept:
+        return (spark.read.parquet(layout_dir).filter(F.lit(False)),
+                0, total)
+    paths = [f"{layout_dir}/zcell={c}" for c in kept]
+    df = spark.read.option("basePath", layout_dir).parquet(*paths)
+    return df, len(kept), total

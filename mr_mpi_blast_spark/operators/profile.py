@@ -376,3 +376,126 @@ def bloom_probe(probe, key_col: str, positions,
                        key_col, "left")
             .withColumn("bloom_pass",
                         F.coalesce("bloom_pass", F.lit(False))))
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram quantile sketch (r11) — the mergeable-quantile tier
+# member. The verdict asked for "KLL or t-digest"; both are
+# RANDOMIZED (KLL's compaction coin-flips, t-digest's insertion-order
+# centroids), so neither is DuckDB-replayable value-for-value. The
+# HdrHistogram bucketing (Tene; also DDSketch's idea with integer
+# arithmetic instead of libm logs) gives the same operational
+# property — bounded-size, merge-by-count-sum partial aggregates, a
+# guaranteed per-value relative error — while staying deterministic
+# pure-int64, the HLL/CMS/Bloom oracle discipline.
+#
+# Bucketing: for non-negative integer v, shift = max(0,
+# bit_length(v) - SUB_BITS) (a generated integer CASE ladder — no
+# logs), bucket = shift * 2^SUB_BITS + (v >> shift). The mapping is
+# monotonic in v, so bucket-ordered cumulative counts ARE the value
+# CDF; each bucket spans 2^shift values starting at a lower bound of
+# at least 2^(SUB_BITS-1+shift), so the lower-bound estimate
+# under-reports a quantile by a factor of at most 1 + 2^-(SUB_BITS-1)
+# (~1.6% at SUB_BITS=7). Sketch size: at most 2^SUB_BITS buckets per
+# shift level x <=56 levels — a few KB regardless of row count, and
+# two shards' sketches merge by per-bucket count addition
+# (associative + commutative; pinned by the merge test).
+# ---------------------------------------------------------------------------
+
+HDR_SUB_BITS = 7
+
+
+def _hdr_shift_ladder(v: str) -> str:
+    """shift = max(0, bit_length(v) - HDR_SUB_BITS) as a descending
+    integer comparison ladder — identical text in Spark SQL and
+    DuckDB (pure comparisons and literals)."""
+    arms = " ".join(
+        f"WHEN {v} >= {1 << (HDR_SUB_BITS + k - 1)} THEN {k}"
+        for k in range(62 - HDR_SUB_BITS, 0, -1))
+    return f"(CASE {arms} ELSE 0 END)"
+
+
+def hdr_bucket_spark(v: str) -> str:
+    s = _hdr_shift_ladder(v)
+    return (f"({s} * {1 << HDR_SUB_BITS} "
+            f"+ ({v} div shiftleft(CAST(1 AS BIGINT), {s})))")
+
+
+def hdr_bucket_duckdb(v: str) -> str:
+    s = _hdr_shift_ladder(v)
+    return (f"({s} * {1 << HDR_SUB_BITS} "
+            f"+ ({v} // (CAST(1 AS BIGINT) << {s})))")
+
+
+def hdr_sketch(df: DataFrame, val_col: str) -> DataFrame:
+    """The sketch itself: (bucket, cnt) over a NON-NEGATIVE integer
+    column (quantize doubles to micro-units first — the engine-wide
+    exactness discipline; negative inputs violate the precondition
+    and fail loudly). One map-side-combinable aggregate; merge two
+    sketches with union + re-sum (hdr_merge)."""
+    guard = (f"CASE WHEN {val_col} IS NULL OR {val_col} < 0 THEN "
+             f"raise_error('hdr_sketch: value must be a non-negative "
+             f"integer - quantize and filter first') "
+             f"ELSE {hdr_bucket_spark(val_col)} END")
+    return (df.select(F.expr(guard).alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def hdr_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches by per-bucket count addition — the mergeability
+    that lets every executor (or every day's partition) keep its own
+    few-KB sketch and a 1000-way reduce produce the corpus quantiles
+    without ever sorting the corpus."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hdr_quantiles(sketch: DataFrame, qs_permille: list[int]) -> DataFrame:
+    """Quantile extraction: for each q (permille), the lower bound of
+    the first bucket whose bucket-ordered cumulative count reaches
+    rank ceil(q*N/1000) (type-1/lower quantile). Pure integer; the
+    window runs over the SKETCH (a few KB), not the data. Output:
+    (q_permille, est) — est under-reports by at most one bucket width
+    (relative ~2^-(SUB_BITS-1))."""
+    from pyspark.sql import Window
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (sketch
+           .withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("n", F.sum("cnt").over(
+               Window.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing))))
+    qs = F.explode(F.array(*[F.lit(q) for q in qs_permille]))
+    lower = (f"shiftleft(bucket % {1 << HDR_SUB_BITS}, "
+             f"bucket div {1 << HDR_SUB_BITS})")
+    return (cum.select("bucket", "cum", "n", qs.alias("q_permille"))
+            .filter(F.col("cum") * 1000 >= F.col("q_permille") * F.col("n"))
+            .groupBy("q_permille")
+            .agg(F.min("bucket").alias("qb"))
+            .select("q_permille",
+                    F.expr(lower.replace("bucket", "qb")).alias("est")))
+
+
+def hdr_quantiles_sql(val_sql: str, from_sql: str,
+                      qs_permille: list[int]) -> str:
+    """DuckDB replay: identical ladder, identical bucket arithmetic,
+    identical type-1 rank rule (cum*1000 >= q*N avoids any division),
+    identical lower-bound rendering."""
+    bucket = hdr_bucket_duckdb("v")
+    qvals = ", ".join(f"({q})" for q in qs_permille)
+    return f"""
+WITH vals AS (SELECT {val_sql} AS v FROM {from_sql}),
+sk AS (SELECT {bucket} AS bucket, count(*) AS cnt FROM vals GROUP BY 1),
+cum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum,
+               sum(cnt) OVER () AS n
+        FROM sk),
+qs(q_permille) AS (VALUES {qvals}),
+hit AS (SELECT q_permille, min(bucket) AS qb
+        FROM cum, qs WHERE cum * 1000 >= q_permille * n
+        GROUP BY q_permille)
+SELECT CAST(q_permille AS BIGINT) AS q_permille,
+       CAST((qb % {1 << HDR_SUB_BITS}) << (qb // {1 << HDR_SUB_BITS})
+            AS BIGINT) AS est
+FROM hit
+"""

@@ -113,3 +113,48 @@ def test_rolling_range_inclusive_boundary(spark):
              .withColumn("c", F.sum("cents").over(w))
              .collect()}
     assert got == {1: (1, 100), 2: (2, 300), 3: (2, 600)}
+
+
+def test_pruned_read_skips_files_and_matches_full_scan(spark, tmp_path):
+    """r11: the manifest-driven scan must (a) open strictly fewer
+    files than the full layout on a selective range predicate, (b)
+    stay value-identical to the full scan once the exact predicate is
+    re-applied (pruning is conservative by construction)."""
+    from mr_mpi_blast_spark.operators.layout import (
+        pruned_read, write_zorder_layout, zorder_manifest)
+    rows = [(i, i % 97, (i * 7) % 31, f"p{i}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long, s string")
+    layout = str(tmp_path / "zl")
+    write_zorder_layout(df, "x", "y", layout, target_files=32)
+    manifest = zorder_manifest(spark, layout, "x", "y")
+    got, kept, total = pruned_read(spark, layout, manifest,
+                                   x_range=(10, 20), y_range=(0, 8))
+    assert 1 <= kept < total, (kept, total)
+    pred = "x BETWEEN 10 AND 20 AND y BETWEEN 0 AND 8"
+    want = sorted(r.id for r in df.filter(pred).collect())
+    assert sorted(r.id for r in got.filter(pred).collect()) == want
+    # an impossible envelope prunes everything and returns empty
+    none, kept0, _ = pruned_read(spark, layout, manifest,
+                                 x_range=(10_000, 20_000))
+    assert kept0 == 0 and none.count() == 0
+
+
+def test_pruned_read_bloom_point_lookup(spark, tmp_path):
+    """Bloom-point pruning is one-sided: a present key's cells always
+    survive (value parity), an absent key prunes to ~nothing (no
+    K-fold collision at this size)."""
+    from mr_mpi_blast_spark.operators.layout import (
+        pruned_read, write_zorder_layout, zorder_manifest)
+    rows = [(i, i % 53, (i * 11) % 29, i % 500) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long, k long")
+    layout = str(tmp_path / "zlb")
+    write_zorder_layout(df, "x", "y", layout, target_files=16)
+    manifest = zorder_manifest(spark, layout, "x", "y", bloom_col="k")
+    got, kept, total = pruned_read(spark, layout, manifest,
+                                   bloom_point=123)
+    want = sorted(r.id for r in df.filter("k = 123").collect())
+    assert sorted(r.id for r in got.filter("k = 123").collect()) == want
+    absent, kept_a, _ = pruned_read(spark, layout, manifest,
+                                    bloom_point=99_999)
+    assert kept_a < total  # non-member prunes (collisions permitted)
+    assert absent.filter("k = 99999").count() == 0

@@ -179,3 +179,42 @@ def test_bloom_probe_plan_broadcasts_only_the_filter(spark):
     semi_lines = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
     assert semi_lines and all("Broadcast" in ln for ln in semi_lines), \
         semi_lines
+
+
+def test_hdr_merge_associative_and_error_bound(spark):
+    """r11 quantile sketch: (a) shard sketches merged in ANY grouping
+    equal the whole-corpus sketch (count addition is associative and
+    commutative); (b) every quantile estimate under-reports its exact
+    type-1 quantile by at most one bucket width (relative
+    2^-(SUB_BITS-1)); (c) negative/NULL inputs fail loudly."""
+    import pytest as _pytest
+    from mr_mpi_blast_spark.operators.profile import (
+        HDR_SUB_BITS, hdr_merge, hdr_quantiles, hdr_sketch)
+    vals = [((i * 2654435761) % 100_000,) for i in range(5000)]
+    df = spark.createDataFrame(vals, "v long")
+    whole = {r.bucket: r.cnt for r in hdr_sketch(df, "v").collect()}
+    thirds = [spark.createDataFrame(vals[i::3], "v long")
+              for i in range(3)]
+    sks = [hdr_sketch(t, "v") for t in thirds]
+    merged = {r.bucket: r.cnt
+              for r in hdr_merge(hdr_merge(sks[0], sks[1]),
+                                 sks[2]).collect()}
+    merged2 = {r.bucket: r.cnt
+               for r in hdr_merge(sks[2],
+                                  hdr_merge(sks[1], sks[0])).collect()}
+    assert merged == whole == merged2
+
+    qs = [100, 500, 900, 990, 999]
+    est = {r.q_permille: r.est
+           for r in hdr_quantiles(hdr_sketch(df, "v"), qs).collect()}
+    svals = sorted(v for (v,) in vals)
+    import math
+    for q in qs:
+        exact = svals[math.ceil(q * len(svals) / 1000) - 1]
+        assert est[q] <= exact, (q, est[q], exact)
+        assert exact <= est[q] * (1 + 2 ** -(HDR_SUB_BITS - 1)) + 1, \
+            (q, est[q], exact)
+
+    bad = spark.createDataFrame([(5,), (-1,)], "v long")
+    with _pytest.raises(Exception, match="non-negative"):
+        hdr_sketch(bad, "v").collect()
