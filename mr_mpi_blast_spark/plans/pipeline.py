@@ -135,6 +135,80 @@ def staged_parts(spark, db_dir: str) -> DataFrame:
     return spark.read.parquet(db_dir).select("db_part").distinct()
 
 
+# ---------------------------------------------------------------------------
+# Seed-overlap runtime filter (r11): skip (block, volume) work items
+# that CANNOT produce a hit. Every hit the builtin kernel emits grows
+# from an exact shared word of length word_size (kernel/builtin.py
+# seed-and-extend; masking/complexity options only DROP seeds), so a
+# block sharing zero k-mers with a volume contributes zero hits — the
+# pair can be skipped before the kernel ever runs. This is the
+# reference's locality/affinity work-item optimization family
+# (mrmpi/mapreduce.cpp:1303-1528) re-expressed as data pruning, and
+# the kernel-path twin of orders_bloom_prune (operators/profile.py).
+#
+# Soundness boundary: blastp NEIGHBORHOOD seeding (-threshold) seeds
+# on non-exact word matches, so exact-k-mer pruning would drop real
+# hits — run_kernel_raw disables the filter (no-op, full work-item
+# set) whenever cfg.threshold is set. Case is folded to upper on both
+# sides (soft-mask lowercase still extends), and the Bloom is
+# one-sided by construction: a volume with a real shared word always
+# survives; a disjoint volume survives only on a K-fold collision.
+# ---------------------------------------------------------------------------
+
+
+def _kmer_explode(seq_col: str, k: int):
+    """Distinct uppercased k-mers of a sequence column (empty for
+    sequences shorter than k — sequence(1, 0) would count DOWN)."""
+    return F.explode(F.array_distinct(F.expr(
+        f"CASE WHEN length({seq_col}) < {k} THEN array() "
+        f"ELSE transform(sequence(1, length({seq_col}) - {k} + 1), "
+        f"i -> upper(substring({seq_col}, i, {k}))) END")))
+
+
+def volume_seed_blooms(spark, db_dir: str, word_size: int) -> DataFrame:
+    """(db_part, bloom_pos) — the set-bit positions of a Bloom filter
+    over each volume's distinct k-mers, staged ONCE as a sidecar
+    beside the volumes (content-addressed dirs make the sidecar
+    immutable too, the makeblastdb model). One scan of the staged
+    database, map-side-combinable distinct, output bounded at
+    BLOOM_BITS ints per volume (KB-class) regardless of residue count
+    — the quantity a 100 TB planner may broadcast."""
+    from mr_mpi_blast_spark.operators.profile import \
+        _bloom_positions_spark
+    path = f"{db_dir}_seedbloom_k{word_size}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        subs = spark.read.parquet(db_dir)
+        pos = F.array(*[F.expr(p) for p in
+                        _bloom_positions_spark("kmer")])
+        (subs.select("db_part", _kmer_explode("seq", word_size)
+                     .alias("kmer"))
+         .select("db_part", F.explode(pos).alias("p")).distinct()
+         .groupBy("db_part")
+         .agg(F.array_sort(F.collect_set("p")).alias("bloom_pos"))
+         .write.mode("overwrite").parquet(path))
+    return spark.read.parquet(path)
+
+
+def prune_work_items(blocked: DataFrame, volume_blooms: DataFrame,
+                     word_size: int) -> DataFrame:
+    """The surviving (db_part, block_id) pairs: a pair survives iff
+    at least one of the block's query k-mers has ALL K of its Bloom
+    positions set in the volume's filter. The probe stream is the
+    block's DISTINCT k-mers (query-sized); the volume filters are a
+    broadcast of KB-sized arrays; the output is work-item-sized. No
+    subject row is read — the filters were staged with the volumes."""
+    from mr_mpi_blast_spark.operators.profile import \
+        _bloom_positions_spark
+    pos = F.array(*[F.expr(p) for p in _bloom_positions_spark("kmer")])
+    bk = (blocked.select("block_id",
+                         _kmer_explode("seq", word_size).alias("kmer"))
+          .distinct()
+          .select("block_id", pos.alias("pos")))
+    return (bk.crossJoin(F.broadcast(volume_blooms))
+            .filter(F.size(F.array_except("pos", "bloom_pos")) == 0)
+            .select("db_part", "block_id").distinct())
+
+
 def _format_volumes(parts_df: DataFrame, db_dir: str, cfg: BlastConfig,
                     gen: str) -> None:
     """The makeblastdb pass: ONE task per volume whose content-keyed
@@ -201,7 +275,8 @@ def run_kernel_raw(queries: DataFrame, subjects: DataFrame,
                    cfg: BlastConfig | None = None,
                    scratch_dir: str | None = None,
                    log_dir: str | None = None,
-                   cache_key: str | None = None) -> tuple[DataFrame, int]:
+                   cache_key: str | None = None,
+                   seed_prune: bool = False) -> tuple[DataFrame, int]:
     """The kernel stage alone: (raw RAW_HITS DataFrame, whole-db residue
     count). Split from run_search so the relational tail (P3-P9 + F1 +
     O2/O3) can be re-derived — and oracle-checked — from persisted raw
@@ -231,6 +306,17 @@ def run_kernel_raw(queries: DataFrame, subjects: DataFrame,
     # listing); broadcast keeps the blocked side's partitioning.
     parts_df = staged_parts(blocked.sparkSession, db_dir)
     work = blocked.crossJoin(F.broadcast(parts_df))
+    if seed_prune and cfg.threshold is None:
+        # the runtime filter (see module section above): keep only
+        # (block, volume) pairs with possible exact-seed overlap.
+        # Silently a no-op under blastp -threshold (neighborhood
+        # seeding makes exact-k-mer pruning unsound — documented
+        # boundary, full work-item set is the conservative answer).
+        blooms = volume_seed_blooms(blocked.sparkSession, db_dir,
+                                    cfg.word_size)
+        keep = prune_work_items(blocked, blooms, cfg.word_size)
+        work = work.join(F.broadcast(keep), ["db_part", "block_id"],
+                         "left_semi")
     # The explicit repartition (not the groupBy's own exchange) matters:
     # the shuffle carries only query rows — a few MB even when the
     # kernel stage is hours of compute — so AQE's size-based coalescing
@@ -333,13 +419,17 @@ def run_search(queries: DataFrame, subjects: DataFrame,
                cfg: BlastConfig | None = None,
                scratch_dir: str | None = None,
                log_dir: str | None = None,
-               cache_key: str | None = None) -> DataFrame:
+               cache_key: str | None = None,
+               seed_prune: bool = False) -> DataFrame:
     """queries(qid, seq, ...) x subjects(sid|defline, db_part, seq)
     -> canonical HITS DataFrame. log_dir enables the reference's
-    TIMING per-rank log files (runlog.py)."""
+    TIMING per-rank log files (runlog.py). seed_prune skips work
+    items with zero possible seed overlap (value-identical output —
+    see the runtime-filter section above)."""
     cfg = cfg or BlastConfig()
     raw, dbsize, n_seqs = run_kernel_raw(queries, subjects, cfg, scratch_dir,
-                                         log_dir=log_dir, cache_key=cache_key)
+                                         log_dir=log_dir, cache_key=cache_key,
+                                         seed_prune=seed_prune)
     return search_from_raw(raw, dbsize, n_seqs, cfg)
 
 

@@ -363,3 +363,87 @@ def test_flagship_tail_plan_single_exchange(spark):
     assert plan.index("WindowGroupLimit",
                       plan.index("Exchange")) > plan.index("Exchange")
     assert plan.index("WindowGroupLimit") < plan.index("Exchange")
+
+
+def test_seed_prune_value_identical_on_fixtures(spark, hits):
+    """r11 runtime filter: seed_prune must never change the hit table
+    (one-sided pruning — a pair with any exact shared word always
+    survives). Same fixtures, same cfg, pruned vs unpruned."""
+    cfg = BlastConfig(evalue=1e-6, block_size=400, word_size=11)
+    pruned = run_search(_queries(spark), _subjects(spark), cfg,
+                        seed_prune=True)
+    cols = ["qid", "sid", "qstart", "qend", "sstart", "send",
+            "bitscore", "evalue"]
+    got = sorted(tuple(r) for r in pruned.select(*cols).collect())
+    want = sorted(tuple(r) for r in hits.select(*cols).collect())
+    assert got == want and len(got) > 0
+
+
+def test_seed_prune_skips_disjoint_volume(spark, tmp_path):
+    """A volume whose alphabet shares no k-mer with the queries is
+    skipped entirely (measured skipped-volume count), and the hit
+    table still equals the unpruned run — the fixture the verdict
+    asked for."""
+    from mr_mpi_blast_spark.plans.pipeline import (prune_work_items,
+                                                   stage_volumes,
+                                                   volume_seed_blooms)
+    # a random query (low-complexity words would never seed — the
+    # {A,T}-alternation alphabet trick fails on the dust filter); the
+    # hit volume plants an exact copy; the homopolymer volume shares
+    # no 11-mer with it (a random 300-mer contains no 11-run — fixed
+    # by the deterministic _seq, and the kept-set assert would fail
+    # loudly if it ever did)
+    q = _seq(300, salt=21)
+    rows = [(1, "q1", "q1", q, len(q))]
+    queries = spark.createDataFrame(
+        rows, "qid long, defline string, defline_part string, "
+              "seq string, length int")
+    s_hit = _seq(40, salt=22) + q[40:260] + _seq(40, salt=23)
+    s_gc = "G" * 300 + "C" * 300
+    subs = spark.createDataFrame(
+        [("s_hit", "s_hit planted", "vol.at", s_hit, len(s_hit)),
+         ("s_gc", "s_gc disjoint", "vol.gc", s_gc, len(s_gc))],
+        "sid string, defline string, db_part string, seq string, "
+        "length int")
+    assert not any(q[i:i + 11] in s_gc for i in range(len(q) - 10))
+    cfg = BlastConfig(evalue=1e-3, block_size=400, word_size=11)
+
+    db_dir, _, _ = stage_volumes(subs, str(tmp_path / "vols"))
+    blocked = queries.selectExpr("0L AS block_id", "qid", "seq")
+    blooms = volume_seed_blooms(spark, db_dir, cfg.word_size)
+    kept = {(r.db_part, r.block_id)
+            for r in prune_work_items(blocked, blooms,
+                                      cfg.word_size).collect()}
+    assert ("vol.at", 0) in kept
+    assert all(p != "vol.gc" for p, _ in kept), kept  # volume skipped
+
+    base = run_search(queries, subs, cfg)
+    pruned = run_search(queries, subs, cfg, seed_prune=True)
+    cols = ["qid", "sid", "qstart", "qend", "bitscore"]
+    assert sorted(map(tuple, pruned.select(*cols).collect())) \
+        == sorted(map(tuple, base.select(*cols).collect()))
+    assert pruned.count() > 0
+
+
+def test_seed_prune_noop_under_neighborhood_seeding(spark, monkeypatch):
+    """blastp -threshold seeds on NON-exact word matches, so exact
+    k-mer pruning is unsound there — the filter must not even be
+    consulted (documented conservative no-op)."""
+    import mr_mpi_blast_spark.plans.pipeline as pl
+
+    def boom(*a, **k):
+        raise AssertionError("seed filter consulted under -threshold")
+
+    monkeypatch.setattr(pl, "volume_seed_blooms", boom)
+    prot_q = spark.createDataFrame(
+        [(1, "p1", "p1", "MKVLAAGGVLSRT" * 5, 65)],
+        "qid long, defline string, defline_part string, seq string, "
+        "length int")
+    prot_s = spark.createDataFrame(
+        [("sp1", "sp1", "db.00", "MKVLAAGGVLSRT" * 5 + "AAAA", 69)],
+        "sid string, defline string, db_part string, seq string, "
+        "length int")
+    cfg = BlastConfig(task="blastp", threshold=11, word_size=3,
+                      evalue=10.0, block_size=400)
+    out = pl.run_search(prot_q, prot_s, cfg, seed_prune=True)
+    assert out.count() > 0  # ran the FULL work-item set, filter unused
