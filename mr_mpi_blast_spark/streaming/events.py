@@ -194,6 +194,59 @@ def click_error_interval_join(clicks: DataFrame, errors: DataFrame,
                     "c_ts", "err_id", "e_ts"))
 
 
+def click_error_asof_join(clicks: DataFrame, errors: DataFrame,
+                          horizon: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream AS-OF join (r11): each click gets the same
+    user's LATEST error at-or-before it within the trailing
+    ``horizon`` — nulls when none (left semantics) — the streaming
+    twin of operators/temporal.asof_join / events_asof_join.
+
+    Two watermarked stateful operators chained in append mode:
+    (1) a time-interval LEFT OUTER join (bounded buffer per side —
+    rows evict once the watermark clears them), then (2) a per-click
+    max(struct(e_ts, err_id)) aggregation grouped on the click's
+    event-time column, which emits a click's single answer only once
+    the watermark passes its timestamp — i.e. once no earlier error
+    can still arrive. A null-field struct sorts below any real match,
+    so the unmatched-left row never beats one.
+
+    The UNBOUNDED batch as-of cannot be bounded-state on a stream (a
+    click might match an error arbitrarily far back); the horizon IS
+    the streaming contract, so batch parity is against the
+    horizon-bounded batch twin: this same function on batch frames
+    (watermarks are no-ops; the aggregation emits immediately).
+    Ties (several errors at one (user, ts)) resolve to the max
+    err_id in both forms — asof_join's dedup rule.
+
+    OPERATIONAL CAVEAT: the global watermark is the MIN across both
+    watermarked inputs (Spark's multipleWatermarkPolicy default), so
+    a click's answer flushes only once the ERROR stream's event time
+    has also advanced past it — an idle error topic stalls emission
+    (not correctness). The parity test advances both sides with
+    sentinel rows for exactly this reason.
+    """
+    c = clicks.select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts"))
+    e = errors.select(F.col("user_id").alias("e_user"),
+                      F.col("event_id").alias("err_id"),
+                      F.col("ts").alias("e_ts"))
+    if clicks.isStreaming:
+        c = c.withWatermark("c_ts", watermark)
+        e = e.withWatermark("e_ts", watermark)
+    cond = ((F.col("c_user") == F.col("e_user"))
+            & (F.col("e_ts") <= F.col("c_ts"))
+            & (F.col("e_ts")
+               >= F.col("c_ts") - F.expr(f"INTERVAL {horizon}")))
+    j = c.join(e, cond, "leftOuter")
+    best = F.max(F.struct(F.col("e_ts"), F.col("err_id"))).alias("best")
+    return (j.groupBy("click_id", "c_user", "c_ts").agg(best)
+            .select("click_id", F.col("c_user").alias("user_id"),
+                    "c_ts", F.col("best.err_id").alias("err_id"),
+                    F.col("best.e_ts").alias("e_ts")))
+
+
 def stream_to_parquet(df: DataFrame, out_dir: str, checkpoint_dir: str,
                       timeout_s: int = 120) -> None:
     """Durable streaming sink: drain all available input into a

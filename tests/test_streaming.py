@@ -485,3 +485,60 @@ def test_watermark_drops_late_data_across_restart(spark, tmp_path):
     assert got[("2024-03-01 10:00", "view")] == 2
     # the 14:00 window is not yet past the watermark: absent, not torn
     assert not any(h.startswith("2024-03-01 14") for h, _ in got)
+
+
+def test_asof_join_stream_equals_batch_with_spanning_pair(spark, tmp_path):
+    """r11 streaming as-of twin: the error arrives in an EARLIER
+    micro-batch than its click (join state spans batches), ties at one
+    (user, ts) resolve to the max err_id, an out-of-horizon error and
+    a no-error user both yield left rows with nulls, and every real
+    click's answer equals the horizon-bounded batch twin's."""
+    import datetime as dt
+
+    from mr_mpi_blast_spark.streaming import (click_error_asof_join,
+                                              run_available_now)
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    src = str(tmp_path / "src")
+    batches = [
+        [(101, 1, base, "error"), (102, 1, base, "error"),
+         (103, 2, base - dt.timedelta(minutes=90), "error")],
+        [(201, 1, base + dt.timedelta(minutes=30), "click"),
+         (202, 2, base + dt.timedelta(minutes=30), "click"),
+         (203, 3, base + dt.timedelta(minutes=20), "click")],
+        # watermark-advancing sentinels on BOTH inputs: the global
+        # watermark is the MIN across all watermarked sides, so a
+        # click-only sentinel would leave the error-side watermark
+        # (and with it every flush) stalled at the last real error.
+        # The second pair forces the extra micro-batches that drain
+        # the join's unmatched-left buffer and then the aggregation.
+        [(901, 99, base + dt.timedelta(hours=10), "click"),
+         (801, 99, base + dt.timedelta(hours=10), "error")],
+        [(902, 99, base + dt.timedelta(hours=20), "click"),
+         (802, 99, base + dt.timedelta(hours=20), "error")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def split(df):
+        return (df.filter(F.col("event_type") == "click"),
+                df.filter(F.col("event_type") == "error"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    sj = click_error_asof_join(*split(stream), horizon="1 hour",
+                               watermark="10 minutes")
+    got = {r.click_id: (r.err_id, r.e_ts)
+           for r in run_available_now(sj, "asof_t",
+                                      output_mode="append").collect()}
+    assert got[201] == (102, base)           # latest error, tie -> max id
+    assert got[202] == (None, None)          # error outside the horizon
+    assert got[203] == (None, None)          # user with no errors
+    # batch twin (watermarks no-op) agrees click-for-click
+    want = {r.click_id: (r.err_id, r.e_ts)
+            for r in click_error_asof_join(
+                *split(spark.read.parquet(src)),
+                horizon="1 hour").collect()}
+    for k in (201, 202, 203):
+        assert got[k] == want[k]
