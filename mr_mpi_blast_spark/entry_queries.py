@@ -5091,32 +5091,38 @@ RECORDED_WINDOW = [
     # every round by charter
     "blast_pipeline", "blast_tail", "blast_gapped_tail",
     "blast_gapped_nucl_tail", "blast_capped_tail",
-    # graph family (r9/r10)
-    "graph_pagerank", "graph_triangles", "graph_triangles_bucketed",
-    "graph_kcore", "graph_components",
-    # warehouse maintenance (r9)
-    "orders_cdc_apply", "orders_snapshot_diff", "orders_ivm_agg",
-    "events_scd2",
-    # temporal analytics (r9)
-    "events_funnel", "events_resample", "events_retention",
-    "events_rolling", "events_sliding", "events_transitions",
-    "events_anomaly", "events_trimmed_mean",
-    # OLAP / layout (r9)
-    "events_pivot", "lineitem_unpivot", "revenue_cube",
-    "lineitem_zorder", "local_supplier_volume", "part_fuzzy_match",
-    "part_copurchase", "skyline_parts",
-    # corpus / profiling (r8-r9)
-    "inverted_index", "doc_chunks", "text_cms_heavy_hitters",
-    "table_profile",
-    # tokenizer + dedup apply steps (r8-r9)
-    "bpe_merges", "bpe_encode", "dedup_substr_remove",
-    "dedup_keep_best", "dedup_ngram_jaccard", "similarity_join_topk",
-    # similarity / mixing / retrieval (r8-r9)
-    "embedding_semdedup", "ann_sq8_topk", "dsir_weights",
-    "dsir_sample", "mix_sample", "ccnet_buckets", "corpus_shuffle",
-    "text_bm25_search", "text_lm_score",
-    # real-codec multimodal roundtrip (r10)
-    "multimodal_wav_roundtrip",
+    # never driver-recorded before r11 (r10 verdict item 1): the r10
+    # sketch additions registered after the r10 window froze + the
+    # format roundtrips / text ops / capped decontam / mix weights
+    # that spent r5-r10 behind full windows
+    "lineitem_hll_distinct", "orders_bloom_prune",
+    "decontam_ngram_capped", "jsonl_roundtrip", "mix_weights",
+    "orc_roundtrip", "text_pii_scrub", "text_repetition",
+    # new in r11: manifest-pruned scan + mergeable quantile sketch
+    "lineitem_pruned_scan", "events_hdr_quantiles",
+    # r3-era relational facades: last externally recorded before
+    # several refactors (stalest evidence in the catalog)
+    "workitem_cross", "union_slices", "filter_scan",
+    "aggregate_shuffle", "gather_coalesce", "global_topn",
+    "distinct_dims", "semi_join", "anti_join", "set_intersect",
+    "set_except",
+    # r4-r7-era: similarity/multimodal singles never re-recorded
+    "ann_cosine_topk", "dedup_simhash", "ann_ivf_nprobe2",
+    "multimodal_resize", "ann_cosine_topk_numpy",
+    # stalest r9 evidence (every name below last recorded in
+    # CORRECTNESS_r09): core relational + sources + temporal
+    "topk_per_group", "hits_histogram", "pricing_summary",
+    "revenue_by_brand", "orders_by_nation", "shipping_priority",
+    "rollup_revenue", "window_running", "query_blocks",
+    "serial_index", "effective_dbsize", "sequence_splitter",
+    "events_hourly", "events_json_props", "events_sessionize",
+    "events_asof_join", "events_percentiles", "events_interval_join",
+    "doc_train_split",
+    # dropped vs r10 (recorded evidence persists in CORRECTNESS_r10):
+    # the whole graph/warehouse/temporal/OLAP/profiling/BPE wave, incl.
+    # graph_triangles_bucketed per the r10 advisory (value-identical
+    # twin of graph_triangles by pinned contract — duplicate evidence;
+    # it stays oracle-checked in-repo every run).
 ]
 
 
