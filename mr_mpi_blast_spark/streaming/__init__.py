@@ -19,6 +19,7 @@ from mr_mpi_blast_spark.streaming.kernel_stream import (  # noqa: F401
 from mr_mpi_blast_spark.streaming.events import (
     click_error_interval_join,
     click_error_asof_join,
+    hdr_sketch_stream,
     read_event_stream,
     hourly_counts,
     sliding_value_stats,
@@ -35,6 +36,7 @@ __all__ = [
     "session_aggregate", "stateful_user_totals", "dedup_stream",
     "dedup_content_stream", "run_available_now",
     "click_error_interval_join", "click_error_asof_join",
+    "hdr_sketch_stream",
     "stream_to_parquet",
     "search_query_stream", "read_stream_hits",
 ]

@@ -247,6 +247,22 @@ def click_error_asof_join(clicks: DataFrame, errors: DataFrame,
                     F.col("best.e_ts").alias("e_ts")))
 
 
+def hdr_sketch_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of operators/profile.hdr_sketch over the events
+    value column (integer cents): the same bit-length bucket ladder as
+    a streaming aggregation, maintained in complete/update mode. The
+    sketch IS the state — at most a few thousand bucket rows however
+    long the stream runs (no watermark needed: the state is bounded by
+    the VALUE DOMAIN, not by time, which is the whole point of a
+    mergeable sketch as a streaming aggregate). Drained result equals
+    the batch sketch row-for-row (stream==batch parity test)."""
+    from mr_mpi_blast_spark.operators.profile import hdr_bucket_spark
+    cents = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+    return (events
+            .select(F.expr(hdr_bucket_spark(cents)).alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")))
+
+
 def stream_to_parquet(df: DataFrame, out_dir: str, checkpoint_dir: str,
                       timeout_s: int = 120) -> None:
     """Durable streaming sink: drain all available input into a

@@ -130,6 +130,13 @@ def test_pruned_read_skips_files_and_matches_full_scan(spark, tmp_path):
     got, kept, total = pruned_read(spark, layout, manifest,
                                    x_range=(10, 20), y_range=(0, 8))
     assert 1 <= kept < total, (kept, total)
+    # physical pin: the PLAN's input file set is the surviving cells',
+    # strictly smaller than the full layout's — bytes actually skipped,
+    # not just a smaller path list on the python side
+    full_files = set(spark.read.parquet(layout).inputFiles())
+    got_files = set(got.inputFiles())
+    assert got_files < full_files
+    assert len({f.rsplit("/", 2)[-2] for f in got_files}) == kept
     pred = "x BETWEEN 10 AND 20 AND y BETWEEN 0 AND 8"
     want = sorted(r.id for r in df.filter(pred).collect())
     assert sorted(r.id for r in got.filter(pred).collect()) == want

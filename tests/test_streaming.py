@@ -542,3 +542,21 @@ def test_asof_join_stream_equals_batch_with_spanning_pair(spark, tmp_path):
                 horizon="1 hour").collect()}
     for k in (201, 202, 203):
         assert got[k] == want[k]
+
+
+def test_hdr_sketch_stream_equals_batch(spark, event_dir):
+    """r11: the HDR quantile sketch maintained as a streaming
+    aggregation (complete mode, state bounded by the value domain —
+    no watermark needed) drains to exactly the batch sketch."""
+    from mr_mpi_blast_spark.operators.profile import hdr_sketch
+    from mr_mpi_blast_spark.streaming import (hdr_sketch_stream,
+                                              read_event_stream)
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    got = {r.bucket: r.cnt
+           for r in run_available_now(hdr_sketch_stream(stream),
+                                      "t_hdr",
+                                      output_mode="complete").collect()}
+    batch = spark.read.parquet(event_dir).selectExpr(
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS v")
+    want = {r.bucket: r.cnt for r in hdr_sketch(batch, "v").collect()}
+    assert got == want and len(want) > 10
