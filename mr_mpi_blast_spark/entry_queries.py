@@ -465,6 +465,53 @@ def q_events_percentiles(spark, sf_dir):
                    for p in (0.5, 0.9, 0.99)]))
 
 
+_LOOKUP_KEY = 7  # an o_orderkey present at every sf (TPC-H sparse keys)
+
+
+def _orders_zlayout_dir(sf_dir: str) -> str:
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    key = f"orders-zlayout:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    return _pairs_store_path(key)
+
+
+@query("orders_pruned_lookup", f"""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date
+FROM orders WHERE o_orderkey = {_LOOKUP_KEY}
+""")
+def q_orders_pruned_lookup(spark, sf_dir):
+    """Bloom-point pruned scan (r11): the pure-Bloom arm of the
+    manifest family. Orders staged once as a z-layout on
+    (o_custkey, days-since-1995) — two dimensions a POINT predicate
+    on o_orderkey does not touch, so min/max envelopes cannot prune —
+    and each cell's manifest row carries the Bloom positions of its
+    o_orderkeys (operators/layout.zorder_manifest bloom_col). The
+    lookup probes the manifest driver-side (files-not-rows) and opens
+    only cells whose filter admits the key: a needle-in-100 TB point
+    read without a key-sorted layout. One-sided by construction (the
+    key's cell always survives — full-scan oracle parity); a
+    non-member cell survives only on a K-fold collision.
+    tests/test_layout.py pins the skip behavior; the complementary
+    range arm is lineitem_pruned_scan."""
+    from mr_mpi_blast_spark.operators.layout import (pruned_read,
+                                                     write_zorder_layout,
+                                                     zorder_manifest)
+    path = _orders_zlayout_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        o = _t(spark, sf_dir, "orders").withColumn(
+            "o_days", F.datediff(F.col("o_orderdate"),
+                                 F.lit("1995-01-01").cast("date")))
+        write_zorder_layout(o, "o_custkey", "o_days", path)
+    manifest = zorder_manifest(spark, path, "o_custkey", "o_days",
+                               bloom_col="o_orderkey")
+    df, kept, total = pruned_read(spark, path, manifest,
+                                  bloom_point=_LOOKUP_KEY)
+    return (df.filter(F.col("o_orderkey") == _LOOKUP_KEY)
+            .select("o_orderkey", "o_custkey", "o_totalprice",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_date")))
+
+
 _HDR_QS = [500, 900, 990, 999]
 
 
@@ -5098,8 +5145,10 @@ RECORDED_WINDOW = [
     "lineitem_hll_distinct", "orders_bloom_prune",
     "decontam_ngram_capped", "jsonl_roundtrip", "mix_weights",
     "orc_roundtrip", "text_pii_scrub", "text_repetition",
-    # new in r11: manifest-pruned scan + mergeable quantile sketch
-    "lineitem_pruned_scan", "events_hdr_quantiles",
+    # new in r11: manifest-pruned scans (range arm + Bloom-point arm)
+    # + mergeable quantile sketch
+    "lineitem_pruned_scan", "orders_pruned_lookup",
+    "events_hdr_quantiles",
     # r3-era relational facades: last externally recorded before
     # several refactors (stalest evidence in the catalog)
     "workitem_cross", "union_slices", "filter_scan",
@@ -5117,7 +5166,6 @@ RECORDED_WINDOW = [
     "serial_index", "effective_dbsize", "sequence_splitter",
     "events_hourly", "events_json_props", "events_sessionize",
     "events_asof_join", "events_percentiles", "events_interval_join",
-    "doc_train_split",
     # dropped vs r10 (recorded evidence persists in CORRECTNESS_r10):
     # the whole graph/warehouse/temporal/OLAP/profiling/BPE wave, incl.
     # graph_triangles_bucketed per the r10 advisory (value-identical

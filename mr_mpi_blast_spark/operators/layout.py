@@ -149,15 +149,21 @@ def write_zorder_layout(df: DataFrame, x: str, y: str, out_dir: str, *,
 
 def zorder_manifest(spark: SparkSession, layout_dir: str,
                     x: str, y: str,
-                    bloom_col: str | None = None) -> DataFrame:
+                    bloom_col: str | None = None,
+                    bloom_bits: int = 1 << 17) -> DataFrame:
     """The manifest of a ``write_zorder_layout`` output: one row per
     zcell with row count and min/max on BOTH clustered dimensions —
     exactly the statistics a format's file manifest carries. With
     ``bloom_col`` set, each cell additionally carries the set-bit
     positions of a Bloom filter over that column (bounded at
-    BLOOM_BITS entries per cell BY CONSTRUCTION — kilobytes however
-    many rows the cell holds), enabling point-lookup pruning on a
-    column the curve does not cluster.
+    ``bloom_bits`` entries per cell BY CONSTRUCTION — the default
+    128 Ki-position filter is ~0.5 MB worst case and stays sparse up
+    to ~13k distinct keys per cell at a 30% fill; size it at ~10x the
+    expected distinct keys per cell, because a saturated filter
+    prunes nothing — observed: 8192 bits over 6k-key cells kept 18/24
+    cells, 2^17 bits keeps 1-2), enabling point-lookup pruning on a
+    column the curve does not cluster. Readers must probe with the
+    SAME ``bloom_bits`` (pruned_read's default matches).
 
     One aggregate over one scan of the layout; at scale the manifest
     is a byproduct of the layout write, and its size is
@@ -170,8 +176,8 @@ def zorder_manifest(spark: SparkSession, layout_dir: str,
     if bloom_col is not None:
         from mr_mpi_blast_spark.operators.profile import \
             _bloom_positions_spark
-        pos = F.array(*[F.expr(p)
-                        for p in _bloom_positions_spark(bloom_col)])
+        pos = F.array(*[F.expr(p) for p in
+                        _bloom_positions_spark(bloom_col, bloom_bits)])
         aggs.append(F.array_sort(F.array_distinct(
             F.flatten(F.collect_list(pos)))).alias("bloom_pos"))
     return df.groupBy("zcell").agg(*aggs)
@@ -190,7 +196,8 @@ def pruned_read(spark: SparkSession, layout_dir: str,
                 manifest: DataFrame, *,
                 x_range: tuple | None = None,
                 y_range: tuple | None = None,
-                bloom_point=None) -> tuple[DataFrame, int, int]:
+                bloom_point=None,
+                bloom_bits: int = 1 << 17) -> tuple[DataFrame, int, int]:
     """Plan a pruned read of a z-layout: filter the MANIFEST (not the
     data) to the cells whose [min,max] envelopes can intersect the
     predicate, then read only the surviving ``zcell=`` directories.
@@ -225,8 +232,8 @@ def pruned_read(spark: SparkSession, layout_dir: str,
             _bloom_positions_spark
         lit = (f"'{bloom_point}'" if isinstance(bloom_point, str)
                else repr(bloom_point))
-        probe = F.array(*[F.expr(p) for p in
-                          _bloom_positions_spark(f"CAST({lit} AS STRING)")])
+        probe = F.array(*[F.expr(p) for p in _bloom_positions_spark(
+            f"CAST({lit} AS STRING)", bloom_bits)])
         cond = cond & (F.size(F.array_except(probe, F.col("bloom_pos")))
                        == 0)
     rows = manifest.select("zcell", cond.alias("keep")).collect()

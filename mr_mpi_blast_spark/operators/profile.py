@@ -322,15 +322,20 @@ BLOOM_BITS = 8192
 BLOOM_K = 3
 
 
-def _bloom_positions_spark(col: str):
+def _bloom_positions_spark(col: str, bits: int | None = None):
+    # bits resolves to the MODULE constant at call time (None default)
+    # so tests/callers overriding profile.BLOOM_BITS keep working
     from mr_mpi_blast_spark.operators.search import dsir_bucket_spark
-    return [dsir_bucket_spark(f"concat('bloom{i}:', {col})", BLOOM_BITS)
+    bits = BLOOM_BITS if bits is None else bits
+    return [dsir_bucket_spark(f"concat('bloom{i}:', {col})", bits)
             for i in range(BLOOM_K)]
 
 
-def bloom_positions_duckdb(col_sql: str) -> list[str]:
+def bloom_positions_duckdb(col_sql: str,
+                           bits: int | None = None) -> list[str]:
     from mr_mpi_blast_spark.operators.search import dsir_bucket_duckdb
-    return [dsir_bucket_duckdb(f"('bloom{i}:' || {col_sql})", BLOOM_BITS)
+    bits = BLOOM_BITS if bits is None else bits
+    return [dsir_bucket_duckdb(f"('bloom{i}:' || {col_sql})", bits)
             for i in range(BLOOM_K)]
 
 
