@@ -502,8 +502,15 @@ def q_orders_pruned_lookup(spark, sf_dir):
             "o_days", F.datediff(F.col("o_orderdate"),
                                  F.lit("1995-01-01").cast("date")))
         write_zorder_layout(o, "o_custkey", "o_days", path)
-    manifest = zorder_manifest(spark, path, "o_custkey", "o_days",
-                               bloom_col="o_orderkey")
+    # the Bloom manifest is staged WITH the layout (at scale it is a
+    # byproduct of the write; rebuilding 3 positions x every row on
+    # every lookup would put scan-sized work on the point-read path)
+    man_path = f"{path}_manifest"
+    if not os.path.exists(os.path.join(man_path, "_SUCCESS")):
+        zorder_manifest(spark, path, "o_custkey", "o_days",
+                        bloom_col="o_orderkey") \
+            .write.mode("overwrite").parquet(man_path)
+    manifest = spark.read.parquet(man_path)
     df, kept, total = pruned_read(spark, path, manifest,
                                   bloom_point=_LOOKUP_KEY)
     return (df.filter(F.col("o_orderkey") == _LOOKUP_KEY)

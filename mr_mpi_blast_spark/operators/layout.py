@@ -170,17 +170,26 @@ def zorder_manifest(spark: SparkSession, layout_dir: str,
     files-not-rows — the quantity a driver may hold.
     """
     df = spark.read.parquet(layout_dir)
-    aggs = [F.count(F.lit(1)).alias("n_rows"),
-            F.min(x).alias("min_x"), F.max(x).alias("max_x"),
-            F.min(y).alias("min_y"), F.max(y).alias("max_y")]
-    if bloom_col is not None:
-        from mr_mpi_blast_spark.operators.profile import \
-            _bloom_positions_spark
-        pos = F.array(*[F.expr(p) for p in
-                        _bloom_positions_spark(bloom_col, bloom_bits)])
-        aggs.append(F.array_sort(F.array_distinct(
-            F.flatten(F.collect_list(pos)))).alias("bloom_pos"))
-    return df.groupBy("zcell").agg(*aggs)
+    stats = df.groupBy("zcell").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(x).alias("min_x"), F.max(x).alias("max_x"),
+        F.min(y).alias("min_y"), F.max(y).alias("max_y"))
+    if bloom_col is None:
+        return stats
+    from mr_mpi_blast_spark.operators.profile import \
+        _bloom_positions_spark
+    pos = F.array(*[F.expr(p) for p in
+                    _bloom_positions_spark(bloom_col, bloom_bits)])
+    # dedup BEFORE collecting (r11 review): a collect_list of per-row
+    # position arrays would buffer 3*rows entries per cell before any
+    # dedup — unbounded aggregation state on a big cell. Exploding to
+    # (zcell, pos) and going through a DISTINCT makes the pre-collect
+    # stream at most bloom_bits rows per cell by construction, and
+    # both aggregates combine map-side.
+    blooms = (df.select("zcell", F.explode(pos).alias("p")).distinct()
+              .groupBy("zcell")
+              .agg(F.array_sort(F.collect_set("p")).alias("bloom_pos")))
+    return stats.join(blooms, "zcell")
 
 
 def _ranges_overlap(lo_col: str, hi_col: str, lo, hi):

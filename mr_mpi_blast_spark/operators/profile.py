@@ -472,14 +472,13 @@ def hdr_quantiles(sketch: DataFrame, qs_permille: list[int]) -> DataFrame:
                Window.rowsBetween(Window.unboundedPreceding,
                                   Window.unboundedFollowing))))
     qs = F.explode(F.array(*[F.lit(q) for q in qs_permille]))
-    lower = (f"shiftleft(bucket % {1 << HDR_SUB_BITS}, "
-             f"bucket div {1 << HDR_SUB_BITS})")
+    lower = (f"shiftleft(qb % {1 << HDR_SUB_BITS}, "
+             f"qb div {1 << HDR_SUB_BITS})")
     return (cum.select("bucket", "cum", "n", qs.alias("q_permille"))
             .filter(F.col("cum") * 1000 >= F.col("q_permille") * F.col("n"))
             .groupBy("q_permille")
             .agg(F.min("bucket").alias("qb"))
-            .select("q_permille",
-                    F.expr(lower.replace("bucket", "qb")).alias("est")))
+            .select("q_permille", F.expr(lower).alias("est")))
 
 
 def hdr_quantiles_sql(val_sql: str, from_sql: str,

@@ -165,21 +165,35 @@ def _kmer_explode(seq_col: str, k: int):
         f"i -> upper(substring({seq_col}, i, {k}))) END")))
 
 
-def volume_seed_blooms(spark, db_dir: str, word_size: int) -> DataFrame:
+def volume_seed_blooms(spark, db_dir: str, word_size: int,
+                       bits: int = 1 << 20) -> DataFrame:
     """(db_part, bloom_pos) — the set-bit positions of a Bloom filter
     over each volume's distinct k-mers, staged ONCE as a sidecar
     beside the volumes (content-addressed dirs make the sidecar
     immutable too, the makeblastdb model). One scan of the staged
     database, map-side-combinable distinct, output bounded at
-    BLOOM_BITS ints per volume (KB-class) regardless of residue count
-    — the quantity a 100 TB planner may broadcast."""
+    ``bits`` positions per volume regardless of residue count.
+
+    Sizing (r11 review): a SATURATED filter is a conservative no-op —
+    every work item survives, nothing breaks, nothing is saved. The
+    2^20 default stays useful to ~300k distinct k-mers per volume
+    (fill ~0.6); for nucleotide word_size=11 the whole universe is
+    4^11 ≈ 4.2M words, so volumes near-saturating 2^20 are within a
+    factor of a few of containing EVERY word — at which point no
+    exact filter could prune and the honest answer is "this database
+    is not k-mer-sparse; the filter pays off for topically-partitioned
+    volumes (the reference's nt/wgs split) and small alphabets, not
+    for a uniform soup". Position-table rendering costs 8 B/position
+    (worst ~8 MB/volume broadcast when saturated); callers with many
+    dense volumes should lower ``bits`` to cap the broadcast — the
+    filter degrades gracefully toward no-op, never toward wrong."""
     from mr_mpi_blast_spark.operators.profile import \
         _bloom_positions_spark
-    path = f"{db_dir}_seedbloom_k{word_size}"
+    path = f"{db_dir}_seedbloom_k{word_size}_b{bits}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         subs = spark.read.parquet(db_dir)
         pos = F.array(*[F.expr(p) for p in
-                        _bloom_positions_spark("kmer")])
+                        _bloom_positions_spark("kmer", bits)])
         (subs.select("db_part", _kmer_explode("seq", word_size)
                      .alias("kmer"))
          .select("db_part", F.explode(pos).alias("p")).distinct()
@@ -190,16 +204,20 @@ def volume_seed_blooms(spark, db_dir: str, word_size: int) -> DataFrame:
 
 
 def prune_work_items(blocked: DataFrame, volume_blooms: DataFrame,
-                     word_size: int) -> DataFrame:
+                     word_size: int, bits: int = 1 << 20) -> DataFrame:
     """The surviving (db_part, block_id) pairs: a pair survives iff
     at least one of the block's query k-mers has ALL K of its Bloom
     positions set in the volume's filter. The probe stream is the
     block's DISTINCT k-mers (query-sized); the volume filters are a
     broadcast of KB-sized arrays; the output is work-item-sized. No
-    subject row is read — the filters were staged with the volumes."""
+    subject row is read — the filters were staged with the volumes.
+    ``bits`` MUST match the value the volume filters were built with
+    (volume_seed_blooms bakes it into the sidecar path for exactly
+    this reason)."""
     from mr_mpi_blast_spark.operators.profile import \
         _bloom_positions_spark
-    pos = F.array(*[F.expr(p) for p in _bloom_positions_spark("kmer")])
+    pos = F.array(*[F.expr(p)
+                    for p in _bloom_positions_spark("kmer", bits)])
     bk = (blocked.select("block_id",
                          _kmer_explode("seq", word_size).alias("kmer"))
           .distinct()
