@@ -139,7 +139,13 @@ def write_zorder_layout(df: DataFrame, x: str, y: str, out_dir: str, *,
     zdf = df.withColumn("_z", z)
     max_z = zdf.agg(F.max("_z")).collect()[0][0]
     if max_z is None:
-        max_z = 0
+        # loud and near the cause (r11 review): an empty layout writes
+        # only _SUCCESS, and the FIRST reader then dies far away with
+        # an opaque 'Unable to infer schema for Parquet'
+        raise ValueError(
+            "write_zorder_layout: input DataFrame is empty - a layout "
+            "of zero rows has no schema to read back; check the "
+            "staging input")
     width_bits = max(1, math.ceil(math.log2(max(2, (max_z + 1)
                                                 / target_files))))
     (zdf.withColumn("zcell", F.expr(f"_z div {1 << width_bits}"))
@@ -239,8 +245,20 @@ def pruned_read(spark: SparkSession, layout_dir: str,
     if bloom_point is not None:
         from mr_mpi_blast_spark.operators.profile import \
             _bloom_positions_spark
-        lit = (f"'{bloom_point}'" if isinstance(bloom_point, str)
-               else repr(bloom_point))
+        # int or str only: the probe must render EXACTLY as the
+        # manifest side's concat-cast of the column did (r11 review:
+        # repr() of other types need not match Spark's rendering, and
+        # unescaped quotes broke expression parsing)
+        if isinstance(bloom_point, str):
+            lit = "'" + bloom_point.replace("'", "''") + "'"
+        elif isinstance(bloom_point, int) and not isinstance(
+                bloom_point, bool):
+            lit = str(bloom_point)
+        else:
+            raise TypeError(
+                f"bloom_point must be int or str (the types whose "
+                f"string rendering is engine-stable), got "
+                f"{type(bloom_point).__name__}")
         probe = F.array(*[F.expr(p) for p in _bloom_positions_spark(
             f"CAST({lit} AS STRING)", bloom_bits)])
         cond = cond & (F.size(F.array_except(probe, F.col("bloom_pos")))

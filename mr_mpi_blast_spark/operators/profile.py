@@ -432,17 +432,26 @@ def hdr_bucket_duckdb(v: str) -> str:
             f"+ ({v} // (CAST(1 AS BIGINT) << {s})))")
 
 
+def hdr_guarded_bucket_spark(val_col: str) -> str:
+    """The bucket expression wrapped in the NULL/negative guard — the
+    ONE rendering both the batch sketch and its streaming twin use,
+    so the loud-precondition contract cannot drift between them
+    (r11 review: the stream twin originally lacked the guard and
+    silently bucketed NULL/negative values the batch path rejects)."""
+    return (f"CASE WHEN {val_col} IS NULL OR {val_col} < 0 THEN "
+            f"raise_error('hdr_sketch: value must be a non-negative "
+            f"integer - quantize and filter first') "
+            f"ELSE {hdr_bucket_spark(val_col)} END")
+
+
 def hdr_sketch(df: DataFrame, val_col: str) -> DataFrame:
     """The sketch itself: (bucket, cnt) over a NON-NEGATIVE integer
     column (quantize doubles to micro-units first — the engine-wide
     exactness discipline; negative inputs violate the precondition
     and fail loudly). One map-side-combinable aggregate; merge two
     sketches with union + re-sum (hdr_merge)."""
-    guard = (f"CASE WHEN {val_col} IS NULL OR {val_col} < 0 THEN "
-             f"raise_error('hdr_sketch: value must be a non-negative "
-             f"integer - quantize and filter first') "
-             f"ELSE {hdr_bucket_spark(val_col)} END")
-    return (df.select(F.expr(guard).alias("bucket"))
+    return (df.select(F.expr(hdr_guarded_bucket_spark(val_col))
+                      .alias("bucket"))
             .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")))
 
 
@@ -481,25 +490,9 @@ def hdr_quantiles(sketch: DataFrame, qs_permille: list[int]) -> DataFrame:
             .select("q_permille", F.expr(lower).alias("est")))
 
 
-def hdr_quantiles_sql(val_sql: str, from_sql: str,
-                      qs_permille: list[int]) -> str:
-    """DuckDB replay: identical ladder, identical bucket arithmetic,
-    identical type-1 rank rule (cum*1000 >= q*N avoids any division),
-    identical lower-bound rendering."""
-    bucket = hdr_bucket_duckdb("v")
-    qvals = ", ".join(f"({q})" for q in qs_permille)
-    return f"""
-WITH vals AS (SELECT {val_sql} AS v FROM {from_sql}),
-sk AS (SELECT {bucket} AS bucket, count(*) AS cnt FROM vals GROUP BY 1),
-cum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum,
-               sum(cnt) OVER () AS n
-        FROM sk),
-qs(q_permille) AS (VALUES {qvals}),
-hit AS (SELECT q_permille, min(bucket) AS qb
-        FROM cum, qs WHERE cum * 1000 >= q_permille * n
-        GROUP BY q_permille)
-SELECT CAST(q_permille AS BIGINT) AS q_permille,
-       CAST((qb % {1 << HDR_SUB_BITS}) << (qb // {1 << HDR_SUB_BITS})
-            AS BIGINT) AS est
-FROM hit
-"""
+# (r11 review: a hdr_quantiles_sql twin briefly lived here; it was
+# dead — the registered oracle (entry_queries._hdr_oracle) renders the
+# ladder/bucket/rank rule itself because it also emits the exact
+# type-1 quantiles in the same statement. One rendering per engine:
+# Spark = hdr_quantiles above, DuckDB = _hdr_oracle, both built on
+# hdr_bucket_*; a second DuckDB copy would silently drift.)

@@ -204,7 +204,8 @@ def volume_seed_blooms(spark, db_dir: str, word_size: int,
 
 
 def prune_work_items(blocked: DataFrame, volume_blooms: DataFrame,
-                     word_size: int, bits: int = 1 << 20) -> DataFrame:
+                     word_size: int, bits: int = 1 << 20,
+                     both_strands: bool = True) -> DataFrame:
     """The surviving (db_part, block_id) pairs: a pair survives iff
     at least one of the block's query k-mers has ALL K of its Bloom
     positions set in the volume's filter. The probe stream is the
@@ -213,13 +214,28 @@ def prune_work_items(blocked: DataFrame, volume_blooms: DataFrame,
     subject row is read — the filters were staged with the volumes.
     ``bits`` MUST match the value the volume filters were built with
     (volume_seed_blooms bakes it into the sidecar path for exactly
-    this reason)."""
+    this reason).
+
+    ``both_strands`` (r11 review): the blastn kernel seeds the query
+    on BOTH strands (kernel/builtin.py strands loop runs revcomp(seq)
+    too), so the probe set must include the reverse complement's
+    k-mers — forward-only probing would prune a pair whose only
+    homology is a minus-strand copy, silently losing real hits
+    (pinned by test_seed_prune_keeps_minus_strand_only_block). Pass
+    False only for protein (no strands; run_kernel_raw does)."""
     from mr_mpi_blast_spark.operators.profile import \
         _bloom_positions_spark
     pos = F.array(*[F.expr(p)
                     for p in _bloom_positions_spark("kmer", bits)])
-    bk = (blocked.select("block_id",
-                         _kmer_explode("seq", word_size).alias("kmer"))
+    probe_seqs = blocked.select("block_id", "seq")
+    if both_strands:
+        rc = probe_seqs.select(
+            "block_id",
+            F.expr("translate(reverse(upper(seq)), 'ACGT', 'TGCA')")
+            .alias("seq"))
+        probe_seqs = probe_seqs.unionByName(rc)
+    bk = (probe_seqs.select("block_id",
+                            _kmer_explode("seq", word_size).alias("kmer"))
           .distinct()
           .select("block_id", pos.alias("pos")))
     return (bk.crossJoin(F.broadcast(volume_blooms))
@@ -332,7 +348,8 @@ def run_kernel_raw(queries: DataFrame, subjects: DataFrame,
         # boundary, full work-item set is the conservative answer).
         blooms = volume_seed_blooms(blocked.sparkSession, db_dir,
                                     cfg.word_size)
-        keep = prune_work_items(blocked, blooms, cfg.word_size)
+        keep = prune_work_items(blocked, blooms, cfg.word_size,
+                                both_strands=cfg.task != "blastp")
         work = work.join(F.broadcast(keep), ["db_part", "block_id"],
                          "left_semi")
     # The explicit repartition (not the groupBy's own exchange) matters:

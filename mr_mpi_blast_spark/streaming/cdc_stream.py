@@ -80,19 +80,24 @@ def apply_changeset_stream(target: DataFrame, changes_stream: DataFrame,
     base = f"{state_dir}/base"
     fp_dir = f"{state_dir}/base_fp"
     if not fs.exists(hpath(f"{base}/_SUCCESS")):
-        # idempotent: a concurrent/replayed stager overwrites with the
-        # same deterministic content
-        target.write.mode("overwrite").parquet(base)
-        # fingerprint the staged base so a later resume can detect a
-        # caller passing a DIFFERENT target (r11 advisory: without
-        # this, staging is skipped and the new target silently merges
-        # onto the stale snapshot). Written through Spark so the
-        # sidecar lives on the same filesystem as the state.
+        # fingerprint FIRST, base second: every committed base then
+        # has a committed fingerprint, and a crash between the two
+        # re-enters this branch (base absent) and rewrites both — the
+        # torn state can never reach the verify arm (r11 review: the
+        # old order left a _SUCCESS-less fp_dir that IndexError'd
+        # every later resume). Written through Spark so the sidecar
+        # lives on the same filesystem as the state. The fingerprint
+        # lets a resume detect a caller passing a DIFFERENT target
+        # (r11 advisory: without it, staging is skipped and the new
+        # target silently merges onto the stale snapshot).
         (spark.createDataFrame(
             [(target.schema.simpleString(), target.count())],
             "schema_str string, n_rows long")
          .coalesce(1).write.mode("overwrite").json(fp_dir))
-    elif fs.exists(hpath(fp_dir)):
+        # idempotent: a concurrent/replayed stager overwrites with the
+        # same deterministic content
+        target.write.mode("overwrite").parquet(base)
+    elif fs.exists(hpath(f"{fp_dir}/_SUCCESS")):
         rec = spark.read.schema("schema_str string, n_rows long") \
             .json(fp_dir).collect()[0]
         got = (target.schema.simpleString(), target.count())

@@ -255,11 +255,16 @@ def hdr_sketch_stream(events: DataFrame) -> DataFrame:
     long the stream runs (no watermark needed: the state is bounded by
     the VALUE DOMAIN, not by time, which is the whole point of a
     mergeable sketch as a streaming aggregate). Drained result equals
-    the batch sketch row-for-row (stream==batch parity test)."""
-    from mr_mpi_blast_spark.operators.profile import hdr_bucket_spark
+    the batch sketch row-for-row (stream==batch parity test); the
+    NULL/negative guard is the SAME rendering the batch sketch uses
+    (r11 review — a guardless twin silently bucketed values the batch
+    path rejects loudly)."""
+    from mr_mpi_blast_spark.operators.profile import \
+        hdr_guarded_bucket_spark
     cents = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
     return (events
-            .select(F.expr(hdr_bucket_spark(cents)).alias("bucket"))
+            .select(F.expr(hdr_guarded_bucket_spark(cents))
+                    .alias("bucket"))
             .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")))
 
 

@@ -425,6 +425,34 @@ def test_seed_prune_skips_disjoint_volume(spark, tmp_path):
     assert pruned.count() > 0
 
 
+def test_seed_prune_keeps_minus_strand_only_block(spark):
+    """r11 review regression: blastn seeds the query on BOTH strands,
+    so a (block, volume) pair whose ONLY homology is a reverse-
+    complement copy must survive pruning. The query sits alone in its
+    block (no forward-hit sibling to mask a forward-only probe — the
+    hole the original parity test left)."""
+    q = _seq(300, salt=31)
+    queries = spark.createDataFrame(
+        [(1, "q1", "q1", q, len(q))],
+        "qid long, defline string, defline_part string, seq string, "
+        "length int")
+    rc = revcomp(q)
+    s_rc_only = _seq(40, salt=32) + rc[40:260] + _seq(40, salt=33)
+    subs = spark.createDataFrame(
+        [("s_rc", "s_rc minus-strand copy", "vol.rc", s_rc_only,
+          len(s_rc_only))],
+        "sid string, defline string, db_part string, seq string, "
+        "length int")
+    cfg = BlastConfig(evalue=1e-3, block_size=400, word_size=11)
+    base = run_search(queries, subs, cfg)
+    pruned = run_search(queries, subs, cfg, seed_prune=True)
+    cols = ["qid", "sid", "qstart", "qend", "sstart", "send",
+            "bitscore"]
+    want = sorted(map(tuple, base.select(*cols).collect()))
+    assert len(want) > 0, "fixture must produce a minus-strand hit"
+    assert sorted(map(tuple, pruned.select(*cols).collect())) == want
+
+
 def test_seed_prune_noop_under_neighborhood_seeding(spark, monkeypatch):
     """blastp -threshold seeds on NON-exact word matches, so exact
     k-mer pruning is unsound there — the filter must not even be

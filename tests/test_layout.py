@@ -165,3 +165,30 @@ def test_pruned_read_bloom_point_lookup(spark, tmp_path):
                                     bloom_point=99_999)
     assert kept_a < total  # non-member prunes (collisions permitted)
     assert absent.filter("k = 99999").count() == 0
+
+
+def test_pruned_read_bloom_point_type_and_quote_safety(spark, tmp_path):
+    """r11 review regressions: non-int/str probes are rejected loudly
+    (their repr need not match Spark's rendering); a quoted string key
+    must not break expression parsing."""
+    from mr_mpi_blast_spark.operators.layout import (
+        pruned_read, write_zorder_layout, zorder_manifest)
+    rows = [(i, i % 7, i % 5, f"k'{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, x long, y long, k string")
+    layout = str(tmp_path / "zq")
+    write_zorder_layout(df, "x", "y", layout, target_files=4)
+    manifest = zorder_manifest(spark, layout, "x", "y", bloom_col="k")
+    got, kept, total = pruned_read(spark, layout, manifest,
+                                   bloom_point="k'123")
+    assert [r.id for r in got.filter("k = \"k'123\"").collect()] == [123]
+    with pytest.raises(TypeError, match="int or str"):
+        pruned_read(spark, layout, manifest, bloom_point=1.5)
+    with pytest.raises(TypeError, match="int or str"):
+        pruned_read(spark, layout, manifest, bloom_point=True)
+
+
+def test_write_zorder_layout_empty_input_fails_loudly(spark, tmp_path):
+    from mr_mpi_blast_spark.operators.layout import write_zorder_layout
+    empty = spark.createDataFrame([], "x long, y long")
+    with pytest.raises(ValueError, match="empty"):
+        write_zorder_layout(empty, "x", "y", str(tmp_path / "ze"))

@@ -560,3 +560,41 @@ def test_hdr_sketch_stream_equals_batch(spark, event_dir):
         "CAST(floor(value * 100 + 0.5) AS BIGINT) AS v")
     want = {r.bucket: r.cnt for r in hdr_sketch(batch, "v").collect()}
     assert got == want and len(want) > 10
+
+
+def test_hdr_sketch_stream_guards_like_batch(spark):
+    """r11 review regression: the streaming twin must reject
+    NULL/negative values with the SAME loud guard as the batch sketch
+    (it previously bucketed them silently)."""
+    from mr_mpi_blast_spark.streaming import hdr_sketch_stream
+    bad = spark.createDataFrame([(1, -3.0)], "event_id long, value double")
+    with pytest.raises(Exception, match="non-negative"):
+        hdr_sketch_stream(bad).collect()
+
+
+def test_cdc_stream_legacy_state_without_fingerprint(spark, tmp_path):
+    """A pre-fingerprint (or torn-fingerprint) state dir falls back to
+    the documented legacy contract — target ignored once staged, no
+    crash — instead of IndexError-ing on an uncommitted sidecar."""
+    import shutil
+
+    from mr_mpi_blast_spark.streaming.cdc_stream import (
+        apply_changeset_stream, read_cdc_state)
+
+    schema = "k long, s string, op string"
+    src = str(tmp_path / "csrc")
+    spark.createDataFrame([(2, "x", "I")], schema) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    def mkstream():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    target = spark.createDataFrame([(1, "a")], "k long, s string")
+    apply_changeset_stream(target, mkstream(), ["k"], state, ckpt)
+    # simulate a legacy dir: drop the fingerprint commit marker
+    shutil.rmtree(os.path.join(state, "base_fp"))
+    other = spark.createDataFrame([(9, "z")], "k long, s string")
+    apply_changeset_stream(other, mkstream(), ["k"], state, ckpt)
+    assert read_cdc_state(spark, state).count() == 2  # {1,2} unchanged
