@@ -322,3 +322,50 @@ def test_skyline_sweep_equals_naive_dominance(points):
                         "d2": [p[1] for p in points]})
     got = sorted(_sweep(pdf, "d1", "d2").index.tolist())
     assert got == _naive_skyline(points)
+
+
+def _py_hdr_bucket(v: int, sub: int) -> int:
+    shift = max(0, v.bit_length() - sub)
+    return shift * (1 << sub) + (v >> shift)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**15),
+                min_size=2, max_size=60, unique=True))
+@settings(max_examples=40, deadline=None)
+def test_hdr_bucket_monotone_and_bounded(vals):
+    """The HDR bucket map (operators/profile.py) must be (a) monotone
+    nondecreasing in the value — bucket-ordered cumulative counts ARE
+    the value CDF, the invariant hdr_quantiles' rank rule stands on —
+    and (b) bounded: the bucket's decoded lower bound lb satisfies
+    lb <= v < lb + 2^shift with 2^shift <= max(1, v) * 2^-(SUB-1)
+    (the stated ~1.6% relative error at SUB_BITS=7)."""
+    from mr_mpi_blast_spark.operators.profile import HDR_SUB_BITS
+    sub = HDR_SUB_BITS
+    svals = sorted(vals)
+    buckets = [_py_hdr_bucket(v, sub) for v in svals]
+    assert buckets == sorted(buckets)             # monotone
+    for v, b in zip(svals, buckets):
+        shift, base = divmod(b, 1 << sub)
+        lb = base << shift
+        assert lb <= v < lb + (1 << shift)
+        if v >= (1 << sub):
+            assert (1 << shift) <= v / (1 << (sub - 1)) + 1
+
+
+def test_hdr_bucket_spark_matches_python_mirror(spark):
+    """The generated CASE-ladder expression computes exactly the
+    python-mirror bucket over a domain sweep crossing every shift
+    boundary up to 2^40 (the integer-cents range of real data)."""
+    from pyspark.sql import functions as F
+
+    from mr_mpi_blast_spark.operators.profile import (HDR_SUB_BITS,
+                                                      hdr_bucket_spark)
+    vals = sorted({0, 1} | {(1 << p) + d for p in range(1, 41)
+                            for d in (-1, 0, 1, 37)} |
+                  {v * 977 + 13 for v in range(0, 2000, 97)})
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r.v: r.b for r in
+           df.select("v", F.expr(hdr_bucket_spark("v")).alias("b"))
+           .collect()}
+    for v in vals:
+        assert got[v] == _py_hdr_bucket(v, HDR_SUB_BITS), v
