@@ -451,10 +451,11 @@ def q_events_percentiles(spark, sf_dir):
 
     Scale note: EXACT percentiles buffer each group's values in the
     aggregation state — the contract here, checkable against an
-    oracle. At 100 TB with few groups, swap percentile() for
-    percentile_approx(col, p, accuracy) (t-digest-style sketch,
-    mergeable partial aggregates, bounded state) and accept the
-    documented rank error — the one operator where exactness and
+    oracle. At 100 TB use the VERIFIED sketch twin instead:
+    events_hdr_quantiles (operators/profile.hdr_sketch — mergeable
+    bounded-state buckets, ~1.6% bound, its own exact-replay oracle),
+    or Spark's native percentile_approx where a black-box t-digest is
+    acceptable — the one operator family where exactness and
     unbounded scale genuinely trade off."""
     from mr_mpi_blast_spark.operators.similarity import round4_xengine
     ev = _t(spark, sf_dir, "events")
