@@ -156,6 +156,14 @@ def staged_parts(spark, db_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+SEED_PRUNE_BITS = 1 << 20
+# above this per-volume fill the probe can no longer prune any
+# realistically-sized block (see the saturation-gate comment in
+# run_kernel_raw): at f=0.25 a share-nothing volume still passes a
+# 300-k-mer block with ~99% probability, so probing is pure cost
+SEED_PRUNE_MAX_FILL = 0.25
+
+
 def _kmer_explode(seq_col: str, k: int):
     """Distinct uppercased k-mers of a sequence column (empty for
     sequences shorter than k — sequence(1, 0) would count DOWN)."""
@@ -166,7 +174,7 @@ def _kmer_explode(seq_col: str, k: int):
 
 
 def volume_seed_blooms(spark, db_dir: str, word_size: int,
-                       bits: int = 1 << 20) -> DataFrame:
+                       bits: int = SEED_PRUNE_BITS) -> DataFrame:
     """(db_part, bloom_pos) — the set-bit positions of a Bloom filter
     over each volume's distinct k-mers, staged ONCE as a sidecar
     beside the volumes (content-addressed dirs make the sidecar
@@ -189,29 +197,35 @@ def volume_seed_blooms(spark, db_dir: str, word_size: int,
     filter degrades gracefully toward no-op, never toward wrong."""
     from mr_mpi_blast_spark.operators.profile import \
         _bloom_positions_spark
-    path = f"{db_dir}_seedbloom_k{word_size}_b{bits}"
+    path = f"{db_dir}_seedbloom_k{word_size}_b{bits}_v2"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         subs = spark.read.parquet(db_dir)
         pos = F.array(*[F.expr(p) for p in
                         _bloom_positions_spark("kmer", bits)])
+        # stored as DISTINCT (db_part, pos) ROWS, not per-volume
+        # arrays: the probe is a position JOIN (see prune_work_items),
+        # and Spark's array_except against a near-saturated filter
+        # array rebuilds a ~500k-element hash set PER PROBE ROW — the
+        # r11 review-pass pathology that turned a 3 s cold kernel run
+        # into 10+ minutes at sf0.1.
         (subs.select("db_part", _kmer_explode("seq", word_size)
                      .alias("kmer"))
-         .select("db_part", F.explode(pos).alias("p")).distinct()
-         .groupBy("db_part")
-         .agg(F.array_sort(F.collect_set("p")).alias("bloom_pos"))
+         .select("db_part", F.explode(pos).alias("pos")).distinct()
          .write.mode("overwrite").parquet(path))
     return spark.read.parquet(path)
 
 
 def prune_work_items(blocked: DataFrame, volume_blooms: DataFrame,
-                     word_size: int, bits: int = 1 << 20,
+                     word_size: int, bits: int = SEED_PRUNE_BITS,
                      both_strands: bool = True) -> DataFrame:
     """The surviving (db_part, block_id) pairs: a pair survives iff
     at least one of the block's query k-mers has ALL K of its Bloom
     positions set in the volume's filter. The probe stream is the
     block's DISTINCT k-mers (query-sized); the volume filters are a
-    broadcast of KB-sized arrays; the output is work-item-sized. No
-    subject row is read — the filters were staged with the volumes.
+    broadcast of DISTINCT (db_part, pos) rows (<= bits per volume —
+    8 MB/volume worst case at the 2^20 default, KB when sparse); the
+    output is work-item-sized. No subject row is read — the filters
+    were staged with the volumes.
     ``bits`` MUST match the value the volume filters were built with
     (volume_seed_blooms bakes it into the sidecar path for exactly
     this reason).
@@ -223,8 +237,8 @@ def prune_work_items(blocked: DataFrame, volume_blooms: DataFrame,
     homology is a minus-strand copy, silently losing real hits
     (pinned by test_seed_prune_keeps_minus_strand_only_block). Pass
     False only for protein (no strands; run_kernel_raw does)."""
-    from mr_mpi_blast_spark.operators.profile import \
-        _bloom_positions_spark
+    from mr_mpi_blast_spark.operators.profile import (
+        BLOOM_K, _bloom_positions_spark)
     pos = F.array(*[F.expr(p)
                     for p in _bloom_positions_spark("kmer", bits)])
     probe_seqs = blocked.select("block_id", "seq")
@@ -236,10 +250,19 @@ def prune_work_items(blocked: DataFrame, volume_blooms: DataFrame,
         probe_seqs = probe_seqs.unionByName(rc)
     bk = (probe_seqs.select("block_id",
                             _kmer_explode("seq", word_size).alias("kmer"))
-          .distinct()
-          .select("block_id", pos.alias("pos")))
-    return (bk.crossJoin(F.broadcast(volume_blooms))
-            .filter(F.size(F.array_except("pos", "bloom_pos")) == 0)
+          .distinct())
+    # membership as a POSITION JOIN (the bloom_probe shape), not an
+    # array_except over the filter array: near-saturated volume
+    # filters are ~500k positions, and ArrayExcept rebuilds its hash
+    # set per row — measured 3 s -> 10+ min on the sf0.1 cold kernel
+    # (r11 review pass). The join probes (block, kmer, pos) rows
+    # against broadcast DISTINCT (db_part, pos) rows; a kmer whose K
+    # (possibly colliding) position rows ALL match a volume passes.
+    kpos = bk.select("block_id", "kmer", F.explode(pos).alias("pos"))
+    hits = (kpos.join(F.broadcast(volume_blooms), "pos")
+            .groupBy("block_id", "kmer", "db_part")
+            .agg(F.count(F.lit(1)).alias("nhit")))
+    return (hits.filter(F.col("nhit") == BLOOM_K)
             .select("db_part", "block_id").distinct())
 
 
@@ -348,10 +371,21 @@ def run_kernel_raw(queries: DataFrame, subjects: DataFrame,
         # boundary, full work-item set is the conservative answer).
         blooms = volume_seed_blooms(blocked.sparkSession, db_dir,
                                     cfg.word_size)
-        keep = prune_work_items(blocked, blooms, cfg.word_size,
-                                both_strands=cfg.task != "blastp")
-        work = work.join(F.broadcast(keep), ["db_part", "block_id"],
-                         "left_semi")
+        # saturation gate (r11): at per-volume fill f a single k-mer
+        # false-passes with ~f^K, so a block of n k-mers passes a
+        # share-nothing volume with 1-(1-f^K)^n — ~1 for any
+        # realistically-sized block once f >= SEED_PRUNE_MAX_FILL.
+        # Probing then costs (k-mer hash + join per block) without
+        # ever pruning; skip it on the SPARSEST volume's fill, read
+        # from the sidecar's row count (metadata-sized, one tiny agg).
+        min_fill = (blooms.groupBy("db_part").count()
+                    .agg(F.min("count")).first()[0]
+                    or 0) / float(SEED_PRUNE_BITS)
+        if min_fill < SEED_PRUNE_MAX_FILL:
+            keep = prune_work_items(blocked, blooms, cfg.word_size,
+                                    both_strands=cfg.task != "blastp")
+            work = work.join(F.broadcast(keep),
+                             ["db_part", "block_id"], "left_semi")
     # The explicit repartition (not the groupBy's own exchange) matters:
     # the shuffle carries only query rows — a few MB even when the
     # kernel stage is hours of compute — so AQE's size-based coalescing

@@ -453,6 +453,24 @@ def test_seed_prune_keeps_minus_strand_only_block(spark):
     assert sorted(map(tuple, pruned.select(*cols).collect())) == want
 
 
+def test_seed_prune_saturation_gate_skips_probe(spark, monkeypatch):
+    """When every volume's filter fill exceeds the gate, the probe is
+    skipped entirely (saturated filters cannot prune — probing is
+    pure cost) and the result is the plain full-work-item run."""
+    import mr_mpi_blast_spark.plans.pipeline as pl
+
+    monkeypatch.setattr(pl, "SEED_PRUNE_MAX_FILL", 0.0)
+
+    def boom(*a, **k):
+        raise AssertionError("probe ran despite the saturation gate")
+
+    monkeypatch.setattr(pl, "prune_work_items", boom)
+    cfg = BlastConfig(evalue=1e-6, block_size=400, word_size=11)
+    out = pl.run_search(_queries(spark), _subjects(spark), cfg,
+                        seed_prune=True)
+    assert out.count() > 0
+
+
 def test_seed_prune_noop_under_neighborhood_seeding(spark, monkeypatch):
     """blastp -threshold seeds on NON-exact word matches, so exact
     k-mer pruning is unsound there — the filter must not even be
