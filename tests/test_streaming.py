@@ -598,3 +598,59 @@ def test_cdc_stream_legacy_state_without_fingerprint(spark, tmp_path):
     other = spark.createDataFrame([(9, "z")], "k long, s string")
     apply_changeset_stream(other, mkstream(), ["k"], state, ckpt)
     assert read_cdc_state(spark, state).count() == 2  # {1,2} unchanged
+
+
+def test_asof_join_exactly_once_across_restart(spark, tmp_path):
+    """r11: the as-of twin's two stateful operators (join buffer +
+    per-click aggregation) must survive a stop/restart on the same
+    checkpoint: every click's answer is emitted exactly once across
+    the two drains, and the union equals the horizon-bounded batch
+    twin over all delivered data."""
+    import datetime as dt
+
+    from mr_mpi_blast_spark.streaming import click_error_asof_join
+    from mr_mpi_blast_spark.streaming.events import stream_to_parquet
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    wave1 = [
+        [(101, 1, base, "error")],
+        [(201, 1, base + dt.timedelta(minutes=30), "click")],
+    ]
+    # sentinels advance BOTH sides (min-global-watermark rule)
+    wave2 = [
+        [(301, 2, base + dt.timedelta(hours=5), "click"),
+         (302, 2, base + dt.timedelta(hours=5, minutes=-10), "error")],
+        [(901, 99, base + dt.timedelta(hours=10), "click"),
+         (801, 99, base + dt.timedelta(hours=10), "error")],
+        [(902, 99, base + dt.timedelta(hours=20), "click"),
+         (802, 99, base + dt.timedelta(hours=20), "error")],
+    ]
+
+    def deliver(batches):
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.mode("append").parquet(src)
+
+    def drain():
+        s = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", 1).parquet(src))
+        j = click_error_asof_join(
+            s.filter(F.col("event_type") == "click"),
+            s.filter(F.col("event_type") == "error"),
+            horizon="1 hour", watermark="10 minutes")
+        stream_to_parquet(j, out, ckpt)
+
+    deliver(wave1)
+    drain()                      # click 201 may not flush yet (wm low)
+    deliver(wave2)
+    drain()                      # restart on the same checkpoint
+    got = spark.read.parquet(out)
+    # exactly-once: no click id appears twice across the two drains
+    assert (got.groupBy("click_id").count()
+            .filter(F.col("count") > 1).count()) == 0
+    res = {r.click_id: r.err_id for r in got.collect()}
+    assert res[201] == 101       # pair delivered before the restart
+    assert res[301] == 302       # pair delivered after the restart
+    assert 901 in res or 902 in res  # sentinels flushed too
