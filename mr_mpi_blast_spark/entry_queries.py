@@ -520,6 +520,59 @@ def q_orders_pruned_lookup(spark, sf_dir):
                     .alias("o_date")))
 
 
+_APPEND_PK = (130, 180)
+_APPEND_SK = (30, 60)
+
+
+def _lineitem_append_dir(sf_dir: str) -> str:
+    st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
+    key = f"zappend:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    return _pairs_store_path(key)
+
+
+@query("lineitem_layout_append", f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+FROM lineitem
+WHERE l_partkey BETWEEN {_APPEND_PK[0]} AND {_APPEND_PK[1]}
+  AND l_suppkey BETWEEN {_APPEND_SK[0]} AND {_APPEND_SK[1]}
+""")
+def q_lineitem_layout_append(spark, sf_dir):
+    """Incremental layout maintenance (r11): lineitem staged as a
+    z-layout from 3/4 of its rows, the remaining 1/4 APPENDED through
+    the layout's stored curve parameters (append_to_zorder_layout —
+    new rows land in their cells, base files never rewritten), and
+    the manifest maintained INCREMENTALLY (upsert_zorder_manifest —
+    only touched cells recomputed; equality with a from-scratch
+    manifest is test-pinned). The query then answers a range
+    predicate via the pruned read over the appended layout — the
+    lakehouse append/OPTIMIZE pattern end-to-end. Oracle: the full
+    scan of ALL lineitem rows (base + delta), so a row lost or
+    double-binned by the append would hash-mismatch.
+    Tail-registered: the r11 window is full."""
+    from mr_mpi_blast_spark.operators.layout import (
+        append_to_zorder_layout, pruned_read, upsert_zorder_manifest,
+        write_zorder_layout, zorder_manifest)
+    path = _lineitem_append_dir(sf_dir)
+    man_path = f"{path}_manifest"
+    if not os.path.exists(os.path.join(man_path, "_SUCCESS")):
+        li = _t(spark, sf_dir, "lineitem")
+        write_zorder_layout(li.filter(F.col("l_orderkey") % 4 != 0),
+                            "l_partkey", "l_suppkey", path)
+        man0 = zorder_manifest(spark, path, "l_partkey", "l_suppkey")
+        touched = append_to_zorder_layout(
+            li.filter(F.col("l_orderkey") % 4 == 0), path)
+        upsert_zorder_manifest(spark, path, man0, touched,
+                               "l_partkey", "l_suppkey") \
+            .write.mode("overwrite").parquet(man_path)
+    manifest = spark.read.parquet(man_path)
+    df, kept, total = pruned_read(spark, path, manifest,
+                                  x_range=_APPEND_PK, y_range=_APPEND_SK)
+    return (df.filter(F.col("l_partkey").between(*_APPEND_PK)
+                      & F.col("l_suppkey").between(*_APPEND_SK))
+            .select("l_orderkey", "l_linenumber", "l_partkey",
+                    "l_suppkey", "l_quantity"))
+
+
 _HDR_QS = [500, 900, 990, 999]
 
 

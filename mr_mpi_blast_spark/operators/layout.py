@@ -151,6 +151,68 @@ def write_zorder_layout(df: DataFrame, x: str, y: str, out_dir: str, *,
     (zdf.withColumn("zcell", F.expr(f"_z div {1 << width_bits}"))
         .drop("_z")
         .write.mode("overwrite").partitionBy("zcell").parquet(out_dir))
+    # curve parameters persisted WITH the layout (meta after _SUCCESS,
+    # the stage_volumes discipline): an append must bin new rows with
+    # the SAME (x, y, bits, width) or its cells would not line up
+    import json
+    import os
+    with open(os.path.join(out_dir, _LAYOUT_META), "w") as fh:
+        json.dump({"x": x, "y": y, "bits": bits,
+                   "width_bits": width_bits}, fh)
+
+
+_LAYOUT_META = "_layout_meta.json"
+
+
+def append_to_zorder_layout(df: DataFrame, layout_dir: str) -> list[int]:
+    """Append rows to an EXISTING z-layout using its stored curve
+    parameters (the lakehouse append path: new data lands in the
+    cells the curve assigns it, including brand-new cells past the
+    original domain — no rewrite of existing files). Returns the
+    TOUCHED cell ids — cells-not-rows sized, exactly the scope an
+    incremental manifest upsert needs (upsert_zorder_manifest). One
+    shuffle-free scan of the delta; the base layout is never read."""
+    import json
+    import os
+    meta_p = os.path.join(layout_dir, _LAYOUT_META)
+    if not os.path.exists(meta_p):
+        raise FileNotFoundError(
+            f"{layout_dir}: no {_LAYOUT_META} - not a "
+            f"write_zorder_layout output (or a pre-r11 layout; "
+            f"rewrite it once to stamp the curve parameters)")
+    with open(meta_p) as fh:
+        meta = json.load(fh)
+    z = zvalue(meta["x"], meta["y"], meta["bits"])
+    zdf = (df.withColumn("_z", z)
+           .withColumn("zcell",
+                       F.expr(f"_z div {1 << meta['width_bits']}"))
+           .drop("_z"))
+    touched = sorted(r.zcell for r in
+                     zdf.select("zcell").distinct().collect())
+    if not touched:
+        return []
+    zdf.write.mode("append").partitionBy("zcell").parquet(layout_dir)
+    return touched
+
+
+def upsert_zorder_manifest(spark: SparkSession, layout_dir: str,
+                           manifest: DataFrame, touched: list[int],
+                           x: str, y: str,
+                           bloom_col: str | None = None,
+                           bloom_bits: int = 1 << 17) -> DataFrame:
+    """Incremental manifest maintenance after append_to_zorder_layout:
+    recompute stats for the TOUCHED cells only (reads just those cell
+    directories) and splice them over the old manifest's rows — the
+    rest of the manifest is reused verbatim, so maintenance cost
+    scales with the delta, not the table. Result is row-for-row equal
+    to a from-scratch zorder_manifest (pinned by test)."""
+    if not touched:
+        return manifest
+    paths = [f"{layout_dir}/zcell={c}" for c in touched]
+    sub = spark.read.option("basePath", layout_dir).parquet(*paths)
+    fresh = _manifest_of(sub, x, y, bloom_col, bloom_bits)
+    kept = manifest.filter(~F.col("zcell").isin(touched))
+    return kept.unionByName(fresh)
 
 
 def zorder_manifest(spark: SparkSession, layout_dir: str,
@@ -175,7 +237,15 @@ def zorder_manifest(spark: SparkSession, layout_dir: str,
     is a byproduct of the layout write, and its size is
     files-not-rows — the quantity a driver may hold.
     """
-    df = spark.read.parquet(layout_dir)
+    return _manifest_of(spark.read.parquet(layout_dir), x, y,
+                        bloom_col, bloom_bits)
+
+
+def _manifest_of(df: DataFrame, x: str, y: str,
+                 bloom_col: str | None, bloom_bits: int) -> DataFrame:
+    """Per-zcell manifest rows of a (subset of a) layout frame — the
+    shared aggregate of zorder_manifest (whole layout) and
+    upsert_zorder_manifest (touched cells only)."""
     stats = df.groupBy("zcell").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min(x).alias("min_x"), F.max(x).alias("max_x"),

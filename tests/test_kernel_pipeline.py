@@ -453,6 +453,33 @@ def test_seed_prune_keeps_minus_strand_only_block(spark):
     assert sorted(map(tuple, pruned.select(*cols).collect())) == want
 
 
+def test_seed_prune_probe_plan_broadcasts_only_the_filter(spark, tmp_path):
+    """The prune probe's plan shape: the volume position table rides a
+    BroadcastExchange (bounded at bits rows/volume by construction);
+    the query k-mer stream is never shuffled for the membership test
+    (the groupBy that follows is kmer-keyed and map-side-combinable)."""
+    from mr_mpi_blast_spark.plans.pipeline import (prune_work_items,
+                                                   stage_volumes,
+                                                   volume_seed_blooms)
+    q = _seq(200, salt=41)
+    subs = spark.createDataFrame(
+        [("s1", "s1", "v.a", q[20:180], 160),
+         ("s2", "s2", "v.b", _seq(200, salt=42), 200)],
+        "sid string, defline string, db_part string, seq string, "
+        "length int")
+    db_dir, _, _ = stage_volumes(subs, str(tmp_path / "v"))
+    blooms = volume_seed_blooms(spark, db_dir, 11)
+    blocked = spark.createDataFrame([(0, 1, q)],
+                                    "block_id long, qid long, seq string")
+    keep = prune_work_items(blocked, blooms, 11)
+    plan = keep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    join_lines = [ln for ln in plan.splitlines()
+                  if "Join" in ln and "pos" in ln]
+    assert join_lines and all("Broadcast" in ln for ln in join_lines), \
+        join_lines
+
+
 def test_seed_prune_saturation_gate_skips_probe(spark, monkeypatch):
     """When every volume's filter fill exceeds the gate, the probe is
     skipped entirely (saturated filters cannot prune — probing is

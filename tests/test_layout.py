@@ -192,3 +192,58 @@ def test_write_zorder_layout_empty_input_fails_loudly(spark, tmp_path):
     empty = spark.createDataFrame([], "x long, y long")
     with pytest.raises(ValueError, match="empty"):
         write_zorder_layout(empty, "x", "y", str(tmp_path / "ze"))
+
+
+def test_layout_append_and_manifest_upsert(spark, tmp_path):
+    """r11: appending through the stored curve parameters lands rows
+    in the right cells (including brand-new cells past the original
+    domain), touches only delta cells, and the incremental manifest
+    upsert is row-for-row equal to a from-scratch manifest. Pruned
+    reads over the appended layout stay value-identical to a full
+    scan of base+delta."""
+    from mr_mpi_blast_spark.operators.layout import (
+        append_to_zorder_layout, pruned_read, upsert_zorder_manifest,
+        write_zorder_layout, zorder_manifest)
+    base = spark.createDataFrame(
+        [(i, i % 37, (i * 3) % 23, i % 100) for i in range(2000)],
+        "id long, x long, y long, k long")
+    layout = str(tmp_path / "za")
+    write_zorder_layout(base, "x", "y", layout, target_files=16)
+    man0 = zorder_manifest(spark, layout, "x", "y", bloom_col="k")
+    # delta includes values past the base domain -> new cells
+    delta = spark.createDataFrame(
+        [(10_000 + i, 37 + i % 10, 23 + i % 7, 100 + i % 9)
+         for i in range(300)],
+        "id long, x long, y long, k long")
+    touched = append_to_zorder_layout(delta, layout)
+    assert touched, "delta must touch at least one cell"
+    man1 = upsert_zorder_manifest(spark, layout, man0, touched,
+                                  "x", "y", bloom_col="k")
+    fresh = zorder_manifest(spark, layout, "x", "y", bloom_col="k")
+    a = sorted(map(tuple, man1.collect()))
+    b = sorted(map(tuple, fresh.collect()))
+    assert a == b
+    # upsert really is incremental: untouched cells' rows are REUSED
+    kept0 = {r.zcell: r.n_rows for r in man0.collect()}
+    kept1 = {r.zcell: r.n_rows for r in man1.collect()}
+    untouched = set(kept0) - set(touched)
+    assert untouched and all(kept1[c] == kept0[c] for c in untouched)
+    # pruned read over the appended layout == full union scan
+    got, kept, total = pruned_read(spark, layout, man1,
+                                   x_range=(38, 46))
+    assert 1 <= kept < total
+    pred = "x BETWEEN 38 AND 46"
+    want = sorted(r.id for r in base.filter(pred).collect()) \
+        + sorted(r.id for r in delta.filter(pred).collect())
+    assert sorted(r.id for r in got.filter(pred).collect()) \
+        == sorted(want)
+    # bloom manifest over appended data: a delta-only key still found
+    got2, kept2, _ = pruned_read(spark, layout, man1, bloom_point=105)
+    assert sorted(r.id for r in got2.filter("k = 105").collect()) \
+        == sorted(r.id for r in delta.filter("k = 105").collect())
+    # appending to a meta-less dir fails loudly
+    import pytest as _pytest
+    bare = str(tmp_path / "bare")
+    base.limit(5).write.mode("overwrite").parquet(bare)
+    with _pytest.raises(FileNotFoundError, match="layout_meta"):
+        append_to_zorder_layout(delta, bare)
