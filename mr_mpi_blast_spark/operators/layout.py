@@ -342,3 +342,52 @@ def pruned_read(spark: SparkSession, layout_dir: str,
     paths = [f"{layout_dir}/zcell={c}" for c in kept]
     df = spark.read.option("basePath", layout_dir).parquet(*paths)
     return df, len(kept), total
+
+
+def compact_zorder_cells(spark: SparkSession, layout_dir: str,
+                         cells: list[int],
+                         max_files_per_cell: int = 1) -> list[int]:
+    """Small-file compaction — the other half of OPTIMIZE: appends
+    accumulate one file per (append, cell), and a point read that
+    opens a cell pays per FILE, not per row. Rewrites each listed
+    cell's rows into ONE file via a dynamic partition overwrite (the
+    hash repartition on zcell puts each cell's rows in exactly one
+    task; ``max_files_per_cell`` is the SKIP threshold — cells at or
+    under it are left alone). Only the written cells are replaced;
+    the rest of the layout is untouched. Returns the cells actually
+    rewritten (the file-count listing is metadata-sized, so
+    already-compact cells cost nothing).
+
+    Values are untouched BY CONSTRUCTION (same rows, same cells — the
+    manifest stays valid verbatim); the test pins value identity and
+    the file-count drop. NOT transactional: a reader racing the
+    overwrite of a cell can see it torn — the parquet-dir analog of
+    why real lakehouse formats put a snapshot log in front of exactly
+    this rewrite; run it in the maintenance window the formats also
+    need for GC."""
+    import os
+    todo = []
+    for c in cells:
+        d = os.path.join(layout_dir, f"zcell={c}")
+        if not os.path.isdir(d):
+            raise FileNotFoundError(f"{layout_dir}: no cell {c}")
+        n = sum(1 for f in os.listdir(d)
+                if f.endswith(".parquet") or f.startswith("part-"))
+        if n > max_files_per_cell:
+            todo.append(c)
+    if not todo:
+        return []
+    paths = [f"{layout_dir}/zcell={c}" for c in todo]
+    sub = spark.read.option("basePath", layout_dir).parquet(*paths)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                   "dynamic")
+    try:
+        (sub.repartition(max_files_per_cell * len(todo), "zcell")
+         .write.mode("overwrite").partitionBy("zcell")
+         .parquet(layout_dir))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       prev)
+    return todo

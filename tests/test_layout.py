@@ -247,3 +247,58 @@ def test_layout_append_and_manifest_upsert(spark, tmp_path):
     base.limit(5).write.mode("overwrite").parquet(bare)
     with _pytest.raises(FileNotFoundError, match="layout_meta"):
         append_to_zorder_layout(delta, bare)
+
+
+def test_compact_zorder_cells(spark, tmp_path):
+    """r11: compaction rewrites multi-file cells to one file each,
+    leaves values and the manifest untouched, skips already-compact
+    cells (metadata-sized check), and never touches unlisted cells."""
+    import os
+
+    from mr_mpi_blast_spark.operators.layout import (
+        append_to_zorder_layout, compact_zorder_cells,
+        write_zorder_layout, zorder_manifest)
+    base = spark.createDataFrame(
+        [(i, i % 31, (i * 5) % 17) for i in range(1500)],
+        "id long, x long, y long")
+    layout = str(tmp_path / "zc")
+    write_zorder_layout(base, "x", "y", layout, target_files=8)
+    # three appends -> multiple files per touched cell
+    touched = set()
+    for s in range(3):
+        d = spark.createDataFrame(
+            [(5000 + s * 100 + i, i % 31, (i * 5) % 17)
+             for i in range(100)], "id long, x long, y long")
+        touched.update(append_to_zorder_layout(d, layout))
+    touched = sorted(touched)
+
+    def files_in(c):
+        d = os.path.join(layout, f"zcell={c}")
+        return [f for f in os.listdir(d) if f.startswith("part-")]
+
+    assert any(len(files_in(c)) > 1 for c in touched)
+    before_vals = sorted(r.id for r in spark.read.parquet(layout).collect())
+    man_before = sorted(map(tuple,
+                            zorder_manifest(spark, layout, "x", "y")
+                            .collect()))
+    untouched_cells = [r.zcell for r in
+                       zorder_manifest(spark, layout, "x", "y")
+                       .select("zcell").collect()
+                       if r.zcell not in touched]
+    untouched_files = {c: files_in(c) for c in untouched_cells}
+
+    done = compact_zorder_cells(spark, layout, touched)
+    assert set(done) <= set(touched) and done
+    for c in touched:
+        assert len(files_in(c)) == 1, (c, files_in(c))
+    # values and manifest identical; unlisted cells untouched
+    assert sorted(r.id for r in
+                  spark.read.parquet(layout).collect()) == before_vals
+    assert sorted(map(tuple, zorder_manifest(spark, layout, "x", "y")
+                      .collect())) == man_before
+    assert {c: files_in(c) for c in untouched_cells} == untouched_files
+    # second call: nothing to do (already compact)
+    assert compact_zorder_cells(spark, layout, touched) == []
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError, match="no cell"):
+        compact_zorder_cells(spark, layout, [99_999])
