@@ -5215,39 +5215,35 @@ RECORDED_WINDOW = [
     # every round by charter
     "blast_pipeline", "blast_tail", "blast_gapped_tail",
     "blast_gapped_nucl_tail", "blast_capped_tail",
-    # never driver-recorded before r11 (r10 verdict item 1): the r10
-    # sketch additions registered after the r10 window froze + the
-    # format roundtrips / text ops / capped decontam / mix weights
-    # that spent r5-r10 behind full windows
-    "lineitem_hll_distinct", "orders_bloom_prune",
-    "decontam_ngram_capped", "jsonl_roundtrip", "mix_weights",
-    "orc_roundtrip", "text_pii_scrub", "text_repetition",
-    # new in r11: manifest-pruned scans (range arm + Bloom-point arm)
-    # + mergeable quantile sketch
-    "lineitem_pruned_scan", "orders_pruned_lookup",
-    "events_hdr_quantiles",
-    # r3-era relational facades: last externally recorded before
-    # several refactors (stalest evidence in the catalog)
-    "workitem_cross", "union_slices", "filter_scan",
-    "aggregate_shuffle", "gather_coalesce", "global_topn",
-    "distinct_dims", "semi_join", "anti_join", "set_intersect",
-    "set_except",
-    # r4-r7-era: similarity/multimodal singles never re-recorded
-    "ann_cosine_topk", "dedup_simhash", "ann_ivf_nprobe2",
-    "multimodal_resize", "ann_cosine_topk_numpy",
-    # stalest r9 evidence (every name below last recorded in
-    # CORRECTNESS_r09): core relational + sources + temporal
-    "topk_per_group", "hits_histogram", "pricing_summary",
-    "revenue_by_brand", "orders_by_nation", "shipping_priority",
-    "rollup_revenue", "window_running", "query_blocks",
-    "serial_index", "effective_dbsize", "sequence_splitter",
-    "events_hourly", "events_json_props", "events_sessionize",
-    "events_asof_join", "events_percentiles", "events_interval_join",
-    # dropped vs r10 (recorded evidence persists in CORRECTNESS_r10):
-    # the whole graph/warehouse/temporal/OLAP/profiling/BPE wave, incl.
-    # graph_triangles_bucketed per the r10 advisory (value-identical
-    # twin of graph_triangles by pinned contract — duplicate evidence;
-    # it stays oracle-checked in-repo every run).
+    # r11 verdict item 1: the ONE oracled query never driver-recorded
+    # (registered after the r11 window froze) — recording it closes
+    # the evidence ledger: every value-oracled query then has at
+    # least one driver-recorded green row
+    "lineitem_layout_append",
+    # stalest recorded evidence in the catalog: the full r9 wave
+    # (every name below last recorded in CORRECTNESS_r09)
+    "ann_ivf_recall", "ann_ivf_topk", "bucketed_orders_join",
+    "corpus_curation", "decontam_ngram", "dedup_clusters",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
+    "dedup_substr_spans", "doc_packing", "doc_train_split",
+    "embedding_clusters", "embedding_near_dup", "fasta_roundtrip",
+    "multimodal_decode", "multimodal_frames", "multivalue_sort",
+    "quality_filter", "salted_part_revenue", "split_contamination",
+    "stratified_sample", "text_fingerprint", "text_lang_id",
+    "text_ngram_topk", "text_quality", "text_token_stats",
+    # oldest r10 evidence (alphabetical prefix of the r10 wave;
+    # graph_triangles_bucketed stays excluded per the r10 advisory —
+    # value-identical twin of graph_triangles, duplicate evidence)
+    "ann_sq8_topk", "bpe_encode", "bpe_merges", "ccnet_buckets",
+    "corpus_shuffle", "dedup_keep_best", "dedup_ngram_jaccard",
+    "dedup_substr_remove", "doc_chunks", "dsir_sample",
+    "dsir_weights", "embedding_semdedup", "events_anomaly",
+    "events_funnel", "events_pivot", "events_resample",
+    "events_retention",
+    # dropped vs r11 (recorded evidence persists in CORRECTNESS_r11):
+    # the r11 window's sketch/layout/format/text/r3-facade slots —
+    # all recorded green in r11; new r12 queries displace the newest
+    # r10 names above before the round ends.
 ]
 
 

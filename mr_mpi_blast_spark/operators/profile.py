@@ -416,7 +416,7 @@ def _hdr_shift_ladder(v: str) -> str:
     DuckDB (pure comparisons and literals)."""
     arms = " ".join(
         f"WHEN {v} >= {1 << (HDR_SUB_BITS + k - 1)} THEN {k}"
-        for k in range(62 - HDR_SUB_BITS, 0, -1))
+        for k in range(63 - HDR_SUB_BITS, 0, -1))
     return f"(CASE {arms} ELSE 0 END)"
 
 

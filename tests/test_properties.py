@@ -329,7 +329,7 @@ def _py_hdr_bucket(v: int, sub: int) -> int:
     return shift * (1 << sub) + (v >> shift)
 
 
-@given(st.lists(st.integers(min_value=0, max_value=10**15),
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 63) - 1),
                 min_size=2, max_size=60, unique=True))
 @settings(max_examples=40, deadline=None)
 def test_hdr_bucket_monotone_and_bounded(vals):
@@ -355,14 +355,20 @@ def test_hdr_bucket_monotone_and_bounded(vals):
 def test_hdr_bucket_spark_matches_python_mirror(spark):
     """The generated CASE-ladder expression computes exactly the
     python-mirror bucket over a domain sweep crossing every shift
-    boundary up to 2^40 (the integer-cents range of real data)."""
+    boundary over the WHOLE non-negative int64 domain, including the
+    top arm v >= 2^62 (bit_length 63 -> shift 56; r11 advisory: the
+    ladder used to stop at shift 55 and mis-bucketed the top decade
+    into the shift-56/57 decode namespace)."""
     from pyspark.sql import functions as F
 
     from mr_mpi_blast_spark.operators.profile import (HDR_SUB_BITS,
                                                       hdr_bucket_spark)
-    vals = sorted({0, 1} | {(1 << p) + d for p in range(1, 41)
-                            for d in (-1, 0, 1, 37)} |
-                  {v * 977 + 13 for v in range(0, 2000, 97)})
+    vals = sorted(v for v in
+                  ({0, 1, (1 << 63) - 1} |
+                   {(1 << p) + d for p in range(1, 63)
+                    for d in (-1, 0, 1, 37)} |
+                   {v * 977 + 13 for v in range(0, 2000, 97)})
+                  if v < (1 << 63))
     df = spark.createDataFrame([(v,) for v in vals], "v long")
     got = {r.v: r.b for r in
            df.select("v", F.expr(hdr_bucket_spark("v")).alias("b"))
