@@ -471,7 +471,8 @@ _LOOKUP_KEY = 7  # an o_orderkey present at every sf (TPC-H sparse keys)
 
 def _orders_zlayout_dir(sf_dir: str) -> str:
     st = os.stat(os.path.join(sf_dir, "orders.parquet"))
-    key = f"orders-zlayout:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    # v2: r12 snapshot-versioned layout format (data/a=*, _manifest/v=*)
+    key = f"orders-zlayout-v2:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
     return _pairs_store_path(key)
 
 
@@ -493,26 +494,19 @@ def q_orders_pruned_lookup(spark, sf_dir):
     key's cell always survives — full-scan oracle parity); a
     non-member cell survives only on a K-fold collision.
     tests/test_layout.py pins the skip behavior; the complementary
-    range arm is lineitem_pruned_scan."""
-    from mr_mpi_blast_spark.operators.layout import (pruned_read,
-                                                     write_zorder_layout,
-                                                     zorder_manifest)
+    range arm is lineitem_pruned_scan. r12: the layout is
+    snapshot-versioned — the Bloom manifest is a byproduct of the
+    write (manifest v=1) and the read resolves the committed head."""
+    from mr_mpi_blast_spark.operators.layout import (
+        manifest_versions, pruned_read, write_zorder_layout)
     path = _orders_zlayout_dir(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    if not manifest_versions(spark, path):
         o = _t(spark, sf_dir, "orders").withColumn(
             "o_days", F.datediff(F.col("o_orderdate"),
                                  F.lit("1995-01-01").cast("date")))
-        write_zorder_layout(o, "o_custkey", "o_days", path)
-    # the Bloom manifest is staged WITH the layout (at scale it is a
-    # byproduct of the write; rebuilding 3 positions x every row on
-    # every lookup would put scan-sized work on the point-read path)
-    man_path = f"{path}_manifest"
-    if not os.path.exists(os.path.join(man_path, "_SUCCESS")):
-        zorder_manifest(spark, path, "o_custkey", "o_days",
-                        bloom_col="o_orderkey") \
-            .write.mode("overwrite").parquet(man_path)
-    manifest = spark.read.parquet(man_path)
-    df, kept, total = pruned_read(spark, path, manifest,
+        write_zorder_layout(o, "o_custkey", "o_days", path,
+                            bloom_col="o_orderkey")
+    df, kept, total = pruned_read(spark, path,
                                   bloom_point=_LOOKUP_KEY)
     return (df.filter(F.col("o_orderkey") == _LOOKUP_KEY)
             .select("o_orderkey", "o_custkey", "o_totalprice",
@@ -526,7 +520,8 @@ _APPEND_SK = (30, 60)
 
 def _lineitem_append_dir(sf_dir: str) -> str:
     st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
-    key = f"zappend:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    # v2: r12 snapshot-versioned layout format (data/a=*, _manifest/v=*)
+    key = f"zappend-v2:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
     return _pairs_store_path(key)
 
 
@@ -542,30 +537,27 @@ def q_lineitem_layout_append(spark, sf_dir):
     the layout's stored curve parameters (append_to_zorder_layout —
     new rows land in their cells, base files never rewritten), and
     the manifest maintained INCREMENTALLY (upsert_zorder_manifest —
-    only touched cells recomputed; equality with a from-scratch
-    manifest is test-pinned). The query then answers a range
-    predicate via the pruned read over the appended layout — the
-    lakehouse append/OPTIMIZE pattern end-to-end. Oracle: the full
-    scan of ALL lineitem rows (base + delta), so a row lost or
-    double-binned by the append would hash-mismatch.
-    Tail-registered: the r11 window is full."""
+    delta-sized stat merge, never re-reading committed data; equality
+    with a from-scratch manifest is test-pinned). The query then
+    answers a range predicate via the pruned read over the committed
+    head snapshot — the lakehouse append/OPTIMIZE pattern end-to-end,
+    r12: appends publish atomically as manifest v=2 (torn appends
+    invisible; tests/test_layout.py pins the commit protocol).
+    Oracle: the full scan of ALL lineitem rows (base + delta), so a
+    row lost or double-binned by the append would hash-mismatch."""
     from mr_mpi_blast_spark.operators.layout import (
-        append_to_zorder_layout, pruned_read, upsert_zorder_manifest,
-        write_zorder_layout, zorder_manifest)
+        append_to_zorder_layout, manifest_versions, pruned_read,
+        upsert_zorder_manifest, write_zorder_layout)
     path = _lineitem_append_dir(sf_dir)
-    man_path = f"{path}_manifest"
-    if not os.path.exists(os.path.join(man_path, "_SUCCESS")):
+    if len(manifest_versions(spark, path)) < 2:
         li = _t(spark, sf_dir, "lineitem")
         write_zorder_layout(li.filter(F.col("l_orderkey") % 4 != 0),
                             "l_partkey", "l_suppkey", path)
-        man0 = zorder_manifest(spark, path, "l_partkey", "l_suppkey")
-        touched = append_to_zorder_layout(
-            li.filter(F.col("l_orderkey") % 4 == 0), path)
-        upsert_zorder_manifest(spark, path, man0, touched,
-                               "l_partkey", "l_suppkey") \
-            .write.mode("overwrite").parquet(man_path)
-    manifest = spark.read.parquet(man_path)
-    df, kept, total = pruned_read(spark, path, manifest,
+        res = append_to_zorder_layout(
+            li.filter(F.col("l_orderkey") % 4 == 0), path,
+            append_id="delta")
+        upsert_zorder_manifest(spark, path, res)
+    df, kept, total = pruned_read(spark, path,
                                   x_range=_APPEND_PK, y_range=_APPEND_SK)
     return (df.filter(F.col("l_partkey").between(*_APPEND_PK)
                       & F.col("l_suppkey").between(*_APPEND_SK))
@@ -4309,7 +4301,8 @@ _PRUNE_SK = (1, 25)
 
 def _zlayout_dir(sf_dir: str) -> str:
     st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
-    key = f"zlayout:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    # v2: r12 snapshot-versioned layout format (data/a=*, _manifest/v=*)
+    key = f"zlayout-v2:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
     return _pairs_store_path(key)
 
 
@@ -4332,24 +4325,17 @@ def q_lineitem_pruned_scan(spark, sf_dir):
     exact predicate is value-identical to the full scan — the oracle
     IS the full scan. tests/test_layout.py pins files_kept <
     files_total on this predicate; the query returns the pruned
-    frame so the driver's value hash exercises the pruned path."""
-    from mr_mpi_blast_spark.operators.layout import (pruned_read,
-                                                     write_zorder_layout,
-                                                     zorder_manifest)
+    frame so the driver's value hash exercises the pruned path.
+    r12: the layout is snapshot-versioned — the manifest is a
+    byproduct of the write (v=1) and the read resolves the committed
+    head once, isolating it from concurrent maintenance."""
+    from mr_mpi_blast_spark.operators.layout import (
+        manifest_versions, pruned_read, write_zorder_layout)
     path = _zlayout_dir(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    if not manifest_versions(spark, path):
         write_zorder_layout(_t(spark, sf_dir, "lineitem"),
                             "l_partkey", "l_suppkey", path)
-    # manifest staged WITH the layout (r11 review: rebuilding it per
-    # query is a full scan of the layout BEFORE any skipping — the
-    # exact cost the pruned read exists to avoid; at scale it is a
-    # byproduct of the write)
-    man_path = f"{path}_manifest"
-    if not os.path.exists(os.path.join(man_path, "_SUCCESS")):
-        zorder_manifest(spark, path, "l_partkey", "l_suppkey") \
-            .write.mode("overwrite").parquet(man_path)
-    manifest = spark.read.parquet(man_path)
-    df, kept, total = pruned_read(spark, path, manifest,
+    df, kept, total = pruned_read(spark, path,
                                   x_range=_PRUNE_PK, y_range=_PRUNE_SK)
     return (df.filter(F.col("l_partkey").between(*_PRUNE_PK)
                       & F.col("l_suppkey").between(*_PRUNE_SK))

@@ -18,6 +18,7 @@ also exactly the evidence that the layout prunes.
 from __future__ import annotations
 
 import math
+from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -106,37 +107,239 @@ def zorder_file_stats(df: DataFrame, x: str, y: str, *, bits: int = 20,
                  F.min("y").alias("min_y"), F.max("y").alias("max_y")))
 
 
+
 # ---------------------------------------------------------------------------
-# Manifest-driven file skipping (r11): the payoff step of the z-order
-# family. zorder_file_stats EMITS the per-file statistics; these
-# operators WRITE the clustered layout, read its manifest back, and
-# plan a pruned read that touches only the files a range predicate
-# can possibly hit — the reference's DB-partition selection
-# (mrblast.cpp:105-117, the dblist as the scan scope) generalized to
-# min/max (and optional Bloom) pruning, and the OPTIMIZE-ZORDER
-# payoff the lakehouse formats sell.
+# Snapshot-versioned z-order layout (r12): the payoff step of the
+# z-order family, restructured from r11's overwrite-in-place parquet
+# dirs into the commit protocol real lakehouse formats use. The
+# reference analog is still the DB-partition selection of
+# mrblast.cpp:105-117 (the dblist as the scan scope) plus its
+# restart/SUCCESS-marker run protocol
+# (examples/refseq-all-vs-all/ranger-for-loop-run.sh) — "readers see
+# only committed state", generalized to min/max + Bloom file skipping.
+#
+# On-disk layout (all reads/writes through Spark or the Hadoop
+# FileSystem API — no driver-local os.* calls, so hdfs:// and s3a://
+# layouts behave like local ones; r11 advisory):
+#
+#   <layout_dir>/
+#     data/a=<append_id>/zcell=<c>/part-*.parquet
+#         -- data files, IMMUTABLE once their append dir commits
+#            (_SUCCESS at the a= root); every write (base load,
+#            append, compaction) lands in its OWN a= dir, so a torn
+#            writer can never corrupt committed files
+#     _layout_meta/          one-row JSON: curve + Bloom parameters
+#                            (written through Spark, like the CDC
+#                            stream's base fingerprint)
+#     _manifest/v=<N>/       snapshot manifests (parquet; _SUCCESS
+#                            gates the commit). One row per zcell:
+#                            stats + the RELATIVE paths of the files
+#                            that version references.
+#
+# The COMMITTED MANIFEST IS THE TABLE: readers resolve the highest
+# committed v (or pin one) and open exactly the files it lists.
+# Consequences, each test-pinned:
+#   - torn/duplicate appends are INVISIBLE until their manifest
+#     commit (exactly-once for the streaming ingest twin);
+#   - compaction writes new files and flips the manifest — a reader
+#     pinned to v=N is value-stable while v=N+1 commits (no torn
+#     reads; r11's documented race is closed);
+#   - old files stay until gc_zorder_layout, whose retention is the
+#     versions still readable.
+# Concurrency contract: single WRITER at a time (commit is optimistic
+# — a racing commit of the same version fails loudly rather than
+# clobbering); readers are unrestricted.
 # ---------------------------------------------------------------------------
+
+_LAYOUT_META = "_layout_meta"
+_MANIFEST = "_manifest"
+_META_SCHEMA = ("x string, y string, bits int, width_bits int, "
+                "bloom_col string, bloom_bits int")
+
+
+class AppendResult(NamedTuple):
+    """What an append committed: its data directory id and the cells
+    it landed rows in (cells-not-rows sized — the scope of the
+    incremental manifest upsert)."""
+    append_id: str
+    touched: list
+
+
+def _fs(spark: SparkSession, base: str):
+    from mr_mpi_blast_spark.streaming.kernel_stream import _hadoop_fs
+    return _hadoop_fs(spark, base)
+
+
+def layout_meta(spark: SparkSession, layout_dir: str) -> dict:
+    """The layout's stored curve + Bloom parameters. Every maintainer
+    (append/upsert/compact) and the Bloom probe read these from the
+    table rather than taking them as arguments — the parameters are
+    table properties, so a caller cannot probe with a bloom_bits the
+    manifest was not built with (the silent-no-prune drift r11's
+    argument-passing form allowed)."""
+    fs, hpath = _fs(spark, layout_dir)
+    meta_dir = f"{layout_dir}/{_LAYOUT_META}"
+    if not fs.exists(hpath(f"{meta_dir}/_SUCCESS")):
+        raise FileNotFoundError(
+            f"{layout_dir}: no committed {_LAYOUT_META} - not a "
+            f"write_zorder_layout output (or a pre-r12 layout; "
+            f"rewrite it once to stamp the table parameters)")
+    row = spark.read.schema(_META_SCHEMA).json(meta_dir).collect()[0]
+    return row.asDict()
+
+
+def manifest_versions(spark: SparkSession, layout_dir: str) -> list:
+    """Committed manifest versions, ascending. Commit = the v=<N>
+    directory bears _SUCCESS — the same marker discipline as the
+    streaming sinks' batch= dirs, and atomic on every Hadoop
+    filesystem (the marker lands after the files)."""
+    fs, hpath = _fs(spark, layout_dir)
+    mdir = hpath(f"{layout_dir}/{_MANIFEST}")
+    if not fs.exists(mdir):
+        return []
+    out = []
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v=") \
+                and fs.exists(hpath(f"{st.getPath().toString()}/_SUCCESS")):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def read_zorder_manifest(spark: SparkSession, layout_dir: str,
+                         version: int | None = None):
+    """(manifest DataFrame, resolved version). ``version=None``
+    resolves the snapshot ONCE — the caller's plan then reads exactly
+    that version's files however long it runs, which is the
+    racing-reader isolation the r11 design lacked."""
+    vs = manifest_versions(spark, layout_dir)
+    if not vs:
+        raise FileNotFoundError(
+            f"{layout_dir}: no committed manifest - not a "
+            f"write_zorder_layout output")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(
+            f"{layout_dir}: manifest version {v} is not committed "
+            f"(have {vs}) - gc'd, torn, or never written")
+    return spark.read.parquet(f"{layout_dir}/{_MANIFEST}/v={v}"), v
+
+
+def _commit_manifest(spark: SparkSession, layout_dir: str,
+                     mdf: DataFrame, expect_version: int) -> int:
+    """Commit ``mdf`` as version expect_version+1. Optimistic: if the
+    committed head moved past ``expect_version``, fail loudly instead
+    of publishing a manifest that silently forgets the interleaved
+    writer's files (the lost-update anomaly). A torn v=<N+1> dir from
+    a previous crashed commit (no _SUCCESS) is trash and is replaced."""
+    head = manifest_versions(spark, layout_dir)
+    cur = head[-1] if head else 0
+    if cur != expect_version:
+        raise RuntimeError(
+            f"{layout_dir}: concurrent manifest commit (expected head "
+            f"v={expect_version}, found v={cur}) - re-read the "
+            f"manifest and retry; layouts are single-writer")
+    new = cur + 1
+    vdir = f"{layout_dir}/{_MANIFEST}/v={new}"
+    fs, hpath = _fs(spark, layout_dir)
+    if fs.exists(hpath(vdir)):          # torn earlier attempt
+        fs.delete(hpath(vdir), True)
+    # a manifest is files-not-rows sized BY CONSTRUCTION (one row per
+    # cell; ~1e5 rows for 100 TB at 1 GB files) — one output file
+    mdf.coalesce(1).write.mode("errorIfExists").parquet(vdir)
+    return new
+
+
+def _rel_file(col: Column) -> Column:
+    # manifest paths are RELATIVE to <layout_dir>/data so the table
+    # survives a directory move/rename (and the manifest never bakes
+    # in a scheme like file:// vs s3a://). a=/zcell=/part names never
+    # contain "/data/", so the LAST occurrence splits correctly even
+    # if layout_dir itself contains one.
+    return F.substring_index(col, "/data/", -1)
+
+
+def _manifest_of(df: DataFrame, x: str, y: str,
+                 bloom_col: str | None, bloom_bits: int) -> DataFrame:
+    """Per-zcell manifest rows of a (subset of a) layout frame read
+    from parquet: stats + referenced files (+ optional Bloom). Shared
+    by the initial write, the incremental upsert (delta only) and the
+    from-scratch verification manifest."""
+    withf = df.withColumn("_f", _rel_file(F.input_file_name()))
+    stats = withf.groupBy("zcell").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(x).alias("min_x"), F.max(x).alias("max_x"),
+        F.min(y).alias("min_y"), F.max(y).alias("max_y"),
+        F.array_sort(F.collect_set("_f")).alias("files"))
+    if bloom_col is None:
+        return stats
+    from mr_mpi_blast_spark.operators.profile import \
+        _bloom_positions_spark
+    pos = F.array(*[F.expr(p) for p in
+                    _bloom_positions_spark(bloom_col, bloom_bits)])
+    # dedup BEFORE collecting (r11 review): exploding to (zcell, pos)
+    # and going through a DISTINCT bounds the pre-collect stream at
+    # bloom_bits rows per cell by construction; both aggregates
+    # combine map-side.
+    blooms = (df.select("zcell", F.explode(pos).alias("p")).distinct()
+              .groupBy("zcell")
+              .agg(F.array_sort(F.collect_set("p")).alias("bloom_pos")))
+    return stats.join(blooms, "zcell")
+
+
+def _merge_manifests(cur: DataFrame, fresh: DataFrame) -> DataFrame:
+    """Manifest merge is a pure aggregation — counts add, envelopes
+    widen, file lists and Bloom position sets union — so incremental
+    maintenance costs one groupBy over two files-not-rows inputs and
+    NEVER re-reads committed data (the mergeable-sketch discipline
+    applied to table metadata)."""
+    u = cur.unionByName(fresh)
+    aggs = [F.sum("n_rows").alias("n_rows"),
+            F.min("min_x").alias("min_x"), F.max("max_x").alias("max_x"),
+            F.min("min_y").alias("min_y"), F.max("max_y").alias("max_y"),
+            F.array_sort(F.flatten(F.collect_list("files")))
+            .alias("files")]
+    if "bloom_pos" in u.columns:
+        aggs.append(F.array_sort(F.array_distinct(
+            F.flatten(F.collect_list("bloom_pos")))).alias("bloom_pos"))
+    return u.groupBy("zcell").agg(*aggs)
+
+
+def _read_files(spark: SparkSession, layout_dir: str,
+                rel_files: list) -> DataFrame:
+    df = spark.read.option("basePath", f"{layout_dir}/data").parquet(
+        *[f"{layout_dir}/data/{f}" for f in rel_files])
+    return df.drop("a")
 
 
 def write_zorder_layout(df: DataFrame, x: str, y: str, out_dir: str, *,
-                        bits: int = 20,
-                        target_files: int = 64) -> None:
-    """Write ``df`` as a z-clustered parquet layout: one directory
-    partition per fixed-width z-range cell (``zcell=<id>``), cell
-    width sized so roughly ``target_files`` cells cover the observed
-    z-domain (one O(1)-row max-aggregate decides the width — a
-    staging-time job, amortized over every later pruned read).
+                        bits: int = 20, target_files: int = 64,
+                        bloom_col: str | None = None,
+                        bloom_bits: int = 1 << 17) -> int:
+    """Initialize a z-clustered layout from ``df`` and commit manifest
+    v=1; returns the committed version. Cell width is sized so roughly
+    ``target_files`` cells cover the observed z-domain (one O(1)-row
+    max-aggregate — a staging-time job amortized over every later
+    pruned read). With ``bloom_col`` set, every manifest version also
+    carries per-cell Bloom positions over that column (size
+    ``bloom_bits`` at ~10x expected distinct keys per cell — a
+    saturated filter prunes nothing; both build and probe read the
+    stored value, so they cannot drift).
 
-    At 100 TB this is the OPTIMIZE-ZORDER write: the partitionBy
-    clusters co-curve rows into the same files, so BOTH dimensions
-    get bounded per-file ranges. The cell id is pure arithmetic on
-    the z-value — no global sort, no single-task window — and the
-    write is one shuffle-free scan (each task appends to the cells
-    its rows land in; at scale prepend a repartitionByRange on z to
-    bound open-file counts per task).
-    """
-    z = zvalue(x, y, bits)
-    zdf = df.withColumn("_z", z)
+    The manifest derives from the COMMITTED FILES (read back after
+    the write), not from a second evaluation of ``df`` — so even a
+    nondeterministic input (sample/rand, a re-read changing source)
+    yields a manifest consistent with what was actually written; the
+    separate max-aggregate evaluation can only affect cell geometry,
+    never visibility (r11 advisory, applied to the base write too).
+
+    At 100 TB this is the OPTIMIZE-ZORDER write: partitionBy clusters
+    co-curve rows into the same files so BOTH dimensions get bounded
+    per-file ranges; the cell id is pure arithmetic on the z-value —
+    no global sort, no single-task window (at scale prepend a
+    repartitionByRange on _z to bound open files per task)."""
+    spark = df.sparkSession
+    zdf = df.withColumn("_z", zvalue(x, y, bits))
     max_z = zdf.agg(F.max("_z")).collect()[0][0]
     if max_z is None:
         # loud and near the cause (r11 review): an empty layout writes
@@ -148,124 +351,117 @@ def write_zorder_layout(df: DataFrame, x: str, y: str, out_dir: str, *,
             "staging input")
     width_bits = max(1, math.ceil(math.log2(max(2, (max_z + 1)
                                                 / target_files))))
+    adir = f"{out_dir}/data/a=base"
     (zdf.withColumn("zcell", F.expr(f"_z div {1 << width_bits}"))
         .drop("_z")
-        .write.mode("overwrite").partitionBy("zcell").parquet(out_dir))
-    # curve parameters persisted WITH the layout (meta after _SUCCESS,
-    # the stage_volumes discipline): an append must bin new rows with
-    # the SAME (x, y, bits, width) or its cells would not line up
-    import json
-    import os
-    with open(os.path.join(out_dir, _LAYOUT_META), "w") as fh:
-        json.dump({"x": x, "y": y, "bits": bits,
-                   "width_bits": width_bits}, fh)
+        .write.mode("overwrite").partitionBy("zcell").parquet(adir))
+    # table parameters persisted WITH the layout, through Spark (the
+    # CDC-stream fingerprint discipline — the sidecar lives on the
+    # same filesystem as the data): appends must bin with the SAME
+    # curve and Bloom probes with the SAME bits
+    (spark.createDataFrame(
+        [(x, y, bits, width_bits, bloom_col, bloom_bits)], _META_SCHEMA)
+     .coalesce(1).write.mode("overwrite").json(
+         f"{out_dir}/{_LAYOUT_META}"))
+    committed = spark.read.option("basePath", adir).parquet(adir)
+    manifest = _manifest_of(committed, x, y, bloom_col, bloom_bits)
+    return _commit_manifest(spark, out_dir, manifest, expect_version=0)
 
 
-_LAYOUT_META = "_layout_meta.json"
+def append_to_zorder_layout(df: DataFrame, layout_dir: str,
+                            append_id: str | None = None) -> AppendResult:
+    """Write ``df`` into the layout through its stored curve
+    parameters, as a NEW immutable append directory (base files are
+    never rewritten; brand-new cells past the original domain are
+    fine). Returns (append_id, touched cells). The rows are NOT
+    visible to manifest-driven readers until upsert_zorder_manifest
+    commits — which is what makes a torn or duplicated append
+    harmless (its files are never referenced) and replay exactly-once
+    for the streaming ingest twin.
 
-
-def append_to_zorder_layout(df: DataFrame, layout_dir: str) -> list[int]:
-    """Append rows to an EXISTING z-layout using its stored curve
-    parameters (the lakehouse append path: new data lands in the
-    cells the curve assigns it, including brand-new cells past the
-    original domain — no rewrite of existing files). Returns the
-    TOUCHED cell ids — cells-not-rows sized, exactly the scope an
-    incremental manifest upsert needs (upsert_zorder_manifest). One
-    shuffle-free scan of the delta; the base layout is never read."""
-    import json
-    import os
-    meta_p = os.path.join(layout_dir, _LAYOUT_META)
-    if not os.path.exists(meta_p):
-        raise FileNotFoundError(
-            f"{layout_dir}: no {_LAYOUT_META} - not a "
-            f"write_zorder_layout output (or a pre-r11 layout; "
-            f"rewrite it once to stamp the curve parameters)")
-    with open(meta_p) as fh:
-        meta = json.load(fh)
+    The touched set derives from the COMMITTED FILES after the write
+    — the input is evaluated exactly once, so a nondeterministic
+    source cannot write rows into a cell absent from ``touched``
+    (r11 advisory closure). A caller-supplied ``append_id`` makes the
+    write idempotent (a replay overwrites its own directory)."""
+    import uuid
+    spark = df.sparkSession
+    meta = layout_meta(spark, layout_dir)
+    aid = append_id if append_id is not None else uuid.uuid4().hex[:12]
+    if "/" in aid or "=" in aid:
+        raise ValueError(f"append_id must be a plain name, got {aid!r}")
+    adir = f"{layout_dir}/data/a={aid}"
     z = zvalue(meta["x"], meta["y"], meta["bits"])
-    zdf = (df.withColumn("_z", z)
-           .withColumn("zcell",
-                       F.expr(f"_z div {1 << meta['width_bits']}"))
-           .drop("_z"))
-    touched = sorted(r.zcell for r in
-                     zdf.select("zcell").distinct().collect())
-    if not touched:
-        return []
-    zdf.write.mode("append").partitionBy("zcell").parquet(layout_dir)
-    return touched
+    (df.withColumn("_z", z)
+       .withColumn("zcell", F.expr(f"_z div {1 << meta['width_bits']}"))
+       .drop("_z")
+       .write.mode("overwrite").partitionBy("zcell").parquet(adir))
+    fs, hpath = _fs(spark, adir)
+    touched = sorted(
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(hpath(adir))
+        if st.isDirectory() and st.getPath().getName().startswith("zcell="))
+    return AppendResult(aid, touched)
 
 
 def upsert_zorder_manifest(spark: SparkSession, layout_dir: str,
-                           manifest: DataFrame, touched: list[int],
-                           x: str, y: str,
-                           bloom_col: str | None = None,
-                           bloom_bits: int = 1 << 17) -> DataFrame:
-    """Incremental manifest maintenance after append_to_zorder_layout:
-    recompute stats for the TOUCHED cells only (reads just those cell
-    directories) and splice them over the old manifest's rows — the
-    rest of the manifest is reused verbatim, so maintenance cost
-    scales with the delta, not the table. Result is row-for-row equal
-    to a from-scratch zorder_manifest (pinned by test)."""
+                           append: AppendResult) -> int:
+    """Publish an append: merge its per-cell stats (computed from its
+    OWN committed files only — orphans from torn earlier attempts are
+    never read) into the current manifest and commit the next
+    version. Maintenance cost scales with the delta, not the table:
+    the merge is one groupBy over two files-not-rows frames
+    (_merge_manifests), equal row-for-row to a from-scratch manifest
+    (test-pinned). Idempotent: if the head manifest already
+    references this append's files, returns the head unchanged (the
+    crash-replay arm of the streaming ingest twin)."""
+    aid, touched = append
+    cur, curv = read_zorder_manifest(spark, layout_dir)
     if not touched:
-        return manifest
-    paths = [f"{layout_dir}/zcell={c}" for c in touched]
-    sub = spark.read.option("basePath", layout_dir).parquet(*paths)
-    fresh = _manifest_of(sub, x, y, bloom_col, bloom_bits)
-    kept = manifest.filter(~F.col("zcell").isin(touched))
-    return kept.unionByName(fresh)
+        return curv
+    if append_published(spark, layout_dir, aid, cur):
+        return curv
+    meta = layout_meta(spark, layout_dir)
+    adir = f"{layout_dir}/data/a={aid}"
+    delta = spark.read.option("basePath", adir).parquet(adir)
+    fresh = _manifest_of(delta, meta["x"], meta["y"],
+                         meta["bloom_col"], meta["bloom_bits"])
+    return _commit_manifest(spark, layout_dir,
+                            _merge_manifests(cur, fresh), curv)
 
 
-def zorder_manifest(spark: SparkSession, layout_dir: str,
-                    x: str, y: str,
-                    bloom_col: str | None = None,
-                    bloom_bits: int = 1 << 17) -> DataFrame:
-    """The manifest of a ``write_zorder_layout`` output: one row per
-    zcell with row count and min/max on BOTH clustered dimensions —
-    exactly the statistics a format's file manifest carries. With
-    ``bloom_col`` set, each cell additionally carries the set-bit
-    positions of a Bloom filter over that column (bounded at
-    ``bloom_bits`` entries per cell BY CONSTRUCTION — the default
-    128 Ki-position filter is ~0.5 MB worst case and stays sparse up
-    to ~13k distinct keys per cell at a 30% fill; size it at ~10x the
-    expected distinct keys per cell, because a saturated filter
-    prunes nothing — observed: 8192 bits over 6k-key cells kept 18/24
-    cells, 2^17 bits keeps 1-2), enabling point-lookup pruning on a
-    column the curve does not cluster. Readers must probe with the
-    SAME ``bloom_bits`` (pruned_read's default matches).
-
-    One aggregate over one scan of the layout; at scale the manifest
-    is a byproduct of the layout write, and its size is
-    files-not-rows — the quantity a driver may hold.
-    """
-    return _manifest_of(spark.read.parquet(layout_dir), x, y,
-                        bloom_col, bloom_bits)
+def append_published(spark: SparkSession, layout_dir: str,
+                     append_id: str, manifest: DataFrame | None = None
+                     ) -> bool:
+    """True iff the committed head manifest (or ``manifest``) already
+    references files of ``append_id`` — the replay guard: a publisher
+    that crashed AFTER its manifest commit must neither re-append
+    (overwriting data files a committed manifest points at) nor
+    re-publish. One manifest-sized filter."""
+    if manifest is None:
+        manifest, _ = read_zorder_manifest(spark, layout_dir)
+    return (manifest.filter(F.expr(
+        f"exists(files, f -> f like 'a={append_id}/%')"))
+        .limit(1).count() > 0)
 
 
-def _manifest_of(df: DataFrame, x: str, y: str,
-                 bloom_col: str | None, bloom_bits: int) -> DataFrame:
-    """Per-zcell manifest rows of a (subset of a) layout frame — the
-    shared aggregate of zorder_manifest (whole layout) and
-    upsert_zorder_manifest (touched cells only)."""
-    stats = df.groupBy("zcell").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min(x).alias("min_x"), F.max(x).alias("max_x"),
-        F.min(y).alias("min_y"), F.max(y).alias("max_y"))
-    if bloom_col is None:
-        return stats
-    from mr_mpi_blast_spark.operators.profile import \
-        _bloom_positions_spark
-    pos = F.array(*[F.expr(p) for p in
-                    _bloom_positions_spark(bloom_col, bloom_bits)])
-    # dedup BEFORE collecting (r11 review): a collect_list of per-row
-    # position arrays would buffer 3*rows entries per cell before any
-    # dedup — unbounded aggregation state on a big cell. Exploding to
-    # (zcell, pos) and going through a DISTINCT makes the pre-collect
-    # stream at most bloom_bits rows per cell by construction, and
-    # both aggregates combine map-side.
-    blooms = (df.select("zcell", F.explode(pos).alias("p")).distinct()
-              .groupBy("zcell")
-              .agg(F.array_sort(F.collect_set("p")).alias("bloom_pos")))
-    return stats.join(blooms, "zcell")
+def zorder_manifest(spark: SparkSession, layout_dir: str) -> DataFrame:
+    """From-scratch manifest over every COMMITTED append directory —
+    the full-scan verification twin of the incremental path (their
+    equality is test-pinned). Costs a scan of the whole layout; real
+    maintenance uses upsert_zorder_manifest. Note: after a crash
+    BETWEEN a committed append and its manifest commit, this sees the
+    orphan directory the versioned manifest correctly hides — the
+    committed manifest is the table, this is a repair/verify tool."""
+    meta = layout_meta(spark, layout_dir)
+    fs, hpath = _fs(spark, layout_dir)
+    data = f"{layout_dir}/data"
+    dirs = [st.getPath().toString() for st in fs.listStatus(hpath(data))
+            if st.isDirectory()
+            and fs.exists(hpath(f"{st.getPath().toString()}/_SUCCESS"))]
+    df = spark.read.option("basePath", data).parquet(*dirs).drop("a")
+    return _manifest_of(df, meta["x"], meta["y"],
+                        meta["bloom_col"], meta["bloom_bits"])
 
 
 def _ranges_overlap(lo_col: str, hi_col: str, lo, hi):
@@ -278,41 +474,50 @@ def _ranges_overlap(lo_col: str, hi_col: str, lo, hi):
 
 
 def pruned_read(spark: SparkSession, layout_dir: str,
-                manifest: DataFrame, *,
+                manifest: DataFrame | None = None, *,
+                version: int | None = None,
                 x_range: tuple | None = None,
                 y_range: tuple | None = None,
-                bloom_point=None,
-                bloom_bits: int = 1 << 17) -> tuple[DataFrame, int, int]:
-    """Plan a pruned read of a z-layout: filter the MANIFEST (not the
-    data) to the cells whose [min,max] envelopes can intersect the
-    predicate, then read only the surviving ``zcell=`` directories.
-    Returns ``(df, files_kept, files_total)`` — the skip counts are
-    the operator's own evidence, reported out-of-band rather than as
-    a fragile DataFrame attribute.
+                bloom_point=None) -> tuple:
+    """Plan a pruned read: filter the MANIFEST (not the data) to the
+    cells whose [min,max] envelopes can intersect the predicate, then
+    read exactly the FILES the resolved snapshot references for the
+    surviving cells. Returns ``(df, cells_kept, cells_total)``.
 
-    The manifest filter runs driver-side via collect(): the manifest
-    is files-not-rows sized BY CONSTRUCTION (one row per cell; a
-    100 TB table at 1 GB files is ~1e5 rows — kilobytes of ids), the
-    same quantity any lakehouse reader's planner holds. The data
-    itself is never collected.
+    Snapshot isolation: the manifest version is resolved once
+    (``version`` pins an older one while retained); files are
+    immutable once committed, so a concurrent append/compaction
+    cannot tear this read — it will simply not see the later commit.
+
+    The manifest filter runs driver-side via collect(): files-not-rows
+    sized BY CONSTRUCTION (one row per cell; a 100 TB table at 1 GB
+    files is ~1e5 rows), the quantity any lakehouse planner holds.
+    The data itself is never collected.
 
     Pruning is CONSERVATIVE (envelope overlap / Bloom one-sidedness):
     every row matching the predicate lives in a surviving cell, so
     re-applying the exact predicate on the pruned frame is
-    value-identical to the full scan — the caller applies it (this
-    function plans the scan; it does not guess the residual).
+    value-identical to the full scan — the caller applies it.
 
-    ``bloom_point=(value_sql_literal,)`` prunes on the manifest's
-    ``bloom_pos`` arrays: a cell survives only if all K positions of
-    the probed value are set — a non-member cell survives only on a
-    K-fold collision (one-sided, never drops a true member).
-    """
+    ``bloom_point`` (int or str) prunes on the manifest's per-cell
+    Bloom positions: a cell survives only if all K positions of the
+    probed value are set (one-sided — never drops a true member);
+    probe bits come from the layout's stored parameters, so they
+    cannot disagree with the build."""
+    if manifest is None:
+        manifest, _ = read_zorder_manifest(spark, layout_dir, version)
     cond = F.lit(True)
     if x_range is not None:
         cond = cond & _ranges_overlap("min_x", "max_x", *x_range)
     if y_range is not None:
         cond = cond & _ranges_overlap("min_y", "max_y", *y_range)
     if bloom_point is not None:
+        meta = layout_meta(spark, layout_dir)
+        if not meta["bloom_col"]:
+            raise ValueError(
+                f"{layout_dir}: layout was written without bloom_col; "
+                f"bloom_point pruning needs write_zorder_layout("
+                f"bloom_col=...)")
         from mr_mpi_blast_spark.operators.profile import \
             _bloom_positions_spark
         # int or str only: the probe must render EXACTLY as the
@@ -330,64 +535,133 @@ def pruned_read(spark: SparkSession, layout_dir: str,
                 f"string rendering is engine-stable), got "
                 f"{type(bloom_point).__name__}")
         probe = F.array(*[F.expr(p) for p in _bloom_positions_spark(
-            f"CAST({lit} AS STRING)", bloom_bits)])
+            f"CAST({lit} AS STRING)", meta["bloom_bits"])])
         cond = cond & (F.size(F.array_except(probe, F.col("bloom_pos")))
                        == 0)
-    rows = manifest.select("zcell", cond.alias("keep")).collect()
+    rows = manifest.select("zcell", "files", cond.alias("keep")).collect()
     total = len(rows)
-    kept = [r.zcell for r in rows if r.keep]
+    kept = [r for r in rows if r.keep]
     if not kept:
-        return (spark.read.parquet(layout_dir).filter(F.lit(False)),
-                0, total)
-    paths = [f"{layout_dir}/zcell={c}" for c in kept]
-    df = spark.read.option("basePath", layout_dir).parquet(*paths)
-    return df, len(kept), total
+        if not rows:
+            raise ValueError(f"{layout_dir}: empty manifest")
+        schema_probe = _read_files(spark, layout_dir, rows[0].files[:1])
+        return schema_probe.filter(F.lit(False)), 0, total
+    files = [f for r in kept for f in r.files]
+    return _read_files(spark, layout_dir, files), len(kept), total
 
 
 def compact_zorder_cells(spark: SparkSession, layout_dir: str,
-                         cells: list[int],
-                         max_files_per_cell: int = 1) -> list[int]:
+                         cells: list | None = None,
+                         max_files_per_cell: int = 1) -> list:
     """Small-file compaction — the other half of OPTIMIZE: appends
     accumulate one file per (append, cell), and a point read that
-    opens a cell pays per FILE, not per row. Rewrites each listed
-    cell's rows into ONE file via a dynamic partition overwrite (the
-    hash repartition on zcell puts each cell's rows in exactly one
-    task; ``max_files_per_cell`` is the SKIP threshold — cells at or
-    under it are left alone). Only the written cells are replaced;
-    the rest of the layout is untouched. Returns the cells actually
-    rewritten (the file-count listing is metadata-sized, so
-    already-compact cells cost nothing).
+    opens a cell pays per FILE. Rewrites each over-threshold cell's
+    rows into ONE new file (``cells=None`` considers every cell;
+    ``max_files_per_cell`` is the skip threshold) and commits a new
+    manifest version whose rewritten cells reference only the new
+    files, stats carried VERBATIM (same rows, same envelopes, same
+    Bloom — value identity by construction, test-pinned).
 
-    Values are untouched BY CONSTRUCTION (same rows, same cells — the
-    manifest stays valid verbatim); the test pins value identity and
-    the file-count drop. NOT transactional: a reader racing the
-    overwrite of a cell can see it torn — the parquet-dir analog of
-    why real lakehouse formats put a snapshot log in front of exactly
-    this rewrite; run it in the maintenance window the formats also
-    need for GC."""
-    import os
-    todo = []
-    for c in cells:
-        d = os.path.join(layout_dir, f"zcell={c}")
-        if not os.path.isdir(d):
-            raise FileNotFoundError(f"{layout_dir}: no cell {c}")
-        n = sum(1 for f in os.listdir(d)
-                if f.endswith(".parquet") or f.startswith("part-"))
-        if n > max_files_per_cell:
-            todo.append(c)
-    if not todo:
+    TRANSACTIONAL (r11's documented torn-read race, closed): the old
+    files are not touched — a reader on the previous version keeps a
+    consistent view until gc_zorder_layout retires it; the new
+    version becomes visible atomically with the manifest _SUCCESS.
+    File counts come from the manifest (files-not-rows), never from a
+    directory listing."""
+    import uuid
+    cur, curv = read_zorder_manifest(spark, layout_dir)
+    sel = cur.select("zcell", "files").collect()
+    known = {r.zcell for r in sel}
+    if cells is not None:
+        for c in cells:
+            if c not in known:
+                raise FileNotFoundError(f"{layout_dir}: no cell {c}")
+        sel = [r for r in sel if r.zcell in set(cells)]
+    todo_rows = [r for r in sel if len(r.files) > max_files_per_cell]
+    if not todo_rows:
         return []
-    paths = [f"{layout_dir}/zcell={c}" for c in todo]
-    sub = spark.read.option("basePath", layout_dir).parquet(*paths)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                          "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                   "dynamic")
-    try:
-        (sub.repartition(max_files_per_cell * len(todo), "zcell")
-         .write.mode("overwrite").partitionBy("zcell")
-         .parquet(layout_dir))
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       prev)
+    todo = sorted(r.zcell for r in todo_rows)
+    sub = _read_files(spark, layout_dir,
+                      [f for r in todo_rows for f in r.files])
+    cid = "c" + uuid.uuid4().hex[:11]
+    cdir = f"{layout_dir}/data/a={cid}"
+    # the hash repartition on zcell puts each cell's rows in exactly
+    # one task, so partitionBy emits max_files_per_cell files per cell
+    (sub.repartition(max(1, max_files_per_cell) * len(todo), "zcell")
+     .write.mode("overwrite").partitionBy("zcell").parquet(cdir))
+    fs, hpath = _fs(spark, cdir)
+    new_files = []
+    for st in fs.listStatus(hpath(cdir)):
+        if not st.isDirectory():
+            continue
+        cname = st.getPath().getName()            # zcell=<c>
+        c = int(cname.split("=", 1)[1])
+        rels = sorted(f"a={cid}/{cname}/{f.getPath().getName()}"
+                      for f in fs.listStatus(st.getPath())
+                      if not f.getPath().getName().startswith("_"))
+        new_files.append((c, rels))
+    nf = spark.createDataFrame(new_files,
+                               "zcell long, new_files array<string>")
+    merged = (cur.join(F.broadcast(nf), "zcell", "left")
+              .withColumn("files", F.coalesce("new_files", "files"))
+              .drop("new_files")
+              .select(*cur.columns))
+    _commit_manifest(spark, layout_dir, merged, curv)
     return todo
+
+
+def gc_zorder_layout(spark: SparkSession, layout_dir: str,
+                     keep_versions: int = 2) -> dict:
+    """Retire unreachable state: delete data files referenced by NO
+    retained manifest version (compacted-away files, orphans of torn
+    or never-published appends) and manifest versions older than the
+    newest ``keep_versions``. Returns what was removed. Retention IS
+    the reader contract: a reader pinned to a retained version stays
+    consistent; run gc only when no reader holds an older pin and no
+    append is in flight (the maintenance-window contract every
+    lakehouse format's expire-snapshots has). All listing/deleting
+    goes through the Hadoop FileSystem API — metadata-sized (one
+    status call per directory, never a data read)."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    vs = manifest_versions(spark, layout_dir)
+    if not vs:
+        raise FileNotFoundError(f"{layout_dir}: no committed manifest")
+    keep = vs[-keep_versions:]
+    referenced = set()
+    for v in keep:
+        mdf, _ = read_zorder_manifest(spark, layout_dir, v)
+        for r in mdf.select("files").collect():
+            referenced.update(r.files)
+    fs, hpath = _fs(spark, layout_dir)
+    removed_files, removed_dirs = [], []
+    for ast in fs.listStatus(hpath(f"{layout_dir}/data")):
+        if not ast.isDirectory():
+            continue
+        aname = ast.getPath().getName()
+        kept_any = False
+        for cst in fs.listStatus(ast.getPath()):
+            if not cst.isDirectory():
+                continue
+            cname = cst.getPath().getName()
+            live = []
+            for fst in fs.listStatus(cst.getPath()):
+                rel = f"{aname}/{cname}/{fst.getPath().getName()}"
+                if rel in referenced:
+                    live.append(rel)
+                else:
+                    fs.delete(fst.getPath(), False)
+                    removed_files.append(rel)
+            if live:
+                kept_any = True
+            else:
+                fs.delete(cst.getPath(), True)
+        if not kept_any:
+            fs.delete(ast.getPath(), True)
+            removed_dirs.append(aname)
+    dropped_vs = [v for v in vs if v not in keep]
+    for v in dropped_vs:
+        fs.delete(hpath(f"{layout_dir}/{_MANIFEST}/v={v}"), True)
+    return {"files": sorted(removed_files),
+            "append_dirs": sorted(removed_dirs),
+            "manifest_versions": dropped_vs}

@@ -1,0 +1,81 @@
+"""Streaming z-layout ingest: a row stream drains into a
+snapshot-versioned z-order layout one micro-batch at a time — the
+streaming twin of the batch append path
+(operators/layout.append_to_zorder_layout + upsert_zorder_manifest),
+and the lakehouse loop the stream side was missing (r11 verdict item
+4): CDC and kernel streams already maintain STATE; this one maintains
+a TABLE whose readers prune by manifest.
+
+Exactly-once comes from the layout's own commit protocol, not from
+extra bookkeeping:
+
+- each micro-batch appends under the DETERMINISTIC id ``b<batch_id>``
+  (its own immutable ``data/a=b<id>`` directory — a replay overwrites
+  only its own files, never another batch's);
+- rows become visible ONLY when the batch's manifest version commits
+  (_SUCCESS-gated), so a crash between data write and publish leaves
+  an invisible orphan the replay republishes (and gc would collect if
+  abandoned);
+- a replay of a batch whose manifest already committed is a no-op
+  BEFORE touching data (append_published) — it must not re-append,
+  because a committed manifest references the first attempt's files.
+
+stream(rows split any way) == batch(write + one append) in VALUES by
+construction — every batch runs the same curve arithmetic — and the
+final manifest equals the from-scratch manifest (both pinned by
+tests/test_streaming.py, including an append spanning micro-batches
+and a restart).
+
+Scale shape: per micro-batch cost is one delta-sized clustered write
++ one files-not-rows manifest merge (never re-reads committed data).
+Micro-batches serialize on the manifest head (availableNow triggers
+run batches sequentially; the optimistic commit fails loudly if an
+external writer interleaves) — the single-writer contract every
+lakehouse format's streaming sink also carries.
+
+Reference analog: the run restart/SUCCESS-marker protocol of
+examples/refseq-all-vs-all/ranger-for-loop-run.sh:131-160 — readers
+see only committed state; a rerun republishes, never duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def ingest_zorder_stream(rows_stream: DataFrame, layout_dir: str,
+                         checkpoint_dir: str,
+                         timeout_s: int = 300) -> str:
+    """Drain a (bounded) row stream into an EXISTING layout with
+    Trigger.AvailableNow; returns ``layout_dir``. The layout must be
+    initialized first (write_zorder_layout — the stream needs the
+    stored curve/Bloom parameters, the staged-base discipline of
+    apply_changeset_stream). Raises TimeoutError (checkpoint
+    preserved — a rerun resumes and republishes any half-done batch)
+    if the drain exceeds ``timeout_s``."""
+    from mr_mpi_blast_spark.operators.layout import (
+        append_published, append_to_zorder_layout, layout_meta,
+        upsert_zorder_manifest)
+
+    spark = rows_stream.sparkSession
+    layout_meta(spark, layout_dir)      # fail loudly before starting
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        aid = f"b{batch_id}"
+        if append_published(spark, layout_dir, aid):
+            return        # crash replay after a committed publish
+        res = append_to_zorder_layout(batch_df, layout_dir,
+                                      append_id=aid)
+        upsert_zorder_manifest(spark, layout_dir, res)
+
+    q = (rows_stream.writeStream
+         .foreachBatch(process)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"ingest_zorder_stream did not drain within {timeout_s}s "
+            f"(checkpoint {checkpoint_dir!r} preserved; rerun resumes)")
+    return layout_dir

@@ -114,57 +114,62 @@ def test_rolling_range_inclusive_boundary(spark):
              .collect()}
     assert got == {1: (1, 100), 2: (2, 300), 3: (2, 600)}
 
-
 def test_pruned_read_skips_files_and_matches_full_scan(spark, tmp_path):
-    """r11: the manifest-driven scan must (a) open strictly fewer
+    """r11/r12: the manifest-driven scan must (a) open strictly fewer
     files than the full layout on a selective range predicate, (b)
     stay value-identical to the full scan once the exact predicate is
     re-applied (pruning is conservative by construction)."""
     from mr_mpi_blast_spark.operators.layout import (
-        pruned_read, write_zorder_layout, zorder_manifest)
+        pruned_read, write_zorder_layout)
     rows = [(i, i % 97, (i * 7) % 31, f"p{i}") for i in range(4000)]
     df = spark.createDataFrame(rows, "id long, x long, y long, s string")
     layout = str(tmp_path / "zl")
-    write_zorder_layout(df, "x", "y", layout, target_files=32)
-    manifest = zorder_manifest(spark, layout, "x", "y")
-    got, kept, total = pruned_read(spark, layout, manifest,
+    assert write_zorder_layout(df, "x", "y", layout,
+                               target_files=32) == 1
+    got, kept, total = pruned_read(spark, layout,
                                    x_range=(10, 20), y_range=(0, 8))
     assert 1 <= kept < total, (kept, total)
     # physical pin: the PLAN's input file set is the surviving cells',
     # strictly smaller than the full layout's — bytes actually skipped,
     # not just a smaller path list on the python side
-    full_files = set(spark.read.parquet(layout).inputFiles())
+    full_files = set(spark.read.parquet(f"{layout}/data").inputFiles())
     got_files = set(got.inputFiles())
     assert got_files < full_files
     assert len({f.rsplit("/", 2)[-2] for f in got_files}) == kept
     pred = "x BETWEEN 10 AND 20 AND y BETWEEN 0 AND 8"
     want = sorted(r.id for r in df.filter(pred).collect())
     assert sorted(r.id for r in got.filter(pred).collect()) == want
-    # an impossible envelope prunes everything and returns empty
-    none, kept0, _ = pruned_read(spark, layout, manifest,
+    # an impossible envelope prunes everything and returns empty,
+    # with the same schema as the kept path
+    none, kept0, _ = pruned_read(spark, layout,
                                  x_range=(10_000, 20_000))
     assert kept0 == 0 and none.count() == 0
+    assert none.schema == got.schema
 
 
 def test_pruned_read_bloom_point_lookup(spark, tmp_path):
     """Bloom-point pruning is one-sided: a present key's cells always
     survive (value parity), an absent key prunes to ~nothing (no
-    K-fold collision at this size)."""
+    K-fold collision at this size). Probe bits come from the stored
+    table parameters — a layout written WITHOUT bloom_col refuses the
+    probe loudly."""
     from mr_mpi_blast_spark.operators.layout import (
-        pruned_read, write_zorder_layout, zorder_manifest)
+        pruned_read, write_zorder_layout)
     rows = [(i, i % 53, (i * 11) % 29, i % 500) for i in range(3000)]
     df = spark.createDataFrame(rows, "id long, x long, y long, k long")
     layout = str(tmp_path / "zlb")
-    write_zorder_layout(df, "x", "y", layout, target_files=16)
-    manifest = zorder_manifest(spark, layout, "x", "y", bloom_col="k")
-    got, kept, total = pruned_read(spark, layout, manifest,
-                                   bloom_point=123)
+    write_zorder_layout(df, "x", "y", layout, target_files=16,
+                        bloom_col="k")
+    got, kept, total = pruned_read(spark, layout, bloom_point=123)
     want = sorted(r.id for r in df.filter("k = 123").collect())
     assert sorted(r.id for r in got.filter("k = 123").collect()) == want
-    absent, kept_a, _ = pruned_read(spark, layout, manifest,
-                                    bloom_point=99_999)
+    absent, kept_a, _ = pruned_read(spark, layout, bloom_point=99_999)
     assert kept_a < total  # non-member prunes (collisions permitted)
     assert absent.filter("k = 99999").count() == 0
+    plain = str(tmp_path / "plain")
+    write_zorder_layout(df, "x", "y", plain, target_files=4)
+    with pytest.raises(ValueError, match="bloom_col"):
+        pruned_read(spark, plain, bloom_point=123)
 
 
 def test_pruned_read_bloom_point_type_and_quote_safety(spark, tmp_path):
@@ -172,19 +177,18 @@ def test_pruned_read_bloom_point_type_and_quote_safety(spark, tmp_path):
     (their repr need not match Spark's rendering); a quoted string key
     must not break expression parsing."""
     from mr_mpi_blast_spark.operators.layout import (
-        pruned_read, write_zorder_layout, zorder_manifest)
+        pruned_read, write_zorder_layout)
     rows = [(i, i % 7, i % 5, f"k'{i}") for i in range(200)]
     df = spark.createDataFrame(rows, "id long, x long, y long, k string")
     layout = str(tmp_path / "zq")
-    write_zorder_layout(df, "x", "y", layout, target_files=4)
-    manifest = zorder_manifest(spark, layout, "x", "y", bloom_col="k")
-    got, kept, total = pruned_read(spark, layout, manifest,
-                                   bloom_point="k'123")
+    write_zorder_layout(df, "x", "y", layout, target_files=4,
+                        bloom_col="k")
+    got, kept, total = pruned_read(spark, layout, bloom_point="k'123")
     assert [r.id for r in got.filter("k = \"k'123\"").collect()] == [123]
     with pytest.raises(TypeError, match="int or str"):
-        pruned_read(spark, layout, manifest, bloom_point=1.5)
+        pruned_read(spark, layout, bloom_point=1.5)
     with pytest.raises(TypeError, match="int or str"):
-        pruned_read(spark, layout, manifest, bloom_point=True)
+        pruned_read(spark, layout, bloom_point=True)
 
 
 def test_write_zorder_layout_empty_input_fails_loudly(spark, tmp_path):
@@ -195,110 +199,166 @@ def test_write_zorder_layout_empty_input_fails_loudly(spark, tmp_path):
 
 
 def test_layout_append_and_manifest_upsert(spark, tmp_path):
-    """r11: appending through the stored curve parameters lands rows
-    in the right cells (including brand-new cells past the original
-    domain), touches only delta cells, and the incremental manifest
-    upsert is row-for-row equal to a from-scratch manifest. Pruned
-    reads over the appended layout stay value-identical to a full
-    scan of base+delta."""
+    """r11/r12: appending through the stored curve parameters lands
+    rows in the right cells (including brand-new cells past the
+    original domain), the incremental manifest upsert is row-for-row
+    equal to a from-scratch manifest, untouched cells' rows are
+    reused verbatim, and the upsert is idempotent (a replayed publish
+    of the same append does not double anything)."""
     from mr_mpi_blast_spark.operators.layout import (
-        append_to_zorder_layout, pruned_read, upsert_zorder_manifest,
-        write_zorder_layout, zorder_manifest)
+        append_to_zorder_layout, pruned_read, read_zorder_manifest,
+        upsert_zorder_manifest, write_zorder_layout, zorder_manifest)
     base = spark.createDataFrame(
         [(i, i % 37, (i * 3) % 23, i % 100) for i in range(2000)],
         "id long, x long, y long, k long")
     layout = str(tmp_path / "za")
-    write_zorder_layout(base, "x", "y", layout, target_files=16)
-    man0 = zorder_manifest(spark, layout, "x", "y", bloom_col="k")
+    write_zorder_layout(base, "x", "y", layout, target_files=16,
+                        bloom_col="k")
+    man0, v0 = read_zorder_manifest(spark, layout)
     # delta includes values past the base domain -> new cells
     delta = spark.createDataFrame(
         [(10_000 + i, 37 + i % 10, 23 + i % 7, 100 + i % 9)
          for i in range(300)],
         "id long, x long, y long, k long")
-    touched = append_to_zorder_layout(delta, layout)
-    assert touched, "delta must touch at least one cell"
-    man1 = upsert_zorder_manifest(spark, layout, man0, touched,
-                                  "x", "y", bloom_col="k")
-    fresh = zorder_manifest(spark, layout, "x", "y", bloom_col="k")
+    res = append_to_zorder_layout(delta, layout)
+    assert res.touched, "delta must touch at least one cell"
+    # not yet visible: manifest head unchanged until the upsert
+    _, vpre = read_zorder_manifest(spark, layout)
+    assert vpre == v0
+    v1 = upsert_zorder_manifest(spark, layout, res)
+    assert v1 == v0 + 1
+    man1, _ = read_zorder_manifest(spark, layout)
+    fresh = zorder_manifest(spark, layout)
     a = sorted(map(tuple, man1.collect()))
     b = sorted(map(tuple, fresh.collect()))
     assert a == b
     # upsert really is incremental: untouched cells' rows are REUSED
     kept0 = {r.zcell: r.n_rows for r in man0.collect()}
     kept1 = {r.zcell: r.n_rows for r in man1.collect()}
-    untouched = set(kept0) - set(touched)
+    untouched = set(kept0) - set(res.touched)
     assert untouched and all(kept1[c] == kept0[c] for c in untouched)
+    # idempotent publish: replaying the upsert for the same append id
+    # is a no-op (crash-replay arm of the streaming ingest twin)
+    assert upsert_zorder_manifest(spark, layout, res) == v1
+    assert sorted(map(tuple, read_zorder_manifest(spark, layout)[0]
+                      .collect())) == a
     # pruned read over the appended layout == full union scan
-    got, kept, total = pruned_read(spark, layout, man1,
-                                   x_range=(38, 46))
+    got, kept, total = pruned_read(spark, layout, x_range=(38, 46))
     assert 1 <= kept < total
     pred = "x BETWEEN 38 AND 46"
-    want = sorted(r.id for r in base.filter(pred).collect()) \
-        + sorted(r.id for r in delta.filter(pred).collect())
-    assert sorted(r.id for r in got.filter(pred).collect()) \
-        == sorted(want)
+    want = sorted([r.id for r in base.filter(pred).collect()]
+                  + [r.id for r in delta.filter(pred).collect()])
+    assert sorted(r.id for r in got.filter(pred).collect()) == want
     # bloom manifest over appended data: a delta-only key still found
-    got2, kept2, _ = pruned_read(spark, layout, man1, bloom_point=105)
+    got2, kept2, _ = pruned_read(spark, layout, bloom_point=105)
     assert sorted(r.id for r in got2.filter("k = 105").collect()) \
         == sorted(r.id for r in delta.filter("k = 105").collect())
     # appending to a meta-less dir fails loudly
-    import pytest as _pytest
     bare = str(tmp_path / "bare")
     base.limit(5).write.mode("overwrite").parquet(bare)
-    with _pytest.raises(FileNotFoundError, match="layout_meta"):
+    with pytest.raises(FileNotFoundError, match="layout_meta"):
         append_to_zorder_layout(delta, bare)
 
 
-def test_compact_zorder_cells(spark, tmp_path):
-    """r11: compaction rewrites multi-file cells to one file each,
-    leaves values and the manifest untouched, skips already-compact
-    cells (metadata-sized check), and never touches unlisted cells."""
-    import os
+def test_torn_append_is_invisible_until_published(spark, tmp_path):
+    """The committed manifest IS the table: an append whose publish
+    never ran (crash between data write and manifest commit) is
+    invisible to pruned reads — exactly-once at the read level — and
+    gc removes its orphaned files."""
+    from mr_mpi_blast_spark.operators.layout import (
+        append_to_zorder_layout, gc_zorder_layout, pruned_read,
+        write_zorder_layout)
+    base = spark.createDataFrame(
+        [(i, i % 11, i % 7) for i in range(500)],
+        "id long, x long, y long")
+    layout = str(tmp_path / "zt")
+    write_zorder_layout(base, "x", "y", layout, target_files=8)
+    orphan = spark.createDataFrame([(9999, 3, 4)],
+                                   "id long, x long, y long")
+    append_to_zorder_layout(orphan, layout)      # publish never runs
+    got, _, _ = pruned_read(spark, layout)
+    assert sorted(r.id for r in got.collect()) == sorted(
+        r.id for r in base.collect())
+    gone = gc_zorder_layout(spark, layout, keep_versions=1)
+    assert gone["files"], "orphan files must be collected"
+    got2, _, _ = pruned_read(spark, layout)
+    assert got2.count() == 500
 
+
+def test_compact_zorder_cells_snapshot_isolated(spark, tmp_path):
+    """r12: compaction rewrites multi-file cells into ONE NEW file
+    each and commits the next manifest version; values and manifest
+    stats are untouched, already-compact cells are skipped, and — the
+    r11 torn-read race, closed — a reader pinned to the PREVIOUS
+    version stays value-identical while and after compaction commits,
+    until gc retires its files."""
     from mr_mpi_blast_spark.operators.layout import (
         append_to_zorder_layout, compact_zorder_cells,
-        write_zorder_layout, zorder_manifest)
+        gc_zorder_layout, manifest_versions, pruned_read,
+        read_zorder_manifest, upsert_zorder_manifest,
+        write_zorder_layout)
     base = spark.createDataFrame(
         [(i, i % 31, (i * 5) % 17) for i in range(1500)],
         "id long, x long, y long")
     layout = str(tmp_path / "zc")
     write_zorder_layout(base, "x", "y", layout, target_files=8)
-    # three appends -> multiple files per touched cell
     touched = set()
     for s in range(3):
         d = spark.createDataFrame(
             [(5000 + s * 100 + i, i % 31, (i * 5) % 17)
              for i in range(100)], "id long, x long, y long")
-        touched.update(append_to_zorder_layout(d, layout))
+        res = append_to_zorder_layout(d, layout)
+        upsert_zorder_manifest(spark, layout, res)
+        touched.update(res.touched)
     touched = sorted(touched)
-
-    def files_in(c):
-        d = os.path.join(layout, f"zcell={c}")
-        return [f for f in os.listdir(d) if f.startswith("part-")]
-
-    assert any(len(files_in(c)) > 1 for c in touched)
-    before_vals = sorted(r.id for r in spark.read.parquet(layout).collect())
-    man_before = sorted(map(tuple,
-                            zorder_manifest(spark, layout, "x", "y")
-                            .collect()))
-    untouched_cells = [r.zcell for r in
-                       zorder_manifest(spark, layout, "x", "y")
-                       .select("zcell").collect()
-                       if r.zcell not in touched]
-    untouched_files = {c: files_in(c) for c in untouched_cells}
+    man_before, v_before = read_zorder_manifest(spark, layout)
+    nfiles = {r.zcell: len(r.files) for r in man_before.collect()}
+    assert any(nfiles[c] > 1 for c in touched)
+    all_ids = sorted(r.id for r in pruned_read(spark, layout)[0]
+                     .collect())
+    # pin a reader to the pre-compaction snapshot
+    pinned, _, _ = pruned_read(spark, layout, version=v_before)
 
     done = compact_zorder_cells(spark, layout, touched)
-    assert set(done) <= set(touched) and done
-    for c in touched:
-        assert len(files_in(c)) == 1, (c, files_in(c))
-    # values and manifest identical; unlisted cells untouched
-    assert sorted(r.id for r in
-                  spark.read.parquet(layout).collect()) == before_vals
-    assert sorted(map(tuple, zorder_manifest(spark, layout, "x", "y")
-                      .collect())) == man_before
-    assert {c: files_in(c) for c in untouched_cells} == untouched_files
+    assert set(done) == {c for c in touched if nfiles[c] > 1}
+    man_after, v_after = read_zorder_manifest(spark, layout)
+    assert v_after == v_before + 1
+    after = {r.zcell: r for r in man_after.collect()}
+    for c in done:
+        assert len(after[c].files) == 1
+    # stats carried verbatim; values identical through the new version
+    strip = lambda m: sorted(
+        (r.zcell, r.n_rows, r.min_x, r.max_x, r.min_y, r.max_y)
+        for r in m.collect())
+    assert strip(man_after) == strip(man_before)
+    assert sorted(r.id for r in pruned_read(spark, layout)[0]
+                  .collect()) == all_ids
+    # the PINNED reader still sees a consistent pre-compaction view
+    assert sorted(r.id for r in pinned.collect()) == all_ids
     # second call: nothing to do (already compact)
     assert compact_zorder_cells(spark, layout, touched) == []
-    import pytest as _pytest
-    with _pytest.raises(FileNotFoundError, match="no cell"):
+    with pytest.raises(FileNotFoundError, match="no cell"):
         compact_zorder_cells(spark, layout, [99_999])
+    # gc retires the old version and the compacted-away files;
+    # the current version still reads identically
+    gone = gc_zorder_layout(spark, layout, keep_versions=1)
+    assert v_before in gone["manifest_versions"]
+    assert gone["files"]
+    assert manifest_versions(spark, layout) == [v_after]
+    assert sorted(r.id for r in pruned_read(spark, layout)[0]
+                  .collect()) == all_ids
+    with pytest.raises(ValueError, match="not committed"):
+        read_zorder_manifest(spark, layout, version=v_before)
+
+
+def test_layout_metadata_is_engine_portable():
+    """r11 advisory: no driver-local filesystem call may touch
+    layout_dir — every metadata read/write goes through Spark or the
+    Hadoop FileSystem API, so hdfs:///s3a:// layouts behave like
+    local ones. Source-level pin: operators/layout.py must not use
+    os.path/os.listdir/open() at all."""
+    import re
+    src = open("mr_mpi_blast_spark/operators/layout.py").read()
+    assert not re.search(r"\bos\.(path|listdir|makedirs|stat)\b", src)
+    assert not re.search(r"\bopen\(", src)
+    assert "import os" not in src

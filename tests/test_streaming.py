@@ -654,3 +654,87 @@ def test_asof_join_exactly_once_across_restart(spark, tmp_path):
     assert res[201] == 101       # pair delivered before the restart
     assert res[301] == 302       # pair delivered after the restart
     assert 901 in res or 902 in res  # sentinels flushed too
+
+
+def test_zorder_ingest_stream_equals_batch(spark, tmp_path):
+    """r12 streaming layout ingest: a delta delivered across multiple
+    micro-batches lands in the layout with (a) the final committed
+    manifest equal to a from-scratch manifest, (b) values equal to
+    base+delta (cells SPAN micro-batches — several batches append
+    files into the same cell), and (c) a rerun against the same
+    checkpoint committing nothing new (exactly-once across restart:
+    manifest head and version list unchanged)."""
+    from mr_mpi_blast_spark.operators.layout import (
+        manifest_versions, pruned_read, read_zorder_manifest,
+        write_zorder_layout, zorder_manifest)
+    from mr_mpi_blast_spark.streaming.layout_stream import \
+        ingest_zorder_stream
+
+    base = spark.createDataFrame(
+        [(i, i % 23, (i * 3) % 19) for i in range(1000)],
+        "id long, x long, y long")
+    layout = str(tmp_path / "zs")
+    write_zorder_layout(base, "x", "y", layout, target_files=8)
+    delta = spark.createDataFrame(
+        [(5000 + i, i % 23, (i * 3) % 19) for i in range(300)],
+        "id long, x long, y long")
+    src = str(tmp_path / "zsrc")
+    delta.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(delta.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    ckpt = str(tmp_path / "zckpt")
+    ingest_zorder_stream(stream, layout, ckpt)
+
+    vs = manifest_versions(spark, layout)
+    assert len(vs) >= 4, vs          # v1 (base) + >=3 batch publishes
+    man, _ = read_zorder_manifest(spark, layout)
+    fresh = zorder_manifest(spark, layout)
+    assert sorted(map(tuple, man.collect())) \
+        == sorted(map(tuple, fresh.collect()))
+    # cells span micro-batches: some cell accumulated files from
+    # several appends (base + >=2 batches)
+    assert any(len(r.files) >= 3 for r in man.collect())
+    got, _, _ = pruned_read(spark, layout)
+    want = sorted([r.id for r in base.collect()]
+                  + [r.id for r in delta.collect()])
+    assert sorted(r.id for r in got.collect()) == want
+
+    # restart against the same checkpoint: nothing new commits
+    stream2 = (spark.readStream.schema(delta.schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    ingest_zorder_stream(stream2, layout, ckpt)
+    assert manifest_versions(spark, layout) == vs
+    assert pruned_read(spark, layout)[0].count() == len(want)
+
+
+def test_zorder_ingest_replay_after_partial_publish(spark, tmp_path):
+    """The crash window between data write and manifest commit: the
+    orphan batch directory is invisible, and a rerun republishes it
+    exactly once (append_published guard keeps a COMMITTED batch's
+    files untouched; the torn one is re-appended under its own id)."""
+    from mr_mpi_blast_spark.operators.layout import (
+        append_published, append_to_zorder_layout, pruned_read,
+        upsert_zorder_manifest, write_zorder_layout)
+
+    base = spark.createDataFrame(
+        [(i, i % 13, i % 7) for i in range(400)],
+        "id long, x long, y long")
+    layout = str(tmp_path / "zp")
+    write_zorder_layout(base, "x", "y", layout, target_files=4)
+    b0 = spark.createDataFrame([(9000 + i, i % 13, i % 7)
+                                for i in range(50)],
+                               "id long, x long, y long")
+    # simulate the torn first attempt: data committed, publish lost
+    append_to_zorder_layout(b0, layout, append_id="b0")
+    assert not append_published(spark, layout, "b0")
+    assert pruned_read(spark, layout)[0].count() == 400  # invisible
+    # replay: re-append under the same id (overwrites only its own
+    # dir), then publish — rows appear exactly once
+    res = append_to_zorder_layout(b0, layout, append_id="b0")
+    upsert_zorder_manifest(spark, layout, res)
+    assert append_published(spark, layout, "b0")
+    assert pruned_read(spark, layout)[0].count() == 450
+    # a second replay after the committed publish is a no-op
+    assert upsert_zorder_manifest(spark, layout, res) \
+        == upsert_zorder_manifest(spark, layout, res)
+    assert pruned_read(spark, layout)[0].count() == 450
