@@ -5042,6 +5042,52 @@ def q_multimodal_wav_roundtrip(spark, sf_dir):
     return wav_roundtrip_stats(_t(spark, sf_dir, "documents"))
 
 
+def _png_oracle() -> str:
+    from mr_mpi_blast_spark.operators.multimodal import (PNG_A, PNG_B,
+                                                         PNG_H_BASE,
+                                                         PNG_H_MOD, PNG_M,
+                                                         PNG_W_BASE,
+                                                         PNG_W_MOD)
+    return f"""
+WITH d AS (SELECT doc_id,
+                  {PNG_W_BASE} + doc_id % {PNG_W_MOD} AS w,
+                  {PNG_H_BASE} + doc_id % {PNG_H_MOD} AS h
+           FROM documents),
+s AS (SELECT d.doc_id, d.w, d.h,
+             (d.doc_id * {PNG_A} + r.i * {PNG_B}) % {PNG_M} AS v
+      FROM d, UNNEST(range(0, d.w * d.h * 3)) AS r(i))
+SELECT doc_id,
+       CAST(max(w) AS BIGINT) AS width,
+       CAST(max(h) AS BIGINT) AS height,
+       CAST(doc_id % 5 AS BIGINT) AS filter_type,
+       CAST(sum(v) AS BIGINT) AS pix_sum,
+       CAST(min(v) AS BIGINT) AS pix_min,
+       CAST(max(v) AS BIGINT) AS pix_max
+FROM s GROUP BY doc_id
+"""
+
+
+@query("multimodal_png_roundtrip", _png_oracle())
+def q_multimodal_png_roundtrip(spark, sf_dir):
+    """Real-codec PNG roundtrip (r12): per document, a deterministic
+    RGB image is ENCODED to genuine PNG bytes (stdlib zlib deflate +
+    scanline filter doc_id % 5 — all five filter types exercised
+    across the corpus — + CRC'd chunks) and DECODED back
+    (operators/multimodal.py: encode_png / decode_png_pixels —
+    signature check, CRC-verified chunk walk, inflate, unfilter),
+    emitting exact-integer pixel statistics of the DECODED array. The
+    oracle recomputes the same statistics FROM THE SYNTHESIS FORMULA
+    without touching bytes, so a match proves the byte-level
+    encode->decode path is the identity — filters, deflate framing,
+    chunk arithmetic, CRCs and all. With this, real_decode's
+    NotImplementedError gate covers only genuinely-external codecs
+    (JPEG/video containers); BMP, PNG and PCM WAV are real in-repo
+    codecs (golden fixture: tests/fixtures/golden_9x7.png). Narrow
+    transform, nothing binary shuffles."""
+    from mr_mpi_blast_spark.operators.multimodal import png_roundtrip_stats
+    return png_roundtrip_stats(_t(spark, sf_dir, "documents"))
+
+
 def _hll_oracle() -> str:
     from mr_mpi_blast_spark.operators.profile import hll_distinct_sql
     return hll_distinct_sql("l_orderkey", "lineitem")

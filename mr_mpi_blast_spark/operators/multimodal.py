@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -195,7 +196,10 @@ def real_decode(payload: bytes, modality: str) -> dict:
         return {"width": None, "height": None, "n_frames": None,
                 "duration_s": None, "feature": None}
     if modality == "image":
-        return _decode_bmp(bytes(payload))
+        b = bytes(payload)
+        if b[:8] == PNG_SIG:
+            return _decode_png(b)
+        return _decode_bmp(b)
     if modality == "audio":
         return _decode_wav(bytes(payload))
     raise NotImplementedError(
@@ -352,3 +356,213 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
         modality.alias("modality"),
         F.encode("text", "utf-8").alias("payload"),
         F.create_map(F.lit("source"), F.col("source").cast("string")).alias("meta"))
+
+
+# ---------------------------------------------------------------------------
+# PNG (r12): the second real in-container image codec — stdlib zlib
+# makes 8-bit RGB/RGBA non-interlaced PNG implementable with the
+# BMP/WAV discipline (golden fixtures, encode->decode identity,
+# formula-replay oracle), shrinking real_decode's NotImplementedError
+# gate to genuinely-external codecs (JPEG/video containers).
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec 9.4), vectorized: a=left, b=up,
+    c=upper-left; ties break left, then up — the spec's order."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a,
+                    np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer (8-bit, color type 2 RGB / 6 RGBA,
+    non-interlaced): signature + IHDR + one zlib IDAT + IEND, CRCs
+    included. ``filter_type`` applies the SAME scanline filter (0..4)
+    to every row — the decoder must invert all five, so tests and the
+    registered roundtrip sweep them. Pixel filtering is per-row numpy
+    (shift-and-subtract); rows are independent given the prior row."""
+    if pixels.ndim != 3 or pixels.shape[2] not in (3, 4):
+        raise ValueError("pixels must be (H, W, 3|4) uint8")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"filter_type must be 0..4, got {filter_type}")
+    h, w, ch = pixels.shape
+    raw = pixels.astype(np.int64)
+    prior = np.zeros((w, ch), dtype=np.int64)
+    out = bytearray()
+    for y in range(h):
+        row = raw[y]
+        left = np.zeros((w, ch), dtype=np.int64)
+        left[1:] = row[:-1]
+        ul = np.zeros((w, ch), dtype=np.int64)
+        ul[1:] = prior[:-1]
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            filt = row - left
+        elif filter_type == 2:
+            filt = row - prior
+        elif filter_type == 3:
+            filt = row - (left + prior) // 2
+        else:
+            filt = row - _paeth(left, prior, ul)
+        out.append(filter_type)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6,
+                       0, 0, 0)
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png_pixels(payload: bytes) -> np.ndarray:
+    """(H, W, channels) uint8 from an 8-bit RGB/RGBA non-interlaced
+    PNG: signature check, chunk walk with CRC verification, zlib
+    inflate, inversion of all five scanline filters. Filters 1/3/4
+    have a spec-mandated left-pixel dependency, so unfiltering those
+    rows is a per-pixel scan along the row (rows stay numpy; filter
+    0/2 rows are whole-row vector ops — encoders emit long runs of
+    them in practice). Unsupported shapes (palette, 16-bit,
+    interlaced) fail loudly — the honest gate, not a wrong decode."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload (missing signature)")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6) or comp or filt \
+            or interlace:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color_type={color_type}, "
+            f"interlace={interlace}; 8-bit RGB/RGBA non-interlaced only)")
+    ch = 3 if color_type == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, w, ch), dtype=np.int64)
+    prior = np.zeros((w, ch), dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * (1 + stride)]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                            offset=y * (1 + stride) + 1) \
+            .astype(np.int64).reshape(w, ch)
+        if ft == 0:
+            cur = row
+        elif ft == 2:
+            cur = (row + prior) % 256
+        elif ft in (1, 3, 4):
+            cur = np.zeros((w, ch), dtype=np.int64)
+            for x in range(w):
+                left = cur[x - 1] if x else np.zeros(ch, dtype=np.int64)
+                up = prior[x]
+                ul = prior[x - 1] if x else np.zeros(ch, dtype=np.int64)
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, ul)
+                cur[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = cur
+        prior = cur
+    return out.astype(np.uint8)
+
+
+def _decode_png(payload: bytes) -> dict:
+    """ASSET_FEATURES row from a PNG — the same real-statistics shape
+    as _decode_bmp (real_decode dispatches image payloads by magic)."""
+    px = decode_png_pixels(payload)
+    h, w, ch = px.shape
+    vals = px.astype(np.float64)
+    feature = np.array([
+        w, h, ch * 8,
+        round(float(vals.mean()), 6), round(float(vals.std()), 6),
+        float(vals.min()), float(vals.max()),
+        w * h,
+    ], dtype=np.float32)
+    return {"width": w, "height": h, "n_frames": 1,
+            "duration_s": None, "feature": feature.tolist()}
+
+
+#: png_roundtrip_stats pixel-synthesis constants — shared verbatim by
+#: the DuckDB oracle, which replays the formula arithmetically: the
+#: comparison proves encode_png -> decode_png_pixels is the identity
+#: on real PNG bytes (deflate + filters + CRCs), not that two
+#: decoders agree. 251 is prime so i*PNG_B walks all residues.
+PNG_W_BASE, PNG_W_MOD = 4, 5     # w = 4 + doc_id % 5
+PNG_H_BASE, PNG_H_MOD = 3, 4     # h = 3 + doc_id % 4
+PNG_A, PNG_B, PNG_M = 97, 31, 251
+
+
+def png_roundtrip_stats(docs: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exercise the REAL PNG codec end-to-end through the
+    Arrow-batched executor path: per document, synthesize a
+    deterministic RGB image, ENCODE it to genuine PNG bytes with the
+    scanline filter doc_id % 5 (all five filter types exercised
+    across the corpus), DECODE those bytes back (signature + CRC walk
+    + inflate + unfilter), and emit exact-integer statistics of the
+    DECODED pixels. Every emitted value derives from the synthesis
+    formula, so a DuckDB oracle recomputes it without touching bytes
+    — any defect in filtering, inflation, chunk arithmetic, or CRC
+    handling in either codec half breaks the match. Narrow transform:
+    payloads are created, decoded, and discarded inside one
+    mapInPandas batch; nothing binary shuffles."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"_id": [], "width": [], "height": [],
+                   "filter_type": [], "pix_sum": [], "pix_min": [],
+                   "pix_max": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                w = PNG_W_BASE + did % PNG_W_MOD
+                h = PNG_H_BASE + did % PNG_H_MOD
+                i = np.arange(w * h * 3, dtype=np.int64)
+                px = ((did * PNG_A + i * PNG_B) % PNG_M) \
+                    .astype(np.uint8).reshape(h, w, 3)
+                payload = encode_png(px, filter_type=did % 5)
+                got = decode_png_pixels(payload)
+                if got.shape != (h, w, 3):
+                    raise ValueError(f"roundtrip shape {got.shape}")
+                g = got.astype(np.int64)
+                out["_id"].append(did)
+                out["width"].append(got.shape[1])
+                out["height"].append(got.shape[0])
+                out["filter_type"].append(did % 5)
+                out["pix_sum"].append(int(g.sum()))
+                out["pix_min"].append(int(g.min()))
+                out["pix_max"].append(int(g.max()))
+            yield pd.DataFrame(out)
+
+    return (docs.select(id_col)
+            .mapInPandas(run, schema="_id long, width long, "
+                                     "height long, filter_type long, "
+                                     "pix_sum long, pix_min long, "
+                                     "pix_max long")
+            .withColumnRenamed("_id", id_col))

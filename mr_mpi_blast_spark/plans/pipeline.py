@@ -333,7 +333,7 @@ def run_kernel_raw(queries: DataFrame, subjects: DataFrame,
                    scratch_dir: str | None = None,
                    log_dir: str | None = None,
                    cache_key: str | None = None,
-                   seed_prune: bool = False) -> tuple[DataFrame, int]:
+                   seed_prune: bool = True) -> tuple[DataFrame, int]:
     """The kernel stage alone: (raw RAW_HITS DataFrame, whole-db residue
     count). Split from run_search so the relational tail (P3-P9 + F1 +
     O2/O3) can be re-derived — and oracle-checked — from persisted raw
@@ -489,12 +489,16 @@ def run_search(queries: DataFrame, subjects: DataFrame,
                scratch_dir: str | None = None,
                log_dir: str | None = None,
                cache_key: str | None = None,
-               seed_prune: bool = False) -> DataFrame:
+               seed_prune: bool = True) -> DataFrame:
     """queries(qid, seq, ...) x subjects(sid|defline, db_part, seq)
     -> canonical HITS DataFrame. log_dir enables the reference's
-    TIMING per-rank log files (runlog.py). seed_prune skips work
-    items with zero possible seed overlap (value-identical output —
-    see the runtime-filter section above)."""
+    TIMING per-rank log files (runlog.py). seed_prune (DEFAULT ON,
+    r12) skips work items with zero possible seed overlap —
+    value-identical output by construction (one-sided Bloom, both
+    strands probed), a no-op under saturation and under blastp
+    -threshold, and its cold cost is one metadata-sized aggregate per
+    volume; pass False to force the full work-item set (the escape
+    hatch, e.g. for an A/B parity replay)."""
     cfg = cfg or BlastConfig()
     raw, dbsize, n_seqs = run_kernel_raw(queries, subjects, cfg, scratch_dir,
                                          log_dir=log_dir, cache_key=cache_key,
