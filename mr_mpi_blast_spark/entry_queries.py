@@ -3836,30 +3836,67 @@ def q_corpus_shuffle(spark, sf_dir):
 # — operators/profile.py docstring states the policy)
 _PROFILE_COLS = ["o_custkey", "o_orderkey", "o_orderpriority",
                  "o_orderstatus"]
-
-_PROFILE_SQL = "\nUNION ALL\n".join(
-    f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
-    f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
-    f"AS n_nulls, "
-    f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
-    f"CAST(min({c}) AS VARCHAR) AS min_val, "
-    f"CAST(max({c}) AS VARCHAR) AS max_val FROM orders"
-    for c in _PROFILE_COLS)
+_PROFILE_QCOLS = ["o_custkey", "o_orderkey"]
+_PROFILE_QS = (500, 900, 990)
 
 
-@query("table_profile", _PROFILE_SQL)
+def _profile_oracle() -> str:
+    from mr_mpi_blast_spark.operators.profile import (HDR_SUB_BITS,
+                                                      hdr_bucket_duckdb)
+    sub = 1 << HDR_SUB_BITS
+    qvals = ", ".join(f"({q})" for q in _PROFILE_QS)
+    ctes = [f"qs(q) AS (VALUES {qvals})"]
+    ests = {}
+    for i, c in enumerate(_PROFILE_QCOLS):
+        b = hdr_bucket_duckdb(c)
+        ctes.append(
+            f"sk_{i} AS (SELECT {b} AS bucket, count(*) AS cnt "
+            f"FROM orders WHERE {c} IS NOT NULL GROUP BY 1)")
+        ctes.append(
+            f"cum_{i} AS (SELECT bucket, "
+            f"sum(cnt) OVER (ORDER BY bucket) AS cum, "
+            f"sum(cnt) OVER () AS n FROM sk_{i})")
+        ctes.append(
+            f"hit_{i} AS (SELECT q, min(bucket) AS qb "
+            f"FROM cum_{i}, qs WHERE cum * 1000 >= q * n GROUP BY q)")
+        ests[c] = ", ".join(
+            f"CAST((SELECT (qb % {sub}) * (CAST(1 AS BIGINT) "
+            f"<< (qb // {sub})) FROM hit_{i} WHERE q = {q}) AS BIGINT) "
+            f"AS p{q}_est" for q in _PROFILE_QS)
+    null_ests = ", ".join(f"CAST(NULL AS BIGINT) AS p{q}_est"
+                          for q in _PROFILE_QS)
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_nulls, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+        f"CAST(min({c}) AS VARCHAR) AS min_val, "
+        f"CAST(max({c}) AS VARCHAR) AS max_val, "
+        f"{ests.get(c, null_ests)} FROM orders"
+        for c in _PROFILE_COLS)
+    return "WITH " + ",\n".join(ctes) + "\n" + rows
+
+
+@query("table_profile", _profile_oracle())
 def q_table_profile(spark, sf_dir):
-    """Table profiling (r9): the statistics pass every 100 TB ingest
-    runs first — per column, row/NULL/exact-distinct counts and
-    native-typed min/max rendered to strings. ONE corpus scan; the
-    exact multi-distinct plans as Spark's Expand + two-level hash
-    aggregate (the oracle-replayable form; approx_count_distinct is
-    the sketch-based 100 TB default — operators/profile.py). The
-    oracle is an independent per-column UNION ALL of plain SQL
-    aggregates. Tail-registered: the driver's 50-slot window is
-    full."""
+    """Table profiling (r9; +HDR quantiles r12): the statistics pass
+    every 100 TB ingest runs first — per column, row/NULL/
+    exact-distinct counts, native-typed min/max rendered to strings,
+    and (for the integer key columns) HDR-sketch quantile estimates
+    p500/p900/p990 — the mergeable bounded-state percentile the
+    profile reports where an exact per-column sort is off the table
+    (the HLL-vs-exact-distinct pattern applied to percentiles; the
+    exact-vs-sketch error bound is pinned by events_hdr_quantiles and
+    the property suite). The exact stats cost ONE corpus scan (Expand
+    + two-level hash aggregate); the sketch adds one column-pruned
+    scan covering both quantile columns at once. The oracle replays
+    everything independently in DuckDB — plain SQL aggregates per
+    column UNION ALL'd, plus the deterministic HDR bucket/rank/decode
+    arithmetic. Tail-registered twin evidence; window slot r12."""
     from mr_mpi_blast_spark.operators.profile import table_profile
-    return table_profile(_t(spark, sf_dir, "orders"), _PROFILE_COLS)
+    return table_profile(_t(spark, sf_dir, "orders"), _PROFILE_COLS,
+                         quantile_cols=_PROFILE_QCOLS,
+                         qs_permille=_PROFILE_QS)
 
 
 @query("orc_roundtrip", """

@@ -33,12 +33,29 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def table_profile(df: DataFrame, cols: list[str] | None = None,
-                  exact: bool = True) -> DataFrame:
+                  exact: bool = True,
+                  quantile_cols: list[str] | None = None,
+                  qs_permille: tuple = (500, 900, 990)) -> DataFrame:
     """One row per profiled column: (col_name, n_rows, n_nulls,
     n_distinct, min_val, max_val) — min/max rendered as strings,
     NULL-only columns render NULL. Columns report in sorted name
     order. ``exact=False`` switches n_distinct to HyperLogLog++
-    estimates (the 100 TB default; not oracle-replayable)."""
+    estimates (the 100 TB default; not oracle-replayable).
+
+    ``quantile_cols`` (r12) adds HDR-sketch quantile columns
+    (``p<q>_est``, one per qs_permille entry; NULL for unlisted
+    columns) for NON-NEGATIVE INTEGER columns — the mergeable
+    bounded-state quantile summary a 100 TB profile pass reports
+    where an exact per-column sort is off the table (the
+    HLL-vs-exact-distinct pattern applied to percentiles; estimates
+    under-report by at most ~1.6% at SUB_BITS=7, see the HDR section
+    below). Deterministic integer arithmetic, so the DuckDB oracle
+    replays the estimates bit-exactly. NULLs are excluded (they have
+    no rank position — the n_nulls column already reports them);
+    negative values fail loudly. Cost: ONE additional column-pruned
+    scan covering every quantile column at once (the per-(col,
+    bucket) aggregate combines map-side and is a few KB per column);
+    quantile extraction then runs over the sketch, not the data."""
     cols = sorted(cols if cols is not None else df.columns)
     if not cols:
         raise ValueError("table_profile: no columns to profile")
@@ -60,12 +77,21 @@ def table_profile(df: DataFrame, cols: list[str] | None = None,
     # plan-sized pivot, no second pass over the data
     parts = ", ".join(
         f"'{c}', _nn{i}, _nd{i}, _mn{i}, _mx{i}" for i, c in enumerate(cols))
-    return row.select(
+    base = row.select(
         "n_rows",
         F.expr(f"stack({len(cols)}, {parts}) AS "
                "(col_name, n_nulls, n_distinct, min_val, max_val)"),
     ).select("col_name", "n_rows", "n_nulls", "n_distinct",
              "min_val", "max_val")
+    if not quantile_cols:
+        return base
+    bad = [c for c in quantile_cols if c not in cols]
+    if bad:
+        raise ValueError(
+            f"table_profile: quantile_cols {bad} not in profiled cols")
+    return base.join(
+        _hdr_profile_quantiles(df, quantile_cols, list(qs_permille)),
+        "col_name", "left")
 
 
 def trimmed_mean_by_group(df, group_col: str, cents_col: str,
@@ -488,6 +514,54 @@ def hdr_quantiles(sketch: DataFrame, qs_permille: list[int]) -> DataFrame:
             .groupBy("q_permille")
             .agg(F.min("bucket").alias("qb"))
             .select("q_permille", F.expr(lower).alias("est")))
+
+
+def _hdr_profile_bucket(c: str) -> str:
+    """table_profile's NULL-tolerant HDR bucket: NULL values map to a
+    NULL bucket (filtered out — the profile's n_nulls column already
+    accounts for them; a raise would make every nullable column
+    unprofileable), negatives still fail loudly like hdr_sketch."""
+    return (f"CASE WHEN {c} IS NULL THEN NULL "
+            f"WHEN {c} < 0 THEN raise_error('table_profile: "
+            f"quantile_cols must be non-negative integers - "
+            f"quantize and shift first') "
+            f"ELSE {hdr_bucket_spark(c)} END")
+
+
+def _hdr_profile_quantiles(df: DataFrame, quantile_cols: list[str],
+                           qs_permille: list[int]) -> DataFrame:
+    """(col_name, p<q>_est...) — HDR quantile estimates for several
+    columns from ONE column-pruned scan: each row explodes to its
+    (col_name, bucket) pairs, one map-side-combined aggregate builds
+    every column's sketch together, and extraction windows run over
+    the few-KB sketch frame."""
+    from pyspark.sql import Window
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("col_name"),
+                 F.expr(_hdr_profile_bucket(c)).alias("bucket"))
+        for c in quantile_cols]))
+    sk = (df.select(pairs.alias("p"))
+          .select("p.col_name", "p.bucket")
+          .filter(F.col("bucket").isNotNull())
+          .groupBy("col_name", "bucket")
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    w = (Window.partitionBy("col_name").orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tot = Window.partitionBy("col_name")
+    cum = (sk.withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("n", F.sum("cnt").over(tot)))
+    qs = F.explode(F.array(*[F.lit(q) for q in qs_permille]))
+    lower = (f"shiftleft(qb % {1 << HDR_SUB_BITS}, "
+             f"qb div {1 << HDR_SUB_BITS})")
+    hits = (cum.select("col_name", "bucket", "cum", "n",
+                       qs.alias("q"))
+            .filter(F.col("cum") * 1000 >= F.col("q") * F.col("n"))
+            .groupBy("col_name", "q")
+            .agg(F.min("bucket").alias("qb"))
+            .select("col_name", "q", F.expr(lower).alias("est")))
+    return hits.groupBy("col_name").agg(*[
+        F.max(F.when(F.col("q") == q, F.col("est")))
+        .alias(f"p{q}_est") for q in qs_permille])
 
 
 # (r11 review: a hdr_quantiles_sql twin briefly lived here; it was

@@ -222,3 +222,47 @@ def test_ccnet_buckets_ordering_and_sizes(spark):
             assert min(bs["head"]) >= max(bs["middle"]) - 2e-6
         if bs.get("middle") and bs.get("tail"):
             assert min(bs["middle"]) >= max(bs["tail"]) - 2e-6
+
+
+def test_table_profile_hdr_quantile_columns(spark):
+    """r12: quantile_cols adds p<q>_est columns — present and
+    error-bounded for listed integer columns, NULL for the rest;
+    NULL values are excluded (not raised — n_nulls reports them);
+    negatives fail loudly; unlisted/unknown quantile cols raise."""
+    import math
+
+    import pytest as _pytest
+
+    from mr_mpi_blast_spark.operators.profile import (HDR_SUB_BITS,
+                                                      table_profile)
+
+    vals = [((i * 2654435761) % 90_001) for i in range(4000)]
+    rows = [(v, v if v % 7 else None, str(v)) for v in vals]
+    df = spark.createDataFrame(rows, "a long, b long, s string")
+    out = {r.col_name: r
+           for r in table_profile(df, quantile_cols=["a", "b"],
+                                  qs_permille=(500, 990)).collect()}
+    assert set(out) == {"a", "b", "s"}
+    assert out["s"].p500_est is None and out["s"].p990_est is None
+    sa = sorted(vals)
+    sb = sorted(v for v in vals if v % 7)
+    for col, sv in (("a", sa), ("b", sb)):
+        for q in (500, 990):
+            exact = sv[math.ceil(q * len(sv) / 1000) - 1]
+            est = getattr(out[col], f"p{q}_est")
+            assert est <= exact
+            assert exact <= est * (1 + 2 ** -(HDR_SUB_BITS - 1)) + 1, \
+                (col, q, est, exact)
+    # the base profile columns are unchanged by the quantile arm
+    base = {r.col_name: (r.n_rows, r.n_nulls, r.n_distinct,
+                         r.min_val, r.max_val)
+            for r in table_profile(df).collect()}
+    got = {c: (r.n_rows, r.n_nulls, r.n_distinct, r.min_val, r.max_val)
+           for c, r in out.items()}
+    assert got == base
+
+    neg = spark.createDataFrame([(1,), (-5,)], "a long")
+    with _pytest.raises(Exception, match="non-negative"):
+        table_profile(neg, quantile_cols=["a"]).collect()
+    with _pytest.raises(ValueError, match="quantile_cols"):
+        table_profile(df, ["a", "s"], quantile_cols=["b"])
