@@ -520,8 +520,9 @@ _APPEND_SK = (30, 60)
 
 def _lineitem_append_dir(sf_dir: str) -> str:
     st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
-    # v2: r12 snapshot-versioned layout format (data/a=*, _manifest/v=*)
-    key = f"zappend-v2:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    # v3: r12 snapshot-versioned layout format (data/a=*, _manifest/v=*)
+    # with compaction + gc in the staged lifecycle
+    key = f"zappend-v3:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
     return _pairs_store_path(key)
 
 
@@ -540,16 +541,31 @@ def q_lineitem_layout_append(spark, sf_dir):
     delta-sized stat merge, never re-reading committed data; equality
     with a from-scratch manifest is test-pinned). The query then
     answers a range predicate via the pruned read over the committed
-    head snapshot — the lakehouse append/OPTIMIZE pattern end-to-end,
-    r12: appends publish atomically as manifest v=2 (torn appends
-    invisible; tests/test_layout.py pins the commit protocol).
-    Oracle: the full scan of ALL lineitem rows (base + delta), so a
-    row lost or double-binned by the append would hash-mismatch."""
+    head snapshot — the FULL lakehouse lifecycle end-to-end, r12:
+    write (v1) -> append + atomic publish (v2; torn appends
+    invisible) -> transactional small-file compaction (v3; new files,
+    manifest flip — never an in-place rewrite) -> gc of the retired
+    versions' files. The driver's hash-checked row therefore covers
+    every maintenance step's value identity, not just the append
+    (tests/test_layout.py pins the commit/racing-reader/gc protocol
+    itself). Oracle: the full scan of ALL lineitem rows (base +
+    delta), so a row lost or double-binned by any step would
+    hash-mismatch."""
     from mr_mpi_blast_spark.operators.layout import (
-        append_to_zorder_layout, manifest_versions, pruned_read,
+        append_to_zorder_layout, compact_zorder_cells,
+        gc_zorder_layout, manifest_versions, pruned_read,
         upsert_zorder_manifest, write_zorder_layout)
     path = _lineitem_append_dir(sf_dir)
-    if len(manifest_versions(spark, path)) < 2:
+    # staged-complete == the post-gc state: a SINGLE retained version,
+    # v3 (compaction ran) or v2 (nothing exceeded the file threshold —
+    # possible at tiny sf). Anything else (fresh, or a crash
+    # mid-lifecycle, e.g. [1] or [1,2]) restages from a clean slate —
+    # write_zorder_layout initializes at v1 and must not land on a
+    # partial history (the optimistic commit would refuse, correctly)
+    vs = manifest_versions(spark, path)
+    if not (len(vs) == 1 and vs[0] in (2, 3)):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
         li = _t(spark, sf_dir, "lineitem")
         write_zorder_layout(li.filter(F.col("l_orderkey") % 4 != 0),
                             "l_partkey", "l_suppkey", path)
@@ -557,6 +573,8 @@ def q_lineitem_layout_append(spark, sf_dir):
             li.filter(F.col("l_orderkey") % 4 == 0), path,
             append_id="delta")
         upsert_zorder_manifest(spark, path, res)
+        compact_zorder_cells(spark, path)
+        gc_zorder_layout(spark, path, keep_versions=1)
     df, kept, total = pruned_read(spark, path,
                                   x_range=_APPEND_PK, y_range=_APPEND_SK)
     return (df.filter(F.col("l_partkey").between(*_APPEND_PK)
@@ -5307,12 +5325,14 @@ RECORDED_WINDOW = [
     "corpus_shuffle", "dedup_keep_best", "dedup_ngram_jaccard",
     "dedup_substr_remove", "doc_chunks", "dsir_sample",
     "dsir_weights", "embedding_semdedup", "events_anomaly",
-    "events_funnel", "events_pivot", "events_resample",
-    "events_retention",
+    "events_funnel", "events_pivot",
+    # new/changed in r12: the PNG real-codec roundtrip, and
+    # table_profile whose output gained the HDR quantile columns
+    # (r10's recorded row predates the schema change)
+    "multimodal_png_roundtrip", "table_profile",
     # dropped vs r11 (recorded evidence persists in CORRECTNESS_r11):
     # the r11 window's sketch/layout/format/text/r3-facade slots —
-    # all recorded green in r11; new r12 queries displace the newest
-    # r10 names above before the round ends.
+    # all recorded green in r11.
 ]
 
 

@@ -89,9 +89,11 @@ def table_profile(df: DataFrame, cols: list[str] | None = None,
     if bad:
         raise ValueError(
             f"table_profile: quantile_cols {bad} not in profiled cols")
+    # orderBy restores the documented sorted report order the join's
+    # shuffle would otherwise scramble — plan-sized (one row/column)
     return base.join(
         _hdr_profile_quantiles(df, quantile_cols, list(qs_permille)),
-        "col_name", "left")
+        "col_name", "left").orderBy("col_name")
 
 
 def trimmed_mean_by_group(df, group_col: str, cents_col: str,
@@ -446,6 +448,14 @@ def _hdr_shift_ladder(v: str) -> str:
     return f"(CASE {arms} ELSE 0 END)"
 
 
+def hdr_lower_spark(qb: str = "qb") -> str:
+    """Bucket-id -> decoded lower bound (Spark SQL) — the ONE decode
+    rendering hdr_quantiles and the table_profile quantile arm share,
+    so the rule cannot drift between them (r12 review)."""
+    return (f"shiftleft({qb} % {1 << HDR_SUB_BITS}, "
+            f"{qb} div {1 << HDR_SUB_BITS})")
+
+
 def hdr_bucket_spark(v: str) -> str:
     s = _hdr_shift_ladder(v)
     return (f"({s} * {1 << HDR_SUB_BITS} "
@@ -507,8 +517,7 @@ def hdr_quantiles(sketch: DataFrame, qs_permille: list[int]) -> DataFrame:
                Window.rowsBetween(Window.unboundedPreceding,
                                   Window.unboundedFollowing))))
     qs = F.explode(F.array(*[F.lit(q) for q in qs_permille]))
-    lower = (f"shiftleft(qb % {1 << HDR_SUB_BITS}, "
-             f"qb div {1 << HDR_SUB_BITS})")
+    lower = hdr_lower_spark()
     return (cum.select("bucket", "cum", "n", qs.alias("q_permille"))
             .filter(F.col("cum") * 1000 >= F.col("q_permille") * F.col("n"))
             .groupBy("q_permille")
@@ -551,8 +560,7 @@ def _hdr_profile_quantiles(df: DataFrame, quantile_cols: list[str],
     cum = (sk.withColumn("cum", F.sum("cnt").over(w))
            .withColumn("n", F.sum("cnt").over(tot)))
     qs = F.explode(F.array(*[F.lit(q) for q in qs_permille]))
-    lower = (f"shiftleft(qb % {1 << HDR_SUB_BITS}, "
-             f"qb div {1 << HDR_SUB_BITS})")
+    lower = hdr_lower_spark()
     hits = (cum.select("col_name", "bucket", "cum", "n",
                        qs.alias("q"))
             .filter(F.col("cum") * 1000 >= F.col("q") * F.col("n"))
