@@ -538,16 +538,23 @@ def pruned_read(spark: SparkSession, layout_dir: str,
             f"CAST({lit} AS STRING)", meta["bloom_bits"])])
         cond = cond & (F.size(F.array_except(probe, F.col("bloom_pos")))
                        == 0)
-    rows = manifest.select("zcell", "files", cond.alias("keep")).collect()
-    total = len(rows)
-    kept = [r for r in rows if r.keep]
-    if not kept:
-        if not rows:
+    # one planning job, survivors-only to the driver (r12 measured at
+    # the 100 TB manifest shape, 1e5 cells: collecting every manifest
+    # row costs ~0.9 s; this single aggregate — count + collect_list
+    # of WHEN(cond)-filtered structs, whose state is bounded by the
+    # ANSWER's file list, not the manifest — plans in ~0.3 s warm)
+    row = manifest.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.collect_list(F.when(cond, F.struct("zcell", "files")))
+        .alias("kept"),
+        F.first("files").alias("any_files")).collect()[0]
+    if not row.kept:
+        if row.total == 0:
             raise ValueError(f"{layout_dir}: empty manifest")
-        schema_probe = _read_files(spark, layout_dir, rows[0].files[:1])
-        return schema_probe.filter(F.lit(False)), 0, total
-    files = [f for r in kept for f in r.files]
-    return _read_files(spark, layout_dir, files), len(kept), total
+        probe = _read_files(spark, layout_dir, list(row.any_files[:1]))
+        return probe.filter(F.lit(False)), 0, row.total
+    files = [f for r in row.kept for f in r.files]
+    return _read_files(spark, layout_dir, files), len(row.kept), row.total
 
 
 def compact_zorder_cells(spark: SparkSession, layout_dir: str,

@@ -266,3 +266,23 @@ def test_table_profile_hdr_quantile_columns(spark):
         table_profile(neg, quantile_cols=["a"]).collect()
     with _pytest.raises(ValueError, match="quantile_cols"):
         table_profile(df, ["a", "s"], quantile_cols=["b"])
+
+
+def test_table_profile_sketch_scan_is_column_pruned(spark, tmp_path):
+    """r12 plan pin: the HDR quantile arm's extra pass reads ONLY the
+    quantile columns from the parquet scan (ReadSchema pruned) — at
+    100 TB the second scan must not re-read the fat payload columns
+    the base profile already aggregated."""
+    from mr_mpi_blast_spark.operators.profile import \
+        _hdr_profile_quantiles
+    p = str(tmp_path / "t")
+    rows = [(i, i * 7 % 100, "x" * 50) for i in range(200)]
+    spark.createDataFrame(rows, "a long, b long, fat string") \
+        .write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    plan = _hdr_profile_quantiles(df, ["a", "b"], [500]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans, plan
+    assert all("fat" not in ln for ln in scans), scans
+    assert any("a" in ln and "b" in ln for ln in scans), scans
