@@ -170,13 +170,25 @@ def _fs(spark: SparkSession, base: str):
     return _hadoop_fs(spark, base)
 
 
+_META_CACHE: dict = {}
+
+
 def layout_meta(spark: SparkSession, layout_dir: str) -> dict:
     """The layout's stored curve + Bloom parameters. Every maintainer
     (append/upsert/compact) and the Bloom probe read these from the
     table rather than taking them as arguments — the parameters are
     table properties, so a caller cannot probe with a bloom_bits the
     manifest was not built with (the silent-no-prune drift r11's
-    argument-passing form allowed)."""
+    argument-passing form allowed).
+
+    Cached per layout_dir for the process lifetime: the meta is
+    WRITE-ONCE by contract (stamped by write_zorder_layout, never
+    rewritten — appends/compaction must bin with the same curve), so
+    the cache can never go stale, and repeated pruned reads skip the
+    metadata-read job (r12 job-profile trim)."""
+    cached = _META_CACHE.get(layout_dir)
+    if cached is not None:
+        return dict(cached)
     fs, hpath = _fs(spark, layout_dir)
     meta_dir = f"{layout_dir}/{_LAYOUT_META}"
     if not fs.exists(hpath(f"{meta_dir}/_SUCCESS")):
@@ -185,7 +197,8 @@ def layout_meta(spark: SparkSession, layout_dir: str) -> dict:
             f"write_zorder_layout output (or a pre-r12 layout; "
             f"rewrite it once to stamp the table parameters)")
     row = spark.read.schema(_META_SCHEMA).json(meta_dir).collect()[0]
-    return row.asDict()
+    _META_CACHE[layout_dir] = row.asDict()
+    return dict(_META_CACHE[layout_dir])
 
 
 def manifest_versions(spark: SparkSession, layout_dir: str) -> list:
@@ -363,6 +376,9 @@ def write_zorder_layout(df: DataFrame, x: str, y: str, out_dir: str, *,
         [(x, y, bits, width_bits, bloom_col, bloom_bits)], _META_SCHEMA)
      .coalesce(1).write.mode("overwrite").json(
          f"{out_dir}/{_LAYOUT_META}"))
+    # re-initializing a path (overwrite) must not leave a stale cache
+    # entry — the write-once contract is per INITIALIZATION
+    _META_CACHE.pop(out_dir, None)
     committed = spark.read.option("basePath", adir).parquet(adir)
     manifest = _manifest_of(committed, x, y, bloom_col, bloom_bits)
     return _commit_manifest(spark, out_dir, manifest, expect_version=0)
