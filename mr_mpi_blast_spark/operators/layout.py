@@ -352,6 +352,17 @@ def write_zorder_layout(df: DataFrame, x: str, y: str, out_dir: str, *,
     no global sort, no single-task window (at scale prepend a
     repartitionByRange on _z to bound open files per task)."""
     spark = df.sparkSession
+    existing = manifest_versions(spark, out_dir)
+    if existing:
+        # refuse BEFORE touching anything (r12 review: overwriting
+        # data/a=base first would delete files every committed
+        # manifest still references — the table would be bricked by
+        # the time the optimistic commit noticed)
+        raise FileExistsError(
+            f"{out_dir}: already an initialized layout (committed "
+            f"manifest v={existing[-1]}); append with "
+            f"append_to_zorder_layout, or delete the directory to "
+            f"re-initialize")
     zdf = df.withColumn("_z", zvalue(x, y, bits))
     max_z = zdf.agg(F.max("_z")).collect()[0][0]
     if max_z is None:
@@ -403,9 +414,12 @@ def append_to_zorder_layout(df: DataFrame, layout_dir: str,
     import uuid
     spark = df.sparkSession
     meta = layout_meta(spark, layout_dir)
+    import re
     aid = append_id if append_id is not None else uuid.uuid4().hex[:12]
-    if "/" in aid or "=" in aid:
-        raise ValueError(f"append_id must be a plain name, got {aid!r}")
+    if not re.fullmatch(r"[A-Za-z0-9_.-]+", aid):
+        raise ValueError(
+            f"append_id must be a plain name ([A-Za-z0-9_.-]+), got "
+            f"{aid!r}")
     adir = f"{layout_dir}/data/a={aid}"
     z = zvalue(meta["x"], meta["y"], meta["bits"])
     (df.withColumn("_z", z)
@@ -456,19 +470,29 @@ def append_published(spark: SparkSession, layout_dir: str,
     re-publish. One manifest-sized filter."""
     if manifest is None:
         manifest, _ = read_zorder_manifest(spark, layout_dir)
-    return (manifest.filter(F.expr(
-        f"exists(files, f -> f like 'a={append_id}/%')"))
-        .limit(1).count() > 0)
+    # EXACT first-path-segment equality, not LIKE (r12 review: '_'
+    # and '%' in an id would act as wildcards and could falsely mark
+    # an append published — silent data loss through the public id)
+    return (manifest
+            .withColumn("_seg", F.lit(f"a={append_id}"))
+            .filter(F.expr(
+                "exists(files, f -> substring_index(f, '/', 1) = _seg)"))
+            .limit(1).count() > 0)
 
 
 def zorder_manifest(spark: SparkSession, layout_dir: str) -> DataFrame:
     """From-scratch manifest over every COMMITTED append directory —
     the full-scan verification twin of the incremental path (their
     equality is test-pinned). Costs a scan of the whole layout; real
-    maintenance uses upsert_zorder_manifest. Note: after a crash
-    BETWEEN a committed append and its manifest commit, this sees the
-    orphan directory the versioned manifest correctly hides — the
-    committed manifest is the table, this is a repair/verify tool."""
+    maintenance uses upsert_zorder_manifest. VALIDITY WINDOW (r12
+    review): correct only while every committed append dir is fully
+    referenced by the head manifest — i.e. before any compaction, or
+    after gc. Between a compaction and its gc, BOTH generations of a
+    rewritten cell are committed on disk and this scan double-counts
+    them; and after a crash between a committed append and its
+    publish it sees the orphan the versioned manifest correctly
+    hides. The committed manifest is the table; this is a
+    repair/verify tool for the states above."""
     meta = layout_meta(spark, layout_dir)
     fs, hpath = _fs(spark, layout_dir)
     data = f"{layout_dir}/data"
@@ -609,8 +633,11 @@ def compact_zorder_cells(spark: SparkSession, layout_dir: str,
     cid = "c" + uuid.uuid4().hex[:11]
     cdir = f"{layout_dir}/data/a={cid}"
     # the hash repartition on zcell puts each cell's rows in exactly
-    # one task, so partitionBy emits max_files_per_cell files per cell
-    (sub.repartition(max(1, max_files_per_cell) * len(todo), "zcell")
+    # ONE task, so partitionBy emits exactly one file per cell —
+    # max_files_per_cell is the SKIP THRESHOLD only, never an output
+    # file count (r12 review: a per-cell output split would need a
+    # second repartition key; one file per cell IS the compaction)
+    (sub.repartition(len(todo), "zcell")
      .write.mode("overwrite").partitionBy("zcell").parquet(cdir))
     fs, hpath = _fs(spark, cdir)
     new_files = []

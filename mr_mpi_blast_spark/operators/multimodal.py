@@ -438,6 +438,11 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
     pos, ihdr, idat = 8, None, bytearray()
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + ln > len(payload):
+            # truncation is the most common real corruption — it must
+            # land in the same ValueError contract as every other
+            # failure, not escape as struct.error (r12 review)
+            raise ValueError("truncated PNG chunk")
         tag = payload[pos + 4:pos + 8]
         body = payload[pos + 8:pos + 8 + ln]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
@@ -459,7 +464,12 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
             f"unsupported PNG (depth={depth}, color_type={color_type}, "
             f"interlace={interlace}; 8-bit RGB/RGBA non-interlaced only)")
     ch = 3 if color_type == 2 else 4
-    raw = zlib.decompress(bytes(idat))
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     stride = w * ch
     if len(raw) != h * (1 + stride):
         raise ValueError("PNG IDAT length mismatch")

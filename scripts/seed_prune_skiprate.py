@@ -16,7 +16,8 @@ volume — the honest boundary volume_seed_blooms' docstring names,
 which the saturation gate also covers); topical partitioning is
 where the filter pays.
 
-The DECADE axis is the VOLUME COUNT (8 -> 80 at fixed rows/volume):
+The DECADE axis is the VOLUME COUNT (8 -> 64 at fixed rows/volume
+— an 8x sweep; 64 is the 3-lead-symbol topic capacity):
 exactly how a 100 TB database grows (more topical volumes, not
 denser topics). The claim measured: pruned kernel cost tracks the
 MATCHING volumes (flat across the decade), full cost tracks the
@@ -94,8 +95,8 @@ def main() -> None:
     spark = get_spark()
     cfg = BlastConfig(word_size=K, max_kmer_hits=2000)
     for scale in (1, 10):
-        n_topics = 8 * scale - 2 * (scale > 1)   # 8 and 78 (< 64? no)
-        n_topics = min(8 * scale, 64)            # lead-symbol capacity
+        n_topics = min(8 * scale, 64)   # lead-symbol capacity caps
+                                        # the sweep at 64 volumes
         import hashlib
         fp = hashlib.md5("|".join(_seq(0, i) for i in range(3))
                          .encode()).hexdigest()[:10]

@@ -362,3 +362,48 @@ def test_layout_metadata_is_engine_portable():
     assert not re.search(r"\bos\.(path|listdir|makedirs|stat)\b", src)
     assert not re.search(r"\bopen\(", src)
     assert "import os" not in src
+
+
+def test_append_published_is_wildcard_safe(spark, tmp_path):
+    """r12 review: append ids like 'run_1' must not LIKE-match a
+    committed 'runX1' (silent data loss — the replay guard would skip
+    the publish); the check is exact segment equality, and ids
+    outside [A-Za-z0-9_.-]+ are rejected before any write."""
+    from mr_mpi_blast_spark.operators.layout import (
+        append_published, append_to_zorder_layout, pruned_read,
+        upsert_zorder_manifest, write_zorder_layout)
+    base = spark.createDataFrame([(i, i % 5, i % 3)
+                                  for i in range(100)],
+                                 "id long, x long, y long")
+    layout = str(tmp_path / "zw")
+    write_zorder_layout(base, "x", "y", layout, target_files=4)
+    d1 = spark.createDataFrame([(900, 1, 1)], "id long, x long, y long")
+    upsert_zorder_manifest(
+        spark, layout, append_to_zorder_layout(d1, layout,
+                                               append_id="runX1"))
+    assert append_published(spark, layout, "runX1")
+    assert not append_published(spark, layout, "run_1")
+    d2 = spark.createDataFrame([(901, 2, 2)], "id long, x long, y long")
+    res = append_to_zorder_layout(d2, layout, append_id="run_1")
+    upsert_zorder_manifest(spark, layout, res)
+    assert sorted(r.id for r in pruned_read(spark, layout)[0]
+                  .filter("id >= 900").collect()) == [900, 901]
+    with pytest.raises(ValueError, match="plain name"):
+        append_to_zorder_layout(d2, layout, append_id="a'b/c")
+
+
+def test_write_zorder_layout_refuses_reinit(spark, tmp_path):
+    """r12 review: initializing over a committed layout must refuse
+    BEFORE touching anything — the old behavior overwrote data/a=base
+    (deleting files every committed manifest referenced) and only
+    then failed the optimistic commit, bricking the table."""
+    from mr_mpi_blast_spark.operators.layout import (
+        pruned_read, write_zorder_layout)
+    df = spark.createDataFrame([(i, i % 5, i % 3) for i in range(50)],
+                               "id long, x long, y long")
+    layout = str(tmp_path / "zr")
+    write_zorder_layout(df, "x", "y", layout, target_files=4)
+    with pytest.raises(FileExistsError, match="already an initialized"):
+        write_zorder_layout(df, "x", "y", layout, target_files=4)
+    # the refusal left the committed table fully readable
+    assert pruned_read(spark, layout)[0].count() == 50

@@ -306,3 +306,24 @@ class TestPngCodec:
             assert (r.width, r.height, r.filter_type, r.pix_sum,
                     r.pix_min, r.pix_max) == \
                 (w, h, did % 5, sum(vals), min(vals), max(vals))
+
+
+def test_png_truncation_and_missing_idat_are_valueerrors():
+    """r12 review: truncated payloads (cut mid-chunk) and IDAT-less
+    chunk streams must land in the same ValueError contract as every
+    other decode failure, not escape as struct.error/zlib.error."""
+    import numpy as np
+    import pytest as _pytest
+    from mr_mpi_blast_spark.operators.multimodal import (
+        PNG_SIG, _png_chunk, decode_png_pixels, encode_png)
+    px = np.zeros((3, 3, 3), dtype=np.uint8) + 9
+    good = encode_png(px)
+    # cut mid-IDAT (IHDR is signature+25 bytes; IDAT starts at 33) —
+    # clipping only IEND's tail is tolerated, a torn IDAT is not
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_png_pixels(good[:41])
+    import struct
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    no_idat = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="IDAT"):
+        decode_png_pixels(no_idat)
