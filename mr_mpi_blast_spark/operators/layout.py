@@ -8,11 +8,12 @@ on either dimension skips most files. The z-value is pure integer
 arithmetic (shift = div/mod by powers of two), identical in any
 engine — the DuckDB oracle replays the same generated expression.
 
-The curve, not the write, is the operator here: callers lay data out
-with df.repartitionByRange/sortWithinPartitions on the z-value (or
-feed it to a bucketed writer); the registered query emits the
-per-file min/max statistics a format's manifest would carry, which is
-also exactly the evidence that the layout prunes.
+Two tiers live here: the raw curve arithmetic (zorder_sql / zvalue /
+zorder_file_stats — the registered lineitem_zorder manifest), and —
+r12 — a SNAPSHOT-VERSIONED layout table built on it (see the section
+comment below): immutable per-write data directories, _SUCCESS-gated
+versioned manifests carrying per-cell stats + file lists, pruned
+reads, exactly-once append/publish, transactional compaction, gc.
 """
 
 from __future__ import annotations
