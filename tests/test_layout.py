@@ -407,3 +407,37 @@ def test_write_zorder_layout_refuses_reinit(spark, tmp_path):
         write_zorder_layout(df, "x", "y", layout, target_files=4)
     # the refusal left the committed table fully readable
     assert pruned_read(spark, layout)[0].count() == 50
+
+
+def test_gc_default_retention_keeps_pinned_reader_alive(spark, tmp_path):
+    """gc with keep_versions=2 (the default) retains the PREVIOUS
+    snapshot's files: a reader pinned to v=N-1 stays value-correct
+    through a gc that runs right after the v=N commit — the retention
+    IS the reader contract."""
+    from mr_mpi_blast_spark.operators.layout import (
+        append_to_zorder_layout, compact_zorder_cells,
+        gc_zorder_layout, manifest_versions, pruned_read,
+        read_zorder_manifest, upsert_zorder_manifest,
+        write_zorder_layout)
+    base = spark.createDataFrame([(i, i % 7, i % 5)
+                                  for i in range(300)],
+                                 "id long, x long, y long")
+    layout = str(tmp_path / "zg2")
+    write_zorder_layout(base, "x", "y", layout, target_files=4)
+    d = spark.createDataFrame([(900 + i, i % 7, i % 5)
+                               for i in range(60)],
+                              "id long, x long, y long")
+    upsert_zorder_manifest(spark, layout,
+                           append_to_zorder_layout(d, layout))
+    _, v2 = read_zorder_manifest(spark, layout)
+    pinned, _, _ = pruned_read(spark, layout, version=v2)
+    want = sorted([r.id for r in base.collect()]
+                  + [r.id for r in d.collect()])
+    assert compact_zorder_cells(spark, layout)     # commits v3
+    gc_zorder_layout(spark, layout)                # default keep=2
+    assert manifest_versions(spark, layout) == [v2, v2 + 1]
+    # the pinned pre-compaction reader still resolves every file
+    assert sorted(r.id for r in pinned.collect()) == want
+    # and a fresh pin of the retained old version still plans
+    again, _, _ = pruned_read(spark, layout, version=v2)
+    assert again.count() == len(want)
