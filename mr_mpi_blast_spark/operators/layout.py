@@ -505,6 +505,46 @@ def zorder_manifest(spark: SparkSession, layout_dir: str) -> DataFrame:
                         meta["bloom_col"], meta["bloom_bits"])
 
 
+def fsck_zorder_layout(spark: SparkSession, layout_dir: str,
+                       version: int | None = None) -> DataFrame:
+    """Verify a committed snapshot: recompute per-cell stats from
+    EXACTLY the files the resolved manifest references and diff them
+    against the stored rows. Unlike zorder_manifest (whose validity
+    window excludes the between-compaction-and-gc state), this is
+    correct in EVERY layout state, because it scans the snapshot's
+    own file list — the expire-safe verify/maintenance op real
+    formats ship. Returns one row per disagreeing cell
+    ``(zcell, field, stored, recomputed)`` (values rendered as
+    strings; a cell whose files are missing surfaces as a read
+    failure, loudly). Empty result == snapshot is internally
+    consistent. Cost: one scan of the snapshot's files + a
+    manifest-sized join."""
+    man, _v = read_zorder_manifest(spark, layout_dir, version)
+    meta = layout_meta(spark, layout_dir)
+    files = [f for r in man.select("files").collect() for f in r.files]
+    fresh = _manifest_of(_read_files(spark, layout_dir, files),
+                         meta["x"], meta["y"],
+                         meta["bloom_col"], meta["bloom_bits"])
+    fields = ["n_rows", "min_x", "max_x", "min_y", "max_y", "files"]
+    if meta["bloom_col"]:
+        fields.append("bloom_pos")
+    a = man.select("zcell", *[F.col(f).alias(f"a_{f}") for f in fields])
+    b = fresh.select("zcell",
+                     *[F.col(f).alias(f"b_{f}") for f in fields])
+    j = a.join(b, "zcell", "full_outer")
+    checks = [
+        F.when(~F.col(f"a_{f}").eqNullSafe(F.col(f"b_{f}")),
+               F.struct(F.lit(f).alias("field"),
+                        F.col(f"a_{f}").cast("string").alias("stored"),
+                        F.col(f"b_{f}").cast("string")
+                        .alias("recomputed")))
+        for f in fields]
+    return (j.select("zcell", F.explode(
+        F.filter(F.array(*checks), lambda x: x.isNotNull()))
+        .alias("d"))
+        .select("zcell", "d.field", "d.stored", "d.recomputed"))
+
+
 def _ranges_overlap(lo_col: str, hi_col: str, lo, hi):
     cond = F.lit(True)
     if lo is not None:

@@ -441,3 +441,47 @@ def test_gc_default_retention_keeps_pinned_reader_alive(spark, tmp_path):
     # and a fresh pin of the retained old version still plans
     again, _, _ = pruned_read(spark, layout, version=v2)
     assert again.count() == len(want)
+
+
+def test_fsck_zorder_layout(spark, tmp_path):
+    """r12: the snapshot verifier is empty on a consistent layout in
+    EVERY lifecycle state (incl. between compaction and gc, where the
+    from-scratch zorder_manifest is documented invalid), and reports
+    (zcell, field, stored, recomputed) when a manifest row disagrees
+    with its own files."""
+    from mr_mpi_blast_spark.operators.layout import (
+        _commit_manifest, append_to_zorder_layout, compact_zorder_cells,
+        fsck_zorder_layout, gc_zorder_layout, read_zorder_manifest,
+        upsert_zorder_manifest, write_zorder_layout)
+    base = spark.createDataFrame([(i, i % 7, i % 5, i % 40)
+                                  for i in range(300)],
+                                 "id long, x long, y long, k long")
+    layout = str(tmp_path / "zf")
+    write_zorder_layout(base, "x", "y", layout, target_files=4,
+                        bloom_col="k")
+    assert fsck_zorder_layout(spark, layout).count() == 0
+    d = spark.createDataFrame([(900 + i, i % 7, i % 5, 40 + i % 3)
+                               for i in range(50)],
+                              "id long, x long, y long, k long")
+    upsert_zorder_manifest(spark, layout,
+                           append_to_zorder_layout(d, layout))
+    assert fsck_zorder_layout(spark, layout).count() == 0
+    compact_zorder_cells(spark, layout)
+    # between compaction and gc — zorder_manifest's blind spot
+    assert fsck_zorder_layout(spark, layout).count() == 0
+    gc_zorder_layout(spark, layout)
+    assert fsck_zorder_layout(spark, layout).count() == 0
+
+    # tamper: commit a manifest whose first cell claims 1000 extra
+    # rows — fsck must name exactly that cell and field
+    man, v = read_zorder_manifest(spark, layout)
+    first = man.limit(1).collect()[0].zcell
+    bad = man.withColumn(
+        "n_rows", F.when(F.col("zcell") == first,
+                         F.col("n_rows") + 1000)
+        .otherwise(F.col("n_rows")))
+    _commit_manifest(spark, layout, bad, v)
+    got = fsck_zorder_layout(spark, layout).collect()
+    assert len(got) == 1
+    assert (got[0].zcell, got[0].field) == (first, "n_rows")
+    assert int(got[0].stored) == int(got[0].recomputed) + 1000
