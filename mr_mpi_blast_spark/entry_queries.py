@@ -4347,6 +4347,52 @@ def q_lineitem_zorder(spark, sf_dir):
                              bits=_Z_BITS, file_width_bits=_Z_FILE_BITS)
 
 
+_Z3_COLS = ["l_partkey", "l_suppkey", "l_linenumber"]
+_Z3_BITS, _Z3_FILE_BITS = 17, 20
+
+
+def _zorder3_oracle() -> str:
+    from mr_mpi_blast_spark.operators.layout import zorder_sql_n
+    z = zorder_sql_n(_Z3_COLS, _Z3_BITS, "//")
+    mins = ", ".join(f"min(c{j}) AS min_{j}, max(c{j}) AS max_{j}"
+                     for j in range(3))
+    sel = ", ".join(f"{c} AS c{j}" for j, c in enumerate(_Z3_COLS))
+    return f"""
+WITH z AS (SELECT {sel}, {z} AS z FROM lineitem)
+SELECT CAST(z // {1 << _Z3_FILE_BITS} AS BIGINT) AS file_id,
+       count(*) AS n_rows, {mins}
+FROM z GROUP BY 1
+"""
+
+
+@query("lineitem_zorder3", _zorder3_oracle())
+def q_lineitem_zorder3(spark, sf_dir):
+    """Multi-column z-order manifest (r12): lineitem clustered on the
+    3-WAY Morton interleave of (l_partkey, l_suppkey, l_linenumber) —
+    the OPTIMIZE ZORDER BY (c1, c2, c3) form (zorder_sql_n: bit i of
+    column j at position i*k+j), bounding per-file ranges on ALL
+    THREE dimensions where the 2-D curve bounds two. Same pure
+    div/mod arithmetic, same fixed-width file assignment (no global
+    sort, no single-task window); the oracle replays the identical
+    generated integer expression with DuckDB's '//' rendering. The
+    per-dimension spread trade-off vs lineitem_zorder (k dims share
+    the 63-bit budget, so each gets fewer bits and wider per-file
+    envelopes per dim) is exactly the documented multi-column
+    OPTIMIZE trade-off."""
+    from mr_mpi_blast_spark.operators.layout import zvalue_n
+    li = _t(spark, sf_dir, "lineitem")
+    z = zvalue_n(_Z3_COLS, _Z3_BITS)
+    sel = [F.col(c).alias(f"c{j}") for j, c in enumerate(_Z3_COLS)]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for j in range(3):
+        aggs += [F.min(f"c{j}").alias(f"min_{j}"),
+                 F.max(f"c{j}").alias(f"max_{j}")]
+    return (li.select(*sel, z.alias("z"))
+            .groupBy(F.expr(f"z div {1 << _Z3_FILE_BITS}")
+                     .alias("file_id"))
+            .agg(*aggs))
+
+
 # pruned-scan predicate: fixed constants that exist at every sf
 # (partkeys/suppkeys are 1..N with N growing in sf) and stay selective
 # as N grows — the pruning evidence strengthens with scale.
@@ -5325,11 +5371,11 @@ RECORDED_WINDOW = [
     "corpus_shuffle", "dedup_keep_best", "dedup_ngram_jaccard",
     "dedup_substr_remove", "doc_chunks", "dsir_sample",
     "dsir_weights", "embedding_semdedup", "events_anomaly",
-    "events_funnel", "events_pivot",
-    # new/changed in r12: the PNG real-codec roundtrip, and
-    # table_profile whose output gained the HDR quantile columns
-    # (r10's recorded row predates the schema change)
-    "multimodal_png_roundtrip", "table_profile",
+    "events_funnel",
+    # new/changed in r12: the PNG real-codec roundtrip, table_profile
+    # (output gained the HDR quantile columns — r10's recorded row
+    # predates the schema change), and the 3-column z-order manifest
+    "multimodal_png_roundtrip", "table_profile", "lineitem_zorder3",
     # dropped vs r11 (recorded evidence persists in CORRECTNESS_r11):
     # the r11 window's sketch/layout/format/text/r3-facade slots —
     # all recorded green in r11.

@@ -44,10 +44,28 @@ def zorder_sql(x: str, y: str, bits: int, div_op: str) -> str:
     """
     if not 1 <= bits <= 31:
         raise ValueError(f"bits must be in [1, 31], got {bits}")
+    return zorder_sql_n([x, y], bits, div_op)
+
+
+def zorder_sql_n(cols: list, bits: int, div_op: str) -> str:
+    """N-column generalization (r12): bit i of column j lands at
+    interleaved position i*k + j (k = len(cols)) — the multi-column
+    OPTIMIZE ZORDER BY (c1, c2, c3, ...) form every lakehouse format
+    offers. Same engine portability (pure div/mod arithmetic, DuckDB
+    replays the generated text verbatim) and the same NON-NEGATIVE
+    precondition as the 2-D curve; k*bits must stay < 63. The 2-D
+    zorder_sql IS zorder_sql_n([x, y], ...)."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zorder_sql_n needs at least 2 columns")
+    if bits < 1 or k * bits >= 63:
+        raise ValueError(
+            f"k*bits must stay in [k, 62], got {k}*{bits} = {k * bits}")
     terms = []
     for i in range(bits):
-        terms.append(f"(({x} {div_op} {1 << i}) % 2) * {1 << (2 * i)}")
-        terms.append(f"(({y} {div_op} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        for j, c in enumerate(cols):
+            terms.append(
+                f"(({c} {div_op} {1 << i}) % 2) * {1 << (i * k + j)}")
     return "(" + "\n + ".join(terms) + ")"
 
 
@@ -78,6 +96,28 @@ def zvalue(x: str, y: str, bits: int = 20, *,
         f"raise_error(concat('zorder: negative input (', {x}, ', ', "
         f"{y}, '); the interleave is undefined on negatives - "
         f"shift or zigzag-encode the domain first')) "
+        f"ELSE {z} END").cast("long")
+
+
+def zvalue_n(cols: list, bits: int, *, checked: bool = True) -> Column:
+    """Spark column: N-way z-interleave with the same loud
+    NULL-arm-first / negative guard discipline as ``zvalue`` (the
+    NULL arm must come first — an OR of comparisons over a NULL
+    input is NULL, not true; r11 advisory)."""
+    z = zorder_sql_n(cols, bits, "div")
+    if not checked:
+        return F.expr(z).cast("long")
+    null_arm = " OR ".join(f"{c} IS NULL" for c in cols)
+    neg_arm = " OR ".join(f"{c} < 0" for c in cols)
+    return F.expr(
+        f"CASE WHEN {null_arm} THEN "
+        f"raise_error('zorder: NULL dimension; the curve is defined "
+        f"only on non-negative integers - filter or impute NULLs "
+        f"first') "
+        f"WHEN {neg_arm} THEN "
+        f"raise_error('zorder: negative input; the interleave is "
+        f"undefined on negatives - shift or zigzag-encode the domain "
+        f"first') "
         f"ELSE {z} END").cast("long")
 
 

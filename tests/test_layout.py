@@ -485,3 +485,42 @@ def test_fsck_zorder_layout(spark, tmp_path):
     assert len(got) == 1
     assert (got[0].zcell, got[0].field) == (first, "n_rows")
     assert int(got[0].stored) == int(got[0].recomputed) + 1000
+
+
+def test_zvalue_n_bijective_and_guarded(spark):
+    """r12 N-dim curve: the 3-way interleave is a bijection on a
+    grid (matches the python bit-mirror exactly), validation rejects
+    k*bits >= 63 and k < 2, and the NULL/negative guards fail loudly
+    like the 2-D curve's."""
+    from mr_mpi_blast_spark.operators.layout import (zorder_sql_n,
+                                                     zvalue_n)
+
+    def py_z3(vals, bits):
+        out = 0
+        for i in range(bits):
+            for j, v in enumerate(vals):
+                out |= ((v >> i) & 1) << (i * len(vals) + j)
+        return out
+
+    rows = [(x, y, w) for x in range(8) for y in range(8)
+            for w in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long, w long")
+    got = {(r.x, r.y, r.w): r.z for r in
+           df.withColumn("z", zvalue_n(["x", "y", "w"], 3)).collect()}
+    assert len(set(got.values())) == len(rows)          # bijective
+    for (x, y, w), z in got.items():
+        assert z == py_z3([x, y, w], 3), (x, y, w)
+    # 2-D delegation: zorder_sql_n([x,y]) == the classic interleave
+    from mr_mpi_blast_spark.operators.layout import zorder_sql
+    assert zorder_sql("a", "b", 5, "div") \
+        == zorder_sql_n(["a", "b"], 5, "div")
+    with pytest.raises(ValueError, match="63"):
+        zorder_sql_n(["a", "b", "c"], 21, "div")
+    with pytest.raises(ValueError, match="at least 2"):
+        zorder_sql_n(["a"], 5, "div")
+    bad = spark.createDataFrame([(1, 2, -3)], "x long, y long, w long")
+    with pytest.raises(Exception, match="negative"):
+        bad.select(zvalue_n(["x", "y", "w"], 3)).collect()
+    nul = spark.createDataFrame([(1, None, 3)], "x long, y long, w long")
+    with pytest.raises(Exception, match="NULL"):
+        nul.select(zvalue_n(["x", "y", "w"], 3)).collect()
