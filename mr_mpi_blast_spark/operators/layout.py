@@ -47,26 +47,67 @@ def zorder_sql(x: str, y: str, bits: int, div_op: str) -> str:
     return zorder_sql_n([x, y], bits, div_op)
 
 
+def _interleave_stages(k: int, bits: int) -> list:
+    """(shift, mask) ladder spreading bit i of a ``bits``-wide value
+    to position i*k — the 'binary magic numbers' bit-twiddling
+    interleave, generated for ANY k instead of hard-coding the
+    classic k=2/k=3 constants (which this reproduces exactly; the
+    property tests pin the result against a per-bit mirror). After
+    processing power 2^mm, original bit i sits at
+    i + (k-1)*((i >> mm) << mm)."""
+    out = []
+    m = 0
+    while (1 << m) < bits:
+        m += 1
+    for mm in range(m - 1, -1, -1):
+        shift = (k - 1) * (1 << mm)
+        mask = 0
+        for i in range(bits):
+            mask |= 1 << (i + (k - 1) * ((i >> mm) << mm))
+        out.append((shift, mask))
+    return out
+
+
 def zorder_sql_n(cols: list, bits: int, div_op: str) -> str:
     """N-column generalization (r12): bit i of column j lands at
     interleaved position i*k + j (k = len(cols)) — the multi-column
     OPTIMIZE ZORDER BY (c1, c2, c3, ...) form every lakehouse format
-    offers. Same engine portability (pure div/mod arithmetic, DuckDB
-    replays the generated text verbatim) and the same NON-NEGATIVE
-    precondition as the 2-D curve; k*bits must stay < 63. The 2-D
-    zorder_sql IS zorder_sql_n([x, y], ...)."""
+    offers. Same NON-NEGATIVE precondition as the 2-D curve (high
+    bits past ``bits`` are masked off, as the per-bit form dropped
+    them); k*bits must stay < 63. The 2-D zorder_sql IS
+    zorder_sql_n([x, y], ...).
+
+    Rendering (r12 perf): O(log bits) shift/OR/mask stages per column
+    (_interleave_stages), NOT the O(bits) per-bit div/mod sum — the
+    per-bit form crossed Spark's whole-stage-codegen size cliff at
+    ~46 terms and fell back to 10x-slower interpreted evaluation
+    (measured: 3x17-bit 4.6 s -> 0.4 s at sf0.1). ``div_op`` selects
+    the engine's shift syntax: 'div' -> Spark ``shiftleft(e, n)``,
+    '//' -> DuckDB ``(e << n)``; '&'/'|' parse identically in both.
+    Value identity across renderings and engines is pinned by the
+    grid/mirror tests and the lineitem_zorder/lineitem_zorder3
+    oracles."""
     k = len(cols)
     if k < 2:
         raise ValueError("zorder_sql_n needs at least 2 columns")
     if bits < 1 or k * bits >= 63:
         raise ValueError(
             f"k*bits must stay in [k, 62], got {k}*{bits} = {k * bits}")
-    terms = []
-    for i in range(bits):
-        for j, c in enumerate(cols):
-            terms.append(
-                f"(({c} {div_op} {1 << i}) % 2) * {1 << (i * k + j)}")
-    return "(" + "\n + ".join(terms) + ")"
+    if div_op == "div":
+        def shl(e, n):
+            return f"shiftleft({e}, {n})"
+    elif div_op == "//":
+        def shl(e, n):
+            return f"({e} << {n})"
+    else:
+        raise ValueError(f"unknown div_op {div_op!r} ('div' or '//')")
+    parts = []
+    for j, c in enumerate(cols):
+        x = f"(CAST({c} AS BIGINT) & {(1 << bits) - 1})"
+        for sh, mask in _interleave_stages(k, bits):
+            x = f"(({x} | {shl(x, sh)}) & {mask})"
+        parts.append(x if j == 0 else shl(x, j))
+    return "(" + " | ".join(parts) + ")"
 
 
 def zvalue(x: str, y: str, bits: int = 20, *,
@@ -79,24 +120,7 @@ def zvalue(x: str, y: str, bits: int = 20, *,
     ``zorder_sql`` documents; the cost is one codegen'd CASE per row.
     Pass ``checked=False`` only where the domain is proven
     non-negative upstream (e.g. synthetic keys)."""
-    z = zorder_sql(x, y, bits, "div")
-    if not checked:
-        return F.expr(z).cast("long")
-    # NULL arm first (r11 advisory): `x < 0 OR y < 0` is NULL (not
-    # true) when a dimension is NULL, so without it a NULL input
-    # would fall to the ELSE branch and yield a silently-NULL z that
-    # downstream ntile bins NULLS-FIRST instead of failing the stated
-    # non-negative-integer precondition loudly.
-    return F.expr(
-        f"CASE WHEN {x} IS NULL OR {y} IS NULL THEN "
-        f"raise_error('zorder: NULL dimension; the curve is defined "
-        f"only on non-negative integers - filter or impute NULLs "
-        f"first') "
-        f"WHEN {x} < 0 OR {y} < 0 THEN "
-        f"raise_error(concat('zorder: negative input (', {x}, ', ', "
-        f"{y}, '); the interleave is undefined on negatives - "
-        f"shift or zigzag-encode the domain first')) "
-        f"ELSE {z} END").cast("long")
+    return zvalue_n([x, y], bits, checked=checked)
 
 
 def zvalue_n(cols: list, bits: int, *, checked: bool = True) -> Column:
@@ -109,16 +133,26 @@ def zvalue_n(cols: list, bits: int, *, checked: bool = True) -> Column:
         return F.expr(z).cast("long")
     null_arm = " OR ".join(f"{c} IS NULL" for c in cols)
     neg_arm = " OR ".join(f"{c} < 0" for c in cols)
-    return F.expr(
+    vals = ", ' ', ".join(cols)
+    # guard as a ZERO-VALUED ADDEND, never a CASE wrapping z (r12
+    # perf): a CASE whose ELSE branch is the multi-KB interleave text
+    # pushes the whole expression over the codegen size cliff and the
+    # curve drops to 10x-slower interpreted eval (measured 0.7 s ->
+    # 6 s on the 3-way manifest at sf0.1). The tiny guard CASE yields
+    # bigint 0 on good rows and raises otherwise; adding it preserves
+    # the loud NULL-arm-first / negative contract (r10/r11
+    # advisories) while z itself stays codegen-able.
+    guard = F.expr(
         f"CASE WHEN {null_arm} THEN "
         f"raise_error('zorder: NULL dimension; the curve is defined "
         f"only on non-negative integers - filter or impute NULLs "
         f"first') "
         f"WHEN {neg_arm} THEN "
-        f"raise_error('zorder: negative input; the interleave is "
-        f"undefined on negatives - shift or zigzag-encode the domain "
-        f"first') "
-        f"ELSE {z} END").cast("long")
+        f"raise_error(concat('zorder: negative input (', {vals}, "
+        f"'); the interleave is undefined on negatives - shift or "
+        f"zigzag-encode the domain first')) "
+        f"ELSE CAST(0 AS BIGINT) END")
+    return (guard + F.expr(z)).cast("long")
 
 
 def zorder_file_stats(df: DataFrame, x: str, y: str, *, bits: int = 20,

@@ -524,3 +524,26 @@ def test_zvalue_n_bijective_and_guarded(spark):
     nul = spark.createDataFrame([(1, None, 3)], "x long, y long, w long")
     with pytest.raises(Exception, match="NULL"):
         nul.select(zvalue_n(["x", "y", "w"], 3)).collect()
+
+
+def test_zorder_magic_rendering_masks_high_bits_like_mirror(spark):
+    """r12 perf re-route: the shift/mask interleave must agree with
+    the per-bit mirror INCLUDING values exceeding the bit budget
+    (high bits masked off, as the old div/mod form dropped them)."""
+    from mr_mpi_blast_spark.operators.layout import zvalue_n
+
+    def mirror(vals, bits, k):
+        out = 0
+        for i in range(bits):
+            for j, v in enumerate(vals):
+                out |= (((v & ((1 << bits) - 1)) >> i) & 1) \
+                    << (i * k + j)
+        return out
+
+    rows = [(x * 977 + 5, (x * 31) % (1 << 20), x << 13)
+            for x in range(0, 3000, 37)]
+    df = spark.createDataFrame(rows, "x long, y long, w long")
+    got = {(r.x, r.y, r.w): r.z for r in
+           df.withColumn("z", zvalue_n(["x", "y", "w"], 7)).collect()}
+    for (x, y, w), z in got.items():
+        assert z == mirror([x, y, w], 7, 3), (x, y, w)
