@@ -775,6 +775,212 @@ def compact_zorder_cells(spark: SparkSession, layout_dir: str,
     return todo
 
 
+def _fresh_manifest_of_dir(spark: SparkSession, layout_dir: str,
+                           adir: str, meta: dict) -> DataFrame | None:
+    """Manifest rows for one committed data directory, or None when
+    the write produced no rows at all (partitionBy emits no zcell=
+    dirs; reading the bare _SUCCESS dir would die on schema
+    inference). Shared by delete/merge, mirroring the append path."""
+    fs, hpath = _fs(spark, adir)
+    has_cells = any(
+        st.isDirectory() and st.getPath().getName().startswith("zcell=")
+        for st in fs.listStatus(hpath(adir)))
+    if not has_cells:
+        return None
+    part = spark.read.option("basePath", adir).parquet(adir)
+    return _manifest_of(part, meta["x"], meta["y"],
+                        meta["bloom_col"], meta["bloom_bits"])
+
+
+def delete_from_zorder_layout(spark: SparkSession, layout_dir: str,
+                              predicate: str, *,
+                              x_range: tuple | None = None,
+                              y_range: tuple | None = None) -> dict:
+    """Row-level DELETE, copy-on-write: rewrite exactly the cells that
+    contain matching rows (without those rows) and commit the next
+    manifest version — old files untouched, so a reader pinned to the
+    prior snapshot keeps a consistent pre-delete view until gc (the
+    DELETE FROM every lakehouse format ships; reference analog: the
+    run-restart discipline of re-publishing state rather than editing
+    it in place, examples/refseq-all-vs-all/ranger-for-loop-run.sh).
+
+    ``predicate`` is a Spark SQL boolean expression over the data
+    columns; rows where it is TRUE are deleted (NULL keeps the row —
+    SQL DELETE semantics). ``x_range``/``y_range`` are ADDITIONAL
+    conjuncts on the layout's curve columns — they narrow the delete's
+    meaning (delete pred AND x BETWEEN ...), which is what lets the
+    manifest envelopes prune the candidate scan without any
+    correctness assumption on ``predicate``: out-of-scope cells are
+    never opened because out-of-scope rows are not deleted.
+
+    Cost at 100 TB: one scan of the cells overlapping the scope (the
+    whole table only for an unscoped delete — same as any engine),
+    rewrite of only the dirty cells, one manifest commit. Returns
+    ``{"version", "cells_rewritten", "cells_dropped", "rows_deleted"}``;
+    a delete matching nothing commits nothing (version unchanged)."""
+    import uuid
+    cur, curv = read_zorder_manifest(spark, layout_dir)
+    meta = layout_meta(spark, layout_dir)
+    scope = F.lit(True)
+    if x_range is not None:
+        scope = scope & _ranges_overlap("min_x", "max_x", *x_range)
+    if y_range is not None:
+        scope = scope & _ranges_overlap("min_y", "max_y", *y_range)
+    cand = cur.filter(scope).select("zcell", "files", "n_rows").collect()
+    eff = F.expr(predicate)
+    if x_range is not None:
+        eff = eff & F.col(meta["x"]).between(*x_range)
+    if y_range is not None:
+        eff = eff & F.col(meta["y"]).between(*y_range)
+    noop = {"version": curv, "cells_rewritten": [], "cells_dropped": [],
+            "rows_deleted": 0}
+    if not cand:
+        return noop
+    snap = _read_files(spark, layout_dir,
+                       [f for r in cand for f in r.files])
+    # cells-not-rows to the driver: only the ids of cells holding at
+    # least one TRUE-predicate row (filter() keeps only TRUE, so NULL
+    # predicate rows never dirty a cell)
+    dirty = sorted(r.zcell for r in
+                   snap.filter(eff).select("zcell").distinct().collect())
+    if not dirty:
+        return noop
+    dirty_files = [f for r in cand if r.zcell in set(dirty)
+                   for f in r.files]
+    keep = ~F.coalesce(eff, F.lit(False))
+    ddir = f"{layout_dir}/data/a=d{uuid.uuid4().hex[:11]}"
+    (_read_files(spark, layout_dir, dirty_files)
+     .filter(keep)
+     .repartition(len(dirty), "zcell")
+     .write.mode("overwrite").partitionBy("zcell").parquet(ddir))
+    fresh = _fresh_manifest_of_dir(spark, layout_dir, ddir, meta)
+    base = cur.filter(~F.col("zcell").isin(dirty))
+    merged = base if fresh is None else base.unionByName(fresh)
+    newv = _commit_manifest(spark, layout_dir, merged, curv)
+    old_n = {r.zcell: r.n_rows for r in cand if r.zcell in set(dirty)}
+    new_n = ({} if fresh is None else
+             {r.zcell: r.n_rows
+              for r in fresh.select("zcell", "n_rows").collect()})
+    return {"version": newv,
+            "cells_rewritten": [c for c in dirty if c in new_n],
+            "cells_dropped": [c for c in dirty if c not in new_n],
+            "rows_deleted": sum(old_n.values()) - sum(new_n.values())}
+
+
+def merge_into_zorder_layout(spark: SparkSession, layout_dir: str,
+                             updates: DataFrame,
+                             key_cols: list) -> dict:
+    """MERGE INTO, copy-on-write upsert: existing rows whose
+    ``key_cols`` match any update row are replaced by the update rows
+    (matched cells rewritten without them; all of ``updates`` written
+    through the stored curve as a new immutable directory), and BOTH
+    effects become visible in ONE manifest commit — a reader never
+    sees the delete without the insert. Keys must be non-null (null
+    keys never match, SQL join semantics — they would insert
+    duplicates silently, so they are refused loudly).
+
+    Cost at 100 TB: one snapshot scan semi-joined against the update
+    keys to find dirty cells (delta-sized right side — Catalyst/AQE
+    broadcasts it when small), rewrite of only the dirty cells, one
+    curve-binned write of the delta, one manifest commit. Crash at any
+    point before the commit leaves only unreferenced orphan dirs
+    (invisible; gc retires them); a replay after the commit fails
+    loudly on the optimistic version check rather than double-applying.
+
+    Returns ``{"version", "cells_rewritten", "cells_dropped",
+    "rows_replaced", "rows_written"}`` (replaced = old rows removed by
+    key match; written = delta rows landed — a key matching several
+    old rows replaces them all); an empty ``updates`` commits
+    nothing."""
+    import uuid
+    if not key_cols:
+        raise ValueError("merge_into_zorder_layout needs key_cols")
+    cur, curv = read_zorder_manifest(spark, layout_dir)
+    meta = layout_meta(spark, layout_dir)
+    mid = uuid.uuid4().hex[:11]
+    # the delta goes through the same curve-binning write as an append
+    # (its own immutable dir, invisible until the commit below); the
+    # input is evaluated EXACTLY ONCE — keys, counts and the null-key
+    # check below all derive from the COMMITTED delta files, so a
+    # nondeterministic source cannot diverge between what was written
+    # and what is matched (the r11 append advisory, applied to merge)
+    res = append_to_zorder_layout(updates, layout_dir,
+                                  append_id=f"m{mid}.u")
+    noop = {"version": curv, "cells_rewritten": [], "cells_dropped": [],
+            "rows_replaced": 0, "rows_written": 0}
+    if not res.touched:
+        return noop
+    udir = f"{layout_dir}/data/a={res.append_id}"
+    delta = (spark.read.option("basePath", udir).parquet(udir)
+             .drop("a", "zcell"))
+    if delta.filter(" OR ".join(f"({k} IS NULL)" for k in key_cols)) \
+            .limit(1).count() > 0:
+        # refuse BEFORE the commit: the orphan delta dir stays
+        # invisible (no manifest references it) and gc retires it
+        raise ValueError(
+            f"merge_into_zorder_layout: NULL in key column(s) "
+            f"{key_cols} - null keys never match and would silently "
+            f"insert duplicates")
+    fresh_u = _fresh_manifest_of_dir(spark, layout_dir, udir, meta)
+    sel = cur.select("zcell", "files", "n_rows").collect()
+    snap = _read_files(spark, layout_dir,
+                       [f for r in sel for f in r.files])
+    keys = delta.select(*key_cols).distinct()
+    dirty = sorted(r.zcell for r in
+                   snap.join(keys, key_cols, "leftsemi")
+                   .select("zcell").distinct().collect())
+    base = cur
+    fresh_r = None
+    rows_replaced = 0
+    if dirty:
+        dirty_files = [f for r in sel if r.zcell in set(dirty)
+                       for f in r.files]
+        rdir = f"{layout_dir}/data/a=m{mid}.r"
+        survivors = _read_files(spark, layout_dir, dirty_files).join(
+            keys, key_cols, "leftanti")
+        (survivors.repartition(len(dirty), "zcell")
+         .write.mode("overwrite").partitionBy("zcell").parquet(rdir))
+        fresh_r = _fresh_manifest_of_dir(spark, layout_dir, rdir, meta)
+        base = cur.filter(~F.col("zcell").isin(dirty))
+        old_n = sum(r.n_rows for r in sel if r.zcell in set(dirty))
+        new_n = (0 if fresh_r is None else
+                 fresh_r.agg(F.sum("n_rows")).collect()[0][0])
+        rows_replaced = old_n - new_n
+        if fresh_r is not None:
+            base = base.unionByName(fresh_r)
+    merged = _merge_manifests(base, fresh_u)
+    newv = _commit_manifest(spark, layout_dir, merged, curv)
+    new_cells = (set() if fresh_r is None else
+                 {r.zcell for r in fresh_r.select("zcell").collect()})
+    return {"version": newv,
+            "cells_rewritten": [c for c in dirty if c in new_cells],
+            "cells_dropped": [c for c in dirty if c not in new_cells],
+            "rows_replaced": rows_replaced,
+            "rows_written": delta.count()}
+
+
+def zorder_table_stats(spark: SparkSession, layout_dir: str,
+                       version: int | None = None) -> DataFrame:
+    """Metadata-only table statistics: COUNT(*), MIN/MAX of both curve
+    columns, cell and file counts — answered ENTIRELY from the
+    committed manifest, zero data files opened (the count-pushdown /
+    metadata-table answer lakehouse formats give; correctness rests on
+    the manifest invariants every maintenance op preserves and fsck
+    verifies). One manifest-sized aggregate; at 100 TB that is ~1e5
+    rows regardless of table size. Column names carry the layout's
+    stored dimension names so callers need not know them."""
+    man, _v = read_zorder_manifest(spark, layout_dir, version)
+    meta = layout_meta(spark, layout_dir)
+    return man.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.min("min_x").alias(f"min_{meta['x']}"),
+        F.max("max_x").alias(f"max_{meta['x']}"),
+        F.min("min_y").alias(f"min_{meta['y']}"),
+        F.max("max_y").alias(f"max_{meta['y']}"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.size("files")).alias("n_files"))
+
+
 def gc_zorder_layout(spark: SparkSession, layout_dir: str,
                      keep_versions: int = 2) -> dict:
     """Retire unreachable state: delete data files referenced by NO

@@ -547,3 +547,161 @@ def test_zorder_magic_rendering_masks_high_bits_like_mirror(spark):
            df.withColumn("z", zvalue_n(["x", "y", "w"], 7)).collect()}
     for (x, y, w), z in got.items():
         assert z == mirror([x, y, w], 7, 3), (x, y, w)
+
+
+def test_delete_from_zorder_layout(spark, tmp_path):
+    """r12 DELETE: copy-on-write rewrite of exactly the dirty cells.
+    Value identity vs the complement filter, scope conjuncts narrow
+    the delete's MEANING (out-of-scope matching rows survive), NULL
+    predicate keeps the row (SQL DELETE), a no-match delete commits
+    nothing, a pinned reader keeps the pre-delete view, and fsck is
+    clean afterwards."""
+    from mr_mpi_blast_spark.operators.layout import (
+        delete_from_zorder_layout, fsck_zorder_layout, pruned_read,
+        read_zorder_manifest, write_zorder_layout)
+    rows = [(i, i % 61, (i * 13) % 37,
+             None if i % 11 == 0 else i % 5) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long, q int")
+    layout = str(tmp_path / "zdel")
+    assert write_zorder_layout(df, "x", "y", layout,
+                               target_files=24) == 1
+    res = delete_from_zorder_layout(spark, layout, "q <= 1",
+                                    x_range=(10, 30))
+    assert res["version"] == 2
+    assert res["cells_rewritten"]
+    # semantic check: deleted == q<=1 AND x in scope; NULL q kept
+    keep_pred = "NOT (q <= 1 AND x BETWEEN 10 AND 30) OR q IS NULL"
+    want = sorted(r.id for r in df.filter(keep_pred).collect())
+    got, _k, _t = pruned_read(spark, layout)
+    assert sorted(r.id for r in got.collect()) == want
+    assert res["rows_deleted"] == 3000 - len(want)
+    # out-of-scope matching rows survived
+    assert got.filter("q <= 1 AND x > 30").count() > 0
+    # pinned reader: version 1 still sees every row
+    old, _k1, _t1 = pruned_read(spark, layout, version=1)
+    assert old.count() == 3000
+    assert fsck_zorder_layout(spark, layout).count() == 0
+    # no-match delete: nothing committed, head unchanged
+    res2 = delete_from_zorder_layout(spark, layout, "q = 999")
+    assert res2 == {"version": 2, "cells_rewritten": [],
+                    "cells_dropped": [], "rows_deleted": 0}
+    _m, v = read_zorder_manifest(spark, layout)
+    assert v == 2
+
+
+def test_delete_drops_fully_emptied_cells(spark, tmp_path):
+    """A cell whose every row matches the predicate disappears from
+    the manifest (no zero-row tombstones); the read stays
+    value-identical and gc retires the replaced files."""
+    from mr_mpi_blast_spark.operators.layout import (
+        delete_from_zorder_layout, fsck_zorder_layout,
+        gc_zorder_layout, pruned_read, write_zorder_layout)
+
+    rows = [(i, i % 16, i % 16) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    layout = str(tmp_path / "zdrop")
+    write_zorder_layout(df, "x", "y", layout, target_files=16)
+    res = delete_from_zorder_layout(spark, layout, "TRUE",
+                                    x_range=(0, 3), y_range=(0, 3))
+    assert res["cells_dropped"]
+    got, kept, total = pruned_read(spark, layout)
+    want = sorted(r.id for r in df.filter(
+        "NOT (x BETWEEN 0 AND 3 AND y BETWEEN 0 AND 3)").collect())
+    assert sorted(r.id for r in got.collect()) == want
+    assert fsck_zorder_layout(spark, layout).count() == 0
+    removed = gc_zorder_layout(spark, layout, keep_versions=1)
+    assert removed["files"]
+    got2, _k, _t = pruned_read(spark, layout)
+    assert sorted(r.id for r in got2.collect()) == want
+
+
+def test_merge_into_zorder_layout(spark, tmp_path):
+    """r12 MERGE INTO: keyed upsert is value-identical to
+    anti-join+union, both effects land in ONE commit, empty updates
+    commit nothing, NULL keys are refused loudly, and fsck is clean
+    afterwards."""
+    from mr_mpi_blast_spark.operators.layout import (
+        fsck_zorder_layout, merge_into_zorder_layout, pruned_read,
+        write_zorder_layout)
+    rows = [(i, i % 41, (i * 7) % 23, f"old{i}") for i in range(2500)]
+    df = spark.createDataFrame(rows, "id long, x long, y long, s string")
+    layout = str(tmp_path / "zmerge")
+    write_zorder_layout(df, "x", "y", layout, target_files=24)
+    # replace every id % 9 == 0, insert 100 brand-new ids (some past
+    # the original domain -> brand-new cells through the stored curve)
+    upd_rows = [(i, i % 41, (i * 7) % 23, f"new{i}")
+                for i in range(0, 2500, 9)]
+    upd_rows += [(10_000 + i, 60 + i, 40 + i, f"ins{i}")
+                 for i in range(100)]
+    upd = spark.createDataFrame(
+        upd_rows, "id long, x long, y long, s string")
+    res = merge_into_zorder_layout(spark, layout, upd, ["id"])
+    assert res["version"] == 2
+    assert res["rows_replaced"] == len(range(0, 2500, 9))
+    assert res["rows_written"] == len(upd_rows)
+    got = {(r.id, r.s) for r in pruned_read(spark, layout)[0].collect()}
+    want = {(i, f"new{i}" if i % 9 == 0 else f"old{i}")
+            for i in range(2500)}
+    want |= {(10_000 + i, f"ins{i}") for i in range(100)}
+    assert got == want
+    assert fsck_zorder_layout(spark, layout).count() == 0
+    # empty updates: no commit
+    empty = spark.createDataFrame([], "id long, x long, y long, s string")
+    res2 = merge_into_zorder_layout(spark, layout, empty, ["id"])
+    assert res2["version"] == 2 and res2["rows_written"] == 0
+    # NULL key refused loudly, and the refused merge left no trace
+    bad = spark.createDataFrame([(None, 1, 1, "z")],
+                                "id long, x long, y long, s string")
+    with pytest.raises(ValueError, match="NULL in key"):
+        merge_into_zorder_layout(spark, layout, bad, ["id"])
+    still = {(r.id, r.s) for r in
+             pruned_read(spark, layout)[0].collect()}
+    assert still == want
+
+
+def test_merge_composite_key(spark, tmp_path):
+    """Composite keys match on ALL columns: an update row replaces
+    only the exact (k1, k2) pair, not every row sharing k1."""
+    from mr_mpi_blast_spark.operators.layout import (
+        merge_into_zorder_layout, pruned_read, write_zorder_layout)
+    rows = [(a, b, a * 3 + b, b, f"v{a}.{b}")
+            for a in range(30) for b in range(4)]
+    df = spark.createDataFrame(
+        rows, "k1 long, k2 long, x long, y long, s string")
+    layout = str(tmp_path / "zck")
+    write_zorder_layout(df, "x", "y", layout, target_files=8)
+    upd = spark.createDataFrame([(5, 2, 17, 2, "UPD")],
+                                "k1 long, k2 long, x long, y long, s string")
+    merge_into_zorder_layout(spark, layout, upd, ["k1", "k2"])
+    got = {(r.k1, r.k2): r.s for r in
+           pruned_read(spark, layout)[0].collect()}
+    assert got[(5, 2)] == "UPD"
+    assert got[(5, 1)] == "v5.1" and got[(5, 3)] == "v5.3"
+    assert len(got) == len(rows)
+
+
+def test_zorder_table_stats_metadata_only(spark, tmp_path):
+    """r12 metadata-only stats: equal to the full-scan aggregate,
+    maintained by delete, and answered with ZERO data I/O — proven by
+    deleting every data file and re-answering (only the manifest and
+    the meta sidecar remain readable)."""
+    from mr_mpi_blast_spark.operators.layout import (
+        _fs, delete_from_zorder_layout, write_zorder_layout,
+        zorder_table_stats)
+    rows = [(i, i % 19 + 3, (i * 5) % 29 + 1) for i in range(1234)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    layout = str(tmp_path / "zst")
+    write_zorder_layout(df, "x", "y", layout, target_files=8)
+    s = zorder_table_stats(spark, layout).collect()[0]
+    assert (s.n_rows, s.min_x, s.max_x, s.min_y, s.max_y) == \
+        (1234, 3, 21, 1, 29)
+    assert s.n_cells >= 1 and s.n_files >= s.n_cells
+    delete_from_zorder_layout(spark, layout, "x = 3")
+    s2 = zorder_table_stats(spark, layout).collect()[0]
+    assert s2.n_rows == df.filter("x != 3").count()
+    assert s2.min_x == 4
+    # the zero-data-I/O proof: drop every data file; stats still answer
+    fs, hpath = _fs(spark, layout)
+    fs.delete(hpath(f"{layout}/data"), True)
+    s3 = zorder_table_stats(spark, layout).collect()[0]
+    assert (s3.n_rows, s3.min_x) == (s2.n_rows, s2.min_x)
