@@ -868,8 +868,8 @@ def delete_from_zorder_layout(spark: SparkSession, layout_dir: str,
 
 
 def merge_into_zorder_layout(spark: SparkSession, layout_dir: str,
-                             updates: DataFrame,
-                             key_cols: list) -> dict:
+                             updates: DataFrame, key_cols: list,
+                             merge_id: str | None = None) -> dict:
     """MERGE INTO, copy-on-write upsert: existing rows whose
     ``key_cols`` match any update row are replaced by the update rows
     (matched cells rewritten without them; all of ``updates`` written
@@ -884,20 +884,39 @@ def merge_into_zorder_layout(spark: SparkSession, layout_dir: str,
     broadcasts it when small), rewrite of only the dirty cells, one
     curve-binned write of the delta, one manifest commit. Crash at any
     point before the commit leaves only unreferenced orphan dirs
-    (invisible; gc retires them); a replay after the commit fails
-    loudly on the optimistic version check rather than double-applying.
+    (invisible; gc retires them).
+
+    ``merge_id`` (a plain name WITHOUT dots — suffixes .u/.r name the
+    merge's two directories unambiguously) makes the merge REPLAYABLE
+    exactly-once, the append_published discipline: a replay before the
+    commit overwrites only its own directories and redoes the same
+    deterministic work; a replay after the commit is a no-op BEFORE
+    touching data (the head manifest already references the merge's
+    delta files). Without it (default random id) a post-commit replay
+    fails loudly on the optimistic version check instead.
 
     Returns ``{"version", "cells_rewritten", "cells_dropped",
     "rows_replaced", "rows_written"}`` (replaced = old rows removed by
     key match; written = delta rows landed — a key matching several
-    old rows replaces them all); an empty ``updates`` commits
-    nothing."""
+    old rows replaces them all); an empty ``updates`` or a replayed
+    ``merge_id`` commits nothing."""
+    import re
     import uuid
     if not key_cols:
         raise ValueError("merge_into_zorder_layout needs key_cols")
     cur, curv = read_zorder_manifest(spark, layout_dir)
     meta = layout_meta(spark, layout_dir)
-    mid = uuid.uuid4().hex[:11]
+    noop_replay = {"version": curv, "cells_rewritten": [],
+                   "cells_dropped": [], "rows_replaced": 0,
+                   "rows_written": 0}
+    if merge_id is not None:
+        if not re.fullmatch(r"[A-Za-z0-9_-]+", merge_id):
+            raise ValueError(
+                f"merge_id must be a plain dot-free name "
+                f"([A-Za-z0-9_-]+), got {merge_id!r}")
+        if append_published(spark, layout_dir, f"m{merge_id}.u", cur):
+            return noop_replay
+    mid = merge_id if merge_id is not None else uuid.uuid4().hex[:11]
     # the delta goes through the same curve-binning write as an append
     # (its own immutable dir, invisible until the commit below); the
     # input is evaluated EXACTLY ONCE — keys, counts and the null-key

@@ -79,3 +79,43 @@ def ingest_zorder_stream(rows_stream: DataFrame, layout_dir: str,
             f"ingest_zorder_stream did not drain within {timeout_s}s "
             f"(checkpoint {checkpoint_dir!r} preserved; rerun resumes)")
     return layout_dir
+
+
+def merge_zorder_stream(changes_stream: DataFrame, layout_dir: str,
+                        checkpoint_dir: str, key_cols: list,
+                        timeout_s: int = 300) -> str:
+    """Drain a (bounded) CDC-upsert stream into an EXISTING layout:
+    each micro-batch is one merge_into_zorder_layout under the
+    DETERMINISTIC id ``b<batch_id>`` — matched rows replaced, new rows
+    inserted, both atomically per batch. Exactly-once comes from the
+    merge's own replay guard (a batch whose manifest committed is a
+    no-op before touching data; a torn batch redoes its own
+    directories only), the ingest twin's discipline applied to
+    upserts. Keys recurring ACROSS micro-batches resolve to the
+    latest batch's row because availableNow batches serialize on the
+    manifest head — the per-key last-write-wins a CDC consumer
+    expects. Within one micro-batch, duplicate keys are NOT collapsed
+    (both rows land; pre-aggregate to latest-per-key upstream if the
+    source can carry intra-batch dups). Raises TimeoutError with the
+    checkpoint preserved, like ingest_zorder_stream."""
+    from mr_mpi_blast_spark.operators.layout import (
+        layout_meta, merge_into_zorder_layout)
+
+    spark = changes_stream.sparkSession
+    layout_meta(spark, layout_dir)      # fail loudly before starting
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        merge_into_zorder_layout(spark, layout_dir, batch_df, key_cols,
+                                 merge_id=f"b{batch_id}")
+
+    q = (changes_stream.writeStream
+         .foreachBatch(process)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"merge_zorder_stream did not drain within {timeout_s}s "
+            f"(checkpoint {checkpoint_dir!r} preserved; rerun resumes)")
+    return layout_dir

@@ -738,3 +738,119 @@ def test_zorder_ingest_replay_after_partial_publish(spark, tmp_path):
     assert upsert_zorder_manifest(spark, layout, res) \
         == upsert_zorder_manifest(spark, layout, res)
     assert pruned_read(spark, layout)[0].count() == 450
+
+
+def test_zorder_merge_stream_upserts_exactly_once(spark, tmp_path):
+    """r12 streaming MERGE: a CDC-upsert stream drained one
+    micro-batch at a time replaces matched keys and inserts new ones;
+    a key touched in two micro-batches resolves to the LATER batch
+    (serialized merges = last-write-wins); a rerun against the same
+    checkpoint commits nothing (the merge replay guard)."""
+    import os
+    import time
+    from mr_mpi_blast_spark.operators.layout import (
+        fsck_zorder_layout, manifest_versions, pruned_read,
+        write_zorder_layout)
+    from mr_mpi_blast_spark.streaming.layout_stream import \
+        merge_zorder_stream
+
+    base = spark.createDataFrame(
+        [(i, i % 17, (i * 3) % 13, "old") for i in range(800)],
+        "id long, x long, y long, s string")
+    layout = str(tmp_path / "zm")
+    write_zorder_layout(base, "x", "y", layout, target_files=8)
+
+    src = str(tmp_path / "zmsrc")
+    os.makedirs(src)
+    b1 = spark.createDataFrame(
+        [(i, i % 17, (i * 3) % 13, "b1") for i in range(0, 60)]
+        + [(9000, 40, 40, "b1")],                 # brand-new cell
+        "id long, x long, y long, s string")
+    b2 = spark.createDataFrame(
+        [(i, i % 17, (i * 3) % 13, "b2") for i in range(50, 80)],
+        "id long, x long, y long, s string")      # ids 50..59 re-hit
+    # one source dir, one plain parquet FILE per micro-batch;
+    # FileStreamSource orders files by modification time, so force b1
+    # strictly earlier to make the cross-batch last-write-wins
+    # assertion deterministic
+    import shutil
+    now = time.time()
+    for name, df, t in (("b1", b1, now - 100), ("b2", b2, now)):
+        scratch = str(tmp_path / f"scratch_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(scratch)
+        part = next(f for f in os.listdir(scratch)
+                    if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(os.path.join(scratch, part), dst)
+        os.utime(dst, (t, t))
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false")
+              .parquet(src))
+    ckpt = str(tmp_path / "zmckpt")
+    merge_zorder_stream(stream, layout, ckpt, ["id"])
+
+    vs = manifest_versions(spark, layout)
+    got = {r.id: r.s for r in pruned_read(spark, layout)[0].collect()}
+    assert len(got) == 801                        # 800 base + 1 insert
+    assert got[9000] == "b1"
+    assert all(got[i] == "b1" for i in range(0, 50))
+    assert all(got[i] == "b2" for i in range(50, 80))   # later batch won
+    assert all(got[i] == "old" for i in range(80, 800))
+    assert fsck_zorder_layout(spark, layout).count() == 0
+
+    # rerun against the same checkpoint: nothing commits
+    stream2 = (spark.readStream.schema(b1.schema)
+               .option("maxFilesPerTrigger", 1)
+               .option("latestFirst", "false")
+               .parquet(src))
+    merge_zorder_stream(stream2, layout, ckpt, ["id"])
+    assert manifest_versions(spark, layout) == vs
+    assert {r.id: r.s for r in
+            pruned_read(spark, layout)[0].collect()} == got
+
+
+def test_zorder_merge_replay_guard(spark, tmp_path):
+    """merge_id exactly-once: a post-commit replay is a no-op BEFORE
+    touching data (even with different input — the guard fires on the
+    committed manifest, not the payload); a TORN merge (delta written,
+    commit lost) republishes exactly once under the same id."""
+    from mr_mpi_blast_spark.operators.layout import (
+        append_to_zorder_layout, merge_into_zorder_layout, pruned_read,
+        read_zorder_manifest, write_zorder_layout)
+    import pytest as _pytest
+
+    base = spark.createDataFrame(
+        [(i, i % 11, i % 7, "old") for i in range(300)],
+        "id long, x long, y long, s string")
+    layout = str(tmp_path / "zr")
+    write_zorder_layout(base, "x", "y", layout, target_files=4)
+    upd = spark.createDataFrame([(5, 5, 5, "new")],
+                                "id long, x long, y long, s string")
+    res = merge_into_zorder_layout(spark, layout, upd, ["id"],
+                                   merge_id="job1")
+    assert res["version"] == 2 and res["rows_written"] == 1
+    # post-commit replay: no-op even with a different payload
+    other = spark.createDataFrame([(6, 6, 6, "evil")],
+                                  "id long, x long, y long, s string")
+    res2 = merge_into_zorder_layout(spark, layout, other, ["id"],
+                                    merge_id="job1")
+    assert res2["version"] == 2 and res2["rows_written"] == 0
+    got = {r.id: r.s for r in pruned_read(spark, layout)[0].collect()}
+    assert got[5] == "new" and got[6] == "old"
+    # torn merge: delta dir exists, no commit - invisible; the replay
+    # overwrites its own dir and publishes exactly once
+    append_to_zorder_layout(upd.withColumn("s", F.lit("torn")),
+                            layout, append_id="mjob2.u")
+    assert pruned_read(spark, layout)[0].count() == 300
+    res3 = merge_into_zorder_layout(spark, layout, upd, ["id"],
+                                    merge_id="job2")
+    assert res3["version"] == 3
+    man, v = read_zorder_manifest(spark, layout)
+    assert v == 3
+    got3 = {r.id: r.s for r in pruned_read(spark, layout)[0].collect()}
+    assert got3[5] == "new" and len(got3) == 300
+    # dotted merge ids are refused (dots delimit the .u/.r suffixes)
+    with _pytest.raises(ValueError, match="dot-free"):
+        merge_into_zorder_layout(spark, layout, upd, ["id"],
+                                 merge_id="a.b")
