@@ -879,12 +879,20 @@ def merge_into_zorder_layout(spark: SparkSession, layout_dir: str,
     keys never match, SQL join semantics — they would insert
     duplicates silently, so they are refused loudly).
 
-    Cost at 100 TB: one snapshot scan semi-joined against the update
-    keys to find dirty cells (delta-sized right side — Catalyst/AQE
-    broadcasts it when small), rewrite of only the dirty cells, one
-    curve-binned write of the delta, one manifest commit. Crash at any
-    point before the commit leaves only unreferenced orphan dirs
-    (invisible; gc retires them).
+    Cost at 100 TB: one scan of the CANDIDATE cells semi-joined
+    against the update keys to find dirty cells (delta-sized right
+    side — Catalyst/AQE broadcasts it when small), rewrite of only
+    the dirty cells, one curve-binned write of the delta, one
+    manifest commit. Candidates are pruned by key envelopes when a
+    merge key IS a curve column: a cell whose stored min/max on that
+    dimension misses the delta's key range cannot contain a matched
+    row, so its files are never opened (one-sided, driver-side over
+    the manifest — files-not-rows). That is what keeps a per-batch
+    CDC merge (merge_zorder_stream) from scanning the whole table
+    when keys are clustered (time-ordered ids on a curve dimension);
+    scattered keys degrade gracefully to the full snapshot scan.
+    Crash at any point before the commit leaves only unreferenced
+    orphan dirs (invisible; gc retires them).
 
     ``merge_id`` (a plain name WITHOUT dots — suffixes .u/.r name the
     merge's two directories unambiguously) makes the merge REPLAYABLE
@@ -896,9 +904,12 @@ def merge_into_zorder_layout(spark: SparkSession, layout_dir: str,
     fails loudly on the optimistic version check instead.
 
     Returns ``{"version", "cells_rewritten", "cells_dropped",
-    "rows_replaced", "rows_written"}`` (replaced = old rows removed by
-    key match; written = delta rows landed — a key matching several
-    old rows replaces them all); an empty ``updates`` or a replayed
+    "rows_replaced", "rows_written", "cells_scanned", "cells_total"}``
+    (replaced = old rows removed by key match; written = delta rows
+    landed — a key matching several old rows replaces them all;
+    scanned/total = the dirty-cell discovery's candidate set after
+    key-envelope pruning vs the whole manifest, 0/0 when the
+    discovery never ran); an empty ``updates`` or a replayed
     ``merge_id`` commits nothing."""
     import re
     import uuid
@@ -908,7 +919,8 @@ def merge_into_zorder_layout(spark: SparkSession, layout_dir: str,
     meta = layout_meta(spark, layout_dir)
     noop_replay = {"version": curv, "cells_rewritten": [],
                    "cells_dropped": [], "rows_replaced": 0,
-                   "rows_written": 0}
+                   "rows_written": 0, "cells_scanned": 0,
+                   "cells_total": 0}
     if merge_id is not None:
         if not re.fullmatch(r"[A-Za-z0-9_-]+", merge_id):
             raise ValueError(
@@ -926,7 +938,8 @@ def merge_into_zorder_layout(spark: SparkSession, layout_dir: str,
     res = append_to_zorder_layout(updates, layout_dir,
                                   append_id=f"m{mid}.u")
     noop = {"version": curv, "cells_rewritten": [], "cells_dropped": [],
-            "rows_replaced": 0, "rows_written": 0}
+            "rows_replaced": 0, "rows_written": 0, "cells_scanned": 0,
+            "cells_total": 0}
     if not res.touched:
         return noop
     udir = f"{layout_dir}/data/a={res.append_id}"
@@ -941,13 +954,37 @@ def merge_into_zorder_layout(spark: SparkSession, layout_dir: str,
             f"{key_cols} - null keys never match and would silently "
             f"insert duplicates")
     fresh_u = _fresh_manifest_of_dir(spark, layout_dir, udir, meta)
-    sel = cur.select("zcell", "files", "n_rows").collect()
-    snap = _read_files(spark, layout_dir,
-                       [f for r in sel for f in r.files])
+    rows = cur.select("zcell", "files", "n_rows",
+                      "min_x", "max_x", "min_y", "max_y").collect()
+    # key-envelope pruning (one-sided): a merge key that IS a curve
+    # column carries per-cell min/max in the manifest — a cell whose
+    # envelope on that dimension misses the delta's key range cannot
+    # contain a matched row, so its files are never opened below.
+    # One delta-sized agg + a driver-side filter of the (files-not-
+    # rows) manifest; keys on non-curve columns scan everything.
+    curve = {meta["x"]: ("min_x", "max_x"), meta["y"]: ("min_y", "max_y")}
+    keyed = [k for k in key_cols if k in curve]
+    sel = rows
+    if keyed:
+        st = delta.agg(*[f for k in keyed
+                         for f in (F.min(k).alias(f"lo_{k}"),
+                                   F.max(k).alias(f"hi_{k}"))]).collect()[0]
+
+        def _might_match(r):
+            return all(r[curve[k][1]] >= st[f"lo_{k}"]
+                       and r[curve[k][0]] <= st[f"hi_{k}"]
+                       for k in keyed)
+
+        sel = [r for r in rows if _might_match(r)]
     keys = delta.select(*key_cols).distinct()
-    dirty = sorted(r.zcell for r in
-                   snap.join(keys, key_cols, "leftsemi")
-                   .select("zcell").distinct().collect())
+    if sel:
+        snap = _read_files(spark, layout_dir,
+                           [f for r in sel for f in r.files])
+        dirty = sorted(r.zcell for r in
+                       snap.join(keys, key_cols, "leftsemi")
+                       .select("zcell").distinct().collect())
+    else:
+        dirty = []
     base = cur
     fresh_r = None
     rows_replaced = 0
@@ -975,7 +1012,8 @@ def merge_into_zorder_layout(spark: SparkSession, layout_dir: str,
             "cells_rewritten": [c for c in dirty if c in new_cells],
             "cells_dropped": [c for c in dirty if c not in new_cells],
             "rows_replaced": rows_replaced,
-            "rows_written": delta.count()}
+            "rows_written": delta.count(),
+            "cells_scanned": len(sel), "cells_total": len(rows)}
 
 
 def zorder_table_stats(spark: SparkSession, layout_dir: str,

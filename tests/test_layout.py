@@ -680,6 +680,50 @@ def test_merge_composite_key(spark, tmp_path):
     assert len(got) == len(rows)
 
 
+def test_merge_key_envelope_pruning(spark, tmp_path):
+    """r12: when a merge key IS a curve column, the dirty-cell
+    discovery prunes candidate cells by the manifest envelopes on
+    that dimension (one-sided — values stay identical); a key on a
+    non-curve column scans every cell. The pruning is by column NAME
+    against the stored curve params, so a non-curve key whose VALUES
+    happen to correlate with a curve column still scans everything."""
+    from mr_mpi_blast_spark.operators.layout import (
+        fsck_zorder_layout, merge_into_zorder_layout, pruned_read,
+        write_zorder_layout)
+    # y doubles as the row id: unique, and a curve column
+    rows = [(i, i % 50, i, f"old{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long, s string")
+    layout = str(tmp_path / "zprune")
+    write_zorder_layout(df, "x", "y", layout, target_files=16)
+    upd = spark.createDataFrame(
+        [(i, i % 50, i, f"new{i}") for i in range(100, 120)],
+        "id long, x long, y long, s string")
+    res = merge_into_zorder_layout(spark, layout, upd, ["y"])
+    assert res["cells_total"] > 0
+    assert 0 < res["cells_scanned"] < res["cells_total"]
+    assert res["rows_replaced"] == 20 and res["rows_written"] == 20
+    got = {r.y: r.s for r in pruned_read(spark, layout)[0].collect()}
+    assert len(got) == 5000
+    assert all(got[i] == f"new{i}" for i in range(100, 120))
+    assert got[99] == "old99" and got[120] == "old120"
+    assert fsck_zorder_layout(spark, layout).count() == 0
+    # non-curve key (values identical to y): no envelope to prune on
+    upd2 = spark.createDataFrame(
+        [(200, 0, 200, "byid")], "id long, x long, y long, s string")
+    res2 = merge_into_zorder_layout(spark, layout, upd2, ["id"])
+    assert res2["cells_scanned"] == res2["cells_total"]
+    assert res2["rows_replaced"] == 1
+    # composite (curve + non-curve) key still prunes on the curve arm
+    upd3 = spark.createDataFrame(
+        [(300, 0, 300, "bypair")], "id long, x long, y long, s string")
+    res3 = merge_into_zorder_layout(spark, layout, upd3, ["y", "id"])
+    assert res3["cells_scanned"] < res3["cells_total"]
+    assert res3["rows_replaced"] == 1
+    got3 = {r.y: r.s for r in pruned_read(spark, layout)[0].collect()}
+    assert got3[200] == "byid" and got3[300] == "bypair"
+    assert len(got3) == 5000
+
+
 def test_zorder_table_stats_metadata_only(spark, tmp_path):
     """r12 metadata-only stats: equal to the full-scan aggregate,
     maintained by delete, and answered with ZERO data I/O — proven by
