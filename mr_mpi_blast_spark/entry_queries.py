@@ -670,6 +670,69 @@ def q_lineitem_layout_delete(spark, sf_dir):
                     "l_suppkey", "l_quantity"))
 
 
+_UPD_PK = (50, 150)
+
+
+def _lineitem_update_dir(sf_dir: str) -> str:
+    st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
+    key = f"zupdate-v2:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    return _pairs_store_path(key)
+
+
+@query("lineitem_layout_update", f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CASE WHEN hit THEN l_qty_c * 2 + l_linenumber
+            ELSE l_qty_c END AS l_qty_c,
+       CASE WHEN hit THEN 'U' ELSE l_flag END AS l_flag
+FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             CAST(l_quantity AS BIGINT) AS l_qty_c,
+             l_returnflag AS l_flag,
+             (CAST(l_quantity AS BIGINT) >= 45
+              AND l_partkey BETWEEN {_UPD_PK[0]} AND {_UPD_PK[1]})
+                 AS hit
+      FROM lineitem) t
+WHERE l_partkey BETWEEN {_UPD_PK[0] - 50} AND {_UPD_PK[1] + 50}
+""")
+def q_lineitem_layout_update(spark, sf_dir):
+    """Row-level UPDATE on the snapshot-versioned layout (r12):
+    lineitem staged as a z-layout on (l_partkey, l_suppkey), then
+    ``UPDATE SET l_qty_c = l_qty_c * 2 + l_linenumber, l_flag = 'U'
+    WHERE l_qty_c >= 45 AND l_partkey BETWEEN 50 AND 150`` via
+    update_zorder_layout — copy-on-write: candidates pruned through
+    the manifest envelopes by the x-scope conjunct, only dirty cells
+    rewritten, updated rows re-routed through the stored curve, one
+    atomic commit. Every SET expression reads the PRE-update row
+    (the oracle's CASE replays exactly that), and the readback band
+    is 50 partkeys WIDER than the scope so the driver's hash also
+    proves neighbouring cells were untouched. At 100 TB this is the
+    in-place relabel/redaction primitive (fix a quality flag, scrub
+    a field) — cost is the dirty cells, not the table."""
+    from mr_mpi_blast_spark.operators.layout import (
+        gc_zorder_layout, manifest_versions, pruned_read,
+        update_zorder_layout, write_zorder_layout)
+    path = _lineitem_update_dir(sf_dir)
+    vs = manifest_versions(spark, path)
+    if not (len(vs) == 1 and vs[0] == 2):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            F.col("l_quantity").cast("long").alias("l_qty_c"),
+            F.col("l_returnflag").alias("l_flag"))
+        write_zorder_layout(li, "l_partkey", "l_suppkey", path)
+        update_zorder_layout(
+            spark, path, "l_qty_c >= 45",
+            {"l_qty_c": "l_qty_c * 2 + l_linenumber",
+             "l_flag": "'U'"},
+            x_range=_UPD_PK, update_id="relabel")
+        gc_zorder_layout(spark, path, keep_versions=1)
+    lo, hi = _UPD_PK[0] - 50, _UPD_PK[1] + 50
+    df, kept, total = pruned_read(spark, path, x_range=(lo, hi))
+    return (df.filter(F.col("l_partkey").between(lo, hi))
+            .select("l_orderkey", "l_linenumber", "l_partkey",
+                    "l_suppkey", "l_qty_c", "l_flag"))
+
+
 def _orders_merge_dir(sf_dir: str) -> str:
     st = os.stat(os.path.join(sf_dir, "orders.parquet"))
     key = f"zmerge-v1:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
@@ -5516,16 +5579,16 @@ RECORDED_WINDOW = [
     "ann_sq8_topk", "bpe_encode", "bpe_merges", "ccnet_buckets",
     "corpus_shuffle", "dedup_keep_best", "dedup_ngram_jaccard",
     "dedup_substr_remove", "doc_chunks", "dsir_sample",
-    "dsir_weights",
     # new/changed in r12: the PNG real-codec roundtrip, table_profile
     # (output gained the HDR quantile columns — r10's recorded row
     # predates the schema change), the 3-column z-order manifest, and
-    # the DELETE / MERGE INTO / metadata-only-stats tier of the
-    # snapshot-versioned layout (displacing embedding_semdedup /
-    # events_anomaly / events_funnel — r10 evidence persists)
+    # the DELETE / MERGE INTO / UPDATE / metadata-only-stats tier of
+    # the snapshot-versioned layout (displacing embedding_semdedup /
+    # events_anomaly / events_funnel / dsir_weights — r10 evidence
+    # persists)
     "multimodal_png_roundtrip", "table_profile", "lineitem_zorder3",
     "lineitem_layout_delete", "orders_layout_merge",
-    "lineitem_layout_stats",
+    "lineitem_layout_stats", "lineitem_layout_update",
     # dropped vs r11 (recorded evidence persists in CORRECTNESS_r11):
     # the r11 window's sketch/layout/format/text/r3-facade slots —
     # all recorded green in r11.

@@ -1016,6 +1016,122 @@ def merge_into_zorder_layout(spark: SparkSession, layout_dir: str,
             "cells_scanned": len(sel), "cells_total": len(rows)}
 
 
+def update_zorder_layout(spark: SparkSession, layout_dir: str,
+                         predicate: str, set_exprs: dict, *,
+                         x_range: tuple | None = None,
+                         y_range: tuple | None = None,
+                         update_id: str | None = None) -> dict:
+    """Row-level UPDATE, copy-on-write: rows where ``predicate`` is
+    TRUE get each ``set_exprs[col]`` (a Spark SQL expression over the
+    PRE-update row — standard SQL UPDATE: every SET expression sees
+    the old values) applied, the dirty cells are rewritten without
+    them, and the updated rows are re-routed THROUGH THE STORED CURVE
+    — so a SET that touches a curve column moves the row to the cell
+    its new coordinates belong to, keeping the manifest envelopes
+    truthful (the invariant fsck checks). Both effects land in ONE
+    manifest commit. NULL predicate keeps the row (SQL semantics);
+    a SET producing NULL or a negative value on a curve column fails
+    loudly in the curve guard before anything commits.
+
+    ``x_range``/``y_range`` narrow the update's meaning exactly as in
+    delete_from_zorder_layout (conjuncts on the curve columns), which
+    is what lets the manifest envelopes prune the candidate scan with
+    no assumption on ``predicate``. ``update_id`` (dot-free) makes
+    the update replayable exactly-once, the merge_id discipline:
+    post-commit replay no-ops before touching data, torn replay
+    overwrites only its own two directories.
+
+    Cost at 100 TB: one scan of the scoped candidate cells, rewrite
+    of only the dirty cells, one curve-binned write of the updated
+    rows, one commit — the delta, not the table. Returns
+    ``{"version", "cells_rewritten", "cells_dropped", "rows_updated",
+    "cells_scanned", "cells_total"}`` (dropped = dirty cells with no
+    surviving row — their updated rows may re-enter through the
+    curve; 0/0 scan counts when nothing was scanned); an update
+    matching nothing commits nothing."""
+    import re
+    import uuid
+    if not set_exprs:
+        raise ValueError("update_zorder_layout needs set_exprs")
+    cur, curv = read_zorder_manifest(spark, layout_dir)
+    meta = layout_meta(spark, layout_dir)
+    noop = {"version": curv, "cells_rewritten": [], "cells_dropped": [],
+            "rows_updated": 0, "cells_scanned": 0, "cells_total": 0}
+    if update_id is not None:
+        if not re.fullmatch(r"[A-Za-z0-9_-]+", update_id):
+            raise ValueError(
+                f"update_id must be a plain dot-free name "
+                f"([A-Za-z0-9_-]+), got {update_id!r}")
+        if append_published(spark, layout_dir, f"u{update_id}.u", cur):
+            return noop
+    uid = update_id if update_id is not None else uuid.uuid4().hex[:11]
+    eff = F.expr(predicate)
+    if x_range is not None:
+        eff = eff & F.col(meta["x"]).between(*x_range)
+    if y_range is not None:
+        eff = eff & F.col(meta["y"]).between(*y_range)
+    all_rows = cur.select("zcell", "files", "min_x", "max_x",
+                          "min_y", "max_y").collect()
+
+    def _in_scope(r):
+        return ((x_range is None
+                 or (r.max_x >= x_range[0] and r.min_x <= x_range[1]))
+                and (y_range is None
+                     or (r.max_y >= y_range[0]
+                         and r.min_y <= y_range[1])))
+
+    cand = [r for r in all_rows if _in_scope(r)]
+    total = len(all_rows)
+    if not cand:
+        return {**noop, "cells_total": total}
+    snap = _read_files(spark, layout_dir,
+                       [f for r in cand for f in r.files])
+    bad = set(set_exprs) - set(c for c in snap.columns if c != "zcell")
+    if bad:
+        raise ValueError(
+            f"update_zorder_layout: SET on unknown column(s) "
+            f"{sorted(bad)} - the layout's columns are fixed")
+    dirty = sorted(r.zcell for r in
+                   snap.filter(eff).select("zcell").distinct().collect())
+    if not dirty:
+        return {**noop, "cells_scanned": len(cand),
+                "cells_total": total}
+    dirty_files = [f for r in cand if r.zcell in set(dirty)
+                   for f in r.files]
+    rows = _read_files(spark, layout_dir, dirty_files)
+    hit = F.coalesce(eff, F.lit(False))
+    # updated rows re-enter through the curve (their cell may change
+    # when a SET touches a curve column); evaluated from COMMITTED
+    # table files, so the write is deterministic and a replay under
+    # the same update_id redoes identical work
+    applied = rows.filter(hit).select(*[
+        F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c)
+        for c in rows.columns if c != "zcell"])
+    res_u = append_to_zorder_layout(applied, layout_dir,
+                                    append_id=f"u{uid}.u")
+    udir = f"{layout_dir}/data/a={res_u.append_id}"
+    fresh_u = _fresh_manifest_of_dir(spark, layout_dir, udir, meta)
+    rdir = f"{layout_dir}/data/a=u{uid}.r"
+    (rows.filter(~hit)
+     .repartition(len(dirty), "zcell")
+     .write.mode("overwrite").partitionBy("zcell").parquet(rdir))
+    fresh_r = _fresh_manifest_of_dir(spark, layout_dir, rdir, meta)
+    base = cur.filter(~F.col("zcell").isin(dirty))
+    if fresh_r is not None:
+        base = base.unionByName(fresh_r)
+    merged = base if fresh_u is None else _merge_manifests(base, fresh_u)
+    newv = _commit_manifest(spark, layout_dir, merged, curv)
+    survived = (set() if fresh_r is None else
+                {r.zcell for r in fresh_r.select("zcell").collect()})
+    n_upd = (0 if fresh_u is None else
+             fresh_u.agg(F.sum("n_rows")).collect()[0][0])
+    return {"version": newv,
+            "cells_rewritten": [c for c in dirty if c in survived],
+            "cells_dropped": [c for c in dirty if c not in survived],
+            "rows_updated": n_upd,
+            "cells_scanned": len(cand), "cells_total": total}
+
+
 def zorder_table_stats(spark: SparkSession, layout_dir: str,
                        version: int | None = None) -> DataFrame:
     """Metadata-only table statistics: COUNT(*), MIN/MAX of both curve

@@ -724,6 +724,96 @@ def test_merge_key_envelope_pruning(spark, tmp_path):
     assert len(got3) == 5000
 
 
+def test_update_zorder_layout(spark, tmp_path):
+    """r12 UPDATE: SET expressions see the PRE-update row, only rows
+    where (predicate AND scope) is TRUE change, NULL-predicate rows
+    are kept, a pinned reader still sees the pre-update snapshot, a
+    no-match update commits nothing, and SET on an unknown column is
+    refused loudly."""
+    from mr_mpi_blast_spark.operators.layout import (
+        fsck_zorder_layout, pruned_read, update_zorder_layout,
+        write_zorder_layout)
+    rows = [(i, i % 40, (i * 3) % 30, i % 25, f"v{i}")
+            for i in range(3000)]
+    df = spark.createDataFrame(
+        rows, "id long, x long, y long, qty long, s string")
+    layout = str(tmp_path / "zupd")
+    write_zorder_layout(df, "x", "y", layout, target_files=16)
+    # swap semantics through the pre-update row: qty := qty + id,
+    # s := old s with a marker — both must read OLD values
+    res = update_zorder_layout(
+        spark, layout, "qty <= 5",
+        {"qty": "qty + id", "s": "concat(s, '!')"},
+        x_range=(10, 19))
+    assert res["version"] == 2
+    assert 0 < res["cells_scanned"] < res["cells_total"]
+    want_hit = {i for i in range(3000)
+                if i % 25 <= 5 and 10 <= i % 40 <= 19}
+    assert res["rows_updated"] == len(want_hit)
+    got = {r.id: (r.qty, r.s) for r in
+           pruned_read(spark, layout)[0].collect()}
+    assert len(got) == 3000
+    for i in range(3000):
+        if i in want_hit:
+            assert got[i] == (i % 25 + i, f"v{i}!"), i
+        else:
+            assert got[i] == (i % 25, f"v{i}"), i
+    assert fsck_zorder_layout(spark, layout).count() == 0
+    # pinned reader: version 1 still sees every pre-update value
+    old = {r.id: r.qty for r in
+           pruned_read(spark, layout, version=1)[0].collect()}
+    assert all(old[i] == i % 25 for i in range(3000))
+    # no-match update: nothing commits
+    res2 = update_zorder_layout(spark, layout, "qty = -999",
+                                {"s": "'never'"})
+    assert res2["version"] == 2 and res2["rows_updated"] == 0
+    # unknown SET column refused before any commit
+    with pytest.raises(ValueError, match="unknown column"):
+        update_zorder_layout(spark, layout, "qty <= 5",
+                             {"nope": "1"})
+
+
+def test_update_relocates_through_curve(spark, tmp_path):
+    """An UPDATE that SETs a curve column re-routes the updated rows
+    through the stored curve: they land in the cells their NEW
+    coordinates belong to (manifest envelopes stay truthful — fsck
+    clean, and a pruned read over the new range finds them), and a
+    post-commit replay under the same update_id is a no-op."""
+    from mr_mpi_blast_spark.operators.layout import (
+        fsck_zorder_layout, manifest_versions, pruned_read,
+        update_zorder_layout, write_zorder_layout)
+    rows = [(i, i % 20, i % 16, f"v{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long, s string")
+    layout = str(tmp_path / "zreloc")
+    write_zorder_layout(df, "x", "y", layout, target_files=12)
+    # move every x==7 row far outside the original domain
+    res = update_zorder_layout(spark, layout, "x = 7",
+                               {"x": "x + 1000", "s": "'moved'"},
+                               update_id="mv1")
+    assert res["version"] == 2 and res["rows_updated"] == 100
+    assert fsck_zorder_layout(spark, layout).count() == 0
+    # the moved rows are found by pruning on their NEW coordinates
+    moved, kept, tot = pruned_read(spark, layout, x_range=(1000, 1100))
+    assert kept < tot
+    assert sorted(r.id for r in moved.filter("x = 1007").collect()) \
+        == sorted(i for i in range(2000) if i % 20 == 7)
+    assert moved.filter("s != 'moved'").count() == 0
+    # nothing remains at the old coordinate
+    left, _, _ = pruned_read(spark, layout, x_range=(0, 19))
+    assert left.filter("x = 7").count() == 0
+    assert pruned_read(spark, layout)[0].count() == 2000
+    # post-commit replay: no-op before touching data
+    res2 = update_zorder_layout(spark, layout, "x = 1007",
+                                {"s": "'evil'"}, update_id="mv1")
+    assert res2["rows_updated"] == 0
+    assert manifest_versions(spark, layout)[-1] == 2
+    assert pruned_read(spark, layout)[0] \
+        .filter("s = 'evil'").count() == 0
+    with pytest.raises(ValueError, match="dot-free"):
+        update_zorder_layout(spark, layout, "x = 1", {"s": "'a'"},
+                             update_id="a.b")
+
+
 def test_zorder_table_stats_metadata_only(spark, tmp_path):
     """r12 metadata-only stats: equal to the full-scan aggregate,
     maintained by delete, and answered with ZERO data I/O — proven by
