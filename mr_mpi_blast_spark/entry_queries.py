@@ -733,6 +733,64 @@ def q_lineitem_layout_update(spark, sf_dir):
                     "l_suppkey", "l_qty_c", "l_flag"))
 
 
+def _lineitem_changes_dir(sf_dir: str) -> str:
+    st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
+    key = f"zchanges-v1:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    return _pairs_store_path(key)
+
+
+@query("lineitem_layout_changes", f"""
+WITH src AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                    CAST(l_quantity AS BIGINT) AS l_qty_c,
+                    l_returnflag AS l_flag
+             FROM lineitem),
+hit AS (SELECT * FROM src
+        WHERE l_qty_c >= 45
+          AND l_partkey BETWEEN {_UPD_PK[0]} AND {_UPD_PK[1]})
+SELECT 'delete' AS change_type, l_orderkey, l_linenumber, l_partkey,
+       l_suppkey, l_qty_c, l_flag
+FROM hit
+UNION ALL
+SELECT 'insert' AS change_type, l_orderkey, l_linenumber, l_partkey,
+       l_suppkey, l_qty_c * 2 + l_linenumber AS l_qty_c,
+       'U' AS l_flag
+FROM hit
+""")
+def q_lineitem_layout_changes(spark, sf_dir):
+    """Row-level change feed between two snapshots (r12): lineitem
+    staged as a z-layout (v1), the lineitem_layout_update
+    transformation applied (v2, both versions retained), then
+    layout_changes(1, 2) — computed from the manifest FILE DIFF, so
+    only files referenced by exactly one version are opened and the
+    multiset difference cancels rewritten survivors: the feed is
+    exactly delete(old row) + insert(new row) per matched row, which
+    the oracle replays as a UNION ALL over the hit set. At 100 TB
+    this is the incremental-consumption primitive (Delta CDF /
+    Iceberg incremental read): a downstream training-data consumer
+    reads what changed, never the table."""
+    from mr_mpi_blast_spark.operators.layout import (
+        layout_changes, manifest_versions, update_zorder_layout,
+        write_zorder_layout)
+    path = _lineitem_changes_dir(sf_dir)
+    vs = manifest_versions(spark, path)
+    if vs != [1, 2]:
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            F.col("l_quantity").cast("long").alias("l_qty_c"),
+            F.col("l_returnflag").alias("l_flag"))
+        write_zorder_layout(li, "l_partkey", "l_suppkey", path)
+        update_zorder_layout(
+            spark, path, "l_qty_c >= 45",
+            {"l_qty_c": "l_qty_c * 2 + l_linenumber",
+             "l_flag": "'U'"},
+            x_range=_UPD_PK, update_id="relabel")
+    return layout_changes(spark, path, 1, 2).select(
+        "change_type", "l_orderkey", "l_linenumber", "l_partkey",
+        "l_suppkey", "l_qty_c", "l_flag")
+
+
 def _orders_merge_dir(sf_dir: str) -> str:
     st = os.stat(os.path.join(sf_dir, "orders.parquet"))
     key = f"zmerge-v1:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
@@ -5578,17 +5636,18 @@ RECORDED_WINDOW = [
     # value-identical twin of graph_triangles, duplicate evidence)
     "ann_sq8_topk", "bpe_encode", "bpe_merges", "ccnet_buckets",
     "corpus_shuffle", "dedup_keep_best", "dedup_ngram_jaccard",
-    "dedup_substr_remove", "doc_chunks", "dsir_sample",
+    "dedup_substr_remove", "doc_chunks",
     # new/changed in r12: the PNG real-codec roundtrip, table_profile
     # (output gained the HDR quantile columns — r10's recorded row
     # predates the schema change), the 3-column z-order manifest, and
-    # the DELETE / MERGE INTO / UPDATE / metadata-only-stats tier of
-    # the snapshot-versioned layout (displacing embedding_semdedup /
-    # events_anomaly / events_funnel / dsir_weights — r10 evidence
-    # persists)
+    # the DELETE / MERGE INTO / UPDATE / change-feed /
+    # metadata-only-stats tier of the snapshot-versioned layout
+    # (displacing embedding_semdedup / events_anomaly / events_funnel
+    # / dsir_weights / dsir_sample — r10 evidence persists)
     "multimodal_png_roundtrip", "table_profile", "lineitem_zorder3",
     "lineitem_layout_delete", "orders_layout_merge",
     "lineitem_layout_stats", "lineitem_layout_update",
+    "lineitem_layout_changes",
     # dropped vs r11 (recorded evidence persists in CORRECTNESS_r11):
     # the r11 window's sketch/layout/format/text/r3-facade slots —
     # all recorded green in r11.

@@ -814,6 +814,47 @@ def test_update_relocates_through_curve(spark, tmp_path):
                              update_id="a.b")
 
 
+def test_layout_changes_feed(spark, tmp_path):
+    """r12 change feed: UPDATE shows as delete(old)+insert(new) for
+    exactly the matched rows (rewritten survivors cancel), an append
+    is pure inserts, a compaction yields an EMPTY feed, and the feed
+    composes across spans (1->3 == changes of both steps)."""
+    from mr_mpi_blast_spark.operators.layout import (
+        append_to_zorder_layout, compact_zorder_cells, layout_changes,
+        update_zorder_layout, upsert_zorder_manifest,
+        write_zorder_layout)
+    rows = [(i, i % 13, i % 9, i % 7, f"v{i}") for i in range(1500)]
+    df = spark.createDataFrame(
+        rows, "id long, x long, y long, q long, s string")
+    layout = str(tmp_path / "zcf")
+    write_zorder_layout(df, "x", "y", layout, target_files=6)   # v1
+    update_zorder_layout(spark, layout, "q = 3", {"s": "'upd'"})  # v2
+    hit = {i for i in range(1500) if i % 7 == 3}
+    feed = layout_changes(spark, layout, 1, 2).collect()
+    dels = {(r.id, r.s) for r in feed if r.change_type == "delete"}
+    inss = {(r.id, r.s) for r in feed if r.change_type == "insert"}
+    assert dels == {(i, f"v{i}") for i in hit}
+    assert inss == {(i, "upd") for i in hit}
+    assert len(feed) == 2 * len(hit)      # survivors cancelled
+    # append -> pure inserts
+    extra = spark.createDataFrame(
+        [(9000 + i, i % 13, i % 9, 0, "new") for i in range(40)],
+        "id long, x long, y long, q long, s string")
+    res = append_to_zorder_layout(extra, layout)
+    upsert_zorder_manifest(spark, layout, res)                  # v3
+    f23 = layout_changes(spark, layout, 2, 3).collect()
+    assert {r.change_type for r in f23} == {"insert"}
+    assert {r.id for r in f23} == {9000 + i for i in range(40)}
+    # compaction: rows identical -> empty feed
+    compact_zorder_cells(spark, layout)                         # v4
+    assert layout_changes(spark, layout, 3, 4).count() == 0
+    # spans compose: 1->3 is the union of the two steps' effects
+    f13 = layout_changes(spark, layout, 1, 3)
+    assert f13.count() == 2 * len(hit) + 40
+    with pytest.raises(ValueError, match="from_version"):
+        layout_changes(spark, layout, 3, 3)
+
+
 def test_zorder_table_stats_metadata_only(spark, tmp_path):
     """r12 metadata-only stats: equal to the full-scan aggregate,
     maintained by delete, and answered with ZERO data I/O — proven by
