@@ -739,6 +739,31 @@ def _lineitem_changes_dir(sf_dir: str) -> str:
     return _pairs_store_path(key)
 
 
+def _ensure_lineitem_changes_layout(spark, sf_dir: str) -> str:
+    """Stage (once per sf/content) the two-version layout shared by
+    lineitem_layout_changes and lineitem_layout_timetravel: v1 = the
+    cast-select of lineitem written through the curve, v2 = the
+    relabel UPDATE applied; BOTH versions retained (no gc)."""
+    from mr_mpi_blast_spark.operators.layout import (
+        manifest_versions, update_zorder_layout, write_zorder_layout)
+    path = _lineitem_changes_dir(sf_dir)
+    vs = manifest_versions(spark, path)
+    if vs != [1, 2]:
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            F.col("l_quantity").cast("long").alias("l_qty_c"),
+            F.col("l_returnflag").alias("l_flag"))
+        write_zorder_layout(li, "l_partkey", "l_suppkey", path)
+        update_zorder_layout(
+            spark, path, "l_qty_c >= 45",
+            {"l_qty_c": "l_qty_c * 2 + l_linenumber",
+             "l_flag": "'U'"},
+            x_range=_UPD_PK, update_id="relabel")
+    return path
+
+
 @query("lineitem_layout_changes", f"""
 WITH src AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                     CAST(l_quantity AS BIGINT) AS l_qty_c,
@@ -768,27 +793,38 @@ def q_lineitem_layout_changes(spark, sf_dir):
     this is the incremental-consumption primitive (Delta CDF /
     Iceberg incremental read): a downstream training-data consumer
     reads what changed, never the table."""
-    from mr_mpi_blast_spark.operators.layout import (
-        layout_changes, manifest_versions, update_zorder_layout,
-        write_zorder_layout)
-    path = _lineitem_changes_dir(sf_dir)
-    vs = manifest_versions(spark, path)
-    if vs != [1, 2]:
-        import shutil
-        shutil.rmtree(path, ignore_errors=True)
-        li = _t(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
-            F.col("l_quantity").cast("long").alias("l_qty_c"),
-            F.col("l_returnflag").alias("l_flag"))
-        write_zorder_layout(li, "l_partkey", "l_suppkey", path)
-        update_zorder_layout(
-            spark, path, "l_qty_c >= 45",
-            {"l_qty_c": "l_qty_c * 2 + l_linenumber",
-             "l_flag": "'U'"},
-            x_range=_UPD_PK, update_id="relabel")
+    from mr_mpi_blast_spark.operators.layout import layout_changes
+    path = _ensure_lineitem_changes_layout(spark, sf_dir)
     return layout_changes(spark, path, 1, 2).select(
         "change_type", "l_orderkey", "l_linenumber", "l_partkey",
         "l_suppkey", "l_qty_c", "l_flag")
+
+
+@query("lineitem_layout_timetravel", f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CAST(l_quantity AS BIGINT) AS l_qty_c,
+       l_returnflag AS l_flag
+FROM lineitem
+WHERE l_partkey BETWEEN {_UPD_PK[0]} AND {_UPD_PK[1]}
+""")
+def q_lineitem_layout_timetravel(spark, sf_dir):
+    """Time-travel read (r12): pruned_read pinned to version 1 of
+    the two-version staged layout whose HEAD (v2) carries the
+    relabel UPDATE — the pinned read must see the PRE-update
+    snapshot exactly, so the oracle is plain lineitem with NO CASE:
+    any leak of head state (an updated l_flag='U' row, a doubled
+    quantity) hash-mismatches. With the head-reading
+    lineitem_layout_changes recorded beside it, the pair proves
+    version isolation at the value level. At 100 TB this is the
+    reproducibility primitive: a training run pins the snapshot it
+    read, concurrent DML and compaction notwithstanding."""
+    from mr_mpi_blast_spark.operators.layout import pruned_read
+    path = _ensure_lineitem_changes_layout(spark, sf_dir)
+    df, kept, total = pruned_read(spark, path, x_range=_UPD_PK,
+                                  version=1)
+    return (df.filter(F.col("l_partkey").between(*_UPD_PK))
+            .select("l_orderkey", "l_linenumber", "l_partkey",
+                    "l_suppkey", "l_qty_c", "l_flag"))
 
 
 def _orders_merge_dir(sf_dir: str) -> str:
@@ -5636,18 +5672,19 @@ RECORDED_WINDOW = [
     # value-identical twin of graph_triangles, duplicate evidence)
     "ann_sq8_topk", "bpe_encode", "bpe_merges", "ccnet_buckets",
     "corpus_shuffle", "dedup_keep_best", "dedup_ngram_jaccard",
-    "dedup_substr_remove", "doc_chunks",
+    "dedup_substr_remove",
     # new/changed in r12: the PNG real-codec roundtrip, table_profile
     # (output gained the HDR quantile columns — r10's recorded row
     # predates the schema change), the 3-column z-order manifest, and
-    # the DELETE / MERGE INTO / UPDATE / change-feed /
+    # the DELETE / MERGE INTO / UPDATE / change-feed / time-travel /
     # metadata-only-stats tier of the snapshot-versioned layout
     # (displacing embedding_semdedup / events_anomaly / events_funnel
-    # / dsir_weights / dsir_sample — r10 evidence persists)
+    # / dsir_weights / dsir_sample / doc_chunks — r10 evidence
+    # persists)
     "multimodal_png_roundtrip", "table_profile", "lineitem_zorder3",
     "lineitem_layout_delete", "orders_layout_merge",
     "lineitem_layout_stats", "lineitem_layout_update",
-    "lineitem_layout_changes",
+    "lineitem_layout_changes", "lineitem_layout_timetravel",
     # dropped vs r11 (recorded evidence persists in CORRECTNESS_r11):
     # the r11 window's sketch/layout/format/text/r3-facade slots —
     # all recorded green in r11.
