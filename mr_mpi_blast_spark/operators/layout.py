@@ -555,6 +555,27 @@ def append_published(spark: SparkSession, layout_dir: str,
             .limit(1).count() > 0)
 
 
+def append_committed(spark: SparkSession, layout_dir: str,
+                     append_id: str) -> bool:
+    """True iff ANY retained manifest version references files of
+    ``append_id`` — the guard a REPLAY must use before overwriting
+    its own directory. Head-only (append_published) is not enough
+    there: a later rewrite (compaction, DELETE, UPDATE, another
+    MERGE) can drop the id's files from the head while an older
+    RETAINED snapshot still references them, and re-running the
+    write would corrupt that snapshot (r12 review finding). One
+    manifest-sized filter per retained version; retention is small
+    by contract. The replay window IS the retention window: once gc
+    retires every version referencing the id, a replay legitimately
+    re-executes — the standard table-format idempotence contract
+    (size retention to cover the orchestrator's retry horizon)."""
+    for v in reversed(manifest_versions(spark, layout_dir)):
+        man, _ = read_zorder_manifest(spark, layout_dir, v)
+        if append_published(spark, layout_dir, append_id, man):
+            return True
+    return False
+
+
 def zorder_manifest(spark: SparkSession, layout_dir: str) -> DataFrame:
     """From-scratch manifest over every COMMITTED append directory —
     the full-scan verification twin of the incremental path (their
@@ -617,6 +638,30 @@ def fsck_zorder_layout(spark: SparkSession, layout_dir: str,
         F.filter(F.array(*checks), lambda x: x.isNotNull()))
         .alias("d"))
         .select("zcell", "d.field", "d.stored", "d.recomputed"))
+
+
+def _closed_range(name: str, rng):
+    """DML scoping takes CLOSED (lo, hi) ranges only: the scope is
+    both an envelope filter (None-tolerant) and a row-level BETWEEN
+    conjunct (not None-tolerant) — refusing open bounds up front
+    keeps the two renderings from silently diverging (r12 review)."""
+    if rng is None:
+        return None
+    lo, hi = rng
+    if lo is None or hi is None:
+        raise ValueError(
+            f"{name} must be a closed (lo, hi) range for DML ops, "
+            f"got {rng!r} - drop the bound entirely or close it")
+    return rng
+
+
+def _row_in_scope(r, x_range, y_range) -> bool:
+    """Driver-side twin of _ranges_overlap over collected manifest
+    rows (closed ranges only — _closed_range validates that)."""
+    return ((x_range is None
+             or (r.max_x >= x_range[0] and r.min_x <= x_range[1]))
+            and (y_range is None
+                 or (r.max_y >= y_range[0] and r.min_y <= y_range[1])))
 
 
 def _ranges_overlap(lo_col: str, hi_col: str, lo, hi):
@@ -821,6 +866,8 @@ def delete_from_zorder_layout(spark: SparkSession, layout_dir: str,
     import uuid
     cur, curv = read_zorder_manifest(spark, layout_dir)
     meta = layout_meta(spark, layout_dir)
+    x_range = _closed_range("x_range", x_range)
+    y_range = _closed_range("y_range", y_range)
     scope = F.lit(True)
     if x_range is not None:
         scope = scope & _ranges_overlap("min_x", "max_x", *x_range)
@@ -845,7 +892,8 @@ def delete_from_zorder_layout(spark: SparkSession, layout_dir: str,
                    snap.filter(eff).select("zcell").distinct().collect())
     if not dirty:
         return noop
-    dirty_files = [f for r in cand if r.zcell in set(dirty)
+    ds = set(dirty)
+    dirty_files = [f for r in cand if r.zcell in ds
                    for f in r.files]
     keep = ~F.coalesce(eff, F.lit(False))
     ddir = f"{layout_dir}/data/a=d{uuid.uuid4().hex[:11]}"
@@ -855,9 +903,20 @@ def delete_from_zorder_layout(spark: SparkSession, layout_dir: str,
      .write.mode("overwrite").partitionBy("zcell").parquet(ddir))
     fresh = _fresh_manifest_of_dir(spark, layout_dir, ddir, meta)
     base = cur.filter(~F.col("zcell").isin(dirty))
+    if fresh is None and len(dirty) == cur.count():
+        # every cell dirtied and no survivors anywhere: committing
+        # would publish an EMPTY manifest, a state the read path
+        # rightly refuses (pruned_read's loud empty-manifest error).
+        # A full wipe is not a row-level delete — refuse before the
+        # commit (the delete dir stays an invisible orphan; gc
+        # retires it) and leave the table readable.
+        raise ValueError(
+            f"delete_from_zorder_layout: predicate {predicate!r} "
+            f"deletes EVERY row - a full wipe is not a row-level "
+            f"delete; drop the layout directory instead")
     merged = base if fresh is None else base.unionByName(fresh)
     newv = _commit_manifest(spark, layout_dir, merged, curv)
-    old_n = {r.zcell: r.n_rows for r in cand if r.zcell in set(dirty)}
+    old_n = {r.zcell: r.n_rows for r in cand if r.zcell in ds}
     new_n = ({} if fresh is None else
              {r.zcell: r.n_rows
               for r in fresh.select("zcell", "n_rows").collect()})
@@ -896,12 +955,20 @@ def merge_into_zorder_layout(spark: SparkSession, layout_dir: str,
 
     ``merge_id`` (a plain name WITHOUT dots — suffixes .u/.r name the
     merge's two directories unambiguously) makes the merge REPLAYABLE
-    exactly-once, the append_published discipline: a replay before the
+    exactly-once within the retention window: a replay before the
     commit overwrites only its own directories and redoes the same
     deterministic work; a replay after the commit is a no-op BEFORE
-    touching data (the head manifest already references the merge's
-    delta files). Without it (default random id) a post-commit replay
-    fails loudly on the optimistic version check instead.
+    touching data, judged against EVERY retained manifest version
+    (append_committed — head-only would re-run after a later
+    compaction/DML rewrote the merged cells and corrupt the retained
+    older snapshot). Once gc retires every version referencing the
+    id, a replay re-executes — size retention to cover the retry
+    horizon. Without a merge_id (default random id) a post-commit
+    replay fails loudly on the optimistic version check instead.
+    Note: a NULL key value in a CURVE-column key surfaces as the
+    curve guard's loud 'zorder: NULL dimension' error (raised while
+    the delta is written) rather than the key-specific ValueError
+    below — both refuse before anything commits.
 
     Returns ``{"version", "cells_rewritten", "cells_dropped",
     "rows_replaced", "rows_written", "cells_scanned", "cells_total"}``
@@ -917,17 +984,17 @@ def merge_into_zorder_layout(spark: SparkSession, layout_dir: str,
         raise ValueError("merge_into_zorder_layout needs key_cols")
     cur, curv = read_zorder_manifest(spark, layout_dir)
     meta = layout_meta(spark, layout_dir)
-    noop_replay = {"version": curv, "cells_rewritten": [],
-                   "cells_dropped": [], "rows_replaced": 0,
-                   "rows_written": 0, "cells_scanned": 0,
-                   "cells_total": 0}
+    noop = {"version": curv, "cells_rewritten": [],
+            "cells_dropped": [], "rows_replaced": 0,
+            "rows_written": 0, "cells_scanned": 0,
+            "cells_total": 0}
     if merge_id is not None:
         if not re.fullmatch(r"[A-Za-z0-9_-]+", merge_id):
             raise ValueError(
                 f"merge_id must be a plain dot-free name "
                 f"([A-Za-z0-9_-]+), got {merge_id!r}")
-        if append_published(spark, layout_dir, f"m{merge_id}.u", cur):
-            return noop_replay
+        if append_committed(spark, layout_dir, f"m{merge_id}.u"):
+            return noop
     mid = merge_id if merge_id is not None else uuid.uuid4().hex[:11]
     # the delta goes through the same curve-binning write as an append
     # (its own immutable dir, invisible until the commit below); the
@@ -937,9 +1004,6 @@ def merge_into_zorder_layout(spark: SparkSession, layout_dir: str,
     # and what is matched (the r11 append advisory, applied to merge)
     res = append_to_zorder_layout(updates, layout_dir,
                                   append_id=f"m{mid}.u")
-    noop = {"version": curv, "cells_rewritten": [], "cells_dropped": [],
-            "rows_replaced": 0, "rows_written": 0, "cells_scanned": 0,
-            "cells_total": 0}
     if not res.touched:
         return noop
     udir = f"{layout_dir}/data/a={res.append_id}"
@@ -989,7 +1053,8 @@ def merge_into_zorder_layout(spark: SparkSession, layout_dir: str,
     fresh_r = None
     rows_replaced = 0
     if dirty:
-        dirty_files = [f for r in sel if r.zcell in set(dirty)
+        ds = set(dirty)
+        dirty_files = [f for r in sel if r.zcell in ds
                        for f in r.files]
         rdir = f"{layout_dir}/data/a=m{mid}.r"
         survivors = _read_files(spark, layout_dir, dirty_files).join(
@@ -998,7 +1063,7 @@ def merge_into_zorder_layout(spark: SparkSession, layout_dir: str,
          .write.mode("overwrite").partitionBy("zcell").parquet(rdir))
         fresh_r = _fresh_manifest_of_dir(spark, layout_dir, rdir, meta)
         base = cur.filter(~F.col("zcell").isin(dirty))
-        old_n = sum(r.n_rows for r in sel if r.zcell in set(dirty))
+        old_n = sum(r.n_rows for r in sel if r.zcell in ds)
         new_n = (0 if fresh_r is None else
                  fresh_r.agg(F.sum("n_rows")).collect()[0][0])
         rows_replaced = old_n - new_n
@@ -1037,9 +1102,11 @@ def update_zorder_layout(spark: SparkSession, layout_dir: str,
     delete_from_zorder_layout (conjuncts on the curve columns), which
     is what lets the manifest envelopes prune the candidate scan with
     no assumption on ``predicate``. ``update_id`` (dot-free) makes
-    the update replayable exactly-once, the merge_id discipline:
-    post-commit replay no-ops before touching data, torn replay
-    overwrites only its own two directories.
+    the update replayable exactly-once within the retention window,
+    the merge_id discipline: post-commit replay no-ops before
+    touching data (judged against every retained version —
+    append_committed), torn replay overwrites only its own two
+    directories.
 
     Cost at 100 TB: one scan of the scoped candidate cells, rewrite
     of only the dirty cells, one curve-binned write of the updated
@@ -1062,9 +1129,11 @@ def update_zorder_layout(spark: SparkSession, layout_dir: str,
             raise ValueError(
                 f"update_id must be a plain dot-free name "
                 f"([A-Za-z0-9_-]+), got {update_id!r}")
-        if append_published(spark, layout_dir, f"u{update_id}.u", cur):
+        if append_committed(spark, layout_dir, f"u{update_id}.u"):
             return noop
     uid = update_id if update_id is not None else uuid.uuid4().hex[:11]
+    x_range = _closed_range("x_range", x_range)
+    y_range = _closed_range("y_range", y_range)
     eff = F.expr(predicate)
     if x_range is not None:
         eff = eff & F.col(meta["x"]).between(*x_range)
@@ -1072,15 +1141,7 @@ def update_zorder_layout(spark: SparkSession, layout_dir: str,
         eff = eff & F.col(meta["y"]).between(*y_range)
     all_rows = cur.select("zcell", "files", "min_x", "max_x",
                           "min_y", "max_y").collect()
-
-    def _in_scope(r):
-        return ((x_range is None
-                 or (r.max_x >= x_range[0] and r.min_x <= x_range[1]))
-                and (y_range is None
-                     or (r.max_y >= y_range[0]
-                         and r.min_y <= y_range[1])))
-
-    cand = [r for r in all_rows if _in_scope(r)]
+    cand = [r for r in all_rows if _row_in_scope(r, x_range, y_range)]
     total = len(all_rows)
     if not cand:
         return {**noop, "cells_total": total}
@@ -1096,7 +1157,8 @@ def update_zorder_layout(spark: SparkSession, layout_dir: str,
     if not dirty:
         return {**noop, "cells_scanned": len(cand),
                 "cells_total": total}
-    dirty_files = [f for r in cand if r.zcell in set(dirty)
+    ds = set(dirty)
+    dirty_files = [f for r in cand if r.zcell in ds
                    for f in r.files]
     rows = _read_files(spark, layout_dir, dirty_files)
     hit = F.coalesce(eff, F.lit(False))

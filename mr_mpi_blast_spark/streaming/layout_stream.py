@@ -40,7 +40,23 @@ see only committed state; a rerun republishes, never duplicates.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _stream_prefix(checkpoint_dir: str) -> str:
+    """Deterministic per-stream namespace for batch append/merge ids,
+    derived from the checkpoint path: the checkpoint IS the stream's
+    identity (same checkpoint = same batch numbering = a genuine
+    replay), so two INDEPENDENT streams draining into one layout get
+    disjoint id namespaces and cannot silently no-op on each other's
+    committed batches (r12 review finding — a bare b<batch_id> made
+    feed B's batch 0 look like a replay of feed A's). Caveat, same
+    as any path-keyed idempotence: relocating a checkpoint directory
+    changes the prefix, so finish or discard in-flight work first."""
+    h = hashlib.md5(checkpoint_dir.rstrip("/").encode()).hexdigest()
+    return f"s{h[:8]}"
 
 
 def ingest_zorder_stream(rows_stream: DataFrame, layout_dir: str,
@@ -54,16 +70,21 @@ def ingest_zorder_stream(rows_stream: DataFrame, layout_dir: str,
     preserved — a rerun resumes and republishes any half-done batch)
     if the drain exceeds ``timeout_s``."""
     from mr_mpi_blast_spark.operators.layout import (
-        append_published, append_to_zorder_layout, layout_meta,
+        append_committed, append_to_zorder_layout, layout_meta,
         upsert_zorder_manifest)
 
     spark = rows_stream.sparkSession
     layout_meta(spark, layout_dir)      # fail loudly before starting
+    sid = _stream_prefix(checkpoint_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        aid = f"b{batch_id}"
-        if append_published(spark, layout_dir, aid):
-            return        # crash replay after a committed publish
+        aid = f"{sid}b{batch_id}"
+        # crash replay after a committed publish must not re-append —
+        # judged against EVERY retained version (a compaction between
+        # runs can drop the id from the head while an older retained
+        # snapshot still references its files)
+        if append_committed(spark, layout_dir, aid):
+            return
         res = append_to_zorder_layout(batch_df, layout_dir,
                                       append_id=aid)
         upsert_zorder_manifest(spark, layout_dir, res)
@@ -86,12 +107,14 @@ def merge_zorder_stream(changes_stream: DataFrame, layout_dir: str,
                         timeout_s: int = 300) -> str:
     """Drain a (bounded) CDC-upsert stream into an EXISTING layout:
     each micro-batch is one merge_into_zorder_layout under the
-    DETERMINISTIC id ``b<batch_id>`` — matched rows replaced, new rows
+    DETERMINISTIC id ``<stream_prefix>b<batch_id>`` (prefix derived
+    from the checkpoint path — independent streams into one layout
+    get disjoint namespaces) — matched rows replaced, new rows
     inserted, both atomically per batch. Exactly-once comes from the
-    merge's own replay guard (a batch whose manifest committed is a
-    no-op before touching data; a torn batch redoes its own
-    directories only), the ingest twin's discipline applied to
-    upserts. Keys recurring ACROSS micro-batches resolve to the
+    merge's own replay guard (a batch whose manifest committed in any
+    RETAINED version is a no-op before touching data; a torn batch
+    redoes its own directories only), the ingest twin's discipline
+    applied to upserts. Keys recurring ACROSS micro-batches resolve to the
     latest batch's row because availableNow batches serialize on the
     manifest head — the per-key last-write-wins a CDC consumer
     expects. Within one micro-batch, duplicate keys are NOT collapsed
@@ -103,10 +126,11 @@ def merge_zorder_stream(changes_stream: DataFrame, layout_dir: str,
 
     spark = changes_stream.sparkSession
     layout_meta(spark, layout_dir)      # fail loudly before starting
+    sid = _stream_prefix(checkpoint_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         merge_into_zorder_layout(spark, layout_dir, batch_df, key_cols,
-                                 merge_id=f"b{batch_id}")
+                                 merge_id=f"{sid}b{batch_id}")
 
     q = (changes_stream.writeStream
          .foreachBatch(process)

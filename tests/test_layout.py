@@ -814,6 +814,83 @@ def test_update_relocates_through_curve(spark, tmp_path):
                              update_id="a.b")
 
 
+def test_replay_guard_respects_retained_snapshots(spark, tmp_path):
+    """r12 review: a post-commit replay must no-op even after a LATER
+    rewrite (compaction) dropped the merge's files from the head —
+    an older RETAINED snapshot still references them, and re-running
+    would overwrite files that snapshot reads."""
+    from mr_mpi_blast_spark.operators.layout import (
+        append_published, compact_zorder_cells, fsck_zorder_layout,
+        manifest_versions, merge_into_zorder_layout, pruned_read,
+        read_zorder_manifest, write_zorder_layout)
+    base = spark.createDataFrame(
+        [(i, i % 7, i % 5, "old") for i in range(600)],
+        "id long, x long, y long, s string")
+    layout = str(tmp_path / "zrg")
+    write_zorder_layout(base, "x", "y", layout, target_files=4)
+    upd = spark.createDataFrame([(7, 0, 2, "new")],
+                                "id long, x long, y long, s string")
+    merge_into_zorder_layout(spark, layout, upd, ["id"],
+                             merge_id="job1")                    # v2
+    compact_zorder_cells(spark, layout)                          # v3
+    head, hv = read_zorder_manifest(spark, layout)
+    assert hv == 3
+    # precondition for the regression: the HEAD no longer references
+    # the merge's delta dir (compaction rewrote that cell) — a
+    # head-only guard would wrongly re-run the merge here
+    assert not append_published(spark, layout, "mjob1.u", head)
+    evil = spark.createDataFrame([(8, 1, 3, "evil")],
+                                 "id long, x long, y long, s string")
+    res = merge_into_zorder_layout(spark, layout, evil, ["id"],
+                                   merge_id="job1")
+    assert res["rows_written"] == 0 and res["version"] == 3
+    assert manifest_versions(spark, layout)[-1] == 3
+    # the retained pre-compaction snapshot is intact (its files were
+    # not overwritten) and head values are unchanged
+    v2 = {r.id: r.s for r in
+          pruned_read(spark, layout, version=2)[0].collect()}
+    assert len(v2) == 600 and v2[7] == "new" and v2[8] == "old"
+    got = {r.id: r.s for r in pruned_read(spark, layout)[0].collect()}
+    assert got[7] == "new" and got[8] == "old"
+    assert fsck_zorder_layout(spark, layout).count() == 0
+
+
+def test_delete_full_wipe_refused(spark, tmp_path):
+    """r12 review: a delete matching EVERY row would commit an empty
+    manifest (a state the read path refuses) — it is rejected loudly
+    before the commit and the table stays readable."""
+    from mr_mpi_blast_spark.operators.layout import (
+        delete_from_zorder_layout, pruned_read, write_zorder_layout)
+    df = spark.createDataFrame(
+        [(i, i % 5, i % 3) for i in range(200)],
+        "id long, x long, y long")
+    layout = str(tmp_path / "zwipe")
+    write_zorder_layout(df, "x", "y", layout, target_files=2)
+    with pytest.raises(ValueError, match="full wipe"):
+        delete_from_zorder_layout(spark, layout, "TRUE")
+    assert pruned_read(spark, layout)[0].count() == 200
+
+
+def test_dml_scope_requires_closed_ranges(spark, tmp_path):
+    """r12 review: the DML scope is both an envelope filter and a
+    row-level BETWEEN — open-ended bounds are refused loudly in both
+    DELETE and UPDATE instead of diverging between the renderings."""
+    from mr_mpi_blast_spark.operators.layout import (
+        delete_from_zorder_layout, update_zorder_layout,
+        write_zorder_layout)
+    df = spark.createDataFrame(
+        [(i, i % 5, i % 3) for i in range(50)],
+        "id long, x long, y long")
+    layout = str(tmp_path / "zrange")
+    write_zorder_layout(df, "x", "y", layout, target_files=1)
+    with pytest.raises(ValueError, match="closed"):
+        delete_from_zorder_layout(spark, layout, "id = 1",
+                                  x_range=(None, 3))
+    with pytest.raises(ValueError, match="closed"):
+        update_zorder_layout(spark, layout, "id = 1", {"id": "2"},
+                             y_range=(1, None))
+
+
 def test_layout_changes_feed(spark, tmp_path):
     """r12 change feed: UPDATE shows as delete(old)+insert(new) for
     exactly the matched rows (rewritten survivors cancel), an append

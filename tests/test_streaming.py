@@ -810,6 +810,38 @@ def test_zorder_merge_stream_upserts_exactly_once(spark, tmp_path):
             pruned_read(spark, layout)[0].collect()} == got
 
 
+def test_zorder_merge_stream_independent_streams(spark, tmp_path):
+    """r12 review: two INDEPENDENT CDC streams (different checkpoints)
+    draining into one layout must not mistake each other's committed
+    batch ids for replays — the per-stream prefix keeps feed B's
+    batch 0 from silently no-opping on feed A's."""
+    import os
+    from mr_mpi_blast_spark.operators.layout import (
+        pruned_read, write_zorder_layout)
+    from mr_mpi_blast_spark.streaming.layout_stream import \
+        merge_zorder_stream
+
+    base = spark.createDataFrame(
+        [(i, i % 5, i % 3, "old") for i in range(200)],
+        "id long, x long, y long, s string")
+    layout = str(tmp_path / "zind")
+    write_zorder_layout(base, "x", "y", layout, target_files=2)
+    schema = "id long, x long, y long, s string"
+    for tag, ckpt_name in (("a", "ck_a"), ("b", "ck_b")):
+        src = str(tmp_path / f"src_{tag}")
+        os.makedirs(src, exist_ok=True)
+        (spark.createDataFrame([(5, 0, 2, tag)], schema)
+         .coalesce(1).write.mode("overwrite").parquet(src))
+        stream = spark.readStream.schema(base.schema).parquet(src)
+        merge_zorder_stream(stream, layout,
+                            str(tmp_path / ckpt_name), ["id"])
+    got = {r.id: r.s for r in pruned_read(spark, layout)[0].collect()}
+    # feed B ran as its own batch 0 and applied (a bare b<batch_id>
+    # namespace would have no-opped it against feed A's commit)
+    assert got[5] == "b"
+    assert len(got) == 200
+
+
 def test_zorder_merge_replay_guard(spark, tmp_path):
     """merge_id exactly-once: a post-commit replay is a no-op BEFORE
     touching data (even with different input — the guard fires on the
