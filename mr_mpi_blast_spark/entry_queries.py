@@ -5515,6 +5515,28 @@ def q_lineitem_hll_distinct(spark, sf_dir):
     return hll_distinct(li, "l_orderkey")
 
 
+def _hll_by_oracle() -> str:
+    from mr_mpi_blast_spark.operators.profile import hll_distinct_by_sql
+    return hll_distinct_by_sql("o_orderstatus", "o_custkey", "orders")
+
+
+@query("orders_hll_by_status", _hll_by_oracle())
+def q_orders_hll_by_status(spark, sf_dir):
+    """Per-group HyperLogLog (r12): estimated vs exact distinct
+    customers PER ORDER STATUS — the grouped shape the global sketch
+    is actually used in at 100 TB (distinct users per day, distinct
+    docs per source). Two map-side-combinable aggregations: (group,
+    register) max-rank, then a group-keyed fold of 256 small ints —
+    the shuffle carries register rows, never customers; the exact
+    count rides along as the verifier (the only corpus-keyed agg, and
+    the column production drops). Same deterministic md5 arithmetic
+    as lineitem_hll_distinct, so the DuckDB oracle replays every
+    group's sketch bit-exactly."""
+    from mr_mpi_blast_spark.operators.profile import hll_distinct_by
+    o = _t(spark, sf_dir, "orders")
+    return hll_distinct_by(o, "o_orderstatus", "o_custkey")
+
+
 _BLOOM_ACCTBAL = 9000
 
 
@@ -5672,7 +5694,6 @@ RECORDED_WINDOW = [
     # value-identical twin of graph_triangles, duplicate evidence)
     "ann_sq8_topk", "bpe_encode", "bpe_merges", "ccnet_buckets",
     "corpus_shuffle", "dedup_keep_best", "dedup_ngram_jaccard",
-    "dedup_substr_remove",
     # new/changed in r12: the PNG real-codec roundtrip, table_profile
     # (output gained the HDR quantile columns — r10's recorded row
     # predates the schema change), the 3-column z-order manifest, and
@@ -5685,6 +5706,10 @@ RECORDED_WINDOW = [
     "lineitem_layout_delete", "orders_layout_merge",
     "lineitem_layout_stats", "lineitem_layout_update",
     "lineitem_layout_changes", "lineitem_layout_timetravel",
+    # r12: per-group HLL — the grouped shape of the r11-recorded
+    # global sketch (displacing dedup_substr_remove, r10 evidence
+    # persists)
+    "orders_hll_by_status",
     # dropped vs r11 (recorded evidence persists in CORRECTNESS_r11):
     # the r11 window's sketch/layout/format/text/r3-facade slots —
     # all recorded green in r11.

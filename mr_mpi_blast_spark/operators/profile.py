@@ -341,6 +341,88 @@ FROM agg, ex
 """
 
 
+def hll_distinct_by(df, group_col: str, col: str):
+    """Per-group HyperLogLog: ``GROUP BY g, approx COUNT(DISTINCT x)``
+    — the shape the global hll_distinct is actually used in at
+    100 TB (distinct users per day, distinct docs per source). Same
+    deterministic md5 bucket/rank arithmetic and integer estimate as
+    hll_distinct (DuckDB-replayable; Spark's approx_count_distinct is
+    the black-box native twin); state is groups x 256 small ints —
+    two partial aggregations ((g, register) max-rank, then g-keyed
+    fold), both map-side combinable, so the shuffle carries register
+    rows, never items. The exact count rides along as the verifier
+    (drop it in production; it is the only corpus-keyed agg here).
+    One row per group: (g, m, n_registers_hit, sum_inv_scaled,
+    est_distinct, exact_distinct). NULL group keys form their own
+    group (SQL GROUP BY semantics); NULL items are skipped by both
+    engines' aggregates only if the caller filters them — md5(NULL)
+    is NULL and conv(NULL)=NULL, so they fold into a NULL register
+    row; filter NULLs upstream for cross-engine identity."""
+    from mr_mpi_blast_spark.operators.search import dsir_bucket_spark
+    bucket = dsir_bucket_spark(f"concat('hll:', {col})", HLL_M)
+    v20 = (f"CAST(conv(substring(md5(concat('hll:', {col})), 9, 5), "
+           f"16, 10) AS BIGINT)")
+    regs = (df.select(F.col(group_col).alias("g"),
+                      F.expr(bucket).alias("b"),
+                      F.expr(_hll_rank_spark(v20)).alias("rank"))
+            .groupBy("g", "b").agg(F.max("rank").alias("m_rank")))
+    zero_term = 1 << HLL_SCALE_BITS
+    agg = regs.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.sum(F.expr(f"CAST(shiftleft(1L, {HLL_SCALE_BITS} - m_rank) "
+                     f"AS BIGINT)")).alias("s_hit"))
+    exact = (df.groupBy(F.col(group_col).alias("g"))
+             .agg(F.count_distinct(F.col(col)).alias("exact_distinct")))
+    num = HLL_ALPHA_MICRO * HLL_M * HLL_M * (1 << HLL_SCALE_BITS)
+    # null-safe join: a NULL group key is a real group (GROUP BY
+    # semantics) and a plain equi-join would silently drop it
+    denom = (agg.join(exact, agg["g"].eqNullSafe(exact["g"]))
+             .drop(exact["g"])
+             .withColumn("sum_inv_scaled",
+                         (F.col("s_hit") + (F.lit(HLL_M) - F.col("n_hit"))
+                          * F.lit(zero_term)).cast("long")))
+    return denom.select(
+        F.col("g").alias(group_col),
+        F.lit(HLL_M).cast("long").alias("m"),
+        F.col("n_hit").cast("long").alias("n_registers_hit"),
+        "sum_inv_scaled",
+        F.expr(f"CAST({num} div (1000000 * sum_inv_scaled) AS BIGINT)")
+        .alias("est_distinct"),
+        F.col("exact_distinct").cast("long"))
+
+
+def hll_distinct_by_sql(group_sql: str, col_sql: str,
+                        from_sql: str) -> str:
+    """DuckDB replay of hll_distinct_by — identical bucket/rank and
+    integer estimate arithmetic, grouped."""
+    from mr_mpi_blast_spark.operators.search import dsir_bucket_duckdb
+    bucket = dsir_bucket_duckdb("('hll:' || x)", HLL_M)
+    v20 = "CAST(('0x' || substring(md5('hll:' || x), 9, 5)) AS BIGINT)"
+    zero_term = 1 << HLL_SCALE_BITS
+    num = HLL_ALPHA_MICRO * HLL_M * HLL_M * (1 << HLL_SCALE_BITS)
+    return f"""
+WITH items AS (SELECT {group_sql} AS g, {col_sql} AS x FROM {from_sql}),
+regs AS (SELECT g, {bucket} AS b,
+                max({_hll_rank_duckdb(v20)}) AS m_rank
+         FROM items GROUP BY 1, 2),
+agg AS (SELECT g, count(*) AS n_hit,
+               sum(CAST(1 AS BIGINT) << ({HLL_SCALE_BITS} - m_rank)) AS s_hit
+        FROM regs GROUP BY 1),
+ex AS (SELECT g, count(DISTINCT x) AS exact_distinct
+       FROM items GROUP BY 1)
+SELECT agg.g AS {group_sql},
+       CAST({HLL_M} AS BIGINT) AS m,
+       CAST(n_hit AS BIGINT) AS n_registers_hit,
+       CAST(s_hit + ({HLL_M} - n_hit) * {zero_term} AS BIGINT)
+         AS sum_inv_scaled,
+       CAST({num} // (1000000 * (s_hit + ({HLL_M} - n_hit)
+                                 * {zero_term})) AS BIGINT)
+         AS est_distinct,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct
+FROM agg JOIN ex ON agg.g IS NOT DISTINCT FROM ex.g
+"""
+
+
 # ---------------------------------------------------------------------------
 # Bloom-filter join pruning (Bloom 1970) — the runtime-filter
 # primitive, exact-integer and oracle-replayable.

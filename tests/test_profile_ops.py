@@ -123,6 +123,32 @@ def test_hll_mergeability_and_accuracy(spark):
             == sorted(map(tuple, whole.collect())))
 
 
+def test_hll_distinct_by_groups(spark):
+    """Per-group HLL equals the global sketch applied group-by-group
+    (same registers, same estimate — the grouped operator is the
+    global one partitioned, nothing more), each group's estimate is
+    within the design error, and a NULL group key forms its own
+    group."""
+    from pyspark.sql import functions as F
+
+    from mr_mpi_blast_spark.operators.profile import (hll_distinct,
+                                                      hll_distinct_by)
+    rows = [(("g%d" % (i % 3)) if i % 11 else None, f"k{i % 2500}")
+            for i in range(9000)]
+    df = spark.createDataFrame(rows, "g string, x string")
+    by = {r.g: r for r in hll_distinct_by(df, "g", "x").collect()}
+    assert set(by) == {"g0", "g1", "g2", None}
+    for gname, row in by.items():
+        cond = F.col("g").isNull() if gname is None \
+            else (F.col("g") == gname)
+        solo = hll_distinct(df.filter(cond), "x").collect()[0]
+        assert row.est_distinct == solo.est_distinct, gname
+        assert row.exact_distinct == solo.exact_distinct, gname
+        assert row.sum_inv_scaled == solo.sum_inv_scaled, gname
+        n = row.exact_distinct
+        assert abs(row.est_distinct - n) / n < 0.20, gname
+
+
 def test_bloom_one_sided_under_forced_collisions(spark, monkeypatch):
     """Bloom's contract is ONE-SIDED: with the filter squeezed to 64
     bits (heavy collisions), every true member must still pass; false
