@@ -5537,6 +5537,30 @@ def q_orders_hll_by_status(spark, sf_dir):
     return hll_distinct_by(o, "o_orderstatus", "o_custkey")
 
 
+def _hll_union_oracle() -> str:
+    from mr_mpi_blast_spark.operators.profile import \
+        hll_union_distinct_sql
+    return hll_union_distinct_sql("o_custkey", "orders",
+                                  "c_custkey", "customer")
+
+
+@query("orders_customer_hll_union", _hll_union_oracle())
+def q_orders_customer_hll_union(spark, sf_dir):
+    """Sketch ALGEBRA across two corpora (r12): distinct custkeys in
+    orders, in customer, in their union (register-wise MAX of the two
+    sketches — exactly how per-shard sketches federate at 100 TB:
+    nothing re-scans, 2 KB merges), and the inclusion-exclusion
+    intersection estimate (clamped at 0; error on the union's scale —
+    the standard HLL-intersection caveat, stated in the operator
+    docstring). Exact union rides along as the verifier. Tail-
+    registered; the DuckDB oracle replays all four estimates
+    bit-exactly."""
+    from mr_mpi_blast_spark.operators.profile import hll_union_distinct
+    return hll_union_distinct(
+        _t(spark, sf_dir, "orders"), "o_custkey",
+        _t(spark, sf_dir, "customer"), "c_custkey")
+
+
 _BLOOM_ACCTBAL = 9000
 
 

@@ -423,6 +423,105 @@ FROM agg JOIN ex ON agg.g IS NOT DISTINCT FROM ex.g
 """
 
 
+def hll_union_distinct(df_a, col_a: str, df_b, col_b: str):
+    """Distinct-cardinality algebra over TWO corpora from their
+    sketches alone — the federation story: each side reduces to 256
+    small ints, the union sketch is their register-wise MAX (exactly
+    how 1000 executors' shard sketches combine), and the intersection
+    estimate falls out by inclusion-exclusion
+    (est_a + est_b - est_union, clamped at 0 — I-E error can dip
+    negative for near-disjoint sides; its relative error is on the
+    UNION's scale, the standard HLL-intersection caveat). The exact
+    union count rides along as the verifier. One row:
+    (m, est_a, est_b, est_union, est_intersection, exact_union).
+    Same deterministic md5 arithmetic as hll_distinct, so a DuckDB
+    oracle replays all four estimates bit-exactly."""
+    from mr_mpi_blast_spark.operators.search import dsir_bucket_spark
+
+    def regs(df, col):
+        bucket = dsir_bucket_spark(f"concat('hll:', {col})", HLL_M)
+        v20 = (f"CAST(conv(substring(md5(concat('hll:', {col})), 9, "
+               f"5), 16, 10) AS BIGINT)")
+        return (df.select(F.expr(bucket).alias("b"),
+                          F.expr(_hll_rank_spark(v20)).alias("rank"))
+                .groupBy("b").agg(F.max("rank").alias("m_rank")))
+
+    zero_term = 1 << HLL_SCALE_BITS
+    num = HLL_ALPHA_MICRO * HLL_M * HLL_M * (1 << HLL_SCALE_BITS)
+
+    def est(regs_df, name):
+        return (regs_df.agg(
+            F.count(F.lit(1)).alias("n_hit"),
+            F.sum(F.expr(
+                f"CAST(shiftleft(1L, {HLL_SCALE_BITS} - m_rank) "
+                f"AS BIGINT)")).alias("s_hit"))
+            .select(F.expr(
+                f"CAST({num} div (1000000 * (s_hit + ({HLL_M} - n_hit)"
+                f" * {zero_term})) AS BIGINT)").alias(name)))
+
+    ra, rb = regs(df_a, col_a), regs(df_b, col_b)
+    ru = (ra.unionByName(rb).groupBy("b")
+          .agg(F.max("m_rank").alias("m_rank")))
+    exact = (df_a.select(F.col(col_a).alias("x"))
+             .unionByName(df_b.select(F.col(col_b).alias("x")))
+             .agg(F.count_distinct("x").alias("exact_union")))
+    out = (est(ra, "est_a").crossJoin(est(rb, "est_b"))
+           .crossJoin(est(ru, "est_union")).crossJoin(exact))
+    return out.select(
+        F.lit(HLL_M).cast("long").alias("m"),
+        "est_a", "est_b", "est_union",
+        F.greatest(F.lit(0).cast("long"),
+                   (F.col("est_a") + F.col("est_b")
+                    - F.col("est_union")).cast("long"))
+        .alias("est_intersection"),
+        F.col("exact_union").cast("long"))
+
+
+def hll_union_distinct_sql(col_a_sql: str, from_a_sql: str,
+                           col_b_sql: str, from_b_sql: str) -> str:
+    """DuckDB replay of hll_union_distinct — identical register
+    build, register-max union, and inclusion-exclusion arithmetic."""
+    from mr_mpi_blast_spark.operators.search import dsir_bucket_duckdb
+    bucket = dsir_bucket_duckdb("('hll:' || x)", HLL_M)
+    v20 = "CAST(('0x' || substring(md5('hll:' || x), 9, 5)) AS BIGINT)"
+    zero_term = 1 << HLL_SCALE_BITS
+    num = HLL_ALPHA_MICRO * HLL_M * HLL_M * (1 << HLL_SCALE_BITS)
+    est = (f"CAST({num} // (1000000 * (s_hit + ({HLL_M} - n_hit) "
+           f"* {zero_term})) AS BIGINT)")
+    return f"""
+WITH ia AS (SELECT {col_a_sql} AS x FROM {from_a_sql}),
+ib AS (SELECT {col_b_sql} AS x FROM {from_b_sql}),
+ra AS (SELECT {bucket} AS b, max({_hll_rank_duckdb(v20)}) AS m_rank
+       FROM ia GROUP BY 1),
+rb AS (SELECT {bucket} AS b, max({_hll_rank_duckdb(v20)}) AS m_rank
+       FROM ib GROUP BY 1),
+ru AS (SELECT b, max(m_rank) AS m_rank
+       FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+       GROUP BY 1),
+ea AS (SELECT count(*) AS n_hit,
+              sum(CAST(1 AS BIGINT) << ({HLL_SCALE_BITS} - m_rank))
+                AS s_hit FROM ra),
+eb AS (SELECT count(*) AS n_hit,
+              sum(CAST(1 AS BIGINT) << ({HLL_SCALE_BITS} - m_rank))
+                AS s_hit FROM rb),
+eu AS (SELECT count(*) AS n_hit,
+              sum(CAST(1 AS BIGINT) << ({HLL_SCALE_BITS} - m_rank))
+                AS s_hit FROM ru),
+ex AS (SELECT count(DISTINCT x) AS exact_union
+       FROM (SELECT x FROM ia UNION ALL SELECT x FROM ib))
+SELECT CAST({HLL_M} AS BIGINT) AS m,
+       (SELECT {est} FROM ea) AS est_a,
+       (SELECT {est} FROM eb) AS est_b,
+       (SELECT {est} FROM eu) AS est_union,
+       CAST(greatest(0, (SELECT {est} FROM ea)
+                        + (SELECT {est} FROM eb)
+                        - (SELECT {est} FROM eu)) AS BIGINT)
+         AS est_intersection,
+       CAST(exact_union AS BIGINT) AS exact_union
+FROM ex
+"""
+
+
 # ---------------------------------------------------------------------------
 # Bloom-filter join pruning (Bloom 1970) — the runtime-filter
 # primitive, exact-integer and oracle-replayable.

@@ -104,6 +104,7 @@ def ingest_zorder_stream(rows_stream: DataFrame, layout_dir: str,
 
 def merge_zorder_stream(changes_stream: DataFrame, layout_dir: str,
                         checkpoint_dir: str, key_cols: list,
+                        order_col: str | None = None,
                         timeout_s: int = 300) -> str:
     """Drain a (bounded) CDC-upsert stream into an EXISTING layout:
     each micro-batch is one merge_into_zorder_layout under the
@@ -117,10 +118,17 @@ def merge_zorder_stream(changes_stream: DataFrame, layout_dir: str,
     applied to upserts. Keys recurring ACROSS micro-batches resolve to the
     latest batch's row because availableNow batches serialize on the
     manifest head — the per-key last-write-wins a CDC consumer
-    expects. Within one micro-batch, duplicate keys are NOT collapsed
-    (both rows land; pre-aggregate to latest-per-key upstream if the
-    source can carry intra-batch dups). Raises TimeoutError with the
-    checkpoint preserved, like ingest_zorder_stream."""
+    expects. Within one micro-batch, duplicate keys are collapsed to
+    the row with the greatest ``order_col`` when one is given (the
+    CDC sequence number / event timestamp; ties break arbitrarily —
+    supply a unique ordering column for determinism); without
+    ``order_col`` intra-batch duplicates are NOT collapsed (both rows
+    land — pre-aggregate upstream if the source carries dups).
+    Raises TimeoutError with the checkpoint preserved, like
+    ingest_zorder_stream."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     from mr_mpi_blast_spark.operators.layout import (
         layout_meta, merge_into_zorder_layout)
 
@@ -129,6 +137,12 @@ def merge_zorder_stream(changes_stream: DataFrame, layout_dir: str,
     sid = _stream_prefix(checkpoint_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        if order_col is not None:
+            w = (Window.partitionBy(*key_cols)
+                 .orderBy(F.col(order_col).desc()))
+            batch_df = (batch_df
+                        .withColumn("_rn", F.row_number().over(w))
+                        .filter(F.col("_rn") == 1).drop("_rn"))
         merge_into_zorder_layout(spark, layout_dir, batch_df, key_cols,
                                  merge_id=f"{sid}b{batch_id}")
 

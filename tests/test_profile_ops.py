@@ -149,6 +149,24 @@ def test_hll_distinct_by_groups(spark):
         assert abs(row.est_distinct - n) / n < 0.20, gname
 
 
+def test_hll_union_intersection(spark):
+    """Union sketch = register-wise max of the sides (est within the
+    design error of the true union), and the inclusion-exclusion
+    intersection lands within its documented union-scale error."""
+    from mr_mpi_blast_spark.operators.profile import hll_union_distinct
+    a = spark.createDataFrame([(f"k{i}",) for i in range(6000)],
+                              "x string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(3000, 9000)],
+                              "x string")
+    r = hll_union_distinct(a, "x", b, "x").collect()[0]
+    assert r.exact_union == 9000
+    assert abs(r.est_union - 9000) / 9000 < 0.20
+    assert abs(r.est_a - 6000) / 6000 < 0.20
+    assert abs(r.est_b - 6000) / 6000 < 0.20
+    # I-E intersection: error compounds on the union's scale
+    assert abs(r.est_intersection - 3000) / 9000 < 0.25
+
+
 def test_bloom_one_sided_under_forced_collisions(spark, monkeypatch):
     """Bloom's contract is ONE-SIDED: with the filter squeezed to 64
     bits (heavy collisions), every true member must still pass; false

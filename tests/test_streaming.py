@@ -842,6 +842,39 @@ def test_zorder_merge_stream_independent_streams(spark, tmp_path):
     assert len(got) == 200
 
 
+def test_zorder_merge_stream_intra_batch_order(spark, tmp_path):
+    """order_col collapses intra-batch duplicate keys to the row with
+    the greatest sequence number BEFORE the merge — one upsert per
+    key per batch, the CDC consumer contract."""
+    import os
+    from mr_mpi_blast_spark.operators.layout import (
+        pruned_read, write_zorder_layout)
+    from mr_mpi_blast_spark.streaming.layout_stream import \
+        merge_zorder_stream
+
+    base = spark.createDataFrame(
+        [(i, i % 5, i % 3, 0, "old") for i in range(100)],
+        "id long, x long, y long, seq long, s string")
+    layout = str(tmp_path / "ziob")
+    write_zorder_layout(base, "x", "y", layout, target_files=2)
+    src = str(tmp_path / "ziob_src")
+    os.makedirs(src, exist_ok=True)
+    # one batch, three versions of key 7 plus one of key 8
+    (spark.createDataFrame(
+        [(7, 2, 1, 3, "v3"), (7, 2, 1, 1, "v1"), (7, 2, 1, 2, "v2"),
+         (8, 3, 2, 1, "w1")],
+        "id long, x long, y long, seq long, s string")
+     .coalesce(1).write.mode("overwrite").parquet(src))
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    merge_zorder_stream(stream, layout, str(tmp_path / "ziob_ck"),
+                        ["id"], order_col="seq")
+    got = {r.id: (r.seq, r.s) for r in
+           pruned_read(spark, layout)[0].collect()}
+    assert len(got) == 100                 # collapsed: no duplicates
+    assert got[7] == (3, "v3")             # greatest seq won
+    assert got[8] == (1, "w1")
+
+
 def test_zorder_merge_replay_guard(spark, tmp_path):
     """merge_id exactly-once: a post-commit replay is a no-op BEFORE
     touching data (even with different input — the guard fires on the
