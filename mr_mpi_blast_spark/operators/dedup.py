@@ -284,15 +284,28 @@ def connected_components(edges: DataFrame, src: str = "da",
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("lab", F.col("node")))
     for _ in range(max_iter):
-        neigh = (sym.join(labels.select(F.col("node").alias("b"),
-                                        F.col("lab").alias("nlab")), "b")
-                 .groupBy("a").agg(F.min("nlab").alias("minn")))
-        new = (labels.join(neigh.select(F.col("a").alias("node"), "minn"),
-                           "node", "left")
-               .select("node", F.col("lab").alias("_old"),
-                       F.least(F.col("lab"),
-                               F.coalesce(F.col("minn"), F.col("lab")))
-                       .alias("lab")))
+        # r12 optimization (guide §2.4): min over self ∪ neighbor
+        # labels in ONE aggregate — the label table is unioned into
+        # the neighbor stream as a tagged self row, so
+        # least(lab, coalesce(min_neigh, lab)) becomes min over the
+        # seeded union and the old label rides the SAME aggregate
+        # (max over the single tagged row) — this replaces the
+        # neighbor-min aggregate + LEFT JOIN back to labels (two
+        # exchanges + a join) with union + one aggregate. Values and
+        # the exact changed-count convergence signal are unchanged:
+        # lab' = jump(min(lab, min_neighbor_lab)).
+        new = (sym.join(labels.select(F.col("node").alias("b"),
+                                      F.col("lab").alias("nlab")), "b")
+               .select(F.col("a").alias("node"), "nlab",
+                       F.lit(None).cast(labels.schema["lab"].dataType)
+                       .alias("self_lab"))
+               .union(labels.select("node", F.col("lab").alias("nlab"),
+                                    F.col("lab").alias("self_lab")))
+               .groupBy("node").agg(
+                   F.min("nlab").alias("lab"),
+                   # exactly one seeded self row per node carries a
+                   # non-null self_lab: max() picks it out
+                   F.max("self_lab").alias("_old")))
         # pointer jump: follow the label's own label (labels only ever
         # decrease, so lab[lab] <= lab; missing lookup = already a root)
         jump = new.select(F.col("node").alias("_jn"),

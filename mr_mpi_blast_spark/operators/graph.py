@@ -121,18 +121,27 @@ def _pagerank_round(ed: DataFrame, nodes: DataFrame, ranks: DataFrame,
                     base: int, damping_micro: int) -> DataFrame:
     """One power-method round (un-checkpointed — pagerank_micro owns
     lineage truncation). Split out so tests/test_graph.py can pin the
-    single-shuffle plan shape of an iteration directly."""
+    single-shuffle plan shape of an iteration directly.
+
+    r12 optimization (guide §2.4 — two operations keyed the same way
+    share one exchange): instead of aggregating contributions and
+    LEFT-JOINing the node table (agg exchange + join), the node table
+    is unioned into the contribution stream as zero-valued seed rows
+    and the base added inside ONE aggregate — sum(contribs) + 0 for
+    reached nodes, 0 for unreached ones, so rank' = base + sum(c) is
+    value-identical (exact int64 algebra, no float reorder concerns)
+    while the per-iteration plan drops from two exchanges + a join to
+    two exchanges and NO join after the edge attach."""
     contrib = (ed.join(ranks.select(F.col("node").alias("src"),
                                     "rank_micro"), "src")
-               .groupBy(F.col("dst").alias("node"))
-               .agg(F.sum(F.expr(
-                   f"(rank_micro * {damping_micro}L) div "
-                   f"({MICRO}L * outdeg)")).alias("c")))
-    return (nodes.join(contrib, "node", "left")
-            .select("node",
-                    (F.lit(base).cast("long")
-                     + F.coalesce(F.col("c"), F.lit(0).cast("long")))
-                    .alias("rank_micro")))
+               .select(F.col("dst").alias("node"),
+                       F.expr(f"(rank_micro * {damping_micro}L) div "
+                              f"({MICRO}L * outdeg)").alias("c")))
+    seeded = contrib.union(
+        nodes.select("node", F.lit(0).cast("long").alias("c")))
+    return (seeded.groupBy("node")
+            .agg((F.lit(base).cast("long")
+                  + F.sum("c").cast("long")).alias("rank_micro")))
 
 
 def pagerank_micro_sql(edges_sql: str, n_iter: int = 5,
@@ -203,10 +212,24 @@ def orient_edges(edges: DataFrame, a: str = "a",
           .join(deg.select(F.col("node").alias("y"),
                            F.col("d").alias("dy")), "y"))
     fwd = F.struct("dx", "x") < F.struct("dy", "y")
-    return ed.select(
+    oriented = ed.select(
         F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("src"),
         F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("dst"),
-    ).localCheckpoint(eager=True)
+    )
+    # r12 (guide §2.5/§2.6, measured): a localCheckpoint inherits the
+    # AQE-coalesced partition count of the plan it truncates — at
+    # local[32] the post-aggregate stream collapses to ~3 partitions,
+    # and every downstream consumer (the compute-heavy wedge-closure
+    # stage above all) then runs 3-wide on a 32-core box (traced:
+    # 4.7 s of the 8.5 s query in ONE 3-task stage). Spread the
+    # materialized edge table to full parallelism first — one cheap
+    # edge-sized exchange; on a real cluster scan the stream is
+    # already thousands of splits wide and the helper no-ops.
+    spark = oriented.sparkSession
+    target = max(spark.sparkContext.defaultParallelism,
+                 int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    oriented = oriented.repartition(target, "src", "dst")
+    return oriented.localCheckpoint(eager=True)
 
 
 #: Broadcast gate for triangle_counts' adjacency table. The adjacency
@@ -344,16 +367,23 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b", *,
         # at all and the dst side exchanges only the probe stream.
         adj_u = adj.hint("merge")
         adj_v = adj_u
-    common = _triangle_common(probe, adj_u, adj_v) \
-        .localCheckpoint(eager=True)
-    corners = (common.select(F.col("src").alias("node"),
-                             F.size("ws").alias("k"))
-               .union(common.select(F.col("dst").alias("node"),
-                                    F.size("ws").alias("k")))
-               .union(common.select(F.explode("ws").alias("node"),
-                                    F.lit(1).alias("k"))))
-    out = (corners.groupBy("node")
-           .agg(F.sum("k").cast("long").alias("n_tri")))
+    common = _triangle_common(probe, adj_u, adj_v)
+    # ONE pass over the wedge-closure rows (r12 optimization, guide
+    # §2.4): each row credits src and dst with |ws| and every closing
+    # corner with 1 — emitted as a single exploded contribution array
+    # instead of a 3-way union over a localCheckpoint of `common`.
+    # Same multiset of (node, k) credits, so the aggregate is
+    # value-identical; drops one materialization job and two extra
+    # reads of the join output.
+    corners = common.select(F.explode(F.concat(
+        F.array(F.struct(F.col("src").cast("long").alias("node"),
+                         F.size("ws").alias("k")),
+                F.struct(F.col("dst").cast("long").alias("node"),
+                         F.size("ws").alias("k"))),
+        F.expr("transform(ws, w -> struct(CAST(w AS BIGINT) AS node, "
+               "1 AS k))"))).alias("c"))
+    out = (corners.groupBy(F.col("c.node").alias("node"))
+           .agg(F.sum("c.k").cast("long").alias("n_tri")))
     out.triangle_strategy = strategy  # driver-side introspection/tests
     return out
 

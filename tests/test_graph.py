@@ -113,9 +113,15 @@ def test_pagerank_iteration_plan(spark, tmp_path, monkeypatch):
         if "FileScan parquet" in line and "Bucketed: true" not in line:
             raise AssertionError(f"non-bucketed scan in plan: {line}")
     assert plan.count("Bucketed: true") == 2
-    # exactly the two node-sized sorts (SMJ sides fed by exchanges);
-    # a third would mean a bucketed side got re-sorted
-    assert len(re.findall(r"\n\s*(?:\+|:)- Sort ", plan)) == 2
+    # r12 round shape: the node table is UNIONed into the contribution
+    # stream as zero seeds and folded in the same aggregate — exactly
+    # ONE join per round (the rank->edge attach); a second join would
+    # mean the old contrib-to-nodes SMJ came back
+    assert len(re.findall(r"Join", plan)) == 1
+    # at most the one sort the rank->edge SMJ needs on the rank side
+    # (the bucketed edge side is pre-sorted; more sorts would mean a
+    # bucketed side got re-sorted)
+    assert len(re.findall(r"\n\s*(?:\+|:)- Sort ", plan)) <= 2
 
 
 @pytest.mark.slow
