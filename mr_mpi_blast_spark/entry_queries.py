@@ -1947,7 +1947,10 @@ def q_text_lang_id(spark, sf_dir):
     """Stopword-ratio language id (n-gram heuristic family); ordered
     CASE tie-breaking identical in both engines."""
     from mr_mpi_blast_spark.functions.text import lang_id
-    docs = _t(spark, sf_dir, "documents")
+    from mr_mpi_blast_spark.session import spread_for_compute
+    # spread: the stopword-ratio expression tree is the whole cost
+    # and a single-row-group scan is one task (guide §2.5)
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"), "doc_id")
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -5262,12 +5265,17 @@ def q_text_cms_heavy_hitters(spark, sf_dir):
     from mr_mpi_blast_spark.operators.profile import (cms_estimate,
                                                       cms_sketch)
     from mr_mpi_blast_spark.functions.hashing import normalized_text
+    from mr_mpi_blast_spark.session import spread_for_compute
     docs = _t(spark, sf_dir, "documents")
     # the tokenize/explode stream feeds the sketch AND the exact
     # aggregate, and the top-10 feeds the probe AND the final join —
     # materialize each once (Spark does not CSE across DAG branches;
-    # the triangle_counts lesson)
-    t = (docs.select(F.explode(
+    # the triangle_counts lesson). Spread BEFORE tokenizing: the doc
+    # scan is one task (single-row-group parquet) and the checkpoint
+    # freezes its width, so unspread the md5x4 sketch build downstream
+    # would also run 1-wide (guide §2.5)
+    t = (spread_for_compute(docs.select("doc_id", "text"), "doc_id")
+         .select(F.explode(
             F.split(normalized_text(F.col("text")), " ")).alias("term"))
          .filter(F.col("term") != "")
          .localCheckpoint(eager=True))

@@ -355,9 +355,14 @@ def bpe_encode(docs: DataFrame, merges: list[BpeMerge],
     keep the result driver-hash-comparable.
     """
     norm = normalized_text(F.col(text_col))
-    occ = (docs.select(F.col(id_col),
-                       F.posexplode(F.split(norm, " "))
-                       .alias("pos", "word"))
+    # spread before the occurrence explode: a single-row-group corpus
+    # scans as ONE task and both consumers (vocab distinct + the
+    # occurrence join) inherit its width (guide §2.5)
+    from mr_mpi_blast_spark.session import spread_for_compute
+    occ = (spread_for_compute(docs, id_col)
+           .select(F.col(id_col),
+                   F.posexplode(F.split(norm, " "))
+                   .alias("pos", "word"))
            .filter(F.col("word") != ""))
     vocab = occ.select("word").distinct()
     enc = bpe_encode_words(vocab, merges, materialize_every, materialize)

@@ -419,7 +419,11 @@ def word_gram_hashes(df: DataFrame, w: int, out_id: str,
     join, and multiple test sets, instead of re-deriving grams from
     text per pass (see ngram_collisions' train_grams parameter)."""
     ws = F.split(normalized_text(F.col(text_col)), " ")
-    d = df.select(F.col(id_col).alias(out_id), ws.alias("ws"))
+    # spread first: the gram transform/array_join/xxhash64 pipeline is
+    # the dominant compute and a single-row-group scan is one task
+    # (guide §2.5)
+    d = _spread(df, id_col).select(F.col(id_col).alias(out_id),
+                                   ws.alias("ws"))
     # sequence(1, n) with n < 1 would count DOWNWARD — guard first
     d = d.filter(F.size("ws") >= w)
     g = F.expr(
@@ -529,7 +533,12 @@ def duplicate_span_profile(df: DataFrame, min_len: int = 20,
     spurious tokens as duplicated (see ngram_collisions' bound) —
     screening-grade."""
     ws = F.split(normalized_text(F.col(text_col)), " ")
-    base = df.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+    # spread before the gram explode: the corpus scan is few-split
+    # (one task per single-row-group file) and the transform/
+    # array_join/xxhash64 gram pipeline is the query's dominant
+    # compute (traced 1.3 s single-task at sf0.1, guide §2.5)
+    base = _spread(df, id_col).select(F.col(id_col).alias("doc_id"),
+                                      ws.alias("ws"))
     tok = base.select("doc_id", F.size("ws").cast("long").alias("n_tokens"))
     d = base.filter(F.size("ws") >= min_len)
     grams = F.expr(
@@ -609,7 +618,11 @@ def duplicate_span_remove(df: DataFrame, min_len: int = 20,
     text as the audit path.
     """
     ws = F.split(normalized_text(F.col(text_col)), " ")
-    base = df.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+    # spread before the gram explode (same single-task-scan reasoning
+    # as duplicate_span_profile; the rebuild join below re-reads base,
+    # which stays spread too)
+    base = _spread(df, id_col).select(F.col(id_col).alias("doc_id"),
+                                      ws.alias("ws"))
     d = base.filter(F.size("ws") >= min_len)
     grams = F.expr(
         f"transform(sequence(1, size(ws) - {min_len} + 1), "

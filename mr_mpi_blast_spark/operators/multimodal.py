@@ -570,7 +570,12 @@ def png_roundtrip_stats(docs: DataFrame,
                 out["pix_max"].append(int(g.max()))
             yield pd.DataFrame(out)
 
-    return (docs.select(id_col)
+    # spread before the codec stage: the per-doc zlib encode+decode is
+    # pure Python compute and a single-row-group parquet scans as ONE
+    # task — unspread, the whole corpus round-trips on one core
+    # (guide §2.5; traced 1.4 s -> sub-0.3 s at sf0.1 on local[32])
+    from mr_mpi_blast_spark.session import spread_for_compute
+    return (spread_for_compute(docs.select(id_col), id_col)
             .mapInPandas(run, schema="_id long, width long, "
                                      "height long, filter_type long, "
                                      "pix_sum long, pix_min long, "

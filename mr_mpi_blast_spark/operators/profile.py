@@ -62,6 +62,13 @@ def table_profile(df: DataFrame, cols: list[str] | None = None,
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"table_profile: unknown columns {missing}")
+    # spread before the multi-distinct Expand (and the sketch pass):
+    # a single-row-group parquet scans as ONE task, so the x(cols+1)
+    # expanded partial aggregate otherwise runs 1-wide (traced 2.3 s
+    # single-task at sf0.1, guide §2.5); round-robin is safe — every
+    # downstream consumer is an order-insensitive aggregate
+    from mr_mpi_blast_spark.session import spread_for_compute
+    df = spread_for_compute(df)
     nd = (F.count_distinct if exact
           else lambda c: F.approx_count_distinct(c))
     aggs = [F.count(F.lit(1)).alias("n_rows")]
@@ -280,26 +287,40 @@ def hll_distinct(df, col: str):
     (~6.5% at m=256) once n >> 2.5*m.
     """
     from mr_mpi_blast_spark.operators.search import dsir_bucket_spark
+    from mr_mpi_blast_spark.session import spread_for_compute
     bucket = dsir_bucket_spark(f"concat('hll:', {col})", HLL_M)
     v20 = (f"CAST(conv(substring(md5(concat('hll:', {col})), 9, 5), "
            f"16, 10) AS BIGINT)")
-    regs = (df.select(F.expr(bucket).alias("b"),
-                      F.expr(_hll_rank_spark(v20)).alias("rank"))
-            .groupBy("b").agg(F.max("rank").alias("m_rank")))
+    # r12 single-scan shape (guide §2.3/§2.4): the exact verifier used
+    # to be a SECOND corpus scan planned as an Expand-based
+    # count_distinct. Every value hashes to exactly one register, so
+    # registers PARTITION the value space — distinct-per-register
+    # counts (one extra level in the same aggregation tree) sum to
+    # the global exact distinct: one scan, no Expand, no crossJoin.
+    # The spread matters because the md5/conv pipeline is the query's
+    # dominant compute and a single-row-group scan is one task.
+    lvl1 = (spread_for_compute(df, col)
+            .select(F.col(col).alias("x"),
+                    F.expr(bucket).alias("b"),
+                    F.expr(_hll_rank_spark(v20)).alias("rank"))
+            .groupBy("b", "x").agg(F.max("rank").alias("rank")))
+    regs = lvl1.groupBy("b").agg(F.max("rank").alias("m_rank"),
+                                 F.count("x").alias("nd"))
     zero_term = 1 << HLL_SCALE_BITS
     agg = regs.agg(
         F.count(F.lit(1)).alias("n_hit"),
         F.sum(F.expr(f"CAST(shiftleft(1L, {HLL_SCALE_BITS} - m_rank) "
-                     f"AS BIGINT)")).alias("s_hit"))
-    exact = df.agg(F.count_distinct(F.col(col)).alias("exact_distinct"))
+                     f"AS BIGINT)")).alias("s_hit"),
+        F.coalesce(F.sum("nd"), F.lit(0).cast("long"))
+        .alias("exact_distinct"))
     num = HLL_ALPHA_MICRO * HLL_M * HLL_M * (1 << HLL_SCALE_BITS)
     # the denominator is spelled ONCE and both outputs derive from it
     # (a second hand-expanded rendering could silently drift from the
     # emitted sum_inv_scaled under a future scaling change)
-    denom = (agg.crossJoin(exact)
-             .withColumn("sum_inv_scaled",
-                         (F.col("s_hit") + (F.lit(HLL_M) - F.col("n_hit"))
-                          * F.lit(zero_term)).cast("long")))
+    denom = agg.withColumn(
+        "sum_inv_scaled",
+        (F.col("s_hit") + (F.lit(HLL_M) - F.col("n_hit"))
+         * F.lit(zero_term)).cast("long"))
     return denom.select(
         F.lit(HLL_M).cast("long").alias("m"),
         F.col("n_hit").cast("long").alias("n_registers_hit"),
@@ -359,28 +380,36 @@ def hll_distinct_by(df, group_col: str, col: str):
     is NULL and conv(NULL)=NULL, so they fold into a NULL register
     row; filter NULLs upstream for cross-engine identity."""
     from mr_mpi_blast_spark.operators.search import dsir_bucket_spark
+    from mr_mpi_blast_spark.session import spread_for_compute
     bucket = dsir_bucket_spark(f"concat('hll:', {col})", HLL_M)
     v20 = (f"CAST(conv(substring(md5(concat('hll:', {col})), 9, 5), "
            f"16, 10) AS BIGINT)")
-    regs = (df.select(F.col(group_col).alias("g"),
-                      F.expr(bucket).alias("b"),
-                      F.expr(_hll_rank_spark(v20)).alias("rank"))
-            .groupBy("g", "b").agg(F.max("rank").alias("m_rank")))
+    # r12 single-scan shape (see hll_distinct): within a group the
+    # registers partition the value space, so per-(g, b) distinct
+    # counts (one extra aggregation level) sum to each group's exact
+    # distinct — the old second corpus scan (grouped count_distinct)
+    # and the null-safe group join both disappear; a NULL group key
+    # still forms its own group by plain GROUP BY semantics.
+    lvl1 = (spread_for_compute(df, col)
+            .select(F.col(group_col).alias("g"),
+                    F.col(col).alias("x"),
+                    F.expr(bucket).alias("b"),
+                    F.expr(_hll_rank_spark(v20)).alias("rank"))
+            .groupBy("g", "b", "x").agg(F.max("rank").alias("rank")))
+    regs = lvl1.groupBy("g", "b").agg(F.max("rank").alias("m_rank"),
+                                      F.count("x").alias("nd"))
     zero_term = 1 << HLL_SCALE_BITS
     agg = regs.groupBy("g").agg(
         F.count(F.lit(1)).alias("n_hit"),
         F.sum(F.expr(f"CAST(shiftleft(1L, {HLL_SCALE_BITS} - m_rank) "
-                     f"AS BIGINT)")).alias("s_hit"))
-    exact = (df.groupBy(F.col(group_col).alias("g"))
-             .agg(F.count_distinct(F.col(col)).alias("exact_distinct")))
+                     f"AS BIGINT)")).alias("s_hit"),
+        F.coalesce(F.sum("nd"), F.lit(0).cast("long"))
+        .alias("exact_distinct"))
     num = HLL_ALPHA_MICRO * HLL_M * HLL_M * (1 << HLL_SCALE_BITS)
-    # null-safe join: a NULL group key is a real group (GROUP BY
-    # semantics) and a plain equi-join would silently drop it
-    denom = (agg.join(exact, agg["g"].eqNullSafe(exact["g"]))
-             .drop(exact["g"])
-             .withColumn("sum_inv_scaled",
-                         (F.col("s_hit") + (F.lit(HLL_M) - F.col("n_hit"))
-                          * F.lit(zero_term)).cast("long")))
+    denom = agg.withColumn(
+        "sum_inv_scaled",
+        (F.col("s_hit") + (F.lit(HLL_M) - F.col("n_hit"))
+         * F.lit(zero_term)).cast("long"))
     return denom.select(
         F.col("g").alias(group_col),
         F.lit(HLL_M).cast("long").alias("m"),
@@ -459,6 +488,12 @@ def hll_union_distinct(df_a, col_a: str, df_b, col_b: str):
                 f"CAST({num} div (1000000 * (s_hit + ({HLL_M} - n_hit)"
                 f" * {zero_term})) AS BIGINT)").alias(name)))
 
+    # NOTE (r12 measured): probed both a spread_for_compute on the
+    # register scans and a localCheckpoint of ra/rb (each side feeds
+    # its own estimate AND the union merge) — both LOST to this lazy
+    # form at sf0.1 (0.75 s -> 1.0 / 2.2 s): the md5 register build
+    # over these side tables is cheaper than the added exchange /
+    # materialization barriers. Left alone deliberately.
     ra, rb = regs(df_a, col_a), regs(df_b, col_b)
     ru = (ra.unionByName(rb).groupBy("b")
           .agg(F.max("m_rank").alias("m_rank")))

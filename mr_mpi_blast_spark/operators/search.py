@@ -146,6 +146,12 @@ def bm25_topk(docs: DataFrame, queries: dict[int, tuple[str, ...]],
     toks = F.split(normalized_text(F.col(text_col)), " ")
     all_terms = sorted({t for ts in queries.values() for t in ts})
 
+    # spread once: both passes below (dl sizing and the tf explode)
+    # tokenize the full corpus, and a single-row-group parquet scans
+    # as ONE task (guide §2.5; traced 1.1 s single-task at sf0.1)
+    from mr_mpi_blast_spark.session import spread_for_compute
+    docs = spread_for_compute(docs, id_col)
+
     dls = docs.select(F.col(id_col).alias("doc_id"),
                       F.size(toks).alias("dl"))
     # exact-integer corpus stats: sum(dl) is an integer sum, so avgdl
@@ -196,8 +202,12 @@ def lm_tf_table(docs: DataFrame, *, text_col: str = "text",
     lambda-bearing subtree, map-side combined) instead of re-exploding
     the corpus per call."""
     toks = normalized_text(F.col(text_col))
-    bg = (docs.select(F.col(id_col).alias("doc_id"),
-                      F.split(toks, " ").alias("ws"))
+    # spread before the bigram explode (single-row-group scan = one
+    # task, guide §2.5)
+    from mr_mpi_blast_spark.session import spread_for_compute
+    bg = (spread_for_compute(docs, id_col)
+          .select(F.col(id_col).alias("doc_id"),
+                  F.split(toks, " ").alias("ws"))
           .select("doc_id", F.explode(F.expr(BIGRAMS_CASE_SQL)).alias("bigram"))
           .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0)))
     return bg.groupBy("doc_id", "bigram", "w1").agg(
@@ -539,8 +549,12 @@ def inverted_index(docs: DataFrame, *, text_col: str = "text",
     Output: (term, df, tf_total, top_docs).
     """
     toks = F.split(normalized_text(F.col(text_col)), " ")
-    tf = (docs.select(F.col(id_col).alias("doc_id"),
-                      F.explode(toks).alias("term"))
+    # spread before the corpus explode (single-row-group scan = one
+    # task, guide §2.5)
+    from mr_mpi_blast_spark.session import spread_for_compute
+    tf = (spread_for_compute(docs, id_col)
+          .select(F.col(id_col).alias("doc_id"),
+                  F.explode(toks).alias("term"))
           .filter(F.col("term") != "")
           .groupBy("term", "doc_id")
           .agg(F.count(F.lit(1)).alias("tf")))

@@ -187,6 +187,12 @@ def resample_locf(events: DataFrame, key_col: str = "user_id",
             f"stride would desynchronize cells from the grid)")
     unit = parts[1]
     cell = F.date_trunc(unit, F.col(ts_col))
+    # spread before the (key, cell) aggregate: a single-row-group
+    # event table scans as ONE task and the partial aggregate is the
+    # query's dominant stage (guide §2.5); hash on the key keeps
+    # routing deterministic under retry
+    from mr_mpi_blast_spark.session import spread_for_compute
+    events = spread_for_compute(events, key_col)
     per_cell = (events.groupBy(F.col(key_col), cell.alias("cell"))
                 .agg(F.count(F.lit(1)).alias("n_events"),
                      F.max_by(value_col, F.struct(ts_col, tiebreak_col))

@@ -61,15 +61,24 @@ def get_spark(app_name: str = "mr_mpi_blast_spark",
     return spark
 
 
-def spread_for_compute(df, key: str):
-    """Hash-repartition to full parallelism before a compute-heavy
-    per-row stage. On a real 100 TB input the scan already yields
-    thousands of splits and this is a no-op; on a few-split local
-    input it is the difference between 1 core and all of them."""
+def spread_for_compute(df, key: str | None = None):
+    """Repartition to full parallelism before a compute-heavy per-row
+    stage (hash on ``key`` when given — deterministic routing under
+    task retry — else round-robin, fine for order-insensitive
+    consumers like aggregates). On a real 100 TB input the scan
+    already yields thousands of splits and this is a no-op; on a
+    few-split local input it is the difference between 1 core and all
+    of them. r12 note: the driver's testdata parquets are single
+    row-group files, so a scan is ONE task no matter the split
+    config — every expression-heavy pipeline (md5 sketches, gram
+    explodes, codec UDFs) needs this spread or it runs 1-wide on a
+    32-core box (traced in plans/r12)."""
     from pyspark.sql import functions as F
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
+    if key is None:
+        return df.repartition(target)
     return df.repartition(target, F.col(key))
 
 
