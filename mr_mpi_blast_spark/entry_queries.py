@@ -5036,9 +5036,21 @@ def _copurchase_pairs(spark, sf_dir):
     1.37 s for the pair base, 2 lineitem scans -> 1, and the saving
     repeats in all four downstream graph queries. Values pinned
     identical (full-catalog oracle replay + pair-level diff at
-    sf0.01)."""
+    sf0.01).
+
+    r12 second pass (guide §2.5/F2, traced): the single-split lineitem
+    scan ran the partial collect_set 1-wide, and AQE then sized the
+    pair-explode stage off the tiny basket shuffle (3-4 tasks doing
+    the quadratic pair work). Project the two columns and spread by
+    l_orderkey first: the groupBy reuses that exact partitioning (no
+    second exchange) and the basket agg + pair explode run at full
+    width. Traced warm: base 1.36 s -> ~0.5 s, repeated in all five
+    downstream graph/co-purchase queries."""
+    from mr_mpi_blast_spark.session import spread_for_compute
     li = _t(spark, sf_dir, "lineitem")
-    baskets = (li.groupBy("l_orderkey")
+    baskets = (spread_for_compute(li.select("l_orderkey", "l_partkey"),
+                                  "l_orderkey")
+               .groupBy("l_orderkey")
                .agg(F.array_sort(F.collect_set("l_partkey")).alias("xs"))
                .filter(F.size("xs") <= _COPURCHASE_MAX_BASKET))
     pairs = F.expr(

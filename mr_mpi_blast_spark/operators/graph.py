@@ -181,7 +181,18 @@ def _normalized_undirected(edges: DataFrame, a: str, b: str) -> DataFrame:
     ids, self-loops dropped, (min, max) orientation, distinct, and
     materialized ONCE — every caller reads it from multiple consumers,
     and without truncation each consumer would re-run the (possibly
-    expensive) upstream pipeline that produced the edges."""
+    expensive) upstream pipeline that produced the edges.
+
+    r12 note (measured, rejected): fusing the dedup with a
+    full-width repartition ("the dedup shuffle IS the spread",
+    repartition(target, x, y) + dropDuplicates) LOSES here — the
+    edge table is tiny after the upstream aggregates, so forcing the
+    dedup, the degree union (2x map legs) and kcore's 12 peel rounds
+    to 32-64 tasks adds pure task overhead (kcore 1.24 s -> 2.2 s,
+    triangles 3.4 s -> 4.8 s traced), while the one stage that NEEDS
+    width (wedge closure) is already protected by orient_edges' tail
+    repartition. AQE's coalesced width is the right width for these
+    small intermediate stages."""
     return (edges.select(F.col(a).cast("long").alias("x"),
                          F.col(b).cast("long").alias("y"))
             .filter(F.col("x") != F.col("y"))
@@ -204,6 +215,15 @@ def orient_edges(edges: DataFrame, a: str = "a",
     (scripts/graph_skew_probe.py) must measure the SAME orientation.
     Output: (src, dst)."""
     e = _normalized_undirected(edges, a, b)
+    # NOTE (r12, measured): do NOT localCheckpoint deg. A checkpointed
+    # RDD has no size statistics, so the two endpoint joins below lose
+    # their AQE broadcast conversion (the deg aggregate's own shuffle
+    # is what gives AQE a runtime size) and fall back to sort-merge —
+    # whose ENSURE_REQUIREMENTS exchanges AQE then coalesces narrow,
+    # starving the wedge stage (traced: triangles 3.4 s -> 6.3 s).
+    # The duplicated degree-agg subtree (one build per broadcast) is
+    # the cheaper evil, and at 1e9-node scale the auto conversion
+    # correctly stays sort-merge rather than forcing a broadcast.
     deg = (e.select(F.col("x").alias("node"))
            .union(e.select(F.col("y").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
@@ -218,13 +238,15 @@ def orient_edges(edges: DataFrame, a: str = "a",
     )
     # r12 (guide §2.5/§2.6, measured): a localCheckpoint inherits the
     # AQE-coalesced partition count of the plan it truncates — at
-    # local[32] the post-aggregate stream collapses to ~3 partitions,
+    # local[32] the post-join stream collapses to ~3-6 partitions,
     # and every downstream consumer (the compute-heavy wedge-closure
-    # stage above all) then runs 3-wide on a 32-core box (traced:
-    # 4.7 s of the 8.5 s query in ONE 3-task stage). Spread the
-    # materialized edge table to full parallelism first — one cheap
-    # edge-sized exchange; on a real cluster scan the stream is
-    # already thousands of splits wide and the helper no-ops.
+    # stage above all) then runs that narrow on a 32-core box
+    # (traced: 4.7 s of the 8.5 s query in ONE 3-task stage; removing
+    # this repartition regressed the wedge stage 0.62 s -> 1.86 s at
+    # 6 tasks). Spread the materialized edge table to full
+    # parallelism first — one cheap edge-sized exchange; on a real
+    # cluster scan the stream is already thousands of splits wide and
+    # the helper no-ops.
     spark = oriented.sparkSession
     target = max(spark.sparkContext.defaultParallelism,
                  int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
@@ -348,8 +370,17 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b", *,
             f"tri_adj:{content_key}"))
         probe = orient_b.select("src", "dst")
     else:
-        adj = orient.groupBy(F.col("src").alias("node")).agg(
+        # r12 second pass (guide §7.2 — duplicated subtrees): the
+        # adjacency aggregate feeds BOTH sides of the wedge join, and
+        # collect_list's nondeterministic ordering blocks exchange
+        # reuse, so Catalyst built the shuffle + collect_list TWICE
+        # (traced: two identical ObjectHashAggregate→Exchange→
+        # Broadcast chains, ~0.6 s duplicated warm). Materialize the
+        # node-sized adjacency once; both broadcast builds then read
+        # the finished RDD.
+        adj = (orient.groupBy(F.col("src").alias("node")).agg(
             F.sort_array(F.collect_list("dst")).alias("nbrs"))
+            .localCheckpoint(eager=True))
         probe = orient.select("src", "dst")
     if strategy == "broadcast":
         # adj is NODE-sized with O(sqrt(E))-bounded arrays (total
