@@ -56,8 +56,23 @@ SELECT l_orderkey, l_linenumber, l_extendedprice, rank FROM (
 def q_topk_per_group(spark, sf_dir):
     """O2+O3: per-key ordered top-k (reduce-side sort + NUMHITCUTOFF,
     mrblast.cpp:1224-1241). Catalyst plans a WindowGroupLimit so the
-    cutoff is applied map-side before the shuffle."""
-    li = _t(spark, sf_dir, "lineitem")
+    cutoff is applied map-side before the shuffle.
+
+    r12 (guide §2.5/F2, traced): the window's ENSURE_REQUIREMENTS
+    exchange over the single-split scan AQE-coalesced to 3 tasks, so
+    the per-group sort ran 3-wide (0.90 s of the 1.15 s warm wall).
+    Project the three needed columns and spread by the window key —
+    the window reuses that exact partitioning (still ONE exchange,
+    now at full width; 0.9 s -> ~0.2 s). At scale the scan is already
+    wide, the helper no-ops, and the map-side WindowGroupLimit shape
+    is untouched. The spread stays OUT of topk_per_key itself: a
+    forced repartition there would ship every row before the partial
+    limit for all callers."""
+    from mr_mpi_blast_spark.session import spread_for_compute
+    li = spread_for_compute(
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        "l_orderkey")
     return topk_per_key(
         li, ["l_orderkey"],
         [F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()], 3,
