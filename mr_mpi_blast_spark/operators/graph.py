@@ -331,12 +331,27 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b", *,
         raise ValueError(f"strategy must be auto|broadcast|shuffle, "
                          f"got {strategy!r}")
     spark = edges.sparkSession
-    orient = orient_edges(edges, a, b)
+    # r12 third pass (guide §1 "don't compute what the plan won't
+    # read"): orient_edges ends in an EAGER localCheckpoint, but on
+    # the bucketed path with the content-addressed tables already
+    # staged the orientation pipeline's output is never read — every
+    # warm invocation paid the full pair-base + degree-join +
+    # repartition + checkpoint chain (~2 s at sf0.1) for nothing.
+    # Build it lazily, once, only for the consumers that read it
+    # (auto's size probe, the broadcast path, and the FIRST bucketed
+    # staging write).
+    _orient_memo: list = []
+
+    def _orient() -> DataFrame:
+        if not _orient_memo:
+            _orient_memo.append(orient_edges(edges, a, b))
+        return _orient_memo[0]
+
     if strategy == "auto":
         # orient is checkpointed, so the count is a cheap local scan;
         # the estimate errs high (array/row overhead folded into the
         # per-edge constant) so "auto" never broadcasts past the cap
-        est = orient.count() * _ADJ_BYTES_PER_EDGE
+        est = _orient().count() * _ADJ_BYTES_PER_EDGE
         strategy = "broadcast" if est <= broadcast_cap_bytes else "shuffle"
     # edge-iterator over OUT-adjacency arrays: for oriented edge
     # (u -> v) the triangle's third corners are N+(u) ∩ N+(v), and
@@ -360,11 +375,11 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b", *,
         shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         digest = hashlib.md5(content_key.encode()).hexdigest()[:12]
         orient_b = spark.table(ensure_bucketed_table(
-            spark, lambda: orient, f"tri_edges_{digest}", "src", shuf,
+            spark, _orient, f"tri_edges_{digest}", "src", shuf,
             f"tri_edges:{content_key}"))
         adj = spark.table(ensure_bucketed_table(
             spark,
-            lambda: orient.groupBy(F.col("src").alias("node")).agg(
+            lambda: _orient().groupBy(F.col("src").alias("node")).agg(
                 F.sort_array(F.collect_list("dst")).alias("nbrs")),
             f"tri_adj_{digest}", "node", shuf,
             f"tri_adj:{content_key}"))
@@ -378,6 +393,7 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b", *,
         # Broadcast chains, ~0.6 s duplicated warm). Materialize the
         # node-sized adjacency once; both broadcast builds then read
         # the finished RDD.
+        orient = _orient()
         adj = (orient.groupBy(F.col("src").alias("node")).agg(
             F.sort_array(F.collect_list("dst")).alias("nbrs"))
             .localCheckpoint(eager=True))
