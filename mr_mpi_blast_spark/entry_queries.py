@@ -5294,21 +5294,26 @@ def q_text_cms_heavy_hitters(spark, sf_dir):
     from mr_mpi_blast_spark.functions.hashing import normalized_text
     from mr_mpi_blast_spark.session import spread_for_compute
     docs = _t(spark, sf_dir, "documents")
-    # the tokenize/explode stream feeds the sketch AND the exact
-    # aggregate, and the top-10 feeds the probe AND the final join —
-    # materialize each once (Spark does not CSE across DAG branches;
-    # the triangle_counts lesson). Spread BEFORE tokenizing: the doc
-    # scan is one task (single-row-group parquet) and the checkpoint
-    # freezes its width, so unspread the md5x4 sketch build downstream
-    # would also run 1-wide (guide §2.5)
+    # r12 third pass (guide §2.2 — aggregate early, shuffle/hash
+    # fewer rows): the ONE corpus-sized pass is now the exact term
+    # aggregate, checkpointed at term-distinct size; the sketch is
+    # built FROM those (term, true_n) rows with counters summed by
+    # weight — cell-wise identical to hashing every occurrence (CMS
+    # counters are additive over equal terms; parity pinned by
+    # test_cms_weighted_parity) — so the md5x4 cell hashes run once
+    # per distinct term and the corpus-sized exploded token stream is
+    # never materialized at all (previously it was checkpointed
+    # whole, and the sketch re-read it). Spread BEFORE tokenizing:
+    # the doc scan is one task on a single-row-group parquet
+    # (guide §2.5).
     t = (spread_for_compute(docs.select("doc_id", "text"), "doc_id")
          .select(F.explode(
             F.split(normalized_text(F.col("text")), " ")).alias("term"))
-         .filter(F.col("term") != "")
-         .localCheckpoint(eager=True))
-    sketch = cms_sketch(t)
-    top = (t.groupBy("term").agg(F.count(F.lit(1)).alias("true_n"))
-           .orderBy(F.col("true_n").desc(), "term").limit(10)
+         .filter(F.col("term") != ""))
+    counts = (t.groupBy("term").agg(F.count(F.lit(1)).alias("true_n"))
+              .localCheckpoint(eager=True))
+    sketch = cms_sketch(counts, weight_col="true_n")
+    top = (counts.orderBy(F.col("true_n").desc(), "term").limit(10)
            .localCheckpoint(eager=True))
     est = cms_estimate(sketch, top.select("term"))
     return top.join(est, "term").select("term", "true_n", "est_n")

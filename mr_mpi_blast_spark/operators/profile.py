@@ -180,7 +180,7 @@ def cms_hash_duckdb(col: str, row: int, width: int = CMS_WIDTH) -> str:
 
 
 def cms_sketch(items, term_col: str = "term", depth: int = CMS_DEPTH,
-               width: int = CMS_WIDTH):
+               width: int = CMS_WIDTH, weight_col: str | None = None):
     """Count-min sketch over a term stream: a (row, bucket, counter)
     table of depth x width cells — the MERGEABLE bounded-state
     frequency summary (Cormode & Muthukrishnan 2005). Build cost is
@@ -191,6 +191,14 @@ def cms_sketch(items, term_col: str = "term", depth: int = CMS_DEPTH,
     each and reduce. Estimates are one-sided: est >= true always,
     est <= true + eps*N with prob 1-delta (eps = e/width,
     delta = exp(-depth)).
+
+    ``weight_col`` (r12, guide §2.2 — shuffle fewer bytes): build
+    from PRE-AGGREGATED (term, n) rows instead of the raw stream —
+    cell counters are additive over equal terms, so
+    sum(n) grouped by (r, bucket) == count(*) over the unrolled
+    stream, exactly (pinned by test_cms_weighted_parity). The d md5
+    hashes then run once per DISTINCT term rather than once per
+    occurrence.
     """
     from pyspark.sql import functions as F
     # one scan: each item explodes to its d (r, bucket) cells inline
@@ -200,10 +208,12 @@ def cms_sketch(items, term_col: str = "term", depth: int = CMS_DEPTH,
         F.struct(F.lit(r).alias("r"),
                  F.expr(cms_hash_spark(term_col, r)).alias("bucket"))
         for r in range(depth)])
-    return (items.select(F.explode(cells).alias("cell"))
+    w = (F.col(weight_col).cast("long") if weight_col is not None
+         else F.lit(1).cast("long"))
+    return (items.select(F.explode(cells).alias("cell"), w.alias("_w"))
             .groupBy(F.col("cell.r").alias("r"),
                      F.col("cell.bucket").alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("counter")))
+            .agg(F.sum("_w").alias("counter")))
 
 
 def cms_estimate(sketch, probes, term_col: str = "term",

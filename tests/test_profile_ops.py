@@ -53,6 +53,27 @@ def test_cms_one_sided_error(spark):
     assert got == full
 
 
+def test_cms_weighted_parity(spark):
+    """The weighted build (r12): cms_sketch over PRE-AGGREGATED
+    (term, n) rows must produce cell-wise identical counters to the
+    sketch of the unrolled occurrence stream — the additivity that
+    lets the heavy-hitters query hash each distinct term once."""
+    from mr_mpi_blast_spark.operators.profile import cms_sketch
+    import random
+    random.seed(7)
+    terms = [f"w{random.randint(0, 120)}" for _ in range(2500)]
+    truth = {}
+    for t in terms:
+        truth[t] = truth.get(t, 0) + 1
+    stream = spark.createDataFrame([(t,) for t in terms], "term string")
+    agg = spark.createDataFrame(list(truth.items()), "term string, n long")
+    plain = {(r.r, r.bucket): r.counter
+             for r in cms_sketch(stream).collect()}
+    weighted = {(r.r, r.bucket): r.counter
+                for r in cms_sketch(agg, weight_col="n").collect()}
+    assert weighted == plain
+
+
 def test_cms_estimate_never_seen_probe(spark):
     """A probe term absent from the corpus must come back (left join,
     not inner) with the canonical estimate: min over its cells with
