@@ -5353,8 +5353,12 @@ def q_graph_triangles(spark, sf_dir):
     replay. Same hot-basket bound as part_copurchase.
     Tail-registered: the driver's window is full."""
     from mr_mpi_blast_spark.operators.graph import triangle_counts
+    # assume_distinct: the pair base ends in groupBy(a, b) over a<b
+    # array pairs — globally distinct, oriented, self-loop-free by
+    # construction, so the operator's dedup exchange is skipped (r12)
     return triangle_counts(
-        _copurchase_pairs(spark, sf_dir).select("a", "b"))
+        _copurchase_pairs(spark, sf_dir).select("a", "b"),
+        assume_distinct=True)
 
 
 @query("graph_triangles_bucketed", _TRIANGLES_ORACLE)
@@ -5377,7 +5381,8 @@ def q_graph_triangles_bucketed(spark, sf_dir):
     return triangle_counts(
         _copurchase_pairs(spark, sf_dir).select("a", "b"),
         strategy="shuffle",
-        content_key=f"copurchase:{sf_dir}:{st.st_mtime_ns}:{st.st_size}")
+        content_key=f"copurchase:{sf_dir}:{st.st_mtime_ns}:{st.st_size}",
+        assume_distinct=True)
 
 
 _KCORE_K, _KCORE_ROUNDS = 3, 12
@@ -5418,7 +5423,8 @@ def q_graph_kcore(spark, sf_dir):
     from mr_mpi_blast_spark.operators.graph import kcore
     edges = (_copurchase_pairs(spark, sf_dir)
              .filter(F.col("n") >= 2).select("a", "b"))
-    return kcore(edges, _KCORE_K, _KCORE_ROUNDS)
+    # assume_distinct: pair-base contract, see q_graph_triangles (r12)
+    return kcore(edges, _KCORE_K, _KCORE_ROUNDS, assume_distinct=True)
 
 
 _COMPONENTS_ROUNDS = 6

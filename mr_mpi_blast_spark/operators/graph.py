@@ -176,12 +176,22 @@ r{k} AS (
 
 
 
-def _normalized_undirected(edges: DataFrame, a: str, b: str) -> DataFrame:
+def _normalized_undirected(edges: DataFrame, a: str, b: str,
+                           assume_distinct: bool = False) -> DataFrame:
     """Shared normalization for the undirected-graph operators: long
     ids, self-loops dropped, (min, max) orientation, distinct, and
     materialized ONCE — every caller reads it from multiple consumers,
     and without truncation each consumer would re-run the (possibly
     expensive) upstream pipeline that produced the edges.
+
+    ``assume_distinct`` (r12, guide §2.1 — remove shuffles the data
+    contract already paid for): a caller whose edge source GUARANTEES
+    distinct (min, max) pairs with no self-loops (e.g. the co-purchase
+    pair base, which ends in a groupBy(a, b) over a-<-b array pairs)
+    may skip the dedup exchange+aggregate — the narrow cast/filter/
+    orient expressions are kept (they are free and make a wrong claim
+    merely redundant work, EXCEPT reversed duplicates, which the
+    caller's contract must rule out).
 
     r12 note (measured, rejected): fusing the dedup with a
     full-width repartition ("the dedup shuffle IS the spread",
@@ -193,17 +203,18 @@ def _normalized_undirected(edges: DataFrame, a: str, b: str) -> DataFrame:
     width (wedge closure) is already protected by orient_edges' tail
     repartition. AQE's coalesced width is the right width for these
     small intermediate stages."""
-    return (edges.select(F.col(a).cast("long").alias("x"),
-                         F.col(b).cast("long").alias("y"))
-            .filter(F.col("x") != F.col("y"))
-            .select(F.least("x", "y").alias("x"),
-                    F.greatest("x", "y").alias("y"))
-            .distinct()
-            .localCheckpoint(eager=True))
+    out = (edges.select(F.col(a).cast("long").alias("x"),
+                        F.col(b).cast("long").alias("y"))
+           .filter(F.col("x") != F.col("y"))
+           .select(F.least("x", "y").alias("x"),
+                   F.greatest("x", "y").alias("y")))
+    if not assume_distinct:
+        out = out.distinct()
+    return out.localCheckpoint(eager=True)
 
 
-def orient_edges(edges: DataFrame, a: str = "a",
-                 b: str = "b") -> DataFrame:
+def orient_edges(edges: DataFrame, a: str = "a", b: str = "b",
+                 assume_distinct: bool = False) -> DataFrame:
     """The (degree, id)-oriented edge stream: every undirected edge
     directed from its (degree, id)-smaller endpoint to the larger, so
     each node's OUT-degree is bounded O(sqrt(2E)) on any graph — THE
@@ -214,7 +225,7 @@ def orient_edges(edges: DataFrame, a: str = "a",
     the orientation rule: triangle_counts and the skew probe
     (scripts/graph_skew_probe.py) must measure the SAME orientation.
     Output: (src, dst)."""
-    e = _normalized_undirected(edges, a, b)
+    e = _normalized_undirected(edges, a, b, assume_distinct)
     # NOTE (r12, measured): do NOT localCheckpoint deg. A checkpointed
     # RDD has no size statistics, so the two endpoint joins below lose
     # their AQE broadcast conversion (the deg aggregate's own shuffle
@@ -269,7 +280,8 @@ _ADJ_BYTES_PER_EDGE = 24
 def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b", *,
                     strategy: str = "auto",
                     broadcast_cap_bytes: int = TRIANGLE_BROADCAST_CAP,
-                    content_key: str | None = None) -> DataFrame:
+                    content_key: str | None = None,
+                    assume_distinct: bool = False) -> DataFrame:
     """Per-node triangle counts over an undirected edge list — the
     clustering/cohesion primitive (co-occurrence tightness, spam-farm
     detection on link graphs).
@@ -344,7 +356,8 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b", *,
 
     def _orient() -> DataFrame:
         if not _orient_memo:
-            _orient_memo.append(orient_edges(edges, a, b))
+            _orient_memo.append(
+                orient_edges(edges, a, b, assume_distinct))
         return _orient_memo[0]
 
     if strategy == "auto":
@@ -394,9 +407,20 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b", *,
         # node-sized adjacency once; both broadcast builds then read
         # the finished RDD.
         orient = _orient()
-        adj = (orient.groupBy(F.col("src").alias("node")).agg(
-            F.sort_array(F.collect_list("dst")).alias("nbrs"))
-            .localCheckpoint(eager=True))
+        # r12 third pass (guide §2.5): the adjacency aggregate's
+        # ENSURE_REQUIREMENTS exchange AQE-coalesces to ~3 partitions
+        # (the oriented edges are small in BYTES), so the compute-heavy
+        # collect_list + sort_array ran 3-wide (traced 0.43 s warm).
+        # An explicit repartition by the group key is never coalesced,
+        # and the aggregate reuses its partitioning — same exchange
+        # count, full width (traced ~0.1 s).
+        target = max(spark.sparkContext.defaultParallelism,
+                     int(spark.conf.get("spark.sql.shuffle.partitions",
+                                        "32")))
+        adj = (orient.repartition(target, F.col("src"))
+               .groupBy(F.col("src").alias("node")).agg(
+                   F.sort_array(F.collect_list("dst")).alias("nbrs"))
+               .localCheckpoint(eager=True))
         probe = orient.select("src", "dst")
     if strategy == "broadcast":
         # adj is NODE-sized with O(sqrt(E))-bounded arrays (total
@@ -452,7 +476,8 @@ def _triangle_common(probe: DataFrame, adj_u: DataFrame,
 
 
 def kcore(edges: DataFrame, k: int, rounds: int = 12,
-          a: str = "a", b: str = "b", strict: bool = False) -> DataFrame:
+          a: str = "a", b: str = "b", strict: bool = False,
+          assume_distinct: bool = False) -> DataFrame:
     """k-core decomposition by iterative peeling: repeatedly drop
     every node of degree < k (with its edges) until stable — the
     dense-subgraph primitive (cohesive communities; spam/link-farm
@@ -492,7 +517,7 @@ def kcore(edges: DataFrame, k: int, rounds: int = 12,
         raise ValueError(f"k must be >= 1, got {k}")
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
-    alive = _normalized_undirected(edges, a, b)
+    alive = _normalized_undirected(edges, a, b, assume_distinct)
     # carry the edge count across rounds: round i's observed size IS
     # round i+1's "before" — one count up front, zero per-round count
     # jobs

@@ -192,6 +192,29 @@ def test_triangles_random_vs_python(spark):
     assert got == py_triangles(edges)
 
 
+def test_assume_distinct_parity(spark):
+    """assume_distinct (r12) is physical only: on input that honors
+    the contract (distinct (min,max)-oriented pairs, no self-loops —
+    the co-purchase pair-base shape) triangle_counts and kcore must
+    return exactly what the default normalizing path returns."""
+    from mr_mpi_blast_spark.operators.graph import kcore, triangle_counts
+    import random
+    random.seed(33)
+    edges = sorted({(min(a, b), max(a, b)) for a, b in
+                    ((random.randint(0, 30), random.randint(0, 30))
+                     for _ in range(200)) if a != b})
+    df = spark.createDataFrame(edges, ["a", "b"])
+    tri_plain = {r.node: r.n_tri for r in triangle_counts(df).collect()}
+    tri_fast = {r.node: r.n_tri
+                for r in triangle_counts(
+                    df, assume_distinct=True).collect()}
+    assert tri_fast == tri_plain
+    kc_plain = {r.node: r.core_deg for r in kcore(df, 2).collect()}
+    kc_fast = {r.node: r.core_deg
+               for r in kcore(df, 2, assume_distinct=True).collect()}
+    assert kc_fast == kc_plain
+
+
 def test_triangles_strategies_agree(spark, tmp_path, monkeypatch):
     """The strategy switch is physical only: broadcast, plain-shuffle,
     and bucketed-shuffle paths must produce identical values (and the
