@@ -419,8 +419,24 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b", *,
                                         "32")))
         adj = (orient.repartition(target, F.col("src"))
                .groupBy(F.col("src").alias("node")).agg(
-                   F.sort_array(F.collect_list("dst")).alias("nbrs"))
-               .localCheckpoint(eager=True))
+                   F.sort_array(F.collect_list("dst")).alias("nbrs")))
+        if strategy == "broadcast":
+            # One build instead of two: collect_list's nondeterminism
+            # blocks exchange reuse, so without this both BROADCAST
+            # sides re-ran the whole shuffle+aggregate (traced ~0.6 s
+            # duplicated warm). A broadcast does not care about the
+            # checkpoint stripping the hash partitioning.
+            #
+            # Do NOT checkpoint on the plain-shuffle path (r12,
+            # measured at the synthetic sf1.0 decade): a checkpointed
+            # RDD loses its partitioning, so BOTH merge-join sides
+            # re-exchange the edge-sized adjacency payload —
+            # graph_triangles' sf1.0 time went 31.7 s (each SMJ side
+            # consuming its own build's exchange in place) to 92-130 s
+            # (one build + two full re-shuffles + lost width). The
+            # duplicated aggregate is the cheaper evil there, exactly
+            # like the degree table above.
+            adj = adj.localCheckpoint(eager=True)
         probe = orient.select("src", "dst")
     if strategy == "broadcast":
         # adj is NODE-sized with O(sqrt(E))-bounded arrays (total
