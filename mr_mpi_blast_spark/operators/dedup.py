@@ -281,31 +281,54 @@ def connected_components(edges: DataFrame, src: str = "da",
     sym = edges.select(a, b).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).localCheckpoint(eager=True)
-    labels = (sym.select(F.col("a").alias("node")).distinct()
-              .withColumn("lab", F.col("node")))
-    for _ in range(max_iter):
+    node_t = sym.schema["a"].dataType
+    labels = None  # round 1 never reads it — see the fusion note below
+    for rnd in range(max_iter):
         # r12 optimization (guide §2.4): min over self ∪ neighbor
         # labels in ONE aggregate — the label table is unioned into
         # the neighbor stream as a tagged self row, so
         # least(lab, coalesce(min_neigh, lab)) becomes min over the
         # seeded union and the old label rides the SAME aggregate
-        # (max over the single tagged row) — this replaces the
+        # (max over the tagged self rows) — this replaces the
         # neighbor-min aggregate + LEFT JOIN back to labels (two
         # exchanges + a join) with union + one aggregate. Values and
         # the exact changed-count convergence signal are unchanged:
         # lab' = jump(min(lab, min_neighbor_lab)).
-        new = (sym.join(labels.select(F.col("node").alias("b"),
-                                      F.col("lab").alias("nlab")), "b")
-               .select(F.col("a").alias("node"), "nlab",
-                       F.lit(None).cast(labels.schema["lab"].dataType)
-                       .alias("self_lab"))
-               .union(labels.select("node", F.col("lab").alias("nlab"),
-                                    F.col("lab").alias("self_lab")))
-               .groupBy("node").agg(
-                   F.min("nlab").alias("lab"),
-                   # exactly one seeded self row per node carries a
-                   # non-null self_lab: max() picks it out
-                   F.max("self_lab").alias("_old")))
+        if rnd == 0:
+            # r12 round-1 fusion (guide §2.4 — remove shuffles
+            # outright): the initial label table is the identity map
+            # (lab == node), so joining sym against it would return
+            # sym unchanged, and its distinct-node build is an
+            # aggregate the first round can skip. Build the seeded
+            # stream straight from the checkpointed edge list: each
+            # (a, b) row contributes b as a neighbor label and a as a
+            # (duplicated, all-equal) tagged self row — min(nlab) and
+            # max(self_lab) are duplicate-insensitive, so the round-1
+            # aggregate output is row-for-row identical to the joined
+            # form while one distinct aggregate and one join drop out
+            # of the plan.
+            seeded = (sym.select(F.col("a").alias("node"),
+                                 F.col("b").alias("nlab"),
+                                 F.lit(None).cast(node_t)
+                                 .alias("self_lab"))
+                      .union(sym.select(F.col("a").alias("node"),
+                                        F.col("a").alias("nlab"),
+                                        F.col("a").alias("self_lab"))))
+        else:
+            seeded = (sym.join(labels.select(F.col("node").alias("b"),
+                                             F.col("lab").alias("nlab")),
+                               "b")
+                      .select(F.col("a").alias("node"), "nlab",
+                              F.lit(None).cast(node_t).alias("self_lab"))
+                      .union(labels.select("node",
+                                           F.col("lab").alias("nlab"),
+                                           F.col("lab").alias("self_lab"))))
+        new = seeded.groupBy("node").agg(
+            F.min("nlab").alias("lab"),
+            # the seeded self rows for a node all carry its old label
+            # (exactly one row from the label table on rounds > 1, one
+            # per incident edge on round 1): max() picks it out
+            F.max("self_lab").alias("_old"))
         # pointer jump: follow the label's own label (labels only ever
         # decrease, so lab[lab] <= lab; missing lookup = already a root)
         jump = new.select(F.col("node").alias("_jn"),
@@ -327,6 +350,9 @@ def connected_components(edges: DataFrame, src: str = "da",
         labels = new.select("node", "lab")
         if int(obs.get["changed"] or 0) == 0:
             break
+    if labels is None:  # max_iter == 0: the identity labeling
+        labels = (sym.select(F.col("a").alias("node")).distinct()
+                  .withColumn("lab", F.col("node")))
     return labels.select("node", F.col("lab").alias("cluster"))
 
 

@@ -437,3 +437,43 @@ def test_components_oracle_replay_matches_engine(spark):
         want = {(int(a), int(b))
                 for a, b in duckdb.connect().execute(sql).fetchall()}
         assert got == want, rounds
+
+
+def test_components_round1_fusion_state(spark):
+    """The r12 round-1 fusion (the seeded stream built straight from
+    the edge list, no identity-label join, per-edge duplicated self
+    rows) must leave round-1 state exactly lab1 = jump(min(self U
+    neighbors)) — pinned against a hand-computed graph where the jump
+    step actually fires on round 1, and against the unrolled oracle."""
+    import duckdb
+
+    from mr_mpi_blast_spark.operators.dedup import connected_components
+    from mr_mpi_blast_spark.operators.graph import components_sql
+    # chain 5-6-7-8 (jump fires: min-labels form a pointer chain),
+    # triangle 0-1-2, isolated edge 10-11
+    edges = [(5, 6), (6, 7), (7, 8), (0, 1), (1, 2), (0, 2), (10, 11)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {(r.node, r.cluster)
+           for r in connected_components(df, "a", "b",
+                                         max_iter=1).collect()}
+    # min(self U neighbors): 5->5 6->5 7->6 8->7; jump lab[lab]:
+    # 7's lab 6 -> 6's lab 5; 8's lab 7 -> 7's pre-jump lab 6
+    want_hand = {(0, 0), (1, 0), (2, 0), (5, 5), (6, 5), (7, 5),
+                 (8, 6), (10, 10), (11, 10)}
+    assert got == want_hand
+    values = ", ".join(f"({a}, {b})" for a, b in edges)
+    sql = components_sql(f"SELECT * FROM (VALUES {values}) AS t(a, b)", 1)
+    want = {(int(a), int(b))
+            for a, b in duckdb.connect().execute(sql).fetchall()}
+    assert got == want
+
+
+def test_components_zero_rounds_identity(spark):
+    """max_iter=0 (labels never built by the loop) falls back to the
+    identity labeling over every node that appears in an edge."""
+    from mr_mpi_blast_spark.operators.dedup import connected_components
+    df = spark.createDataFrame([(1, 2), (2, 3)], ["a", "b"])
+    got = {(r.node, r.cluster)
+           for r in connected_components(df, "a", "b",
+                                         max_iter=0).collect()}
+    assert got == {(1, 1), (2, 2), (3, 3)}
