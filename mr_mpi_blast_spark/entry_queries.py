@@ -4295,7 +4295,9 @@ def q_graph_pagerank(spark, sf_dir):
     matches bit-exactly). Scale shape: edge list checkpointed once
     with outdeg pre-joined and co-partitioned with the rank table on
     the join key, ONE shuffle (the dst aggregate) per iteration,
-    lineage truncated per round (operators/graph.py:pagerank_micro).
+    rounds chained lazily between lineage truncations (r12,
+    operators/graph.py:pagerank_micro ckpt_every — the 5-round loop
+    is one Spark job, not 5 driver round-trips).
     Tail-registered: the driver's 50-slot window is full."""
     from mr_mpi_blast_spark.operators.graph import pagerank_micro
     li = _t(spark, sf_dir, "lineitem")

@@ -40,7 +40,8 @@ MICRO = 1_000_000
 
 def pagerank_micro(edges: DataFrame, src: str = "src", dst: str = "dst",
                    n_iter: int = 5, damping_micro: int = 850_000,
-                   content_key: str | None = None) -> DataFrame:
+                   content_key: str | None = None,
+                   ckpt_every: int = 8) -> DataFrame:
     """Fixed-iteration power method over a directed edge list.
 
     Scale shape (the part that must survive 100 TB):
@@ -64,9 +65,21 @@ def pagerank_micro(edges: DataFrame, src: str = "src", dst: str = "dst",
       localCheckpoint does not carry partitioning into the logical
       plan, so this path re-exchanges (or broadcasts) the edge side
       per iteration — fine exactly when the graph is small.
-    - Lineage is truncated per round (the bpe_learn lesson,
-      operators/bpe.py): plan depth stays O(1) in n_iter, so a
-      50-iteration run plans as cheaply as a 5-iteration one.
+    - Lineage is truncated every ``ckpt_every`` rounds and after the
+      final one (the bpe_learn lesson, operators/bpe.py): plan depth
+      stays O(ckpt_every) in n_iter, so a 50-iteration run plans as
+      cheaply as a 5-iteration one. Rounds BETWEEN truncations chain
+      lazily (r12, guide §2.4/§2.6, measured): the rank table is
+      referenced exactly once per round and the loop has no per-round
+      driver decision (unlike kcore/components, whose early-stop
+      Observation and multiply-referenced state force a checkpoint
+      per round), so a k-round segment is ONE Spark job instead of k
+      driver round-trips, and round i+1's rank-side join can reuse
+      round i's aggregate partitioning — partitioning a per-round
+      eager localCheckpoint would destroy (the round's measured
+      checkpoint trap #3). Per-round values are unchanged: the same
+      exact int64 algebra executes, only lineage-truncation cadence
+      moves.
     - Ranks are node-sized, edges are edge-sized; nothing corpus-sized
       crosses the driver — the only driver scalar is n (node count).
 
@@ -76,6 +89,8 @@ def pagerank_micro(edges: DataFrame, src: str = "src", dst: str = "dst",
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if ckpt_every < 1:
+        raise ValueError(f"ckpt_every must be >= 1, got {ckpt_every}")
     if not 0 < damping_micro < MICRO:
         raise ValueError(f"damping_micro must be in (0, {MICRO}), "
                          f"got {damping_micro}")
@@ -111,9 +126,13 @@ def pagerank_micro(edges: DataFrame, src: str = "src", dst: str = "dst",
     # trivial projection of the already-materialized node table — no
     # checkpoint (on the bucketed path that would DISCARD the layout)
     ranks = nodes.withColumn("rank_micro", F.lit(MICRO // n).cast("long"))
-    for _ in range(n_iter):
-        ranks = _pagerank_round(ed, nodes, ranks, base,
-                                damping_micro).localCheckpoint(eager=True)
+    for i in range(n_iter):
+        ranks = _pagerank_round(ed, nodes, ranks, base, damping_micro)
+        # truncate on the segment boundary and ALWAYS after the final
+        # round — the returned DataFrame stays a flat materialized
+        # scan (the O(1)-depth pin in tests/test_graph.py)
+        if (i + 1) % ckpt_every == 0 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

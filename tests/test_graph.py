@@ -58,6 +58,21 @@ def test_pagerank_validation(spark):
         pagerank_micro(edges, n_iter=0)
     with pytest.raises(ValueError, match="damping_micro"):
         pagerank_micro(edges, damping_micro=MICRO)
+    with pytest.raises(ValueError, match="ckpt_every"):
+        pagerank_micro(edges, ckpt_every=0)
+
+
+@pytest.mark.parametrize("ckpt_every", [1, 2, 5, 8])
+def test_pagerank_ckpt_cadence_invariant(spark, ckpt_every):
+    """r12: lineage-truncation cadence is a pure execution knob — the
+    SAME exact int64 algebra runs either way, so every cadence (every
+    round, mid-loop boundary, single final chain) must match the
+    python replay bit-for-bit."""
+    edges = spark.createDataFrame(EDGES, ["src", "dst"])
+    got = {r["node"]: r["rank_micro"]
+           for r in pagerank_micro(edges, n_iter=5,
+                                   ckpt_every=ckpt_every).collect()}
+    assert got == py_pagerank(EDGES, 5)
 
 
 def test_pagerank_bucketed_path_value_identical(spark, tmp_path,
