@@ -26,6 +26,13 @@ Methodology (round-5 hygiene):
   steady state. Round 4's 4.3->6.0 s "regression" was exactly this
   ambiguity: an unkeyed cache made coldness depend on the warmup's
   write order.
+- The same discipline applies to the content-addressed bucketed
+  layouts (r13): $SPARK_GRAFT_SCRATCH/spark_graft_buckets is cleared
+  before pass 1, so every BUCKET_STAGED query's rep 1 pays the full
+  staging shuffle+write (reported under "cold") and the median is the
+  warm amortized-layout read path those queries declare.
+- The JSON line echoes cpus / master / default_parallelism (r13), so
+  a lower-core scaling run is attributable from the output alone.
 - Timing forces full materialization via the noop sink (count() would
   let Catalyst prune the output projection and under-measure). Before
   timing, every query executes once at sf0.001 (untimed) to warm JVM
@@ -79,6 +86,34 @@ def _clear_raw_cache(sf_dir: str) -> None:
               f"actually be warm", file=sys.stderr)
 
 
+# Queries whose write-once bucketed layout is staged content-addressed
+# under $SPARK_GRAFT_SCRATCH/spark_graft_buckets (operators/bucketing.py).
+# The scratch is cleared before pass 1 (below), so rep 1 pays the full
+# staging shuffle+write deterministically and is reported under "cold",
+# exactly like blast_pipeline's raw-hits cache; the median stays the
+# warm steady state — the amortized-layout read path these queries
+# exist to demonstrate — but now honestly labeled (r13, VERDICT item 3).
+BUCKET_STAGED = {"blast_pipeline", "graph_pagerank",
+                 "graph_triangles_bucketed", "bucketed_orders_join"}
+
+
+def _clear_bucket_scratch() -> None:
+    """Delete every content-addressed bucketed layout so pass 1 stages
+    them from the parquet inputs — no cross-run persisted intermediate
+    survives into the timed region (r13, VERDICT item 3). The bench
+    session has not touched the timed sf yet (warmup runs sf0.001 and
+    re-stages its own tables AFTER this clear would — so the clear
+    happens before pass 1 only; the sf0.001 tables registered by the
+    warmup are never read again once the timed passes start)."""
+    try:
+        from mr_mpi_blast_spark.operators.bucketing import _bucket_root
+        root = os.path.dirname(_bucket_root("probe"))
+        shutil.rmtree(root, ignore_errors=True)
+    except Exception as ex:
+        print(f"bench: bucket-scratch clear failed ({ex}); bucketed "
+              f"queries' rep 1 may not be cold", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # 5 interleaved reps (was 3): this box's noise arrives in multi-
@@ -109,6 +144,7 @@ def main() -> None:
     failed: set[str] = set()
     pass_totals: list[float] = []
     _clear_raw_cache(sf_dir)  # pass-1 blast_pipeline = deterministic cold
+    _clear_bucket_scratch()   # pass-1 bucketed queries = cold staging
     for r in range(reps_n):
         pass_t0 = time.time()
         for name, fn in qs.items():
@@ -131,9 +167,10 @@ def main() -> None:
             timings[name] = -1.0
             reps.pop(name, None)
             continue
-        if name == "blast_pipeline" and len(runs) > 1:
-            # pass-1 rep = deterministic cold kernel run; steady state
-            # is the warm persisted-parquet read path
+        if name in BUCKET_STAGED and len(runs) > 1:
+            # pass-1 rep = deterministic cold run (kernel execution /
+            # bucketed-layout staging); steady state is the warm
+            # persisted-layout read path
             cold[name] = runs[0]
             timings[name] = round(statistics.median(runs[1:]), 3)
         else:
@@ -196,6 +233,14 @@ def main() -> None:
         "aggregation": "median",
         "cold": cold,
         "correctness_only": sorted(CORRECTNESS_ONLY),
+        # echo the parallelism the run ACTUALLY used (r13, VERDICT
+        # item 2): an 8-core scaling run is attributable from the JSON
+        # alone, and "ignored $SPARK_GRAFT_CPUS" can never again be
+        # inferred from ambiguous ~1.0 timing ratios
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS",
+                                   os.cpu_count() or 4)),
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
     }))
 
 

@@ -219,9 +219,10 @@ def _normalized_undirected(edges: DataFrame, a: str, b: str,
     dedup, the degree union (2x map legs) and kcore's 12 peel rounds
     to 32-64 tasks adds pure task overhead (kcore 1.24 s -> 2.2 s,
     triangles 3.4 s -> 4.8 s traced), while the one stage that NEEDS
-    width (wedge closure) is already protected by orient_edges' tail
-    repartition. AQE's coalesced width is the right width for these
-    small intermediate stages."""
+    width (wedge closure) is already protected by the adjacency
+    build's keyed repartition (triangle_counts._adj, r13 — formerly
+    orient_edges' tail repartition). AQE's coalesced width is the
+    right width for these small intermediate stages."""
     out = (edges.select(F.col(a).cast("long").alias("x"),
                         F.col(b).cast("long").alias("y"))
            .filter(F.col("x") != F.col("y"))
@@ -233,18 +234,39 @@ def _normalized_undirected(edges: DataFrame, a: str, b: str,
 
 
 def orient_edges(edges: DataFrame, a: str = "a", b: str = "b",
-                 assume_distinct: bool = False) -> DataFrame:
+                 assume_distinct: bool = False,
+                 materialize: bool = True) -> DataFrame:
     """The (degree, id)-oriented edge stream: every undirected edge
     directed from its (degree, id)-smaller endpoint to the larger, so
     each node's OUT-degree is bounded O(sqrt(2E)) on any graph — THE
     property that makes triangle counting hot-vertex-safe (Schank &
     Wagner 2005; a celebrity's edges all point INTO it). Normalized
-    (self-loops dropped, duplicates merged) and materialized once —
-    consumers read it multiple times. Exposed as the single source of
-    the orientation rule: triangle_counts and the skew probe
+    (self-loops dropped, duplicates merged). Exposed as the single
+    source of the orientation rule: triangle_counts and the skew probe
     (scripts/graph_skew_probe.py) must measure the SAME orientation.
-    Output: (src, dst)."""
-    e = _normalized_undirected(edges, a, b, assume_distinct)
+    Output: (src, dst).
+
+    ``materialize`` (r13): with True (default — the multi-consumer
+    contract) the oriented stream is spread to full parallelism and
+    localCheckpoint-ed, so several consumers read the finished table
+    instead of re-running the degree joins. A caller that reads the
+    orientation EXACTLY ONCE (triangle_counts' adjacency build since
+    the r13 probe-side fusion) passes False and gets the lazy
+    pipeline: the orientation select fuses into the consumer's own
+    stage, dropping one edge-sized exchange and one materialization
+    job (guide §2.4) while the normalized edge table underneath stays
+    checkpointed (it IS read multiple times, by the degree legs and
+    the endpoint joins)."""
+    return _orient_from(
+        _normalized_undirected(edges, a, b, assume_distinct), materialize)
+
+
+def _orient_from(e: DataFrame, materialize: bool = True) -> DataFrame:
+    """Orientation over an already-normalized (x < y, distinct,
+    checkpointed) edge table — split out so triangle_counts can reuse
+    the caller-counted ``e`` (row count of the orientation == row
+    count of e, so auto's broadcast estimate never needs to force the
+    orientation itself)."""
     # NOTE (r12, measured): do NOT localCheckpoint deg. A checkpointed
     # RDD has no size statistics, so the two endpoint joins below lose
     # their AQE broadcast conversion (the deg aggregate's own shuffle
@@ -266,17 +288,18 @@ def orient_edges(edges: DataFrame, a: str = "a", b: str = "b",
         F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("src"),
         F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("dst"),
     )
+    if not materialize:
+        return oriented
     # r12 (guide §2.5/§2.6, measured): a localCheckpoint inherits the
     # AQE-coalesced partition count of the plan it truncates — at
     # local[32] the post-join stream collapses to ~3-6 partitions,
-    # and every downstream consumer (the compute-heavy wedge-closure
-    # stage above all) then runs that narrow on a 32-core box
-    # (traced: 4.7 s of the 8.5 s query in ONE 3-task stage; removing
-    # this repartition regressed the wedge stage 0.62 s -> 1.86 s at
-    # 6 tasks). Spread the materialized edge table to full
-    # parallelism first — one cheap edge-sized exchange; on a real
-    # cluster scan the stream is already thousands of splits wide and
-    # the helper no-ops.
+    # and every downstream consumer then runs that narrow on a
+    # 32-core box (traced: 4.7 s of the 8.5 s query in ONE 3-task
+    # stage; removing this repartition regressed the r12 wedge stage
+    # 0.62 s -> 1.86 s at 6 tasks). Spread the materialized edge
+    # table to full parallelism first — one cheap edge-sized
+    # exchange; on a real cluster scan the stream is already
+    # thousands of splits wide and the helper no-ops.
     spark = oriented.sparkSession
     target = max(spark.sparkContext.defaultParallelism,
                  int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
@@ -312,10 +335,13 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b", *,
     orientation bounds by O(sqrt(E)) on any graph — the naive
     neighbor-pairs form explodes quadratically at a hot vertex (a
     celebrity node with 1e6 neighbors = 1e12 wedges; oriented, the
-    same node contributes almost none). Three key-equi joins + one
-    aggregate, all map-side-combinable; no windows, no collects.
+    same node contributes almost none). Two degree joins + ONE
+    wedge-closure join + one aggregate, all map-side-combinable; no
+    windows, no collects. (r13 fusion: the probe stream is derived
+    by exploding the adjacency itself, so the r12 src-side adjacency
+    join is gone — see _triangle_common.)
 
-    Physical strategy for attaching the two out-adjacency arrays
+    Physical strategy for attaching the dst-side out-adjacency array
     (``strategy``):
 
     - ``"broadcast"``: ship the node-sized (node, nbrs) table to every
@@ -323,18 +349,18 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b", *,
       payloads. Fastest while the adjacency fits executor memory
       (it is what turned the 112 s wedge-JOIN form into 7-9 s at
       sf0.1), but the payload is O(E) — a hard scale boundary.
-    - ``"shuffle"``: no broadcast anywhere — both adjacency joins run
-      as sort-merge joins. With ``content_key`` set, the oriented
-      edge table and the adjacency table are staged as content-
-      addressed BUCKETED tables (operators/bucketing.py, exactly the
-      ``pagerank_micro`` pattern): the src-side join then reads both
-      sides off their bucketed layout with NO exchange and NO sort,
-      and the dst-side join exchanges only the probe stream into
-      adj's existing bucketing. This is the 100 TB path: per-executor
-      memory holds one partition of the adjacency, never all of it.
+    - ``"shuffle"``: no broadcast anywhere — the wedge join runs as a
+      sort-merge join. With ``content_key`` set, the adjacency table
+      is staged as a content-addressed BUCKETED table
+      (operators/bucketing.py, exactly the ``pagerank_micro``
+      pattern): the join reads the adj side off its bucketed layout
+      with NO exchange and NO sort, and only the exploded probe
+      stream exchanges into adj's existing bucketing. This is the
+      100 TB path: per-executor memory holds one partition of the
+      adjacency, never all of it.
       Pinned by tests/test_graph.py::test_triangles_bucketed_plan.
     - ``"auto"`` (default): estimate the adjacency payload from the
-      oriented edge count (``_ADJ_BYTES_PER_EDGE`` per edge) and pick
+      edge count (``_ADJ_BYTES_PER_EDGE`` per edge) and pick
       ``broadcast`` iff it is at most ``broadcast_cap_bytes``.
 
     Output: (node, n_tri) for every node in >= 1 triangle; each
@@ -342,9 +368,8 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b", *,
     strategy-independent (pinned by test_triangles_strategies_agree).
 
     Cost note on ``"auto"``: the payload estimate is one extra Spark
-    job per invocation (``orient.count()`` — cheap, the orient is
-    checkpointed so it is a local scan, but still a job; JOB_PROFILE
-    records the 19->21 delta as intentional). Callers that already
+    job per invocation (a count of the checkpointed normalized edge
+    table — a local scan, but still a job). Callers that already
     know their graph's size should pass ``strategy="broadcast"`` or
     ``strategy="shuffle"`` explicitly and skip the probe entirely.
 
@@ -363,27 +388,46 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b", *,
                          f"got {strategy!r}")
     spark = edges.sparkSession
     # r12 third pass (guide §1 "don't compute what the plan won't
-    # read"): orient_edges ends in an EAGER localCheckpoint, but on
-    # the bucketed path with the content-addressed tables already
-    # staged the orientation pipeline's output is never read — every
-    # warm invocation paid the full pair-base + degree-join +
-    # repartition + checkpoint chain (~2 s at sf0.1) for nothing.
-    # Build it lazily, once, only for the consumers that read it
-    # (auto's size probe, the broadcast path, and the FIRST bucketed
-    # staging write).
-    _orient_memo: list = []
+    # read"), tightened in r13: on the bucketed path with the
+    # content-addressed adjacency already staged, the normalize/
+    # orient pipeline's output is never read — every warm invocation
+    # would pay the full pair-base + degree-join + checkpoint chain
+    # (~2 s at sf0.1) for nothing. Build the normalized edge table
+    # lazily, once, only for the consumers that read it (auto's size
+    # probe and the adjacency builds).
+    _e_memo: list = []
 
-    def _orient() -> DataFrame:
-        if not _orient_memo:
-            _orient_memo.append(
-                orient_edges(edges, a, b, assume_distinct))
-        return _orient_memo[0]
+    def _e() -> DataFrame:
+        if not _e_memo:
+            _e_memo.append(
+                _normalized_undirected(edges, a, b, assume_distinct))
+        return _e_memo[0]
+
+    def _adj(orient: DataFrame) -> DataFrame:
+        # r12 third pass (guide §2.5): the adjacency aggregate's
+        # ENSURE_REQUIREMENTS exchange AQE-coalesces to ~3 partitions
+        # (the oriented edges are small in BYTES), so the compute-
+        # heavy collect_list + sort_array — and, since the r13
+        # fusion, the exploded wedge-closure stage that rides the
+        # adjacency's partitioning — would run ~3-wide. An explicit
+        # repartition by the group key is never coalesced, and the
+        # aggregate reuses its partitioning — same exchange count,
+        # full width (traced ~0.1 s).
+        target = max(spark.sparkContext.defaultParallelism,
+                     int(spark.conf.get("spark.sql.shuffle.partitions",
+                                        "32")))
+        return (orient.repartition(target, F.col("src"))
+                .groupBy(F.col("src").alias("node")).agg(
+                    F.sort_array(F.collect_list("dst")).alias("nbrs")))
 
     if strategy == "auto":
-        # orient is checkpointed, so the count is a cheap local scan;
-        # the estimate errs high (array/row overhead folded into the
-        # per-edge constant) so "auto" never broadcasts past the cap
-        est = _orient().count() * _ADJ_BYTES_PER_EDGE
+        # the normalized table is checkpointed, so the count is a
+        # cheap local scan; |oriented| == |normalized| (orientation
+        # is a per-row projection), so the probe never forces the
+        # orientation pipeline. The estimate errs high (array/row
+        # overhead folded into the per-edge constant) so "auto" never
+        # broadcasts past the cap.
+        est = _e().count() * _ADJ_BYTES_PER_EDGE
         strategy = "broadcast" if est <= broadcast_cap_bytes else "shuffle"
     # edge-iterator over OUT-adjacency arrays: for oriented edge
     # (u -> v) the triangle's third corners are N+(u) ∩ N+(v), and
@@ -406,74 +450,69 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b", *,
             ensure_bucketed_table
         shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         digest = hashlib.md5(content_key.encode()).hexdigest()[:12]
-        orient_b = spark.table(ensure_bucketed_table(
-            spark, _orient, f"tri_edges_{digest}", "src", shuf,
-            f"tri_edges:{content_key}"))
+        # r13 (probe-side fusion, guide §2.4): the oriented edge
+        # stream is re-derived by exploding the adjacency itself, so
+        # the separately-staged tri_edges bucketed table — whose only
+        # job was feeding the src-side adjacency join — is gone
+        # entirely: one staged table instead of two (cold staging
+        # halves), and the warm plan reads tri_adj twice (explode
+        # side + dst join side) with ONE join instead of two.
         adj = spark.table(ensure_bucketed_table(
             spark,
-            lambda: _orient().groupBy(F.col("src").alias("node")).agg(
-                F.sort_array(F.collect_list("dst")).alias("nbrs")),
+            lambda: _adj(_orient_from(_e(), materialize=False)),
             f"tri_adj_{digest}", "node", shuf,
             f"tri_adj:{content_key}"))
-        probe = orient_b.select("src", "dst")
-    else:
-        # r12 second pass (guide §7.2 — duplicated subtrees): the
-        # adjacency aggregate feeds BOTH sides of the wedge join, and
-        # collect_list's nondeterministic ordering blocks exchange
-        # reuse, so Catalyst built the shuffle + collect_list TWICE
-        # (traced: two identical ObjectHashAggregate→Exchange→
-        # Broadcast chains, ~0.6 s duplicated warm). Materialize the
-        # node-sized adjacency once; both broadcast builds then read
-        # the finished RDD.
-        orient = _orient()
-        # r12 third pass (guide §2.5): the adjacency aggregate's
-        # ENSURE_REQUIREMENTS exchange AQE-coalesces to ~3 partitions
-        # (the oriented edges are small in BYTES), so the compute-heavy
-        # collect_list + sort_array ran 3-wide (traced 0.43 s warm).
-        # An explicit repartition by the group key is never coalesced,
-        # and the aggregate reuses its partitioning — same exchange
-        # count, full width (traced ~0.1 s).
-        target = max(spark.sparkContext.defaultParallelism,
-                     int(spark.conf.get("spark.sql.shuffle.partitions",
-                                        "32")))
-        adj = (orient.repartition(target, F.col("src"))
-               .groupBy(F.col("src").alias("node")).agg(
-                   F.sort_array(F.collect_list("dst")).alias("nbrs")))
-        if strategy == "broadcast":
-            # One build instead of two: collect_list's nondeterminism
-            # blocks exchange reuse, so without this both BROADCAST
-            # sides re-ran the whole shuffle+aggregate (traced ~0.6 s
-            # duplicated warm). A broadcast does not care about the
-            # checkpoint stripping the hash partitioning.
-            #
-            # Do NOT checkpoint on the plain-shuffle path (r12,
-            # measured at the synthetic sf1.0 decade): a checkpointed
-            # RDD loses its partitioning, so BOTH merge-join sides
-            # re-exchange the edge-sized adjacency payload —
-            # graph_triangles' sf1.0 time went 31.7 s (each SMJ side
-            # consuming its own build's exchange in place) to 92-130 s
-            # (one build + two full re-shuffles + lost width). The
-            # duplicated aggregate is the cheaper evil there, exactly
-            # like the degree table above.
-            adj = adj.localCheckpoint(eager=True)
-        probe = orient.select("src", "dst")
-    if strategy == "broadcast":
-        # adj is NODE-sized with O(sqrt(E))-bounded arrays (total
-        # payload = one copy of the edge list): while it fits, ship it
-        # so the edge stream never shuffles its two array payloads
-        # (edge-count x out-degree longs — the dominant shuffle volume
-        # otherwise)
-        adj_u = F.broadcast(adj)
-        adj_v = adj_u
-    else:
+        adj_probe = adj
         # merge hint: forbid Catalyst from re-introducing the very
         # broadcast this path exists to avoid (AQE may see a small
-        # post-shuffle adj and flip the join). Both joins become SMJ;
-        # on the bucketed layout the src side needs no exchange/sort
-        # at all and the dst side exchanges only the probe stream.
-        adj_u = adj.hint("merge")
-        adj_v = adj_u
-    common = _triangle_common(probe, adj_u, adj_v)
+        # post-shuffle adj and flip the join). The join becomes SMJ;
+        # on the bucketed layout the adj side needs no exchange/sort
+        # at all and only the exploded probe stream exchanges into
+        # adj's existing bucketing.
+        adj_v = adj.hint("merge")
+    elif strategy == "broadcast":
+        # The orientation is read EXACTLY ONCE here (the adjacency
+        # build — the r13 fusion derives the probe stream from the
+        # adjacency), so it stays a lazy pipeline fused into the
+        # build (materialize=False drops the r12 tail repartition +
+        # orientation checkpoint: one edge-sized exchange and one
+        # materialization job fewer). The node-sized adjacency IS
+        # checkpointed: it feeds both the explode side and the
+        # broadcast build, and collect_list's nondeterministic
+        # pre-sort order blocks exchange reuse between two builds
+        # (r12 trace: the duplicated shuffle+collect_list cost
+        # ~0.6 s warm). A broadcast does not care about the
+        # checkpoint stripping the hash partitioning.
+        adj = _adj(_orient_from(_e(), materialize=False)) \
+            .localCheckpoint(eager=True)
+        adj_probe = adj
+        # adj is NODE-sized with O(sqrt(E))-bounded arrays (total
+        # payload = one copy of the edge list): while it fits, ship
+        # it so the edge stream never shuffles its array payloads
+        # (edge-count x out-degree longs — the dominant shuffle
+        # volume otherwise)
+        adj_v = F.broadcast(adj)
+    else:
+        # plain-shuffle path (no content key): the adjacency is built
+        # TWICE (explode side + dst join side — collect_list's
+        # nondeterministic pre-sort order blocks exchange reuse;
+        # sort_array makes the VALUES of both builds identical), so
+        # the orientation it reads twice IS materialized
+        # (materialize=True: spread + localCheckpoint).
+        #
+        # Do NOT checkpoint adj here (r12, measured at the synthetic
+        # sf1.0 decade): a checkpointed RDD loses its partitioning,
+        # so BOTH merge-join sides re-exchange the edge-sized
+        # adjacency payload — graph_triangles' sf1.0 time went
+        # 31.7 s (each SMJ side consuming its own build's exchange in
+        # place) to 92-130 s (one build + two full re-shuffles + lost
+        # width). The duplicated aggregate is the cheaper evil,
+        # exactly like the degree table in _orient_from.
+        orient = _orient_from(_e(), materialize=True)
+        adj = _adj(orient)
+        adj_probe = adj
+        adj_v = adj.hint("merge")
+    common = _triangle_common(adj_probe, adj_v)
     # ONE pass over the wedge-closure rows (r12 optimization, guide
     # §2.4): each row credits src and dst with |ws| and every closing
     # corner with 1 — emitted as a single exploded contribution array
@@ -494,15 +533,28 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b", *,
     return out
 
 
-def _triangle_common(probe: DataFrame, adj_u: DataFrame,
+def _triangle_common(adj_probe: DataFrame,
                      adj_v: DataFrame) -> DataFrame:
-    """The adjacency-attach stage (un-checkpointed): oriented edge
-    stream x two out-adjacency sides -> (src, dst, ws) wedge-closure
-    rows. Split out so tests/test_graph.py can pin the bucketed
-    no-broadcast plan shape directly (the _pagerank_round pattern)."""
+    """The wedge-closure stage (un-checkpointed), r13 fused form:
+    the oriented edge stream is RE-DERIVED from the adjacency itself
+    — explode(nbrs) emits exactly one (src, dst) row per oriented
+    edge, with the src-side out-array nu already on the row — so the
+    r12 form's src-side adjacency join (probe JOIN adj ON src)
+    disappears: ONE dst-side join instead of two, one fewer
+    broadcast build / bucketed scan, and the probe read of the
+    oriented edge table is gone (guide §2.4 — remove shuffles/joins
+    outright). Value-exact vs the r12 two-join form: explode over
+    the adjacency enumerates precisely the distinct oriented edge
+    set (nbrs is collect_list over distinct oriented edges), the
+    src-side inner join never dropped anything (every src has, by
+    construction, at least the out-edge that produced the probe
+    row), and the dst-side inner join is unchanged. Split out so
+    tests/test_graph.py can pin the bucketed no-broadcast plan shape
+    directly (the _pagerank_round pattern)."""
+    probe = adj_probe.select(F.col("node").alias("src"),
+                             F.col("nbrs").alias("nu"),
+                             F.explode("nbrs").alias("dst"))
     return (probe
-            .join(adj_u.select(F.col("node").alias("src"),
-                               F.col("nbrs").alias("nu")), "src")
             .join(adj_v.select(F.col("node").alias("dst"),
                                F.col("nbrs").alias("nv")), "dst")
             .select("src", "dst",

@@ -69,13 +69,18 @@ def table_profile(df: DataFrame, cols: list[str] | None = None,
     # downstream consumer is an order-insensitive aggregate
     from mr_mpi_blast_spark.session import spread_for_compute
     df = spread_for_compute(df)
-    nd = (F.count_distinct if exact
-          else lambda c: F.approx_count_distinct(c))
+    bad = [c for c in (quantile_cols or []) if c not in cols]
+    if bad:
+        raise ValueError(
+            f"table_profile: quantile_cols {bad} not in profiled cols")
+    if exact:
+        return _table_profile_exact(df, cols, quantile_cols,
+                                    list(qs_permille))
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for i, c in enumerate(cols):
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"_nn{i}"),
-            nd(F.col(c)).alias(f"_nd{i}"),
+            F.approx_count_distinct(F.col(c)).alias(f"_nd{i}"),
             F.min(c).cast("string").alias(f"_mn{i}"),
             F.max(c).cast("string").alias(f"_mx{i}"),
         ]
@@ -92,15 +97,104 @@ def table_profile(df: DataFrame, cols: list[str] | None = None,
              "min_val", "max_val")
     if not quantile_cols:
         return base
-    bad = [c for c in quantile_cols if c not in cols]
-    if bad:
-        raise ValueError(
-            f"table_profile: quantile_cols {bad} not in profiled cols")
     # orderBy restores the documented sorted report order the join's
     # shuffle would otherwise scramble — plan-sized (one row/column)
     return base.join(
         _hdr_profile_quantiles(df, quantile_cols, list(qs_permille)),
         "col_name", "left").orderBy("col_name")
+
+
+def _table_profile_exact(df, cols: list[str],
+                         quantile_cols: list[str] | None,
+                         qs_permille: list[int]):
+    """The exact-distinct profile as a MANUAL two-level aggregate
+    (r13, guide §2.2/§2.3 and VERDICT item 5).
+
+    Why not ``df.agg(count_distinct(c0), ..., min(c0), ...)``: mixing
+    exact distinct aggregates with non-distinct ones makes Catalyst
+    rewrite the query through an Expand whose regrouping levels carry
+    ``first(...)`` functions — and those plan as SortAggregate, so
+    the WHOLE (cols+1)x-expanded corpus stream went through THREE
+    Sort operators (traced at sf0.1: the three 32-task sort stages
+    were ~2.1 s of the 2.2 s query; plan pair
+    plans/r13/table_profile_before.txt operators (4)-(11)).
+
+    The manual form keys one explode-stream per column by its NATIVE
+    type (a struct field per column — exactly the columns Expand
+    would key on), so:
+
+    - level 1 (corpus-sized): groupBy(gid, v0..vN) count — plain
+      HashAggregate, map-side partial dedup before the one exchange
+      (shuffle volume = per-partition distinct values, identical to
+      the Expand plan's);
+    - level 2 (distinct-values-sized): per gid — n_rows = sum(cnt),
+      n_nulls = cnt of the all-null group, n_distinct = count of
+      non-null-value groups (exact by partition-of-the-value-space,
+      the hll_distinct lvl1 argument), min/max over the native-typed
+      field (strings put this level on the sort-based fallback, but
+      it runs over the DEDUPED stream, not the corpus);
+    - the HDR quantile sketch is built from the SAME level-1 stream
+      (bucket counts = sum of value multiplicities — exact), so the
+      former second corpus scan (+ its spread exchange) is GONE:
+      ONE scan total for the whole profile.
+
+    Values are identical to the Expand form by construction: same
+    distinct sets, same native-type min/max ordering, same NULL
+    accounting, same HDR bucket counts.
+    """
+    n = len(cols)
+    types = {c: f.dataType for c, f in zip(df.schema.names, df.schema.fields)}
+    structs = [
+        F.struct(F.lit(i).alias("gid"),
+                 *[(F.col(c) if j == i
+                    else F.lit(None).cast(types[c])).alias(f"v{j}")
+                   for j, c in enumerate(cols)])
+        for i, c in enumerate(cols)]
+    vcols = [f"v{j}" for j in range(n)]
+    lvl1 = (df.select(F.explode(F.array(*structs)).alias("p"))
+            .select("p.*")
+            .groupBy("gid", *vcols)
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    # only the row's own-gid field can be non-null, so "any field
+    # non-null" == "this gid's value is non-null" for every row
+    import functools
+    anynn = functools.reduce(
+        lambda x, y: x | y, [F.col(v).isNotNull() for v in vcols])
+    prof = lvl1.groupBy("gid").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.coalesce(F.sum(F.when(~anynn, F.col("cnt"))),
+                   F.lit(0)).alias("n_nulls"),
+        F.sum(F.when(anynn, 1).otherwise(0)).cast("long")
+        .alias("n_distinct"),
+        *[F.min(v).alias(f"_mn{j}") for j, v in enumerate(vcols)],
+        *[F.max(v).alias(f"_mx{j}") for j, v in enumerate(vcols)],
+    )
+    names = F.array(*[F.lit(c) for c in cols])
+    base = prof.select(
+        F.element_at(names, F.col("gid") + 1).alias("col_name"),
+        "n_rows", "n_nulls", "n_distinct",
+        # for gid=i every foreign-column min/max is NULL (its field
+        # was all-NULL in the group), so coalesce picks column i's —
+        # NULL-only columns stay NULL, exactly the stack() rendering
+        F.coalesce(*[F.col(f"_mn{j}").cast("string") for j in range(n)])
+        .alias("min_val"),
+        F.coalesce(*[F.col(f"_mx{j}").cast("string") for j in range(n)])
+        .alias("max_val"))
+    if not quantile_cols:
+        return base
+    qarms = " ".join(
+        f"WHEN gid = {cols.index(c)} "
+        f"THEN {_hdr_profile_bucket(f'v{cols.index(c)}')}"
+        for c in quantile_cols)
+    sk = (lvl1.select(
+            F.element_at(names, F.col("gid") + 1).alias("col_name"),
+            F.expr(f"CASE {qarms} ELSE NULL END").alias("bucket"),
+            "cnt")
+          .filter(F.col("bucket").isNotNull())
+          .groupBy("col_name", "bucket")
+          .agg(F.sum("cnt").alias("cnt")))
+    return base.join(_hdr_extract_quantiles(sk, qs_permille),
+                     "col_name", "left").orderBy("col_name")
 
 
 def trimmed_mean_by_group(df, group_col: str, cents_col: str,
@@ -780,6 +874,17 @@ def _hdr_profile_quantiles(df: DataFrame, quantile_cols: list[str],
           .filter(F.col("bucket").isNotNull())
           .groupBy("col_name", "bucket")
           .agg(F.count(F.lit(1)).alias("cnt")))
+    return _hdr_extract_quantiles(sk, qs_permille)
+
+
+def _hdr_extract_quantiles(sk, qs_permille: list[int]):
+    """Quantile extraction + per-column pivot over an already-built
+    multi-column sketch ``sk`` (col_name, bucket, cnt) — split out in
+    r13 so the exact profile path can feed it the sketch it derives
+    from its own level-1 distinct-value stream (one corpus scan for
+    the whole profile) while the approx path keeps building the
+    sketch from a dedicated column-pruned pass."""
+    from pyspark.sql import Window
     w = (Window.partitionBy("col_name").orderBy("bucket")
          .rowsBetween(Window.unboundedPreceding, 0))
     tot = Window.partitionBy("col_name")

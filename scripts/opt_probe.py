@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Optimization-round probe: isolate named queries, time them against
 the noop sink (guide §1.4), and dump .explain("formatted") to
-plans/r12/<query>_<tag>.txt (guide §1.1 — plan evidence the judge can
+plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt (default r13; guide §1.1 —
+plan evidence the judge can
 read without running Spark).
 
 Usage:
@@ -30,7 +31,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--tag", default=None,
-                    help="dump plans/r12/<q>_<tag>.txt (no dump if unset)")
+                    help="dump plans/<round>/<q>_<tag>.txt (no dump if unset)")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -48,7 +49,8 @@ def main() -> int:
         return 2
 
     plans_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"))
     os.makedirs(plans_dir, exist_ok=True)
 
     warm_dir = "/root/testdata/sf0.001"

@@ -141,10 +141,12 @@ def test_pagerank_iteration_plan(spark, tmp_path, monkeypatch):
 
 @pytest.mark.slow
 def test_pagerank_plan_depth_constant_in_iterations(spark):
-    """The bpe_learn lesson applied here: per-round checkpointing must
-    keep plan depth O(1) in n_iter — a 24-iteration result's plan is
-    the SAME flat checkpoint scan as a 6-iteration one (no joins, no
-    per-round lineage accumulation), asserted on the plan itself
+    """The bpe_learn lesson applied here: the unconditional FINAL-round
+    checkpoint (lineage is otherwise truncated only every ckpt_every
+    rounds) must keep the returned plan depth O(1) in n_iter — a
+    24-iteration result's plan is the SAME flat checkpoint scan as a
+    6-iteration one (no joins, no per-round lineage accumulation),
+    asserted on the plan itself
     rather than a wall-clock ratio (timing gates flake on a loaded
     box — the cache-release de-flake lesson). Values at 24 rounds
     still match the python replay exactly."""
@@ -268,13 +270,14 @@ def test_triangles_auto_switch_and_validation(spark):
 
 
 def test_triangles_bucketed_plan(spark, tmp_path, monkeypatch):
-    """The 100 TB contract for the beyond-broadcast path: NO broadcast
-    anywhere; both adjacency joins are sort-merge; the src-side join
-    reads the oriented edge table AND the adjacency table straight off
-    their bucketed layouts (no exchange, no sort above those scans),
-    and the dst-side join exchanges ONLY the probe stream into adj's
-    existing bucketing — three bucketed scans, one exchange, one sort
-    total."""
+    """The 100 TB contract for the beyond-broadcast path (r13 fused
+    form): NO broadcast anywhere; the single wedge-closure join is
+    sort-merge; its adj side reads the adjacency table straight off
+    the bucketed layout (no exchange, no sort above that scan), and
+    only the exploded probe stream — itself derived from a second
+    bucketed scan of the SAME adjacency table, no oriented-edge
+    table exists anymore — exchanges into adj's existing bucketing:
+    two bucketed scans, one join, one exchange, one sort total."""
     monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path))
     import hashlib
 
@@ -286,25 +289,27 @@ def test_triangles_bucketed_plan(spark, tmp_path, monkeypatch):
                   for _ in range(120)})
     df = spark.createDataFrame(edges, ["a", "b"])
     ck = "tri-plan-test"
-    # one run stages + registers the content-addressed bucketed tables
+    # one run stages + registers the content-addressed bucketed table
     triangle_counts(df, strategy="shuffle", content_key=ck).collect()
     dg = hashlib.md5(ck.encode()).hexdigest()[:12]
-    orient = spark.table(f"tri_edges_{dg}").select("src", "dst")
-    adj = spark.table(f"tri_adj_{dg}").hint("merge")
+    adj = spark.table(f"tri_adj_{dg}")
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        plan = (_triangle_common(orient, adj, adj)
+        plan = (_triangle_common(adj, adj.hint("merge"))
                 ._jdf.queryExecution().executedPlan().toString())
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastExchange" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("SortMergeJoin") == 1
     for line in plan.splitlines():
         if "FileScan parquet" in line and "Bucketed: true" not in line:
             raise AssertionError(f"non-bucketed scan in plan: {line}")
-    assert plan.count("Bucketed: true") == 3
+    assert plan.count("Bucketed: true") == 2
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert len(re.findall(r"\n\s*(?:\+|:)- Sort ", plan)) == 1
+    # and the oriented-edge table is no longer staged at all
+    assert not spark.catalog.tableExists(f"tri_edges_{dg}")
 
 
 def test_kcore_peeling_cascade(spark):
